@@ -1,0 +1,101 @@
+"""Per-document extraction core — pure Python, Spark-free.
+
+One document in (ordered input spans), one ordered output span sequence +
+metrics out. This module is shared verbatim by the local test oracle and the
+Spark ``mapInPandas`` kernel (SURVEY.md §7.0), which is what makes the
+span-sequence-equality contract (BASELINE.json:input_hint) cheap to test.
+
+Dispatch by ``kind`` mirrors the reference's extension -> category routing
+(``app/config.py:9-15``, ``dashboard.py:235-239``):
+  text  -> clean_text (pymu_tesseract_processor.py:150-154)
+  html  -> DOM text-density boilerplate strip, then clean_text (the YOLO
+           Non-Text masking analogue, pymu_tesseract_processor.py:44-66)
+  pdf   -> base64 PDF bytes -> layout parse -> one output span per page
+           (the process_pdf page loop, pymu_tesseract_processor.py:84-117)
+  media -> passthrough unchanged (kind, media_ref, relative order preserved)
+
+Failures never abort: an invalid PDF increments ``parse_failures`` (the
+analogue of the validity gate, ``app/utils/helper.py:213-225``) and yields an
+empty text span so downstream counts stay consistent.
+"""
+
+from __future__ import annotations
+
+import base64
+import time
+from dataclasses import dataclass
+
+from .html_extract import extract_main_text
+from .pdf_parse import PdfParseError, extract_pdf_text
+from .textclean import clean_text
+
+KIND_TEXT = "text"
+KIND_HTML = "html"
+KIND_PDF = "pdf"
+KIND_MEDIA = "media"
+
+
+@dataclass
+class ExtractResult:
+    spans: list[tuple[str, str, str, int]]  # (kind, text, media_ref, offset)
+    pages_parsed: int
+    spans_emitted: int
+    parse_failures: int
+    duration_ms: int
+
+
+def extract_document(
+    spans: list[tuple[str, str, str, int]] | list[dict],
+) -> ExtractResult:
+    """Rebuild one document's ordered output span sequence.
+
+    Input spans are (kind, text, media_ref, offset); processed in offset
+    order. Output offsets are reassigned densely 0..n-1 — computed inside the
+    kernel, never from partition order (SURVEY.md §7.4 determinism note).
+    """
+    t0 = time.monotonic()
+    norm: list[tuple[str, str, str, int]] = []
+    for s in spans:
+        if isinstance(s, dict):
+            norm.append((s["kind"], s["text"] or "", s["media_ref"] or "", s["offset"]))
+        else:
+            norm.append((s[0], s[1] or "", s[2] or "", s[3]))
+    norm.sort(key=lambda s: s[3])
+
+    out: list[tuple[str, str, str, int]] = []
+    pages = 0
+    failures = 0
+
+    def emit(kind: str, text: str, media_ref: str = "") -> None:
+        out.append((kind, text, media_ref, len(out)))
+
+    for kind, text, media_ref, _off in norm:
+        if kind == KIND_MEDIA:
+            emit(KIND_MEDIA, "", media_ref)
+        elif kind == KIND_TEXT:
+            emit(KIND_TEXT, clean_text(text))
+        elif kind == KIND_HTML:
+            emit(KIND_TEXT, clean_text(extract_main_text(text)))
+        elif kind == KIND_PDF:
+            try:
+                pdf_bytes = base64.b64decode(text.encode("ascii"), validate=True)
+                page_texts = extract_pdf_text(pdf_bytes)
+            except (PdfParseError, ValueError, UnicodeEncodeError):
+                # binascii.Error (bad base64) subclasses ValueError
+                failures += 1
+                emit(KIND_TEXT, "")
+            else:
+                pages += len(page_texts)
+                for pt in page_texts:
+                    emit(KIND_TEXT, pt)
+        else:  # unknown kind: the unsupported-file error path (helper.py:160-171)
+            failures += 1
+            emit(KIND_TEXT, "")
+
+    return ExtractResult(
+        spans=out,
+        pages_parsed=pages,
+        spans_emitted=len(out),
+        parse_failures=failures,
+        duration_ms=int((time.monotonic() - t0) * 1000),
+    )

@@ -1,0 +1,176 @@
+"""Deterministic synthetic interleaved-document corpus (FIXTURES.md §1).
+
+Generates the ``documents(doc_id, spans)`` table the extraction pipeline runs
+on: ~50% plain text (messy whitespace to exercise clean_text), 25% HTML with
+link-dense boilerplate, 15% base64 synthetic PDFs (multi-textbox, two-column,
+tabled pages), 10% media passthrough spans — plus a ~1% heavy tail of "giant"
+multi-page PDFs to exercise size bucketing + salted repartitioning. seed=42,
+no external data.
+"""
+
+from __future__ import annotations
+
+import base64
+import random
+
+from .core.pdf_build import PageSpec, Table, TextBox, build_pdf
+
+_WORDS = (
+    "data spark engine document extraction pipeline content span layout "
+    "partition shuffle arrow batch schema lineage resume salt skew commit "
+    "table column vector text media page line order offset parse clean "
+    "boilerplate density heuristic stream token grid cell row metric"
+).split()
+
+_NAV_WORDS = ["Home", "About", "Products", "Contact", "Login", "Sign-up",
+              "Pricing", "Blog", "Careers", "Support", "Terms", "Privacy"]
+
+
+def _sentence(rng: random.Random, n_words: int) -> str:
+    ws = [rng.choice(_WORDS) for _ in range(n_words)]
+    ws[0] = ws[0].capitalize()
+    return " ".join(ws) + "."
+
+
+def _paragraph(rng: random.Random) -> str:
+    return " ".join(_sentence(rng, rng.randint(4, 12)) for _ in range(rng.randint(1, 4)))
+
+
+def _messy_text(rng: random.Random) -> str:
+    """Plain text with whitespace noise for clean_text to normalize."""
+    paras = [_paragraph(rng) for _ in range(rng.randint(1, 5))]
+    sep_choices = ["\n\n", "\n \n", "\n\t\n\n", "\n\n\n\n", "\n  \n \n"]
+    out = rng.choice(["", "  \n", "\t"])
+    for i, p in enumerate(paras):
+        if i:
+            out += rng.choice(sep_choices)
+        if rng.random() < 0.3:
+            p = "  " + p.replace(" ", "\t", 1)
+        out += p
+    return out + rng.choice(["", "\n\n", " \t \n"])
+
+
+def _html_doc(rng: random.Random) -> str:
+    """Main-content paragraphs wrapped in boilerplate (nav/footer/ads)."""
+    main_paras = [_paragraph(rng) for _ in range(rng.randint(1, 4))]
+    nav_links = "".join(
+        f'<li><a href="/{w.lower()}">{w}</a></li>'
+        for w in rng.sample(_NAV_WORDS, rng.randint(3, 6))
+    )
+    ads = "".join(
+        f'<a href="/ad{i}">{rng.choice(_NAV_WORDS)} {rng.choice(_WORDS)}</a> '
+        for i in range(rng.randint(2, 5))
+    )
+    body_main = "".join(f"<p>{p}</p>" for p in main_paras)
+    sidebar = (
+        f'<div class="sidebar">{ads}</div>' if rng.random() < 0.7 else ""
+    )
+    return (
+        "<html><head><title>t</title><style>.x{color:red}</style>"
+        "<script>var a=1;</script></head><body>"
+        f"<nav><ul>{nav_links}</ul></nav>"
+        f"<header><h1>{_sentence(rng, 3)}</h1></header>"
+        f"<article>{body_main}</article>{sidebar}"
+        f"<footer><a href=\"/terms\">Terms</a> <a href=\"/privacy\">Privacy</a></footer>"
+        "</body></html>"
+    )
+
+
+def _pdf_page(rng: random.Random, two_col: bool, with_table: bool) -> PageSpec:
+    page = PageSpec()
+    styles = ["td", "tm", "quote", "tj_array"]
+    y = 60.0
+    if two_col:
+        # interleave two columns so pure content-stream order != reading order
+        left_y, right_y = 60.0, 75.0
+        for _ in range(rng.randint(2, 4)):
+            lines = [_sentence(rng, rng.randint(3, 6)) for _ in range(rng.randint(1, 4))]
+            page.boxes.append(TextBox(x=50, y_top=left_y, lines=lines, style=rng.choice(styles)))
+            left_y += 14.0 * len(lines) + rng.randint(32, 50)
+            lines = [_sentence(rng, rng.randint(3, 6)) for _ in range(rng.randint(1, 4))]
+            page.boxes.append(TextBox(x=320, y_top=right_y, lines=lines, style=rng.choice(styles)))
+            right_y += 14.0 * len(lines) + rng.randint(32, 50)
+        # emit in shuffled order: layout, not stream order, must win
+        rng.shuffle(page.boxes)
+    else:
+        for _ in range(rng.randint(1, 5)):
+            lines = [_sentence(rng, rng.randint(4, 8)) for _ in range(rng.randint(1, 5))]
+            page.boxes.append(TextBox(x=rng.choice([50, 72, 90]), y_top=y, lines=lines, style=rng.choice(styles)))
+            y += 14.0 * len(lines) + rng.randint(32, 55)
+    if with_table:
+        n_rows, n_cols = rng.randint(2, 4), rng.randint(2, 4)
+        rows = [
+            [
+                (rng.choice(_WORDS) if rng.random() < 0.85 else "")
+                for _ in range(n_cols)
+            ]
+            for _ in range(n_rows)
+        ]
+        page.tables.append(
+            Table(x=60, y_top=560 + rng.randint(0, 60), rows=rows)
+        )
+    return page
+
+
+def make_pdf_bytes(rng: random.Random, n_pages: int) -> bytes:
+    pages = []
+    for _ in range(n_pages):
+        pages.append(
+            _pdf_page(
+                rng,
+                two_col=rng.random() < 0.4,
+                with_table=rng.random() < 0.35,
+            )
+        )
+    return build_pdf(pages, compress=rng.random() < 0.5)
+
+
+def gen_documents(n_docs: int, seed: int = 42) -> list[dict]:
+    """Rows of ``{doc_id, spans:[{kind,text,media_ref,offset}]}``.
+
+    Kind mix ~50/25/15/10 text/html/pdf/media per FIXTURES.md §1; ~1% of docs
+    are "giant" (one 20-50 page PDF span) for the skew path.
+    """
+    rng = random.Random(seed)
+    rows: list[dict] = []
+    for d in range(n_docs):
+        doc_id = f"doc-{seed}-{d:08d}"
+        spans: list[dict] = []
+        giant = rng.random() < 0.01
+        n_spans = 1 if giant else rng.randint(1, 12)
+        for off in range(n_spans):
+            if giant:
+                kind = "pdf"
+                n_pages = rng.randint(20, 50)
+            else:
+                r = rng.random()
+                kind = "text" if r < 0.50 else "html" if r < 0.75 else "pdf" if r < 0.90 else "media"
+                n_pages = rng.randint(1, 3)
+            if kind == "text":
+                spans.append({"kind": "text", "text": _messy_text(rng), "media_ref": "", "offset": off})
+            elif kind == "html":
+                spans.append({"kind": "html", "text": _html_doc(rng), "media_ref": "", "offset": off})
+            elif kind == "pdf":
+                pdf = make_pdf_bytes(rng, n_pages)
+                spans.append({
+                    "kind": "pdf",
+                    "text": base64.b64encode(pdf).decode("ascii"),
+                    "media_ref": "",
+                    "offset": off,
+                })
+            else:
+                ref = f"media://{rng.getrandbits(64):016x}.{rng.choice(['png','jpg','mp3','mp4'])}"
+                spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": off})
+        rows.append({"doc_id": doc_id, "spans": spans})
+    return rows
+
+
+def corpus_df(spark, n_docs: int, seed: int = 42):
+    """Synthetic documents table as a Spark DataFrame (explicit schema)."""
+    from .spark.pipeline import DOCUMENTS_SCHEMA
+
+    rows = [
+        (r["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]])
+        for r in gen_documents(n_docs, seed)
+    ]
+    return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)

@@ -1,0 +1,224 @@
+"""Snapshot-style commits + lineage + resume (Iceberg semantics, emulated).
+
+The sandbox has no Iceberg runtime jar, so snapshot semantics are emulated
+with parquet + an atomic JSON commit log behind one writer interface, exactly
+as scoped in SURVEY.md §7.4. On a real cluster this class is swapped for
+``df.writeTo(table).append()`` + an Iceberg lineage table; the resume logic
+(left-anti join on committed part_ids) is identical either way.
+
+Layout of a CommitLog directory:
+
+    <root>/data/chunk-<k>/part-*.parquet    extracted spans for chunk k
+    <root>/lineage/chunk-<k>/*.parquet      per-part_id metrics rows
+    <root>/commits/commit-<k>.json          atomic marker (tmp + rename):
+                                            the chunk is visible iff present
+
+A killed job leaves at most one un-marked chunk directory, which the next run
+ignores and reprocesses — zero reprocessing of *committed* partitions, the
+north_rule resumability contract. This is the scalable replacement for the
+reference's rewrite-the-whole-JSON-after-every-page checkpoint
+(pymu_tesseract_processor.py:111-112, O(pages^2) bytes per doc).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import extract_documents
+
+LINEAGE_COLS = [
+    "part_id",
+    "status",
+    "docs_done",
+    "pages_parsed",
+    "spans_emitted",
+    "parse_failures",
+    "duration_ms",
+    "committed_at",
+]
+
+
+@dataclass
+class RunReport:
+    chunks_committed: int
+    parts_processed: int
+    docs_processed: int
+    parts_skipped: int
+
+
+class CommitLog:
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.lineage_dir = os.path.join(root, "lineage")
+        self.commits_dir = os.path.join(root, "commits")
+        for d in (self.data_dir, self.lineage_dir, self.commits_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # ------------------------------------------------------------- commit side
+
+    def committed_chunks(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.commits_dir)):
+            if name.startswith("commit-") and name.endswith(".json"):
+                with open(os.path.join(self.commits_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def committed_part_ids(self) -> set[int]:
+        ids: set[int] = set()
+        for c in self.committed_chunks():
+            ids.update(c["part_ids"])
+        return ids
+
+    def next_chunk_id(self) -> int:
+        chunks = self.committed_chunks()
+        return (max((c["chunk_id"] for c in chunks), default=-1)) + 1
+
+    def commit_chunk(self, chunk_id: int, part_ids: list[int], metrics: dict) -> None:
+        """Atomic visibility flip: tmp write + rename (POSIX atomic)."""
+        marker = {
+            "chunk_id": chunk_id,
+            "part_ids": sorted(part_ids),
+            "metrics": metrics,
+            "committed_at": time.time(),
+        }
+        path = os.path.join(self.commits_dir, f"commit-{chunk_id:06d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+
+    # --------------------------------------------------------------- read side
+
+    def read_extracted(self, spark: SparkSession) -> DataFrame:
+        """Union of committed chunks only (uncommitted dirs are invisible)."""
+        chunks = self.committed_chunks()
+        paths = [
+            os.path.join(self.data_dir, f"chunk-{c['chunk_id']:06d}")
+            for c in chunks
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            from .pipeline import EXTRACTED_SCHEMA
+
+            return spark.createDataFrame([], EXTRACTED_SCHEMA)
+        return spark.read.parquet(*paths)
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame:
+        chunks = self.committed_chunks()
+        paths = [
+            os.path.join(self.lineage_dir, f"chunk-{c['chunk_id']:06d}")
+            for c in chunks
+        ]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return spark.createDataFrame(
+                [],
+                "part_id int, status string, docs_done long, pages_parsed long, "
+                "spans_emitted long, parse_failures long, duration_ms long, "
+                "committed_at timestamp",
+            )
+        return spark.read.parquet(*paths)
+
+
+def resume_filter(documents: DataFrame, log: CommitLog, n_parts: int) -> DataFrame:
+    """Drop documents whose logical partition is already committed.
+
+    The left-anti join from SURVEY.md §2.2-P3 (the reference's
+    skip-if-complete check, helper.py:51-70, lifted to partition granularity).
+    The committed set is tiny (one int per partition) so Spark broadcasts it —
+    no shuffle of the 10^12-row input.
+    """
+    from .pipeline import assign_part_id
+
+    spark = documents.sparkSession
+    done = sorted(log.committed_part_ids())
+    docs = assign_part_id(documents.select("doc_id", "spans"), n_parts)
+    if not done:
+        return docs
+    done_df = spark.createDataFrame([(p,) for p in done], "part_id int")
+    return docs.join(F.broadcast(done_df), "part_id", "left_anti")
+
+
+def run_extraction(
+    spark: SparkSession,
+    documents: DataFrame,
+    log: CommitLog,
+    n_parts: int = 256,
+    parts_per_chunk: int = 64,
+    num_partitions: int | None = None,
+    fail_after_chunks: int | None = None,
+) -> RunReport:
+    """Resumable driver: process uncommitted part_ids in chunk-sized jobs.
+
+    Each chunk = one Spark job writing spans + lineage parquet, then an atomic
+    commit marker. ``fail_after_chunks`` injects a crash for the
+    kill-and-resume test.
+    """
+    done = log.committed_part_ids()
+    todo = [p for p in range(n_parts) if p not in done]
+    report = RunReport(0, 0, 0, len(done))
+    if not todo:
+        return report
+
+    docs = resume_filter(documents, log, n_parts)
+    chunk_id = log.next_chunk_id()
+    for start in range(0, len(todo), parts_per_chunk):
+        chunk_parts = todo[start : start + parts_per_chunk]
+        chunk_docs = docs.filter(F.col("part_id").isin(chunk_parts))
+        extracted = extract_documents(
+            chunk_docs, n_parts=n_parts, num_partitions=num_partitions
+        )
+        data_path = os.path.join(log.data_dir, f"chunk-{chunk_id:06d}")
+        lineage_path = os.path.join(log.lineage_dir, f"chunk-{chunk_id:06d}")
+        extracted.write.mode("overwrite").parquet(data_path)
+
+        # lineage rollup from the just-written data (no recompute of the UDF)
+        written = spark.read.parquet(data_path)
+        lineage = (
+            written.groupBy("part_id")
+            .agg(
+                F.count("*").alias("docs_done"),
+                F.sum("pages_parsed").alias("pages_parsed"),
+                F.sum("spans_emitted").alias("spans_emitted"),
+                F.sum("parse_failures").alias("parse_failures"),
+                F.sum("duration_ms").alias("duration_ms"),
+            )
+            .withColumn(
+                "status",
+                F.when(F.col("parse_failures") > 0, F.lit("error")).otherwise(
+                    F.lit("success")
+                ),
+            )
+            .withColumn("committed_at", F.current_timestamp())
+            .select(LINEAGE_COLS)
+        )
+        lineage.write.mode("overwrite").parquet(lineage_path)
+
+        agg = written.agg(
+            F.count("*").alias("docs"),
+            F.sum("pages_parsed").alias("pages"),
+            F.sum("parse_failures").alias("failures"),
+        ).collect()[0]
+        # empty part_ids (no docs hashed to them) still count as committed
+        log.commit_chunk(
+            chunk_id,
+            chunk_parts,
+            {"docs": agg["docs"], "pages": agg["pages"], "failures": agg["failures"]},
+        )
+        report.chunks_committed += 1
+        report.parts_processed += len(chunk_parts)
+        report.docs_processed += agg["docs"]
+        chunk_id += 1
+        if fail_after_chunks is not None and report.chunks_committed >= fail_after_chunks:
+            raise RuntimeError("injected failure for kill-and-resume test")
+    return report

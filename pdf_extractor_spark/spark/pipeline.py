@@ -1,0 +1,177 @@
+"""The extraction pipeline: DataFrame orchestration around the Arrow kernel.
+
+Replaces the reference's sequential driver loop (``dashboard.py:588`` — one
+file at a time, no file-level parallelism) with a declarative plan:
+
+    documents --(size bucketing + salted repartition)--> mapInPandas(extract)
+              --> extracted spans + per-doc metrics --> committed parquet +
+              lineage rows (see lineage.py)
+
+All per-document logic lives in ``core/`` (pure Python) and runs inside
+vectorized Arrow batches — never per-row Python UDFs (BASELINE.json:input_hint).
+
+Scale notes (100 TB / 1000 executors):
+- ``part_id`` is a *logical* processing-partition id, a pure function of
+  doc_id — stable across cluster sizes and reruns, so resume anti-joins are
+  meaningful regardless of physical partitioning.
+- Physical balance is separate: docs are bucketed by byte size and salted so
+  the ~1% giant-PDF tail (20-50 pages each) spreads across executors instead
+  of serializing one straggler task (SURVEY.md §4 item 1). There is no join
+  here, so AQE skew-join can't help — explicit salting is the right tool.
+- The extraction stage has NO shuffle other than the single explicit
+  repartition; parquet scan prunes to (doc_id, spans, part-key columns) only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SPAN_STRUCT = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+
+DOCUMENTS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("spans", ArrayType(SPAN_STRUCT)),
+    ]
+)
+
+EXTRACTED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("spans", ArrayType(SPAN_STRUCT)),
+        StructField("pages_parsed", IntegerType()),
+        StructField("spans_emitted", IntegerType()),
+        StructField("parse_failures", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("part_id", IntegerType()),
+    ]
+)
+
+# byte-size bucket edges: normal / large / giant (log-ish spacing)
+_BUCKET_EDGES = [16_384, 131_072]
+GIANT_BUCKET = len(_BUCKET_EDGES)
+
+
+def assign_part_id(df: DataFrame, n_parts: int) -> DataFrame:
+    """Stable logical partition id: pmod(xxhash64(doc_id), n_parts).
+
+    The resume/commit unit (analogue of the reference's one-result-JSON-per-
+    file checkpoint granularity, helper.py:51-70, coarsened to partition
+    granularity for 10^12-doc scale)."""
+    return df.withColumn("part_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int"))
+
+
+def with_size_salt(df: DataFrame, salts_per_bucket: tuple[int, ...] = (1, 4, 16)) -> DataFrame:
+    """Add n_bytes / size_bucket / salt columns for skew-aware repartitioning.
+
+    Giant docs get more salts so they scatter; tiny docs share partitions.
+    ``aggregate`` over the span array is JVM-side (no Python), so sizing is
+    free relative to the parse stage.
+    """
+    n_bytes = F.aggregate(
+        "spans",
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.coalesce(F.octet_length(s["text"]), F.lit(0))
+        + F.coalesce(F.octet_length(s["media_ref"]), F.lit(0)),
+    )
+    df = df.withColumn("n_bytes", n_bytes)
+    bucket = F.lit(0)
+    for i, edge in enumerate(_BUCKET_EDGES):
+        bucket = F.when(F.col("n_bytes") >= edge, i + 1).otherwise(bucket)
+    df = df.withColumn("size_bucket", bucket.cast("int"))
+    salt_counts = F.array(*[F.lit(s) for s in salts_per_bucket])
+    df = df.withColumn(
+        "salt",
+        F.pmod(
+            F.xxhash64("doc_id", F.lit(7)),
+            F.element_at(salt_counts, F.col("size_bucket") + 1),
+        ).cast("int"),
+    )
+    return df
+
+
+def balance_partitions(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Skew-aware physical repartition before the parse stage.
+
+    Range-partition on (size_bucket, salt, doc_id): each size class gets a
+    contiguous slice of partitions proportional to its (bucket, salt) key
+    space, so one partition never holds more than ~1/salts of the giant tail.
+    doc_id as the final key spreads ties uniformly.
+    """
+    df = with_size_salt(df)
+    return df.repartitionByRange(
+        num_partitions, F.col("size_bucket"), F.col("salt"), F.col("doc_id")
+    )
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # imported inside the worker so the Python workers only need core/
+    from pdf_extractor_spark.core.extractor import extract_document
+
+    for pdf_batch in batches:
+        out: dict[str, list] = {
+            "doc_id": [],
+            "spans": [],
+            "pages_parsed": [],
+            "spans_emitted": [],
+            "parse_failures": [],
+            "duration_ms": [],
+            "part_id": [],
+        }
+        has_part = "part_id" in pdf_batch.columns
+        for i in range(len(pdf_batch)):
+            doc_id = pdf_batch["doc_id"].iat[i]
+            spans = pdf_batch["spans"].iat[i]
+            res = extract_document(list(spans) if spans is not None else [])
+            out["doc_id"].append(doc_id)
+            out["spans"].append(
+                [
+                    {"kind": k, "text": t, "media_ref": m, "offset": o}
+                    for k, t, m, o in res.spans
+                ]
+            )
+            out["pages_parsed"].append(res.pages_parsed)
+            out["spans_emitted"].append(res.spans_emitted)
+            out["parse_failures"].append(res.parse_failures)
+            out["duration_ms"].append(res.duration_ms)
+            out["part_id"].append(int(pdf_batch["part_id"].iat[i]) if has_part else -1)
+        yield pd.DataFrame(out)
+
+
+def extract_documents(
+    df: DataFrame,
+    n_parts: int = 256,
+    num_partitions: int | None = None,
+    balance: bool = True,
+) -> DataFrame:
+    """documents(doc_id, spans) -> extracted(doc_id, spans, metrics..., part_id).
+
+    The whole reference extraction loop (dashboard.py:588 + processor page
+    loops) as one declarative stage. Lazy — call .write / lineage.commit to
+    execute.
+    """
+    df = df.select("doc_id", "spans")
+    df = assign_part_id(df, n_parts)
+    if balance:
+        df = balance_partitions(df, num_partitions or max(n_parts // 2, 32))
+    return df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)

@@ -1,0 +1,43 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Settings chosen for the 100 TB design point, not just local tests: AQE on
+(runtime re-planning + skew splitting), bounded Arrow batches so a batch of
+giant PDFs can't blow Python-worker memory, and explicit shuffle-partition
+sizing (at cluster scale this would be set to ~2-3x total cores or left to
+AQE coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pdf-extractor-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_max_records: int = 64,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    shuffle_partitions = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Small Arrow batches through the extraction UDF: one batch of 20-50
+        # page PDFs must fit comfortably in a Python worker (bounded memory is
+        # the Arrow analogue of the reference's page-at-a-time + gc loop,
+        # pymu_tesseract_processor.py:277-278).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_max_records))
+        # parquet scans: keep split sizes bounded so giant files parallelize
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()

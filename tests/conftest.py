@@ -1,0 +1,10 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pdf_extractor_spark.spark.session import get_spark
+
+    s = get_spark(app_name="pytest", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()

@@ -1,0 +1,90 @@
+"""Per-document extraction core: routing, passthrough, offsets, failure
+accounting (reference: category routing app/config.py:9-15, validity gate
+helper.py:213-225, page loop pymu_tesseract_processor.py:84-117)."""
+
+import base64
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+from pdf_extractor_spark.core.extractor import extract_document
+from pdf_extractor_spark.core.pdf_build import PageSpec, TextBox, build_pdf
+
+
+def test_text_span_cleaned():
+    res = extract_document([("text", "  a \n\n\n b ", "", 0)])
+    assert res.spans == [("text", "a\n\nb", "", 0)]
+    assert res.parse_failures == 0
+
+
+def test_media_passthrough_preserves_ref_and_order():
+    spans = [
+        ("media", "", "media://aaa.png", 0),
+        ("text", "hello", "", 1),
+        ("media", "", "media://bbb.mp4", 2),
+    ]
+    res = extract_document(spans)
+    assert res.spans == [
+        ("media", "", "media://aaa.png", 0),
+        ("text", "hello", "", 1),
+        ("media", "", "media://bbb.mp4", 2),
+    ]
+
+
+def test_input_offset_order_respected_not_list_order():
+    spans = [("text", "second", "", 5), ("text", "first", "", 1)]
+    res = extract_document(spans)
+    assert [s[1] for s in res.spans] == ["first", "second"]
+    assert [s[3] for s in res.spans] == [0, 1]
+
+
+def test_pdf_span_expands_to_page_spans():
+    pdf = build_pdf(
+        [
+            PageSpec(boxes=[TextBox(x=72, y_top=100, lines=["P0."])]),
+            PageSpec(boxes=[TextBox(x=72, y_top=100, lines=["P1."])]),
+        ]
+    )
+    b64 = base64.b64encode(pdf).decode()
+    res = extract_document([("text", "before", "", 0), ("pdf", b64, "", 1), ("media", "", "m://x", 2)])
+    assert [(s[0], s[1]) for s in res.spans] == [
+        ("text", "before"),
+        ("text", "P0."),
+        ("text", "P1."),
+        ("media", ""),
+    ]
+    assert res.pages_parsed == 2
+    assert [s[3] for s in res.spans] == [0, 1, 2, 3]
+
+
+def test_invalid_pdf_counts_failure_not_crash():
+    res = extract_document([("pdf", base64.b64encode(b"junk").decode(), "", 0)])
+    assert res.parse_failures == 1
+    assert res.spans == [("text", "", "", 0)]
+
+
+def test_bad_base64_counts_failure():
+    res = extract_document([("pdf", "!!!not-base64!!!", "", 0)])
+    assert res.parse_failures == 1
+
+
+def test_unknown_kind_counts_failure():
+    res = extract_document([("exe", "MZ...", "", 0)])
+    assert res.parse_failures == 1
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["text", "media"]),
+            st.text(alphabet=" \t\nabc", max_size=40),
+            st.sampled_from(["", "media://x"]),
+        ),
+        max_size=10,
+    )
+)
+def test_offsets_always_dense_increasing(items):
+    spans = [(k, t if k == "text" else "", m if k == "media" else "", i) for i, (k, t, m) in enumerate(items)]
+    res = extract_document(spans)
+    assert [s[3] for s in res.spans] == list(range(len(res.spans)))
+    assert res.spans_emitted == len(res.spans)

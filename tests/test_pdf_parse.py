@@ -1,0 +1,128 @@
+"""PDF builder/parser pair: content-stream tokenizing, layout analysis,
+reading order (the W1 invariant, pymu_tesseract_processor.py:233-235),
+ruled-line table detection (find_tables analogue, :204-211)."""
+
+import random
+
+import pytest
+
+from pdf_extractor_spark.core.pdf_build import PageSpec, Table, TextBox, build_pdf
+from pdf_extractor_spark.core.pdf_parse import (
+    PdfParseError,
+    extract_pdf_text,
+    parse_pdf,
+)
+from pdf_extractor_spark.corpus import make_pdf_bytes
+
+
+def test_single_textbox_roundtrip():
+    page = PageSpec(boxes=[TextBox(x=72, y_top=100, lines=["Hello world.", "Second line."])])
+    [text] = extract_pdf_text(build_pdf([page]))
+    assert text == "Hello world.\nSecond line."
+
+
+@pytest.mark.parametrize("style", ["td", "tm", "quote", "tj_array"])
+def test_all_operator_styles_equal(style):
+    page = PageSpec(boxes=[TextBox(x=72, y_top=100, lines=["Alpha beta.", "Gamma delta."], style=style)])
+    [text] = extract_pdf_text(build_pdf([page]))
+    assert text == "Alpha beta.\nGamma delta."
+
+
+def test_reading_order_y_then_x():
+    # stream order is deliberately scrambled; layout must win
+    boxes = [
+        TextBox(x=320, y_top=60, lines=["B top-right."]),
+        TextBox(x=50, y_top=300, lines=["C bottom-left."]),
+        TextBox(x=50, y_top=50, lines=["A top-left."]),
+    ]
+    [text] = extract_pdf_text(build_pdf([PageSpec(boxes=boxes)]))
+    assert text == "A top-left.\n\nB top-right.\n\nC bottom-left."
+
+
+def test_same_y_orders_by_x():
+    boxes = [
+        TextBox(x=320, y_top=100, lines=["right"]),
+        TextBox(x=50, y_top=100, lines=["left"]),
+    ]
+    [text] = extract_pdf_text(build_pdf([PageSpec(boxes=boxes)]))
+    assert text == "left\n\nright"
+
+
+def test_stream_order_permutation_invariant():
+    rng = random.Random(3)
+    boxes = [
+        TextBox(x=50 if i % 2 == 0 else 320, y_top=60 + 60 * (i // 2), lines=[f"box {i} text."])
+        for i in range(6)
+    ]
+    base = extract_pdf_text(build_pdf([PageSpec(boxes=list(boxes))]))
+    for _ in range(5):
+        rng.shuffle(boxes)
+        assert extract_pdf_text(build_pdf([PageSpec(boxes=list(boxes))])) == base
+
+
+def test_table_detection_grid():
+    tbl = Table(x=60, y_top=500, rows=[["a", "b"], ["c", ""]])
+    page = PageSpec(
+        boxes=[TextBox(x=60, y_top=80, lines=["Intro text."])], tables=[tbl]
+    )
+    [text] = extract_pdf_text(build_pdf([page]))
+    assert text == "Intro text.\n\nTable:\n\n['a', 'b']\n\n['c', None]"
+
+
+def test_multiple_tables_labeled():
+    t1 = Table(x=60, y_top=200, rows=[["a", "b"], ["c", "d"]])
+    t2 = Table(x=60, y_top=500, rows=[["e", "f"], ["g", "h"]])
+    page = PageSpec(tables=[t1, t2])
+    [text] = extract_pdf_text(build_pdf([page]))
+    assert text.startswith("Table1:") and "Table2:" in text
+
+
+def test_multipage_order_and_count():
+    pages = [
+        PageSpec(boxes=[TextBox(x=72, y_top=100, lines=[f"Page {i} content."])])
+        for i in range(4)
+    ]
+    texts = extract_pdf_text(build_pdf(pages))
+    assert texts == [f"Page {i} content." for i in range(4)]
+
+
+def test_empty_page():
+    texts = extract_pdf_text(build_pdf([PageSpec()]))
+    assert texts == [""]
+
+
+def test_compressed_equals_raw():
+    page = PageSpec(boxes=[TextBox(x=72, y_top=100, lines=["Flate test."])])
+    assert extract_pdf_text(build_pdf([page], compress=True)) == extract_pdf_text(
+        build_pdf([page], compress=False)
+    )
+
+
+def test_invalid_pdf_raises():
+    with pytest.raises(PdfParseError):
+        parse_pdf(b"not a pdf at all")
+    with pytest.raises(PdfParseError):
+        parse_pdf(b"%PDF-1.4\ngarbage with no objects")
+
+
+def test_corrupt_flate_raises():
+    page = PageSpec(boxes=[TextBox(x=72, y_top=100, lines=["x"])])
+    data = bytearray(build_pdf([page], compress=True))
+    at = data.find(b"stream\n") + 7
+    data[at : at + 4] = b"\x00\x00\x00\x00"
+    with pytest.raises(PdfParseError):
+        extract_pdf_text(bytes(data))
+
+
+def test_string_escapes():
+    page = PageSpec(boxes=[TextBox(x=72, y_top=100, lines=["paren (x) and \\ slash."])])
+    [text] = extract_pdf_text(build_pdf([page]))
+    assert text == "paren (x) and \\ slash."
+
+
+def test_corpus_pdfs_parse_clean():
+    rng = random.Random(11)
+    for _ in range(10):
+        n = rng.randint(1, 5)
+        texts = extract_pdf_text(make_pdf_bytes(rng, n))
+        assert len(texts) == n

@@ -1,0 +1,131 @@
+"""Spark layer: span-sequence equality vs the local oracle (the north_rule
+correctness contract), skew-aware partition balance, and kill-and-resume."""
+
+import pytest
+
+from pdf_extractor_spark.core.extractor import extract_document
+from pdf_extractor_spark.corpus import corpus_df, gen_documents
+from pdf_extractor_spark.spark import lineage as L
+from pdf_extractor_spark.spark.pipeline import (
+    extract_documents,
+    with_size_salt,
+)
+
+N_DOCS = 150
+
+
+def _oracle(n_docs=N_DOCS, seed=42):
+    return {
+        r["doc_id"]: extract_document(r["spans"]) for r in gen_documents(n_docs, seed)
+    }
+
+
+def test_span_sequence_equality(spark):
+    """Every doc's output (kind, text, media_ref, order) matches the oracle."""
+    got = {
+        r["doc_id"]: r
+        for r in extract_documents(corpus_df(spark, N_DOCS), n_parts=32, num_partitions=8).collect()
+    }
+    oracle = _oracle()
+    assert set(got) == set(oracle)
+    for doc_id, res in oracle.items():
+        spans = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got[doc_id]["spans"]]
+        assert spans == res.spans, doc_id
+        assert got[doc_id]["pages_parsed"] == res.pages_parsed
+        assert got[doc_id]["parse_failures"] == res.parse_failures
+    assert sum(r["parse_failures"] for r in got.values()) == 0
+
+
+def test_result_independent_of_parallelism(spark):
+    """Same input at different partition counts -> identical span output."""
+    a = {
+        r["doc_id"]: [tuple(s) for s in map(lambda x: (x["kind"], x["text"], x["media_ref"], x["offset"]), r["spans"])]
+        for r in extract_documents(corpus_df(spark, 60), n_parts=8, num_partitions=2).collect()
+    }
+    b = {
+        r["doc_id"]: [tuple(s) for s in map(lambda x: (x["kind"], x["text"], x["media_ref"], x["offset"]), r["spans"])]
+        for r in extract_documents(corpus_df(spark, 60), n_parts=64, num_partitions=16).collect()
+    }
+    assert a == b
+
+
+def test_size_salt_columns(spark):
+    df = with_size_salt(corpus_df(spark, 200))
+    rows = df.select("doc_id", "n_bytes", "size_bucket", "salt").collect()
+    assert all(r["n_bytes"] >= 0 for r in rows)
+    buckets = {r["size_bucket"] for r in rows}
+    assert buckets <= {0, 1, 2}
+    # giant docs (bucket 2) must use the widest salt range when present
+    for r in rows:
+        if r["size_bucket"] == 0:
+            assert r["salt"] == 0
+        elif r["size_bucket"] == 1:
+            assert 0 <= r["salt"] < 4
+        else:
+            assert 0 <= r["salt"] < 16
+
+
+def test_partition_balance_bytes(spark):
+    """With salting, no physical partition hoards the byte volume."""
+    from pyspark.sql import functions as F
+    from pdf_extractor_spark.spark.pipeline import balance_partitions
+
+    df = balance_partitions(corpus_df(spark, 400, seed=7), 16)
+    per_part = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.sum("n_bytes").alias("part_bytes"))
+        .collect()
+    )
+    sizes = [r["part_bytes"] for r in per_part]
+    assert len(sizes) > 1
+    # bound: max partition carries < 35% of total bytes (sequential would be 100%)
+    assert max(sizes) / sum(sizes) < 0.35
+
+
+def test_kill_and_resume(spark, tmp_path):
+    """Crash mid-run, rerun: final table identical, committed partitions not
+    reprocessed (north_rule resumability)."""
+    root = str(tmp_path / "commitlog")
+    docs = corpus_df(spark, 120)
+    log = L.CommitLog(root)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        L.run_extraction(spark, docs, log, n_parts=16, parts_per_chunk=4, fail_after_chunks=2)
+
+    committed_before = log.committed_part_ids()
+    assert len(committed_before) == 8  # 2 chunks x 4 parts
+
+    report = L.run_extraction(spark, docs, log, n_parts=16, parts_per_chunk=4)
+    assert report.parts_skipped == 8
+    # resumed run must not touch already-committed partitions
+    assert set(range(16)) - committed_before == set(
+        p for c in log.committed_chunks()[2:] for p in c["part_ids"]
+    )
+
+    final = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in log.read_extracted(spark).collect()
+    }
+    oracle = _oracle(120)
+    assert set(final) == set(oracle)
+    for doc_id, res in oracle.items():
+        assert final[doc_id] == res.spans
+
+    # idempotent: a third run does nothing
+    report3 = L.run_extraction(spark, docs, log, n_parts=16, parts_per_chunk=4)
+    assert report3.chunks_committed == 0 and report3.parts_skipped == 16
+
+    # lineage accounting matches data
+    lin = log.read_lineage(spark)
+    total = lin.groupBy().sum("docs_done").collect()[0][0]
+    assert total == 120
+
+
+def test_lineage_schema(spark, tmp_path):
+    root = str(tmp_path / "cl2")
+    log = L.CommitLog(root)
+    L.run_extraction(spark, corpus_df(spark, 30), log, n_parts=4, parts_per_chunk=4)
+    lin = log.read_lineage(spark)
+    assert set(lin.columns) == set(L.LINEAGE_COLS)
+    assert lin.filter("status not in ('success','error','skip')").count() == 0
