@@ -1,38 +1,44 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+All implementations live in ``pdf_extractor_spark/``; this module only
+adapts them to the driver's calling convention. Query inventory maps to
+SURVEY.md §2 plus the training-data-pipeline operators (dedup family,
+ANN similarity, text analysis, multimodal plumbing).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the full extraction pipeline (wrap -> salted
+    repartition -> mapInPandas parse -> spans+metrics) on sf0.001."""
+    from pdf_extractor_spark.ops.extraction_queries import extract_wrapped
+
+    return extract_wrapped(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from pdf_extractor_spark.ops.registry import queries as _queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_extractor_spark.ops.registry import oracle_sql as _oracle_sql
+
+    return _oracle_sql()

@@ -1,0 +1,141 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs the flagship extraction pipeline plus representative operators from
+each family (dedup, similarity, text stats, multimodal, relational) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "docs_per_sec": ...}
+
+Use ``--two-level`` to additionally run the extraction pipeline at
+local[8] and local[32] on identical input and report throughput scaling
+efficiency (the sandbox proxy for the north_rule's N -> 4N executor
+criterion).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+BENCH_QUERIES = [
+    "extract_clean",
+    "extract_pdf_corpus",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ann_bruteforce",
+    "lang_id",
+    "quality",
+    "token_counts",
+    "fingerprint",
+    "media_features",
+    "pricing_summary",
+    "hourly_windows",
+]
+
+
+def _make_spark(cpus: int, app: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 32)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from pdf_extractor_spark.ops.registry import queries
+
+    qs = queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()  # forces full execution without driver-side collect
+        timings[name] = round(time.monotonic() - t0, 3)
+        assert n >= 0
+    return timings
+
+
+def extraction_throughput(cpus: int, n_docs: int, seed: int = 42) -> tuple[float, int]:
+    """docs/s of the full synthetic-corpus extraction pipeline at `cpus`."""
+    spark = _make_spark(cpus, f"bench-extract-{cpus}")
+    try:
+        from pdf_extractor_spark.corpus import corpus_df
+        from pdf_extractor_spark.spark.pipeline import extract_documents
+
+        docs = corpus_df(spark, n_docs, seed=seed).cache()
+        docs.count()  # materialize input outside the timed region
+        t0 = time.monotonic()
+        ext = extract_documents(docs, n_parts=256, num_partitions=max(cpus * 4, 128))
+        n = ext.count()
+        dt = time.monotonic() - t0
+        assert n == n_docs, f"expected {n_docs} docs out, got {n}"
+        return n_docs / dt, n
+    finally:
+        spark.stop()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--two-level", action="store_true",
+                    help="also measure extraction docs/s at local[8] vs local[32]")
+    ap.add_argument("--scale-docs", type=int, default=800,
+                    help="synthetic corpus size for the scaling measurement")
+    args = ap.parse_args()
+
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    t_total0 = time.monotonic()
+
+    spark = _make_spark(args.cpus, "pdf-extractor-spark-bench")
+    try:
+        timings = run_queries(spark, args.sf_dir)
+    finally:
+        spark.stop()
+
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": args.cpus,
+        "wall_sec": round(time.monotonic() - t_total0, 3),
+    }
+
+    if args.two_level:
+        lo_cpus, hi_cpus = 8, 32
+        lo, _ = extraction_throughput(lo_cpus, args.scale_docs)
+        hi, _ = extraction_throughput(hi_cpus, args.scale_docs)
+        eff = (hi / lo) / (hi_cpus / lo_cpus)
+        result["scaling"] = {
+            "docs": args.scale_docs,
+            f"docs_per_sec_local{lo_cpus}": round(lo, 2),
+            f"docs_per_sec_local{hi_cpus}": round(hi, 2),
+            "speedup": round(hi / lo, 3),
+            "efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,5 @@
+"""Operator library: analytics, dedup, similarity, text stats, multimodal."""
+
+from .registry import REGISTRY, oracle_sql, queries
+
+__all__ = ["REGISTRY", "oracle_sql", "queries"]

@@ -1,0 +1,259 @@
+"""Relational analytics operators (SURVEY.md §2.2-2.6) over the test tables.
+
+Each entry implements one operator family from the reference, Spark-first
+(DataFrame API, broadcast joins, window functions), with an exact ANSI-SQL
+oracle. Float-summing queries aggregate integer cents (``floor(x*100)``)
+instead of raw doubles: per-row IEEE products are identical across engines,
+so the integer sums compare exactly, while a double sum's last bits depend on
+reduction order (Spark partial aggs vs DuckDB's scan order).
+
+Scale notes: every query here is a scan -> partial agg -> final agg or a
+broadcast join; no shuffle carries more than (groups x columns). The
+groupBys hash-partition on their keys and benefit from map-side combine
+automatically; the one dimension join broadcasts the 1.5k-row customer side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- A5: status rollup (reference success/skip/fail counters,
+#     dashboard.py:574-770 -> groupBy status count) -------------------------
+
+def q_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+STATUS_ROLLUP_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- A8: ordered bucket concat (whisper 60-min transcript buckets,
+#     whisper_processor.py:177-196 -> groupBy hour + ordered string agg) ----
+
+def q_bucket_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    # formatted string, not TimestampType: value-hash comparison across
+    # engines must not depend on timestamp rendering/timezone conventions
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+        "bucket_hour"
+    )
+    # collect_list gives no order guarantee -> collect structs, array_sort on
+    # the unique key, then join: deterministic under any partitioning.
+    return (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy(hour)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("event_id"))),
+                    lambda s: s["event_id"].cast("string"),
+                ),
+                " ",
+            ).alias("event_ids"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("bucket_hour")
+    )
+
+
+BUCKET_CONCAT_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_hour,
+       string_agg(CAST(event_id AS VARCHAR), ' ' ORDER BY event_id) AS event_ids,
+       count(*) AS n_events
+FROM events WHERE event_type = 'signup'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# --- P8: distinct count (nunique progress total, dashboard.py:421) ---------
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- P3: resume anti-join (skip-if-done, helper.py:51-70) ------------------
+
+def q_resume_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join of the input against a committed-partition set.
+
+    The committed set here is the deterministic stand-in ``doc_id % 7 == 0``
+    (in production it comes from the lineage table,
+    spark/lineage.py:resume_filter). The done-side is tiny -> broadcast, so
+    the anti-join never shuffles the big side.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    done = docs.where(F.col("doc_id") % 7 == 0).select("doc_id")
+    remaining = docs.join(F.broadcast(done), "doc_id", "left_anti")
+    return (
+        remaining.groupBy("source")
+        .agg(F.count("*").alias("n_remaining"), F.sum("n_chars").alias("chars_remaining"))
+        .orderBy("source")
+    )
+
+
+RESUME_ANTIJOIN_SQL = """
+SELECT source, count(*) AS n_remaining, CAST(sum(n_chars) AS BIGINT) AS chars_remaining
+FROM documents WHERE doc_id % 7 <> 0
+GROUP BY source ORDER BY source
+"""
+
+
+# --- §3.3: point lookup over the output table ------------------------------
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") == 123).select("doc_id", "lang", "source", "n_chars")
+
+
+POINT_LOOKUP_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 123
+"""
+
+
+# --- W4: enumeration window (segment row_number,
+#     whisper_processor.py:186-189) ----------------------------------------
+
+def q_enumerate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "doc_id", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+ENUMERATE_DOCS_SQL = """
+SELECT lang, doc_id, rn FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 5 ORDER BY lang, rn
+"""
+
+
+# --- J1: broadcast equi-join (failure retry rematch, dashboard.py:453-465) -
+
+def q_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("revenue_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+REVENUE_BY_SEGMENT_SQL = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# --- A1-A4 flavor: pricing summary (TPC-H Q1 shape, pure scan+agg) ---------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _read(spark, sf_dir, "lineitem")
+    disc_price_cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor(F.col("l_quantity")).cast("bigint")).alias("sum_qty"),
+            F.sum(disc_price_cents).alias("sum_disc_price_cents"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+         AS BIGINT) AS sum_disc_price_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- tumbling event-time window (batch analogue of a streaming window) -----
+
+def q_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+        .where(F.col("n_events") >= 3)
+        .orderBy("window_start", "event_type")
+    )
+
+
+HOURLY_WINDOWS_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2 HAVING count(*) >= 3
+ORDER BY 1, 2
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "status_rollup": (q_status_rollup, STATUS_ROLLUP_SQL),
+    "bucket_concat": (q_bucket_concat, BUCKET_CONCAT_SQL),
+    "distinct_users": (q_distinct_users, DISTINCT_USERS_SQL),
+    "resume_antijoin": (q_resume_antijoin, RESUME_ANTIJOIN_SQL),
+    "point_lookup": (q_point_lookup, POINT_LOOKUP_SQL),
+    "enumerate_docs": (q_enumerate_docs, ENUMERATE_DOCS_SQL),
+    "revenue_by_segment": (q_revenue_by_segment, REVENUE_BY_SEGMENT_SQL),
+    "pricing_summary": (q_pricing_summary, PRICING_SUMMARY_SQL),
+    "hourly_windows": (q_hourly_windows, HOURLY_WINDOWS_SQL),
+}

@@ -1,0 +1,383 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup —
+each a `queries()` entry with a DuckDB oracle built from the portable
+primitives in :mod:`portable` (identical md5-derived hashes and fixed
+permutation constants on both sides, so signatures compare bit-exact).
+
+Scale design (100 TB corpus):
+- Exact dedup: one hash-shuffle on the 16-byte digest; map-side partial agg
+  collapses duplicates before the exchange.
+- MinHash: signatures are a pure map stage (explode -> groupBy doc). LSH
+  banding turns all-pairs O(n^2) into a shuffle on (band, band_hash) where
+  only same-bucket docs meet — the standard shingle->minhash->band->
+  bucket-join pipeline. Candidate pairs per bucket are quadratic *within the
+  bucket only*; band width (4 rows) tunes the bucket size / recall tradeoff.
+- n-gram Jaccard: exact pairwise — the verification stage after LSH
+  candidate generation at scale; the all-pairs form here is only for small
+  verification sets (the join explodes on shared shingles otherwise).
+- SimHash: map-only signature; near-dup = Hamming distance on 32-bit ints
+  (bucket by 8-bit prefix at scale to avoid all-pairs).
+- Embedding near-dup: blocked by `label` (the coarse-quantizer cell) so the
+  pairwise join is per-block, never global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .portable import (
+    MINHASH_BANDS,
+    NUM_MINHASH,
+    SIMHASH_BITS,
+    h64,
+    h64_sql,
+    minhash_term,
+    minhash_term_sql,
+    reduce_hash,
+    reduce_hash_sql,
+    tokens,
+    tokens_sql,
+)
+
+SHINGLE_K = 3  # words per shingle
+
+
+def _read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- exact dedup -----------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content digest; keep lowest doc_id.
+
+    Group key is the md5 of the *first 5 tokens* (a prefix fingerprint) so the
+    synthetic corpus — which has no byte-identical texts — still produces
+    multi-member groups; byte-exact dedup is the same plan with md5(text).
+    """
+    docs = _read_docs(spark, sf_dir)
+    prefix = F.array_join(F.slice(tokens("text"), 1, 5), " ")
+    return (
+        docs.select("doc_id", F.md5(prefix).alias("content_key"))
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .orderBy("content_key")
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT content_key, min(doc_id) AS keep_doc_id, count(*) AS n_docs
+FROM (SELECT doc_id,
+             md5(array_to_string({tokens_sql('text')}[1:5], ' ')) AS content_key
+      FROM documents)
+GROUP BY content_key HAVING count(*) >= 2 ORDER BY content_key
+"""
+
+
+# --- shingles (shared by jaccard + minhash) --------------------------------
+
+def shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-grams. Explode is JVM-side.
+
+    Docs shorter than SHINGLE_K tokens are filtered first — Spark's
+    ``sequence(1, 0)`` would count *down* and fabricate indices.
+    """
+    d = docs.select("doc_id", tokens("text").alias("t")).where(
+        F.size("t") >= SHINGLE_K
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (SHINGLE_K - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("t"), (i + j).cast("int")) for j in range(SHINGLE_K)]
+        ),
+    )
+    return d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+       unnest(range(1, greatest(len(t) - {SHINGLE_K - 2}, 1))) AS u(i)
+"""
+
+
+# --- n-gram Jaccard (exact pairwise verification) --------------------------
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most similar doc pairs by exact 3-gram Jaccard.
+
+    Self-join on shingle -> common count; |A∪B| = |A|+|B|-common. Determin-
+    istic top-k via (similarity-in-integer-form desc, doc pair) ordering —
+    jaccard is compared as the exact fraction common*10^9/union to avoid any
+    float ordering ambiguity.
+    """
+    sh = shingles(_read_docs(spark, sf_dir)).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    pairs = (
+        common.join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        .select(
+            "doc1",
+            "doc2",
+            "common",
+            (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common")).alias("union_sz"),
+        )
+        # floor() on both sides: a bare cast-to-bigint truncates in Spark but
+        # ROUNDS in DuckDB, so the fraction must be floored before casting
+        .withColumn(
+            "jaccard_ppb",
+            F.floor(F.col("common") * F.lit(1_000_000_000) / F.col("union_sz")).cast(
+                "bigint"
+            ),
+        )
+    )
+    return pairs.orderBy(F.desc("jaccard_ppb"), "doc1", "doc2").limit(20)
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH sh AS ({SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc1, doc2, common,
+       sa.n_sh + sb.n_sh - common AS union_sz,
+       CAST(floor(common * 1000000000 / (sa.n_sh + sb.n_sh - common)) AS BIGINT) AS jaccard_ppb
+FROM common
+JOIN sizes sa ON doc1 = sa.doc_id
+JOIN sizes sb ON doc2 = sb.doc_id
+ORDER BY jaccard_ppb DESC, doc1, doc2 LIMIT 20
+"""
+
+
+# --- MinHash signatures ----------------------------------------------------
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-permutation MinHash signature per document."""
+    sh = shingles(_read_docs(spark, sf_dir))
+    hashed = sh.select("doc_id", reduce_hash(h64("shingle")).alias("h"))
+    aggs = [
+        F.min(minhash_term(k, F.col("h"))).alias(f"mh{k:02d}") for k in range(NUM_MINHASH)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def _minhash_sig_sql() -> str:
+    h = reduce_hash_sql(h64_sql("shingle"))
+    mins = ",\n       ".join(
+        f"min({minhash_term_sql(k, h)}) AS mh{k:02d}" for k in range(NUM_MINHASH)
+    )
+    return f"""
+WITH sh AS ({SHINGLES_SQL})
+SELECT doc_id,
+       {mins}
+FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+MINHASH_SIGNATURES_SQL = _minhash_sig_sql()
+
+
+# --- MinHash + LSH candidate pairs -----------------------------------------
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any (band, band-signature) bucket.
+
+    4 bands x 4 rows over the 16-slot signature; the shuffle key is
+    (band_id, band_hash) so only probable near-dups ever meet — this is the
+    O(n) scale path that replaces the all-pairs join.
+    """
+    sig = q_minhash_signatures(spark, sf_dir)
+    rows_per_band = NUM_MINHASH // MINHASH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{b * rows_per_band + r:02d}").cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", "band.band_id", "band.band_hash"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+        .orderBy("doc1", "doc2")
+    )
+
+
+def _minhash_lsh_sql() -> str:
+    rows_per_band = NUM_MINHASH // MINHASH_BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"CAST(mh{b * rows_per_band + r:02d} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH sig AS ({_minhash_sig_sql()}),
+banded AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+FROM banded a JOIN banded b USING (band_id, band_hash)
+WHERE a.doc_id < b.doc_id ORDER BY doc1, doc2
+"""
+
+
+MINHASH_LSH_PAIRS_SQL = _minhash_lsh_sql()
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document over token multiset.
+
+    bit_j = sign of sum over tokens of count * (2*bit_j(h(token)) - 1);
+    map-only per doc (explode -> groupBy doc with 32 conditional sums).
+    """
+    docs = _read_docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    counted = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    h = h64(F.col("token"))
+    withbits = counted.select(
+        "doc_id",
+        *[
+            (F.col("cnt") * (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    sums = withbits.groupBy("doc_id").agg(
+        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
+    )
+    simhash = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") >= 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
+        simhash = bit if simhash is None else simhash + bit
+    return sums.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+
+
+def _simhash_sql() -> str:
+    h = h64_sql("token")
+    terms = " + ".join(
+        f"(CASE WHEN sum(cnt * (((({h}) >> {j}) & 1) * 2 - 1)) >= 0 "
+        f"THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS token FROM documents),
+counted AS (SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY 1, 2)
+SELECT doc_id, {terms} AS simhash
+FROM counted GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
+# --- embedding-cosine near-dup ---------------------------------------------
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate embedding pairs: cosine >= 0.4 within the same label.
+
+    Blocking on `label` (the coarse cell) keeps the pairwise join per-block.
+    Scores stay exact doubles until the final 6dp rounding; per-pair dot/norm
+    fold over the array in index order, so both engines compute identical
+    IEEE sequences.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    withnorm = emb.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)).alias("norm"),
+    )
+    a = withnorm.alias("a")
+    b = withnorm.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "label")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.4)
+        .select(
+            "vec1",
+            "vec2",
+            F.floor(F.col("cos") * 1000000.0).cast("bigint").alias("cosine_micros"),
+        )
+        .orderBy("vec1", "vec2")
+    )
+
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    """Explicit left-associated sum so the IEEE add order matches Spark's
+    sequential aggregate() fold."""
+    return " + ".join(f"({a}[{i}] * {b}[{i}])" for i in range(1, dim + 1))
+
+
+def _norm_sql(a: str, dim: int = 64) -> str:
+    return "sqrt(" + " + ".join(f"({a}[{i}] * {a}[{i}])" for i in range(1, dim + 1)) + ")"
+
+
+EMBED_NEARDUP_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+           FROM embeddings),
+n AS (SELECT vec_id, label, v, {_norm_sql('v')} AS nrm FROM e)
+SELECT vec1, vec2, CAST(floor(cos * 1000000.0) AS BIGINT) AS cosine_micros FROM (
+  SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+         ({_dot_sql('a.v', 'b.v')}) / (a.nrm * b.nrm) AS cos
+  FROM n a JOIN n b USING (label)
+  WHERE a.vec_id < b.vec_id)
+WHERE cos >= 0.4 ORDER BY vec1, vec2
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_jaccard": (q_dedup_jaccard, DEDUP_JACCARD_SQL),
+    "minhash_signatures": (q_minhash_signatures, MINHASH_SIGNATURES_SQL),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),
+    "simhash": (q_simhash, SIMHASH_SQL),
+    "embed_neardup": (q_embed_neardup, EMBED_NEARDUP_SQL),
+}

@@ -1,0 +1,153 @@
+"""Oracle-checkable queries through the REAL extraction kernel.
+
+The driver's testdata ``documents`` table is flat text, so these queries
+wrap each row into the engine's interleaved span shape *deterministically*
+(messy-whitespace text span / boilerplate-wrapped HTML span / media span /
+an invalid-kind span every 17th doc), push it through the actual
+``mapInPandas`` extraction pipeline (pipeline.py), and compare against a
+DuckDB oracle that predicts the cleaned output in closed form. That makes
+the hot path — Arrow batch plumbing, kind routing, clean_text, DOM
+boilerplate strip, failure accounting, span ordering — all value-hash
+checked, not just pytest-checked.
+
+The PDF parser can't be expressed in SQL; ``extract_pdf_corpus`` runs it on
+the deterministic synthetic corpus as a rows-only check (the pytest suite
+holds the byte-exact span oracle for PDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..spark.pipeline import extract_documents
+
+# HTML wrapper: nav/script/footer are boilerplate the DOM-density stripper
+# must drop; <article><p>text</p></article> is the main content it must keep.
+_HTML_PRE = (
+    '<html><head><script>var a=1;</script></head><body>'
+    '<nav><ul><li><a href="/home">Home</a></li><li><a href="/about">About</a>'
+    "</li></ul></nav><article><p>"
+)
+_HTML_POST = (
+    '</p></article><footer><a href="/terms">Terms</a> '
+    '<a href="/privacy">Privacy</a></footer></body></html>'
+)
+# messy-whitespace framing for plain text spans: clean_text must reduce
+# "\n  \n\t{text} \n\n \n " back to exactly {text}
+_MESSY_PRE = "\n  \n\t"
+_MESSY_POST = " \n\n \n  "
+
+
+def wrap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat testdata docs -> interleaved documents(doc_id, spans)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.concat(F.lit(_MESSY_PRE), F.col("text"), F.lit(_MESSY_POST)).alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    html_span = F.struct(
+        F.lit("html").alias("kind"),
+        F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)).alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    media_span = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit("").alias("text"),
+        F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.lit(1).alias("offset"),
+    )
+    bogus_span = F.struct(
+        F.lit("bogus").alias("kind"),
+        F.lit("x").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(2).alias("offset"),
+    )
+    first = F.when(F.col("doc_id") % 3 == 0, html_span).otherwise(text_span)
+    spans = F.when(
+        F.col("doc_id") % 17 == 0, F.array(first, media_span, bogus_span)
+    ).otherwise(F.array(first, media_span))
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans"))
+
+
+def extract_wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline over the wrapped corpus (the flagship/entry query)."""
+    return extract_documents(wrap_documents(spark, sf_dir), n_parts=64, num_partitions=32)
+
+
+def q_extract_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc extracted text + metrics, oracle-predictable in SQL."""
+    ext = extract_wrapped(spark, sf_dir)
+    return ext.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.element_at("spans", 1)["text"].alias("extracted_text"),
+        F.element_at("spans", 2)["media_ref"].alias("media_ref"),
+        F.element_at("spans", 2)["kind"].alias("media_kind"),
+        "spans_emitted",
+        "pages_parsed",
+        "parse_failures",
+    ).orderBy("doc_id")
+
+
+EXTRACT_CLEAN_SQL = """
+SELECT doc_id,
+       text AS extracted_text,
+       'media://' || CAST(doc_id AS VARCHAR) AS media_ref,
+       'media' AS media_kind,
+       CASE WHEN doc_id % 17 = 0 THEN 3 ELSE 2 END AS spans_emitted,
+       0 AS pages_parsed,
+       CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS parse_failures
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage-style rollup of the extraction run by source (A4/A5 shape)."""
+    ext = extract_wrapped(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "spans_emitted",
+        "parse_failures",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    return (
+        ext.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs_done"),
+            F.sum("spans_emitted").alias("spans_emitted"),
+            F.sum("parse_failures").alias("parse_failures"),
+        )
+        .orderBy("source")
+    )
+
+
+EXTRACT_METRICS_SQL = """
+SELECT source,
+       count(*) AS docs_done,
+       CAST(sum(CASE WHEN doc_id % 17 = 0 THEN 3 ELSE 2 END) AS BIGINT) AS spans_emitted,
+       CAST(sum(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS parse_failures
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_extract_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF layout parse over the synthetic interleaved corpus (rows-only
+    check — content-stream parsing has no SQL equivalent; pytest holds the
+    byte-exact oracle, tests/test_spark_pipeline.py)."""
+    from ..corpus import corpus_df
+
+    docs = corpus_df(spark, n_docs=40, seed=42)
+    ext = extract_documents(docs, n_parts=16, num_partitions=8)
+    return ext.select(
+        "doc_id", "pages_parsed", "spans_emitted", "parse_failures"
+    ).orderBy("doc_id")
+
+
+QUERIES: dict[str, tuple] = {
+    "extract_clean": (q_extract_clean, EXTRACT_CLEAN_SQL),
+    "extract_metrics": (q_extract_metrics, EXTRACT_METRICS_SQL),
+    "extract_pdf_corpus": (q_extract_pdf_corpus, None),
+}

@@ -1,0 +1,30 @@
+"""Single registry of every driver-checkable query + its DuckDB oracle.
+
+Aggregates the per-module ``QUERIES`` dicts. Keys are the names the driver
+records in CORRECTNESS_r{N}.json; a ``None`` oracle means rows-only check
+(non-SQL-expressible op, e.g. the PDF content-stream parser).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import analytics, dedup, extraction_queries, multimodal, similarity, textstats
+
+_MODULES = (extraction_queries, analytics, dedup, similarity, textstats, multimodal)
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+for _m in _MODULES:
+    for _name, (_fn, _sql) in _m.QUERIES.items():
+        assert _name not in REGISTRY, f"duplicate query name {_name}"
+        REGISTRY[_name] = (_fn, _sql)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,212 @@
+"""Text-analysis operators for training-data curation.
+
+Language-ID (marker-word heuristic), quality scoring (length/punctuation/
+stopword ratios), token counting (whitespace + regex word-piece), and
+document fingerprinting (md5-derived 60-bit content hash + min-shingle
+winnowing fingerprint). All JVM-side built-ins — no Python UDFs — and each
+with an exact DuckDB oracle.
+
+At scale all four are map-only over the corpus scan (no shuffle at all);
+they pipeline into the same stage as the parquet read, and column pruning
+means only `text` is read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import SHINGLE_K, shingles
+from .portable import h64, h64_sql, tokens, tokens_sql
+
+# marker stopwords per language: tiny, deterministic; the operator contract
+# is argmax with a fixed priority order on ties (en > de > es > fr > zh >
+# unknown). Integer counts -> no float ambiguity.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "los", "que", "y"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "zh": ("de", "shi", "bu", "le", "wo"),
+}
+_PRIORITY = ("en", "de", "es", "fr", "zh")
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+# word-piece-ish lexer: alpha runs, digit runs, single other non-space
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _count_in(tok, words: tuple[str, ...]):
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tok, lambda t: F.array_contains(arr, t)))
+
+
+def _count_in_sql(tok: str, words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({tok}, t -> list_contains([{lst}], t)))"
+
+
+# --- language ID -----------------------------------------------------------
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word argmax language prediction per document."""
+    docs = _docs(spark, sf_dir)
+    tok = tokens("text")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        *[_count_in(tok, LANG_MARKERS[lg]).alias(f"c_{lg}") for lg in _PRIORITY],
+    )
+    best = F.greatest(*[F.col(f"c_{lg}") for lg in _PRIORITY])
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lg in _PRIORITY:  # fixed priority resolves ties deterministically
+        pred = pred.when(F.col(f"c_{lg}") == best, F.lit(lg))
+    return (
+        d.select("doc_id", "lang", pred.alias("pred_lang"))
+        .orderBy("doc_id")
+    )
+
+
+def _lang_id_sql() -> str:
+    tok = tokens_sql("text")
+    counts = ",\n         ".join(
+        f"{_count_in_sql('t', LANG_MARKERS[lg])} AS c_{lg}" for lg in _PRIORITY
+    )
+    best = "greatest(" + ", ".join(f"c_{lg}" for lg in _PRIORITY) + ")"
+    whens = "\n         ".join(
+        f"WHEN c_{lg} = {best} THEN '{lg}'" for lg in _PRIORITY
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang, {tok} AS t FROM documents),
+c AS (SELECT doc_id, lang,
+         {counts}
+      FROM t)
+SELECT doc_id, lang,
+       CASE WHEN {best} <= 0 THEN 'unknown'
+         {whens}
+       END AS pred_lang
+FROM c ORDER BY doc_id
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+# --- quality score ---------------------------------------------------------
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/punctuation quality signals + composite score.
+
+    Ratios are exact integer pairs divided once at the end; the composite is
+    a single double expression evaluated in the same operation order both
+    engines, then rounded to 6dp.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = tokens("text")
+    d = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        F.size(tok).alias("n_tokens"),
+        _count_in(tok, STOPWORDS).alias("n_stop"),
+        F.size(F.filter(tok, lambda t: F.length(t) >= 6)).alias("n_long"),
+    )
+    # floor-micros, not round(): Spark and DuckDB round() disagree at exact
+    # decimal .5 boundaries of a double; floor of the identical double is safe
+    score = F.floor(
+        (
+            F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)) * 0.4
+            + (F.col("n_stop").cast("double") / F.col("n_tokens")) * 0.3
+            + (F.col("n_long").cast("double") / F.col("n_tokens")) * 0.3
+        )
+        * 1000000.0
+    ).cast("bigint")
+    return d.select(
+        "doc_id", "n_chars_m", "n_tokens", "n_stop", "n_long", score.alias("quality_micros")
+    ).orderBy("doc_id")
+
+
+QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, length(text) AS n_chars_m, {tokens_sql('text')} AS t
+           FROM documents),
+c AS (SELECT doc_id, n_chars_m, len(t) AS n_tokens,
+             {_count_in_sql('t', STOPWORDS)} AS n_stop,
+             len(list_filter(t, x -> length(x) >= 6)) AS n_long
+      FROM t)
+SELECT doc_id, n_chars_m, n_tokens, n_stop, n_long,
+       CAST(floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+             + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+             + (CAST(n_long AS DOUBLE) / n_tokens) * 0.3) * 1000000.0) AS BIGINT)
+         AS quality_micros
+FROM c ORDER BY doc_id
+"""
+
+
+# --- token counts ----------------------------------------------------------
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + word-piece-ish regex token count."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(TOKEN_REGEX)).alias("piece_tokens"),
+    ).orderBy("doc_id")
+
+
+TOKEN_COUNTS_SQL = rf"""
+SELECT doc_id,
+       len({tokens_sql('text')}) AS ws_tokens,
+       len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS piece_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- fingerprint -----------------------------------------------------------
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit content hash + winnowing-style min-shingle fingerprint."""
+    docs = _docs(spark, sf_dir)
+    whole = docs.select(
+        "doc_id",
+        h64(F.array_join(tokens("text"), " ")).alias("content_fp"),
+    )
+    min_sh = (
+        shingles(docs)
+        .groupBy("doc_id")
+        .agg(F.min(h64("shingle")).alias("min_shingle_fp"))
+    )
+    return (
+        whole.join(min_sh, "doc_id", "left")
+        .select("doc_id", "content_fp", "min_shingle_fp")
+        .orderBy("doc_id")
+    )
+
+
+FINGERPRINT_SQL = f"""
+WITH whole AS (
+  SELECT doc_id,
+         {h64_sql(f"array_to_string({tokens_sql('text')}, ' ')")} AS content_fp
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+       unnest(range(1, greatest(len(t) - {SHINGLE_K - 2}, 1))) AS u(i)),
+min_sh AS (
+  SELECT doc_id, min({h64_sql('shingle')}) AS min_shingle_fp FROM sh GROUP BY doc_id)
+SELECT w.doc_id, w.content_fp, m.min_shingle_fp
+FROM whole w LEFT JOIN min_sh m ON w.doc_id = m.doc_id
+ORDER BY w.doc_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "lang_id": (q_lang_id, LANG_ID_SQL),
+    "quality": (q_quality, QUALITY_SQL),
+    "token_counts": (q_token_counts, TOKEN_COUNTS_SQL),
+    "fingerprint": (q_fingerprint, FINGERPRINT_SQL),
+}

@@ -1,0 +1,111 @@
+"""Operator library tests: registry integrity, pure-Python stubs, and a
+Spark-vs-DuckDB oracle spot check mirroring the driver's correctness gate."""
+
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# fast, shuffle-light subset for the in-suite oracle check; the full sweep
+# runs via tools/check_oracle.py (and the driver at sf0.01)
+SPOT_CHECK = [
+    "status_rollup",
+    "dedup_exact",
+    "minhash_signatures",
+    "simhash",
+    "ann_lsh",
+    "lang_id",
+    "quality",
+    "fingerprint",
+    "media_features",
+]
+
+
+def test_registry_complete():
+    from pdf_extractor_spark.ops.registry import REGISTRY, oracle_sql, queries
+
+    assert len(REGISTRY) >= 20
+    q = queries()
+    o = oracle_sql()
+    assert set(o) <= set(q)
+    # every family is represented
+    for name in (
+        "extract_clean", "dedup_exact", "dedup_jaccard", "minhash_signatures",
+        "minhash_lsh_pairs", "simhash", "embed_neardup", "ann_bruteforce",
+        "ann_lsh", "lang_id", "quality", "token_counts", "fingerprint",
+        "media_features", "frame_sample", "status_rollup", "bucket_concat",
+        "resume_antijoin", "pricing_summary",
+    ):
+        assert name in q, name
+
+
+def test_entry_contract_shape():
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    os_ = e.oracle_sql()
+    assert callable(e.entry)
+    assert set(os_) <= set(qs)
+    assert len(os_) >= 18
+
+
+def test_decode_image_stub_deterministic():
+    from pdf_extractor_spark.ops.multimodal import decode_image
+
+    w1, h1 = decode_image(b"payload")
+    w2, h2 = decode_image(b"payload")
+    assert (w1, h1) == (w2, h2)
+    assert 64 <= w1 < 256 and 64 <= h1 < 256
+    assert decode_image(b"other") != (w1, h1)
+
+
+def test_portable_hash_matches_duckdb():
+    from pdf_extractor_spark.ops.portable import h64_sql
+
+    con = duckdb.connect()
+    for s in ("hello", "a b c", ""):
+        got = con.execute(f"SELECT {h64_sql('?')}", [s]).fetchone()[0]
+        # python-side recomputation of the same definition
+        import hashlib
+
+        exp = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        assert got == exp
+
+
+def _norm_cell(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        return "<nan>" if math.isnan(v) else f"{v:.9g}"
+    return str(v)
+
+
+def _signature(df):
+    cols = sorted(df.columns)
+    rows = sorted(tuple(_norm_cell(r[c]) for c in cols) for _, r in df.iterrows())
+    return len(rows), cols, rows
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("events", "documents", "embeddings", "lineitem", "orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", SPOT_CHECK)
+def test_query_matches_oracle(spark, duck, name):
+    from pdf_extractor_spark.ops.registry import REGISTRY
+
+    fn, sql = REGISTRY[name]
+    assert sql is not None
+    sdf = fn(spark, SF_DIR).toPandas()
+    ddf = duck.execute(sql).df()
+    assert _signature(sdf) == _signature(ddf)
