@@ -73,20 +73,32 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def extraction_throughput(cpus: int, n_docs: int, seed: int = 42) -> tuple[float, int]:
-    """docs/s of the full synthetic-corpus extraction pipeline at `cpus`."""
+    """docs/s of the heavy-PDF extraction pipeline at `cpus` threads.
+
+    Heavy profile (one 6-14 page PDF per doc) so parse compute dominates
+    fixed overhead; warmup run first (JIT + python-worker spawn), then the
+    best of two timed runs — this is the N-vs-4N scaling measurement, not a
+    cold-start test.
+    """
+    from pdf_extractor_spark.corpus import corpus_parquet
+
+    corpus_dir = corpus_parquet(n_docs, seed=seed, profile="heavy")  # cached on disk
     spark = _make_spark(cpus, f"bench-extract-{cpus}")
     try:
-        from pdf_extractor_spark.corpus import corpus_df
         from pdf_extractor_spark.spark.pipeline import extract_documents
 
-        docs = corpus_df(spark, n_docs, seed=seed).cache()
-        docs.count()  # materialize input outside the timed region
-        t0 = time.monotonic()
-        ext = extract_documents(docs, n_parts=256, num_partitions=max(cpus * 4, 128))
-        n = ext.count()
-        dt = time.monotonic() - t0
-        assert n == n_docs, f"expected {n_docs} docs out, got {n}"
-        return n_docs / dt, n
+        docs = spark.read.parquet(corpus_dir)
+
+        def one_run() -> float:
+            t0 = time.monotonic()
+            ext = extract_documents(docs, n_parts=256, num_partitions=max(cpus * 4, 128))
+            n = ext.count()
+            assert n == n_docs, f"expected {n_docs} docs out, got {n}"
+            return time.monotonic() - t0
+
+        extract_documents(docs.limit(cpus * 8), n_parts=16).count()  # warmup
+        dt = min(one_run(), one_run())
+        return n_docs / dt, n_docs
     finally:
         spark.stop()
 
@@ -97,8 +109,10 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--two-level", action="store_true",
                     help="also measure extraction docs/s at local[8] vs local[32]")
-    ap.add_argument("--scale-docs", type=int, default=800,
-                    help="synthetic corpus size for the scaling measurement")
+    ap.add_argument("--scale-docs", type=int, default=40000,
+                    help="heavy-profile corpus size for the scaling measurement "
+                         "(~270 core-seconds of parse: large enough that fixed "
+                         "overhead does not pollute the efficiency ratio)")
     args = ap.parse_args()
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -11,6 +11,7 @@ no external data.
 from __future__ import annotations
 
 import base64
+import os
 import random
 
 from .core.pdf_build import PageSpec, Table, TextBox, build_pdf
@@ -125,17 +126,30 @@ def make_pdf_bytes(rng: random.Random, n_pages: int) -> bytes:
     return build_pdf(pages, compress=rng.random() < 0.5)
 
 
-def gen_documents(n_docs: int, seed: int = 42) -> list[dict]:
+def gen_documents(n_docs: int, seed: int = 42, profile: str = "mixed") -> list[dict]:
     """Rows of ``{doc_id, spans:[{kind,text,media_ref,offset}]}``.
 
-    Kind mix ~50/25/15/10 text/html/pdf/media per FIXTURES.md §1; ~1% of docs
-    are "giant" (one 20-50 page PDF span) for the skew path.
+    profile="mixed": kind mix ~50/25/15/10 text/html/pdf/media per
+    FIXTURES.md §1; ~1% of docs are "giant" (one 20-50 page PDF span) for
+    the skew path. profile="heavy": every doc is one 6-14 page PDF —
+    used by the scaling benchmark so parse compute dominates fixed
+    overhead and the N-vs-4N efficiency measurement is meaningful.
     """
     rng = random.Random(seed)
     rows: list[dict] = []
     for d in range(n_docs):
         doc_id = f"doc-{seed}-{d:08d}"
         spans: list[dict] = []
+        if profile == "heavy":
+            pdf = make_pdf_bytes(rng, rng.randint(6, 14))
+            spans.append({
+                "kind": "pdf",
+                "text": base64.b64encode(pdf).decode("ascii"),
+                "media_ref": "",
+                "offset": 0,
+            })
+            rows.append({"doc_id": doc_id, "spans": spans})
+            continue
         giant = rng.random() < 0.01
         n_spans = 1 if giant else rng.randint(1, 12)
         for off in range(n_spans):
@@ -165,12 +179,56 @@ def gen_documents(n_docs: int, seed: int = 42) -> list[dict]:
     return rows
 
 
-def corpus_df(spark, n_docs: int, seed: int = 42):
-    """Synthetic documents table as a Spark DataFrame (explicit schema)."""
-    from .spark.pipeline import DOCUMENTS_SCHEMA
+def corpus_parquet(
+    n_docs: int, seed: int = 42, out_dir: str | None = None, profile: str = "mixed"
+) -> str:
+    """Materialize the synthetic corpus as parquet (cached by (n,seed)).
 
-    rows = [
-        (r["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]])
-        for r in gen_documents(n_docs, seed)
-    ]
-    return spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    Written directly with pyarrow — no Spark job — so Spark always *scans*
+    the corpus like real table data instead of parallelizing driver memory
+    (a local-collection plan has no column pruning/statistics and re-ships
+    the pickled rows on every job).
+    """
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = out_dir or os.path.join(
+        tempfile.gettempdir(), f"pes-corpus-{profile}-{n_docs}-{seed}"
+    )
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    rows = gen_documents(n_docs, seed, profile=profile)
+    span_type = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+    table = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+            "spans": pa.array([r["spans"] for r in rows], span_type),
+        }
+    )
+    # several row groups so Spark can split the scan across tasks
+    pq.write_table(
+        table,
+        os.path.join(out_dir, "part-0.parquet"),
+        row_group_size=max(n_docs // 16, 16),
+    )
+    with open(done, "w"):
+        pass
+    return out_dir
+
+
+def corpus_df(spark, n_docs: int, seed: int = 42, profile: str = "mixed"):
+    """Synthetic documents table as a Spark DataFrame (parquet-backed)."""
+    return spark.read.parquet(corpus_parquet(n_docs, seed, profile=profile))
