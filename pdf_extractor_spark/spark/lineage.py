@@ -171,6 +171,15 @@ def run_extraction(
         return report
 
     docs = resume_filter(documents, log, n_parts)
+    multi_chunk = len(todo) > parts_per_chunk
+    if multi_chunk:
+        # Each chunk filters the same input; persist once instead of
+        # re-scanning the corpus per chunk (MEMORY_AND_DISK, spills).
+        # At true 10^12-doc scale this trades off differently: there the
+        # input is an Iceberg table and each chunk's scan is partition-pruned
+        # by storing part_id as a partition column, so nothing is cached —
+        # parts_per_chunk then only bounds the work at risk between commits.
+        docs = docs.persist()
     chunk_id = log.next_chunk_id()
     for start in range(0, len(todo), parts_per_chunk):
         chunk_parts = todo[start : start + parts_per_chunk]
@@ -220,5 +229,9 @@ def run_extraction(
         report.docs_processed += agg["docs"]
         chunk_id += 1
         if fail_after_chunks is not None and report.chunks_committed >= fail_after_chunks:
+            if multi_chunk:
+                docs.unpersist()
             raise RuntimeError("injected failure for kill-and-resume test")
+    if multi_chunk:
+        docs.unpersist()
     return report

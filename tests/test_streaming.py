@@ -1,0 +1,120 @@
+"""Streaming ingestion: incremental file drops -> same span output as batch,
+idempotent commits, windowed lineage rollup."""
+
+from pdf_extractor_spark.core.extractor import extract_document
+from pdf_extractor_spark.corpus import gen_documents
+from pdf_extractor_spark.spark.lineage import CommitLog
+from pdf_extractor_spark.streaming.ingest import (
+    start_extraction_stream,
+    windowed_lineage_counts,
+)
+
+
+def _write_drop(spark, rows, path):
+    """One parquet 'drop' of documents arriving in the landing dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    span_type = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+    table = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+            "spans": pa.array([r["spans"] for r in rows], span_type),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def test_streaming_matches_batch_oracle(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = gen_documents(60, seed=11)
+    _write_drop(spark, rows[:30], str(landing / "drop-0.parquet"))
+    _write_drop(spark, rows[30:], str(landing / "drop-1.parquet"))
+
+    log = CommitLog(str(tmp_path / "log"))
+    q = start_extraction_stream(
+        spark,
+        str(landing),
+        log,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_parts=16,
+        num_partitions=4,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    # one chunk per micro-batch (maxFilesPerTrigger=1 -> 2 epochs)
+    assert len(log.committed_chunks()) == 2
+
+    final = {
+        r["doc_id"]: [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
+        for r in log.read_extracted(spark).collect()
+    }
+    assert len(final) == 60
+    for r in rows:
+        assert final[r["doc_id"]] == extract_document(r["spans"]).spans
+
+    # restart over the same checkpoint: no new data -> no new chunks
+    q2 = start_extraction_stream(
+        spark,
+        str(landing),
+        log,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_parts=16,
+        num_partitions=4,
+    )
+    q2.awaitTermination(120)
+    assert len(log.committed_chunks()) == 2
+
+    # a third drop arrives -> exactly one more chunk, old chunks untouched
+    more = gen_documents(10, seed=99)
+    _write_drop(spark, more, str(landing / "drop-2.parquet"))
+    q3 = start_extraction_stream(
+        spark,
+        str(landing),
+        log,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_parts=16,
+        num_partitions=4,
+    )
+    q3.awaitTermination(120)
+    assert len(log.committed_chunks()) == 3
+    assert log.read_extracted(spark).count() == 70
+
+    # windowed lineage rollup accounts for every doc
+    win = windowed_lineage_counts(log.read_lineage(spark)).collect()
+    assert sum(r["docs_done"] for r in win) == 70
+
+
+def test_streaming_idempotent_epoch_replay(spark, tmp_path):
+    """A commit marker that already exists must short-circuit the epoch
+    (foreachBatch re-delivers the last epoch after a crash)."""
+    from pdf_extractor_spark.streaming.ingest import make_batch_processor
+
+    rows = gen_documents(12, seed=5)
+    drop = str(tmp_path / "drop-0.parquet")
+    _write_drop(spark, rows, drop)
+    batch_df = spark.read.parquet(drop)
+    log = CommitLog(str(tmp_path / "log"))
+
+    process = make_batch_processor(spark, log, base=0, n_parts=8, num_partitions=2)
+    process(batch_df, 0)
+    chunks = log.committed_chunks()
+    assert len(chunks) == 1
+    committed_at = chunks[0]["committed_at"]
+
+    process(batch_df, 0)  # replay of the same epoch: must be a no-op
+    chunks2 = log.committed_chunks()
+    assert len(chunks2) == 1
+    assert chunks2[0]["committed_at"] == committed_at
+    assert log.read_extracted(spark).count() == 12
