@@ -50,6 +50,7 @@ def _make_spark(cpus: int, app: str):
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 32)))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         # doc tables carry kilobytes of payload per row but cost milliseconds

@@ -11,9 +11,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, dedup, extraction_queries, multimodal, similarity, textstats
+from . import (
+    advanced,
+    analytics,
+    dedup,
+    extraction_queries,
+    multimodal,
+    similarity,
+    textstats,
+)
 
-_MODULES = (extraction_queries, analytics, dedup, similarity, textstats, multimodal)
+_MODULES = (
+    extraction_queries,
+    analytics,
+    advanced,
+    dedup,
+    similarity,
+    textstats,
+    multimodal,
+)
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 for _m in _MODULES:

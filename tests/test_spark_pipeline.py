@@ -129,3 +129,19 @@ def test_lineage_schema(spark, tmp_path):
     lin = log.read_lineage(spark)
     assert set(lin.columns) == set(L.LINEAGE_COLS)
     assert lin.filter("status not in ('success','error','skip')").count() == 0
+
+
+def test_arrow_and_pandas_paths_identical(spark):
+    """mapInArrow and mapInPandas kernels must emit byte-identical output."""
+    docs = corpus_df(spark, 80, seed=3)
+    def snap(use_arrow):
+        return {
+            r["doc_id"]: (
+                [tuple(s) for s in r["spans"]],
+                r["pages_parsed"], r["spans_emitted"], r["parse_failures"],
+            )
+            for r in extract_documents(
+                docs, n_parts=16, num_partitions=4, use_arrow=use_arrow
+            ).collect()
+        }
+    assert snap(True) == snap(False)
