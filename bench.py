@@ -32,12 +32,16 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash",
     "ann_bruteforce",
+    "ann_ivf",
     "lang_id",
     "quality",
     "token_counts",
     "fingerprint",
     "media_features",
     "pricing_summary",
+    "shipping_priority",
+    "salted_topk_users",
+    "asof_join",
     "hourly_windows",
 ]
 

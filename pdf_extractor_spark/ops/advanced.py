@@ -149,6 +149,111 @@ GROUP BY token ORDER BY n DESC, token LIMIT 50
 """
 
 
+# --- two-phase salted aggregation (explicit skew mitigation) ---------------
+
+N_SALTS = 16
+
+
+def q_salted_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest users via explicit two-phase salted aggregation.
+
+    The skew pattern from the extraction pipeline (pipeline.py:with_size_salt)
+    as a standalone relational op: phase 1 aggregates on (user_id, salt) so a
+    hot key's rows split across N_SALTS reducers; phase 2 merges the ≤N_SALTS
+    partials per key — its shuffle carries at most keys*salts rows, never raw
+    events. Results are identical to a direct groupBy (the oracle is the
+    unsalted form); the plan differs: no single reducer ever sees a hot key's
+    full row set. This is the hand-rolled fallback for when AQE skew
+    handling can't apply (it only rewrites *joins*, not aggregations).
+    """
+    ev = _read(spark, sf_dir, "events")
+    salted = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)).cast("int")
+    )
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("pv"),
+    )
+    final = partial.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"), F.sum("pv").alias("value_cents")
+    )
+    return final.orderBy(F.desc("n_events"), "user_id").limit(10)
+
+
+SALTED_TOPK_USERS_SQL = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id LIMIT 10
+"""
+
+
+# --- as-of join (time-series point-in-time lookup) -------------------------
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent signup.
+
+    Spark has no ASOF JOIN operator; the scalable composition is the
+    union + carry-forward pattern: tag both sides, sort within user by
+    (ts, side, event_id) — signup sorts before purchase at equal ts, giving
+    `<=` as-of semantics — and carry the last signup time forward with
+    last(..., ignorenulls) over an unbounded-preceding frame. ONE shuffle on
+    user_id total, versus a per-row range probe; no join node at all. This is
+    the standard distributed as-of plan (the alternative, a range join,
+    explodes on wide time gaps).
+    """
+    ev = _read(spark, sf_dir, "events")
+    epoch = F.unix_timestamp(F.to_timestamp(F.col("ts")))
+    tagged = ev.where(F.col("event_type").isin("signup", "purchase")).select(
+        "event_id",
+        "user_id",
+        epoch.alias("ts_s"),
+        F.when(F.col("event_type") == "signup", 0).otherwise(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_signup_s",
+        F.last(F.when(F.col("side") == 0, F.col("ts_s")), ignorenulls=True).over(w),
+    )
+    return (
+        carried.where(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts_s").alias("purchase_ts_s"),
+            "last_signup_s",
+            (F.col("ts_s") - F.col("last_signup_s")).alias("gap_s"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_JOIN_SQL = """
+-- whole-second comparison on BOTH sides: Spark's window orders by floored
+-- epoch seconds (unix_timestamp), so the as-of cutoff is the second, not the
+-- raw timestamp; signup-at-equal-second counts as matched (<=)
+WITH es AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events WHERE event_type IN ('signup', 'purchase'))
+SELECT e.event_id, e.user_id,
+       e.ts_s AS purchase_ts_s,
+       (SELECT max(s.ts_s) FROM es s
+        WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+          AND s.ts_s <= e.ts_s) AS last_signup_s,
+       e.ts_s - (SELECT max(s.ts_s) FROM es s
+                 WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+                   AND s.ts_s <= e.ts_s) AS gap_s
+FROM es e
+WHERE e.event_type = 'purchase'
+ORDER BY e.event_id
+"""
+
+
 # --- grouped applyInPandas: per-language deviation ------------------------
 
 _ZSCORE_SCHEMA = (
@@ -202,5 +307,7 @@ QUERIES: dict[str, tuple] = {
     "rollup_revenue": (q_rollup_revenue, ROLLUP_REVENUE_SQL),
     "sessionize": (q_sessionize, SESSIONIZE_SQL),
     "wordcount_topk": (q_wordcount_topk, WORDCOUNT_TOPK_SQL),
+    "salted_topk_users": (q_salted_topk_users, SALTED_TOPK_USERS_SQL),
+    "asof_join": (q_asof_join, ASOF_JOIN_SQL),
     "lang_deviation": (q_lang_deviation, LANG_DEVIATION_SQL),
 }

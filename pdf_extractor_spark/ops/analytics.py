@@ -219,6 +219,65 @@ GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
 """
 
 
+# --- three-way join: shipping priority (TPC-H Q3 shape) --------------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⨝ orders ⨝ lineitem with selective filters on all three.
+
+    The canonical big-join plan: the filtered customer dim broadcasts (no
+    shuffle of the fact side for it); orders⨝lineitem is the one real
+    shuffle, hash-partitioned on orderkey, and AQE coalesces its output. At
+    100 TB both fact tables would be bucketed on orderkey, making this join
+    shuffle-free; the filters reach the parquet scans as PushedFilters
+    (asserted by tools/plan_audit.py).
+    """
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _read(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _read(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    revenue_cents = F.sum(
+        F.floor(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100).cast(
+            "bigint"
+        )
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(revenue_cents.alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), "l_orderkey")
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+         AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, l_orderkey LIMIT 10
+"""
+
+
 # --- tumbling event-time window (batch analogue of a streaming window) -----
 
 def q_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,6 +313,7 @@ QUERIES: dict[str, tuple] = {
     "point_lookup": (q_point_lookup, POINT_LOOKUP_SQL),
     "enumerate_docs": (q_enumerate_docs, ENUMERATE_DOCS_SQL),
     "revenue_by_segment": (q_revenue_by_segment, REVENUE_BY_SEGMENT_SQL),
+    "shipping_priority": (q_shipping_priority, SHIPPING_PRIORITY_SQL),
     "pricing_summary": (q_pricing_summary, PRICING_SUMMARY_SQL),
     "hourly_windows": (q_hourly_windows, HOURLY_WINDOWS_SQL),
 }

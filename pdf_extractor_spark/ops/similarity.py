@@ -170,7 +170,124 @@ FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
 """
 
 
+NPROBE = 2  # IVF cells probed per query
+IVF_TOP_K = 3
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer cells + nprobe search.
+
+    The inverted-file structure without a float-ambiguous k-means step:
+    - **cell seeds** = the embedding with the min vec_id per label
+      (deterministic medoid stand-in for trained centroids);
+    - **build**: every vector is assigned to its nearest seed by cosine
+      (broadcast the 10 seeds, row_number over (cos desc, cell)) — at 100 TB
+      this assignment is a map-only pass and `cell` becomes the partition
+      column of the index table;
+    - **probe**: each query scores only vectors in its NPROBE nearest cells —
+      the candidate join is keyed on `cell`, so a query touches
+      nprobe/n_cells of the corpus instead of all of it.
+
+    Exact-cosine re-rank inside the probed cells, top-3 per query.
+    """
+    emb = _embeddings(spark, sf_dir)
+    seed_ids = emb.groupBy("label").agg(F.min("vec_id").alias("vec_id"))
+    seeds = emb.join(F.broadcast(seed_ids), ["label", "vec_id"]).select(
+        F.col("label").alias("cell"),
+        F.col("v").alias("sv"),
+        F.col("norm").alias("snorm"),
+    )
+    seed_cos = F.aggregate(
+        F.zip_with(F.col("v"), F.col("sv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("norm") * F.col("snorm"))
+    cell_scores = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "v", "norm", "cell", seed_cos.alias("seed_cos")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("seed_cos"), "cell")
+    ranked_cells = cell_scores.withColumn("cell_rank", F.row_number().over(w_assign))
+    index = ranked_cells.where(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        "cell",
+    )
+    probes = (
+        ranked_cells.where(
+            (F.col("vec_id") < N_QUERIES) & (F.col("cell_rank") <= NPROBE)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            "cell",
+        )
+    )
+    cand_cos = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("qnorm") * F.col("cnorm"))
+    scored = (
+        index.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", F.col("cand_id").alias("neighbor_id"), cand_cos.alias("cos"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= IVF_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cos") * 1000000.0).cast("bigint").alias("cosine_micros"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, {_norm_sql('v')} AS nrm FROM e),
+seed_ids AS (SELECT label, min(vec_id) AS vec_id FROM embeddings GROUP BY label),
+seeds AS (
+  SELECT n.label AS cell, n.v AS sv, n.nrm AS snrm
+  FROM n JOIN seed_ids ON n.label = seed_ids.label AND n.vec_id = seed_ids.vec_id),
+cell_scores AS (
+  SELECT n.vec_id, n.v, n.nrm, seeds.cell,
+         ({_dot_sql('n.v', 'seeds.sv')}) / (n.nrm * seeds.snrm) AS seed_cos
+  FROM n CROSS JOIN seeds),
+ranked_cells AS (
+  SELECT vec_id, v, nrm, cell,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY seed_cos DESC, cell) AS cell_rank
+  FROM cell_scores),
+idx AS (
+  SELECT vec_id AS cand_id, v AS cv, nrm AS cnrm, cell
+  FROM ranked_cells WHERE cell_rank = 1),
+probes AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, cell
+  FROM ranked_cells WHERE vec_id < {N_QUERIES} AND cell_rank <= {NPROBE}),
+scored AS (
+  SELECT query_id, cand_id AS neighbor_id,
+         ({_dot_sql('qv', 'cv')}) / (qnrm * cnrm) AS cos
+  FROM idx JOIN probes USING (cell)
+  WHERE query_id <> cand_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank,
+       CAST(floor(cos * 1000000.0) AS BIGINT) AS cosine_micros
+FROM ranked WHERE rank <= {IVF_TOP_K} ORDER BY query_id, rank
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ann_bruteforce": (q_ann_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
+    "ann_ivf": (q_ann_ivf, ANN_IVF_SQL),
 }

@@ -20,7 +20,10 @@ SPOT_CHECK = [
     "minhash_signatures",
     "simhash",
     "ann_lsh",
+    "ann_ivf",
     "lang_id",
+    "shipping_priority",
+    "salted_topk_users",
     "quality",
     "fingerprint",
     "media_features",
@@ -38,9 +41,10 @@ def test_registry_complete():
     for name in (
         "extract_clean", "dedup_exact", "dedup_jaccard", "minhash_signatures",
         "minhash_lsh_pairs", "simhash", "embed_neardup", "ann_bruteforce",
-        "ann_lsh", "lang_id", "quality", "token_counts", "fingerprint",
+        "ann_lsh", "ann_ivf", "lang_id", "quality", "token_counts", "fingerprint",
         "media_features", "frame_sample", "status_rollup", "bucket_concat",
-        "resume_antijoin", "pricing_summary",
+        "resume_antijoin", "pricing_summary", "shipping_priority",
+        "salted_topk_users", "asof_join",
     ):
         assert name in q, name
 

@@ -1,0 +1,28 @@
+"""Physical-plan invariants: the plan properties that survive 100 TB.
+
+Value-correctness lives in the oracle checks; these tests pin the *physical*
+properties (pushdown, pruning, broadcast, exchange budget) so a regression
+that keeps answers right but silently de-optimizes the plan still fails CI.
+Shared invariant definitions: tools/plan_audit.py.
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from plan_audit import AUDITS, _query_df, plan_of  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.mark.parametrize("name,factory,checks,exec_first", AUDITS, ids=[a[0] for a in AUDITS])
+def test_plan_invariants(spark, name, factory, checks, exec_first):
+    df = factory(spark, SF_DIR, name) if factory is _query_df else factory(spark, SF_DIR)
+    if exec_first:
+        df.collect()  # materialize AQE's final plan on THIS QueryExecution
+    plan = plan_of(df)
+    failures = [detail for ok, detail in (chk(plan) for chk in checks) if not ok]
+    assert not failures, f"{name}: {failures}\n--- plan ---\n{plan}"

@@ -1,0 +1,67 @@
+"""Stateful streaming dedup: first-seen survives, later duplicates are
+suppressed by per-key state — across micro-batches AND across query
+restarts (state recovered from the checkpoint)."""
+
+from pdf_extractor_spark.streaming.dedup_state import content_keyed, first_seen_dedup
+from pdf_extractor_spark.spark.pipeline import DOCUMENTS_SCHEMA
+
+from tests.test_streaming import _write_drop
+
+
+def _doc(doc_id: str, text: str) -> dict:
+    return {
+        "doc_id": doc_id,
+        "spans": [{"kind": "text", "text": text, "media_ref": "", "offset": 0}],
+    }
+
+
+def _run_stream(spark, landing, ckpt, out_dir):
+    docs = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per drop file
+        .parquet(str(landing))
+    )
+    q = (
+        first_seen_dedup(content_keyed(docs))
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return {
+        r["content_key"]: (r["doc_id"], r["n_batch_dups"])
+        for r in spark.read.parquet(str(out_dir)).collect()
+    }
+
+
+def test_first_seen_dedup_across_batches_and_restarts(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out_dir = tmp_path / "out"
+
+    # batch 0: X twice (in-batch dup), Y once; batch 1: X again (cross-batch
+    # dup -> must be suppressed by state), Z once
+    _write_drop(spark, [_doc("a2", "X"), _doc("a1", "X"), _doc("b1", "Y")],
+                str(landing / "drop-0.parquet"))
+    _write_drop(spark, [_doc("a3", "X"), _doc("c1", "Z")],
+                str(landing / "drop-1.parquet"))
+
+    out = _run_stream(spark, landing, ckpt, out_dir)
+    survivors = {doc for doc, _ in out.values()}
+    assert survivors == {"a1", "b1", "c1"}  # a1 < a2 within batch; a3 dropped
+    dups_by_doc = {doc: n for doc, n in out.values()}
+    assert dups_by_doc["a1"] == 1  # a2 was its in-batch duplicate
+    assert dups_by_doc["b1"] == 0 and dups_by_doc["c1"] == 0
+
+    # restart with a new drop: another X (suppressed via RECOVERED state,
+    # not merely in-memory state) plus brand-new W
+    _write_drop(spark, [_doc("a4", "X"), _doc("d1", "W")],
+                str(landing / "drop-2.parquet"))
+    out2 = _run_stream(spark, landing, ckpt, out_dir)
+    assert len(out2) == len(out) + 1  # exactly one new key: W
+    new_docs = {doc for doc, _ in out2.values()} - survivors
+    assert new_docs == {"d1"}

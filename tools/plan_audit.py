@@ -1,0 +1,233 @@
+"""Physical-plan audit: assert the plans are the ones we'd want at 100 TB.
+
+Correctness says *what* each query returns (tools/check_oracle.py); this
+audits *how*: filters must reach the parquet scan (PushedFilters), unused
+columns must be pruned (ReadSchema), small dims must broadcast (never
+sort-merge), anti-joins must stay broadcast, the extraction stage must have
+exactly one exchange (the explicit skew repartition), and map-only operators
+must not shuffle at all. These are the properties that decide whether a plan
+survives a 1000-executor / 100 TB scale-up, so they are pinned as tests
+(tests/test_plans.py) and recorded as evidence in BENCH/PLANS.md.
+
+Run: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def plan_of(df) -> str:
+    """Formatted physical plan string (what df.explain('formatted') prints)."""
+    spark = df.sparkSession
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def _read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+# --- invariant predicates (each returns (ok, detail)) -----------------------
+
+def pushed(plan: str, fragment: str):
+    ok = any(
+        fragment in m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    )
+    return ok, f"PushedFilters contains {fragment!r}"
+
+
+def never_reads(plan: str, column: str):
+    ok = all(column not in s for s in _read_schemas(plan))
+    return ok, f"column {column!r} pruned from every scan"
+
+
+def reads_column(plan: str, column: str):
+    ok = any(column in s for s in _read_schemas(plan))
+    return ok, f"column {column!r} read by some scan"
+
+
+def contains(plan: str, token: str, n_min: int = 1):
+    ok = plan.count(token) >= n_min
+    return ok, f"plan has >= {n_min} x {token!r}"
+
+
+def absent(plan: str, token: str):
+    return token not in plan, f"plan has no {token!r}"
+
+
+def exchange_count(plan: str, n: int):
+    found = len(re.findall(r"\(\d+\) Exchange", plan))
+    return found == n, f"exactly {n} Exchange nodes (found {found})"
+
+
+# --- the audited queries ----------------------------------------------------
+
+def _query_df(spark, sf_dir: str, name: str):
+    from pdf_extractor_spark.ops.registry import queries
+
+    return queries()[name](spark, sf_dir)
+
+
+def _extract_stage_df(spark, sf_dir: str):
+    """The raw extraction stage (scan -> salt -> repartition -> mapInArrow),
+    without the oracle query's final projection/sort."""
+    from pdf_extractor_spark.ops.extraction_queries import wrap_documents
+    from pdf_extractor_spark.spark.pipeline import extract_documents
+
+    return extract_documents(wrap_documents(spark, sf_dir), n_parts=64, num_partitions=32)
+
+
+AUDITS: list[tuple] = [
+    (
+        "point_lookup",
+        _query_df,
+        [
+            lambda p: pushed(p, "EqualTo(doc_id,123)"),
+            lambda p: never_reads(p, "text"),  # the fat column never leaves disk
+            lambda p: contains(p, "[codegen id :"),  # whole-stage codegen active
+        ],
+        False,
+    ),
+    (
+        "pricing_summary",
+        _query_df,
+        [
+            lambda p: pushed(p, "LessThanOrEqual(l_shipdate"),
+            lambda p: never_reads(p, "l_partkey"),
+            lambda p: never_reads(p, "l_tax"),
+            # partial + final hash aggregation (map-side combine before shuffle)
+            lambda p: contains(p, "HashAggregate", 2),
+            # codegen ids only materialize in AQE's final plan -> exec_first
+            lambda p: contains(p, "[codegen id :"),
+        ],
+        True,
+    ),
+    (
+        "revenue_by_segment",
+        _query_df,
+        [
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: never_reads(p, "c_name"),
+        ],
+        False,
+    ),
+    (
+        "shipping_priority",
+        _query_df,
+        [
+            # dim side broadcasts; the single fact-fact join is the only
+            # shuffle join in the plan
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: pushed(p, "EqualTo(c_mktsegment,BUILDING)"),
+            lambda p: pushed(p, "GreaterThan(l_shipdate"),
+            lambda p: pushed(p, "LessThan(o_orderdate"),
+            lambda p: never_reads(p, "l_tax"),
+        ],
+        False,
+    ),
+    (
+        "resume_antijoin",
+        _query_df,
+        [
+            lambda p: contains(p, "LeftAnti"),
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),  # anti-join must not shuffle the big side
+        ],
+        False,
+    ),
+    (
+        "lang_id",
+        _query_df,
+        [
+            # map-only operator: no hash shuffle anywhere (the single range
+            # exchange is the oracle's deterministic final sort)
+            lambda p: absent(p, "Exchange hashpartitioning"),
+            lambda p: never_reads(p, "source"),
+        ],
+        False,
+    ),
+    (
+        "salted_topk_users",
+        _query_df,
+        [
+            # two-phase: partial agg keyed (user_id, _salt) then final on user_id
+            lambda p: contains(p, "HashAggregate", 4),
+            lambda p: contains(p, "_salt"),
+            lambda p: never_reads(p, "props"),
+        ],
+        False,
+    ),
+    (
+        "extract_stage",
+        _extract_stage_df,
+        [
+            # ONE exchange: the explicit skew-aware repartitionByRange.
+            # Anything more means the pipeline shuffles data it shouldn't.
+            lambda p: exchange_count(p, 1),
+            lambda p: contains(p, "rangepartitioning"),
+            lambda p: contains(p, "MapInArrow"),
+            lambda p: never_reads(p, "n_chars"),
+        ],
+        False,
+    ),
+]
+
+
+def run_audit(spark, sf_dir: str):
+    """Evaluate every audit; returns [(name, plan, [(ok, detail), ...])]."""
+    results = []
+    for name, factory, checks, exec_first in AUDITS:
+        df = factory(spark, sf_dir, name) if factory is _query_df else factory(spark, sf_dir)
+        if exec_first:
+            df.collect()  # materialize AQE's final plan on THIS QueryExecution
+        plan = plan_of(df)
+        results.append((name, plan, [chk(plan) for chk in checks]))
+    return results
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pdf_extractor_spark.spark.session import get_spark
+
+    spark = get_spark(app_name="plan-audit", master="local[4]", shuffle_partitions=8)
+    try:
+        results = run_audit(spark, sf_dir)
+    finally:
+        spark.stop()
+
+    lines = [
+        "# Physical-plan audit",
+        "",
+        "Generated by `python tools/plan_audit.py` (invariants also pinned in",
+        "`tests/test_plans.py`). Each query's formatted physical plan is checked",
+        "for the properties that make it scale: predicate pushdown, column",
+        "pruning, broadcast joins for dims, map-side combine, single-exchange",
+        "extraction stage, shuffle-free map-only ops.",
+        "",
+    ]
+    n_fail = 0
+    for name, plan, checks in results:
+        lines.append(f"## {name}")
+        lines.append("")
+        for ok, detail in checks:
+            mark = "PASS" if ok else "**FAIL**"
+            n_fail += 0 if ok else 1
+            lines.append(f"- {mark} — {detail}")
+            print(("PASS " if ok else "FAIL ") + f"{name}: {detail}")
+        # record the compact node tree (header section of the formatted plan)
+        tree = plan.split("\n\n")[0]
+        lines += ["", "```", tree, "```", ""]
+    out = REPO / "BENCH" / "PLANS.md"
+    out.write_text("\n".join(lines))
+    print(f"{'OK' if n_fail == 0 else f'{n_fail} FAILURES'} -> {out}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
