@@ -126,3 +126,27 @@ def test_corpus_pdfs_parse_clean():
         n = rng.randint(1, 5)
         texts = extract_pdf_text(make_pdf_bytes(rng, n))
         assert len(texts) == n
+
+
+def test_tokenizer_escape_dialects():
+    """Pin the content-stream tokenizer's escape semantics: named escapes and
+    octal decode in top-level strings (unknown escapes dropped), verbatim-keep
+    dialect inside TJ arrays, nested parens, unterminated string at EOF."""
+    from pdf_extractor_spark.core.pdf_parse import _tokenize
+
+    cases = {
+        rb"(ab\tc) Tj": [("str", "ab\tc"), ("op", "Tj")],
+        rb"(a\053b) Tj": [("str", "a+b"), ("op", "Tj")],
+        # \8 is not a valid octal escape -> dropped (not a crash)
+        rb"(\101\8)Tj": [("str", "A"), ("op", "Tj")],
+        # array dialect: unknown escape kept verbatim, no octal
+        rb"[(a\q) -3 (b)] TJ": [
+            ("arr", [("str", "aq"), ("num", -3.0), ("str", "b")]),
+            ("op", "TJ"),
+        ],
+        rb"(nest (inner) out) Tj": [("str", "nest (inner) out"), ("op", "Tj")],
+        rb"(unterminated": [("str", "unterminated")],
+        rb"12.5 -3 Td": [("num", 12.5), ("num", -3.0), ("op", "Td")],
+    }
+    for raw, want in cases.items():
+        assert list(_tokenize(raw)) == want, raw
