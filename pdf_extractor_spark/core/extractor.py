@@ -42,6 +42,28 @@ class ExtractResult:
     spans_emitted: int
     parse_failures: int
     duration_ms: int
+    scores: dict[str, float] = None  # type: ignore[assignment]
+
+
+def _compute_scores(
+    n_input: int, n_failures: int, out: list[tuple[str, str, str, int]]
+) -> dict[str, float]:
+    """Per-document quality scores — the engine's analogue of Docling's
+    per-page confidence block (docling_processor.py:135-144, surfaced as
+    parse_score/layout_score in the UI, dashboard.py:973-978). Deterministic
+    pure ratios, exact in IEEE on any engine:
+
+    - parse_score: fraction of input spans that processed without failure;
+    - media_ratio: fraction of emitted spans that are media passthrough;
+    - avg_span_chars: mean text length over emitted spans.
+    """
+    n_media = sum(1 for s in out if s[0] == KIND_MEDIA)
+    total_chars = sum(len(s[1]) for s in out)
+    return {
+        "parse_score": (n_input - n_failures) / n_input if n_input else 1.0,
+        "media_ratio": n_media / len(out) if out else 0.0,
+        "avg_span_chars": total_chars / len(out) if out else 0.0,
+    }
 
 
 def extract_document(
@@ -98,4 +120,5 @@ def extract_document(
         spans_emitted=len(out),
         parse_failures=failures,
         duration_ms=int((time.monotonic() - t0) * 1000),
+        scores=_compute_scores(len(norm), failures, out),
     )

@@ -89,6 +89,14 @@ def q_extract_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spans_emitted",
         "pages_parsed",
         "parse_failures",
+        # quality-score map (Docling confidence analogue): hash-checkable as
+        # exact micros — both engines do one IEEE double division each
+        F.floor(F.element_at("scores", "parse_score") * 1e6)
+        .cast("bigint")
+        .alias("parse_score_micros"),
+        F.floor(F.element_at("scores", "avg_span_chars") * 1e6)
+        .cast("bigint")
+        .alias("avg_chars_micros"),
     ).orderBy("doc_id")
 
 
@@ -99,7 +107,12 @@ SELECT doc_id,
        'media' AS media_kind,
        CASE WHEN doc_id % 17 = 0 THEN 3 ELSE 2 END AS spans_emitted,
        0 AS pages_parsed,
-       CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS parse_failures
+       CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS parse_failures,
+       CAST(floor(CASE WHEN doc_id % 17 = 0 THEN 2.0 / 3.0 ELSE 1.0 END * 1000000.0)
+         AS BIGINT) AS parse_score_micros,
+       CAST(floor(CAST(length(text) AS DOUBLE)
+                  / (CASE WHEN doc_id % 17 = 0 THEN 3 ELSE 2 END) * 1000000.0)
+         AS BIGINT) AS avg_chars_micros
 FROM documents ORDER BY doc_id
 """
 

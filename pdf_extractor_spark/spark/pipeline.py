@@ -31,8 +31,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -62,6 +64,9 @@ EXTRACTED_SCHEMA = StructType(
         StructField("spans_emitted", IntegerType()),
         StructField("parse_failures", IntegerType()),
         StructField("duration_ms", LongType()),
+        # per-doc quality scores (Docling confidence analogue,
+        # docling_processor.py:135-144) — SURVEY.md §1.4's MAP column
+        StructField("scores", MapType(StringType(), DoubleType())),
         StructField("part_id", IntegerType()),
     ]
 )
@@ -174,6 +179,9 @@ def _extract_batches_arrow(batches):
         emitted_l: list[int] = []
         failures_l: list[int] = []
         duration_l: list[int] = []
+        score_keys: list[str] = []
+        score_vals: list[float] = []
+        score_offsets = [0]
 
         pos = 0
         for i in range(n):
@@ -198,6 +206,10 @@ def _extract_batches_arrow(batches):
             emitted_l.append(res.spans_emitted)
             failures_l.append(res.parse_failures)
             duration_l.append(res.duration_ms)
+            for k, v in res.scores.items():
+                score_keys.append(k)
+                score_vals.append(v)
+            score_offsets.append(len(score_keys))
 
         struct = pa.StructArray.from_arrays(
             [
@@ -209,6 +221,11 @@ def _extract_batches_arrow(batches):
             fields=list(span_type),
         )
         spans_out = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()), struct)
+        scores_out = pa.MapArray.from_arrays(
+            pa.array(score_offsets, pa.int32()),
+            pa.array(score_keys, pa.string()),
+            pa.array(score_vals, pa.float64()),
+        )
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(doc_ids, pa.string()),
@@ -217,6 +234,7 @@ def _extract_batches_arrow(batches):
                 pa.array(emitted_l, pa.int32()),
                 pa.array(failures_l, pa.int32()),
                 pa.array(duration_l, pa.int64()),
+                scores_out,
                 pa.array(parts if has_part else [-1] * n, pa.int32()),
             ],
             names=[
@@ -226,6 +244,7 @@ def _extract_batches_arrow(batches):
                 "spans_emitted",
                 "parse_failures",
                 "duration_ms",
+                "scores",
                 "part_id",
             ],
         )
@@ -243,6 +262,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "spans_emitted": [],
             "parse_failures": [],
             "duration_ms": [],
+            "scores": [],
             "part_id": [],
         }
         has_part = "part_id" in pdf_batch.columns
@@ -261,6 +281,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["spans_emitted"].append(res.spans_emitted)
             out["parse_failures"].append(res.parse_failures)
             out["duration_ms"].append(res.duration_ms)
+            out["scores"].append(res.scores)
             out["part_id"].append(int(pdf_batch["part_id"].iat[i]) if has_part else -1)
         yield pd.DataFrame(out)
 

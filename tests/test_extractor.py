@@ -88,3 +88,24 @@ def test_offsets_always_dense_increasing(items):
     res = extract_document(spans)
     assert [s[3] for s in res.spans] == list(range(len(res.spans)))
     assert res.spans_emitted == len(res.spans)
+
+
+def test_quality_scores():
+    """Per-doc score map (Docling confidence analogue): exact ratios."""
+    from pdf_extractor_spark.core.extractor import extract_document
+
+    res = extract_document(
+        [
+            ("text", "hello world", "", 0),
+            ("media", "", "media://x", 1),
+            ("bogus", "x", "", 2),
+        ]
+    )
+    assert res.scores["parse_score"] == 2 / 3  # 1 of 3 input spans failed
+    assert res.scores["media_ratio"] == 1 / 3  # 1 media of 3 emitted
+    assert res.scores["avg_span_chars"] == len("hello world") / 3
+
+    empty = extract_document([])
+    assert empty.scores == {
+        "parse_score": 1.0, "media_ratio": 0.0, "avg_span_chars": 0.0,
+    }

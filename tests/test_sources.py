@@ -1,0 +1,112 @@
+"""Sources: distributed fetcher (S2 downloader analogue) and manifest reader
+(S4) — retry/backoff, validity quarantine, delimiter sniffing, id fallback."""
+
+import base64
+
+from pdf_extractor_spark.corpus import gen_documents
+from pdf_extractor_spark.sources.fetch import (
+    fetch_documents,
+    local_file_transport,
+    pdf_validity_gate,
+)
+from pdf_extractor_spark.sources.manifest import read_manifest, sniff_delimiter
+
+_FAIL_COUNTS: dict[str, int] = {}
+
+
+def flaky_transport(url: str, timeout_s: float) -> bytes:
+    """Fails twice per URL, then succeeds — exercises the retry loop.
+
+    Module-level state is per Python worker; the test uses one URL per task
+    at local parallelism so each URL's counter lives in exactly one worker.
+    """
+    n = _FAIL_COUNTS.get(url, 0)
+    if n < 2:
+        _FAIL_COUNTS[url] = n + 1
+        raise OSError(f"transient #{n + 1}")
+    return local_file_transport(url, timeout_s)
+
+
+def test_fetch_ok_failed_invalid(spark, tmp_path):
+    pdf_b64 = next(
+        s["text"] for s in gen_documents(1, seed=3, profile="heavy")[0]["spans"]
+        if s["kind"] == "pdf"
+    )
+    good = tmp_path / "good.pdf"
+    good.write_bytes(base64.b64decode(pdf_b64))
+    bad = tmp_path / "bad.pdf"
+    bad.write_bytes(b"this is not a pdf at all")
+
+    manifest = spark.createDataFrame(
+        [
+            ("d1", f"file://{good}"),
+            ("d2", f"file://{bad}"),
+            ("d3", f"file://{tmp_path}/missing.pdf"),
+        ],
+        "doc_id string, url string",
+    )
+    rows = {r["doc_id"]: r for r in fetch_documents(manifest).collect()}
+
+    assert rows["d1"]["status"] == "ok"
+    assert rows["d1"]["attempts"] == 1
+    assert rows["d1"]["n_bytes"] == good.stat().st_size
+    assert pdf_validity_gate(bytes(rows["d1"]["content"]))
+
+    assert rows["d2"]["status"] == "invalid"  # gate rejected, content dropped
+    assert rows["d2"]["content"] is None
+    assert rows["d2"]["n_bytes"] == len(b"this is not a pdf at all")
+
+    assert rows["d3"]["status"] == "failed"
+    assert rows["d3"]["attempts"] == 3  # exhausted MAX_RETRIES
+    assert rows["d3"]["content"] is None and "missing.pdf" in rows["d3"]["error"]
+
+
+def test_fetch_retry_then_success(spark, tmp_path):
+    p = tmp_path / "doc.pdf"
+    p.write_bytes(b"%PDF-1.4 payload endobj")
+    manifest = spark.createDataFrame([("d1", f"file://{p}")], "doc_id string, url string")
+    [row] = fetch_documents(
+        manifest, transport=flaky_transport, backoff_range_s=(0.0, 0.001)
+    ).collect()
+    assert row["status"] == "ok"
+    assert row["attempts"] == 3  # two transient failures, third attempt wins
+
+
+def test_fetched_quarantine_antijoin(spark, tmp_path):
+    """The retry-rematch pattern (J1): failures anti-join back to the manifest."""
+    p = tmp_path / "ok.pdf"
+    p.write_bytes(b"%PDF-1.4 x endobj")
+    manifest = spark.createDataFrame(
+        [("a", f"file://{p}"), ("b", f"file://{tmp_path}/nope.pdf")],
+        "doc_id string, url string",
+    )
+    fetched = fetch_documents(manifest)
+    done = fetched.where("status = 'ok'").select("doc_id")
+    retry = manifest.join(done, "doc_id", "left_anti")
+    assert [r["doc_id"] for r in retry.collect()] == ["b"]
+
+
+def test_manifest_reader_delimiters(spark, tmp_path):
+    for name, delim in (("comma", ","), ("semi", ";"), ("tab", "\t")):
+        p = tmp_path / f"m_{name}.csv"
+        p.write_text(
+            f"id{delim}the_url{delim}extra\n"
+            f"x1{delim}http://h/a.pdf{delim}1\n"
+            f"x2{delim}http://h/b.pdf{delim}2\n"
+        )
+        assert sniff_delimiter(str(p)) == delim
+        df = read_manifest(spark, str(p), url_col="the_url", id_col="id")
+        assert df.columns == ["doc_id", "url"]
+        got = sorted(map(tuple, df.collect()))
+        assert got == [("x1", "http://h/a.pdf"), ("x2", "http://h/b.pdf")]
+
+
+def test_manifest_reader_id_fallback(spark, tmp_path):
+    p = tmp_path / "m.csv"
+    p.write_text("the_url\nhttp://h/path/report.v2.pdf?x=1\nhttp://h/plain\n")
+    df = read_manifest(spark, str(p), url_col="the_url")
+    got = sorted(map(tuple, df.collect()))
+    assert got == [
+        ("plain", "http://h/plain"),
+        ("report.v2", "http://h/path/report.v2.pdf?x=1"),
+    ]

@@ -139,6 +139,7 @@ def test_arrow_and_pandas_paths_identical(spark):
             r["doc_id"]: (
                 [tuple(s) for s in r["spans"]],
                 r["pages_parsed"], r["spans_emitted"], r["parse_failures"],
+                sorted(r["scores"].items()),
             )
             for r in extract_documents(
                 docs, n_parts=16, num_partitions=4, use_arrow=use_arrow
