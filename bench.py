@@ -70,6 +70,13 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     from pdf_extractor_spark.ops.registry import queries
 
     qs = queries()
+    # unreported warmup: spawn Python workers + compile the Arrow kernel path
+    # once, so the first reported query measures the query, not session spinup
+    from pdf_extractor_spark.corpus import corpus_df
+    from pdf_extractor_spark.spark.pipeline import extract_documents
+
+    extract_documents(corpus_df(spark, 32, seed=1), n_parts=8, num_partitions=8).count()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]

@@ -1,0 +1,83 @@
+"""Preview/read path: point queries over the extracted output table.
+
+The reference's preview pane loads one result JSON and indexes
+``content[page-1]`` (dashboard.py:832-1004, §3.3 of SURVEY.md). Over the
+committed output table this is a predicate-pushdown point query: the doc_id
+filter reaches the parquet scan (row-group pruning via min/max stats; at
+Iceberg scale, partition pruning on part_id first), and ``element_at`` picks
+the span without materializing the array on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .lineage import CommitLog
+from .pipeline import assign_part_id
+
+
+def doc_spans(spark: SparkSession, log: CommitLog, doc_id: str, n_parts: int | None = None) -> DataFrame:
+    """All extracted spans of one document, in offset order.
+
+    With ``n_parts`` the lookup first computes the doc's part_id (the same
+    pure function the writer used) and filters on it — at scale part_id is
+    the partition column, so this prunes to one partition before the doc_id
+    filter touches row groups.
+    """
+    ext = log.read_extracted(spark)
+    if n_parts is not None:
+        part = (
+            assign_part_id(spark.createDataFrame([(doc_id,)], "doc_id string"), n_parts)
+            .collect()[0]["part_id"]
+        )
+        ext = ext.where(F.col("part_id") == part)
+    return (
+        ext.where(F.col("doc_id") == doc_id)
+        .select("doc_id", F.posexplode("spans").alias("pos", "span"))
+        .select(
+            "doc_id",
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset"),
+        )
+        .orderBy("offset")
+    )
+
+
+def read_page(
+    spark: SparkSession, log: CommitLog, doc_id: str, page: int, n_parts: int | None = None
+) -> dict | None:
+    """One page's entry — (text, scores) — the preview pane's
+    ``content[page-1]`` lookup (dashboard.py:963-978). 1-based page index."""
+    ext = log.read_extracted(spark)
+    if n_parts is not None:
+        part = (
+            assign_part_id(spark.createDataFrame([(doc_id,)], "doc_id string"), n_parts)
+            .collect()[0]["part_id"]
+        )
+        ext = ext.where(F.col("part_id") == part)
+    rows = (
+        ext.where(F.col("doc_id") == doc_id)
+        .select(
+            # try_element_at: out-of-range page -> NULL, not an ANSI error
+            F.try_element_at("spans", F.lit(page)).alias("span"),
+            "scores",
+            "pages_parsed",
+            "spans_emitted",
+        )
+        .collect()
+    )
+    if not rows or rows[0]["span"] is None:
+        return None
+    r = rows[0]
+    return {
+        "doc_id": doc_id,
+        "page": page,
+        "kind": r["span"]["kind"],
+        "content": r["span"]["text"],
+        "media_ref": r["span"]["media_ref"],
+        "scores": dict(r["scores"]) if r["scores"] is not None else {},
+        "total_spans": r["spans_emitted"],
+    }

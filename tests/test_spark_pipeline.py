@@ -146,3 +146,36 @@ def test_arrow_and_pandas_paths_identical(spark):
             ).collect()
         }
     assert snap(True) == snap(False)
+
+
+def test_preview_point_lookup(spark, tmp_path):
+    """§3.3 preview path: point query over a committed run, with and without
+    part_id pruning; missing doc/page -> None."""
+    from pdf_extractor_spark.corpus import corpus_df
+    from pdf_extractor_spark.core.extractor import extract_document
+    from pdf_extractor_spark.corpus import gen_documents
+    from pdf_extractor_spark.spark.lineage import CommitLog, run_extraction
+    from pdf_extractor_spark.spark.preview import doc_spans, read_page
+
+    log = CommitLog(str(tmp_path / "log"))
+    run_extraction(spark, corpus_df(spark, 40, seed=5), log, n_parts=16,
+                   parts_per_chunk=16, num_partitions=4)
+
+    rows = gen_documents(40, seed=5)
+    target = rows[7]
+    want = extract_document(target["spans"]).spans
+
+    got = [
+        (r["kind"], r["text"], r["media_ref"], r["offset"])
+        for r in doc_spans(spark, log, target["doc_id"], n_parts=16).collect()
+    ]
+    assert got == want
+
+    page1 = read_page(spark, log, target["doc_id"], 1, n_parts=16)
+    assert page1 is not None
+    assert page1["content"] == want[0][1]
+    assert 0.0 <= page1["scores"]["parse_score"] <= 1.0
+    assert page1["total_spans"] == len(want)
+
+    assert read_page(spark, log, target["doc_id"], len(want) + 5) is None
+    assert read_page(spark, log, "no-such-doc", 1) is None
