@@ -84,6 +84,61 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --- A8/J2 with full-containment semantics: transcript buckets -------------
+
+def q_transcript_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 60-min transcript buckets with the reference's straddle-drop
+    rule pinned: a segment [start, start+duration] joins a bucket only if it
+    fits ENTIRELY inside it (whisper_processor.py:183 requires
+    seg_start >= start AND seg_end <= end — segments straddling a boundary
+    are silently dropped, and that drop is part of the output contract).
+    Events model segments: ts = start, value = duration seconds.
+    """
+    ev = _read(spark, sf_dir, "events")
+    start_s = F.unix_timestamp(F.to_timestamp(F.col("ts")))
+    seg = ev.select(
+        "event_id",
+        start_s.alias("start_s"),
+        (start_s + F.col("value")).alias("end_s"),  # long + double -> double
+    )
+    bucket = (F.floor(F.col("start_s") / 3600) * 3600).cast("bigint")
+    contained = seg.withColumn("bucket_start_s", bucket).where(
+        F.col("end_s") <= F.col("bucket_start_s") + 3600
+    )
+    return (
+        contained.groupBy("bucket_start_s")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("start_s", "event_id"))),
+                    lambda s: s["event_id"].cast("string"),
+                ),
+                " ",
+            ).alias("segment_ids"),
+        )
+        .orderBy("bucket_start_s")
+    )
+
+
+TRANSCRIPT_BUCKETS_SQL = """
+WITH seg AS (
+  SELECT event_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+         CAST(floor(epoch(ts)) AS BIGINT) + value AS end_s
+  FROM events),
+contained AS (
+  SELECT *, CAST(floor(start_s / 3600) * 3600 AS BIGINT) AS bucket_start_s
+  FROM seg
+  WHERE end_s <= CAST(floor(start_s / 3600) * 3600 AS BIGINT) + 3600)
+SELECT bucket_start_s,
+       count(*) AS n_segments,
+       string_agg(CAST(event_id AS VARCHAR), ' ' ORDER BY start_s, event_id)
+         AS segment_ids
+FROM contained GROUP BY bucket_start_s ORDER BY bucket_start_s
+"""
+
+
 # --- P8: distinct count (nunique progress total, dashboard.py:421) ---------
 
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,6 +363,7 @@ ORDER BY 1, 2
 QUERIES: dict[str, tuple] = {
     "status_rollup": (q_status_rollup, STATUS_ROLLUP_SQL),
     "bucket_concat": (q_bucket_concat, BUCKET_CONCAT_SQL),
+    "transcript_buckets": (q_transcript_buckets, TRANSCRIPT_BUCKETS_SQL),
     "distinct_users": (q_distinct_users, DISTINCT_USERS_SQL),
     "resume_antijoin": (q_resume_antijoin, RESUME_ANTIJOIN_SQL),
     "point_lookup": (q_point_lookup, POINT_LOOKUP_SQL),

@@ -16,6 +16,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # runs via tools/check_oracle.py (and the driver at sf0.01)
 SPOT_CHECK = [
     "status_rollup",
+    "transcript_buckets",
     "dedup_exact",
     "minhash_signatures",
     "simhash",
@@ -43,6 +44,7 @@ def test_registry_complete():
         "minhash_lsh_pairs", "simhash", "embed_neardup", "ann_bruteforce",
         "ann_lsh", "ann_ivf", "lang_id", "quality", "token_counts", "fingerprint",
         "media_features", "frame_sample", "status_rollup", "bucket_concat",
+        "transcript_buckets",
         "resume_antijoin", "pricing_summary", "shipping_priority",
         "salted_topk_users", "asof_join",
     ):
