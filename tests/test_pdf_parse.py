@@ -150,3 +150,30 @@ def test_tokenizer_escape_dialects():
     }
     for raw, want in cases.items():
         assert list(_tokenize(raw)) == want, raw
+
+
+def test_roundtrip_property_arbitrary_text():
+    """Property: any latin-1 printable text (incl. parens/backslashes/escape
+    look-alikes) survives build->parse byte-exact after the clean-text
+    normalization the parser applies per line."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractor_spark.core.textclean import clean_text
+
+    line_st = st.text(
+        alphabet=st.characters(
+            codec="latin-1", categories=("L", "N", "P", "S"), include_characters=" ()\\"
+        ),
+        min_size=1,
+        max_size=60,
+    ).map(lambda s: s.strip()).filter(lambda s: s and clean_text(s) == s)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(line_st, min_size=1, max_size=4))
+    def inner(lines):
+        page = PageSpec(boxes=[TextBox(x=72, y_top=100, lines=lines)])
+        [text] = extract_pdf_text(build_pdf([page]))
+        assert text == "\n".join(lines)
+
+    inner()
