@@ -209,9 +209,17 @@ def _scan_string(stream: bytes, i: int, n: int, octal: bool, keep_unknown: bool)
     return i, buf.decode("latin-1")
 
 
-def _tokenize(stream: bytes):
-    """Yield ('num', float) | ('str', str) | ('arr', list) | ('op', str) |
-    ('name', str) tokens from a content stream."""
+def _tokenize(stream: bytes, stack: list | None = None):
+    """Tokenize a content stream.
+
+    Default mode yields ('num', float) | ('str', str) | ('arr', list) |
+    ('op', str) | ('name', str) tuples. With ``stack`` (the interpreter hot
+    path), operand VALUES are pushed raw onto the given list and only bare
+    operator strings are yielded — no per-operand tuple is ever built, and
+    TJ arrays are pre-joined to their concatenated string (the only use the
+    interpreter has for them).
+    """
+    push = stack.append if stack is not None else None
     i, n = 0, len(stream)
     while i < n:
         c = stream[i]
@@ -222,7 +230,10 @@ def _tokenize(stream: bytes):
             i = n if j == -1 else j + 1
         elif c == 0x28:  # (
             i, s = _scan_string(stream, i + 1, n, octal=True, keep_unknown=False)
-            yield ("str", s)
+            if push is None:
+                yield ("str", s)
+            else:
+                push(s)
         elif c == 0x5B:  # [
             i += 1
             arr: list = []
@@ -231,22 +242,32 @@ def _tokenize(stream: bytes):
                     break
                 kind, val, i = tok
                 arr.append((kind, val))
-            yield ("arr", arr)
+            if push is None:
+                yield ("arr", arr)
+            else:
+                push("".join(v for k, v in arr if k == "str"))
             i += 1  # past ']'
         elif c == 0x2F:  # /
             m = _BARE_RE.match(stream, i + 1)
-            yield ("name", m.group().decode("latin-1"))
+            if push is None:
+                yield ("name", m.group().decode("latin-1"))
+            else:
+                push(m.group().decode("latin-1"))
             i = m.end()
         elif c == 0x2B or c == 0x2D or c == 0x2E or 0x30 <= c <= 0x39:  # + - . 0-9
             m = _NUM_RE.match(stream, i)
-            yield ("num", float(m.group()))
+            if push is None:
+                yield ("num", float(m.group()))
+            else:
+                push(float(m.group()))
             i = m.end()
         else:
             m = _BARE_RE.match(stream, i)
             if m.end() == i:
                 i += 1  # skip stray delimiter like ] or >
                 continue
-            yield ("op", m.group().decode("latin-1"))
+            op = m.group().decode("latin-1")
+            yield ("op", op) if push is None else op
             i = m.end()
 
 
@@ -285,47 +306,46 @@ def _interpret(stream: bytes, page_h: float) -> tuple[list[_TextItem], list[_Rec
     leading = 0.0
 
     def show(s: str) -> None:
+        if not isinstance(s, str):  # e.g. `5 Tj` in a malformed stream
+            raise PdfParseError(f"show operator on non-string operand {s!r}")
         items.append(_TextItem(x=x, y_top=page_h - y, text=s))
 
-    for kind, val in _tokenize(stream):
-        if kind != "op":
-            stack.append((kind, val))
-            continue
-        op = val
+    # stack mode: the tokenizer pushes operand values directly and yields
+    # only operator strings — no per-operand tuples on the hot path
+    for op in _tokenize(stream, stack):
         try:
             if op == "Td":
-                ty = stack[-1][1]
-                tx = stack[-2][1]
+                ty = stack[-1]
+                tx = stack[-2]
                 x += tx
                 y += ty
             elif op == "TD":
-                ty = stack[-1][1]
-                tx = stack[-2][1]
+                ty = stack[-1]
+                tx = stack[-2]
                 leading = -ty
                 x += tx
                 y += ty
             elif op == "Tm":
-                y = stack[-1][1]
-                x = stack[-2][1]
+                y = stack[-1]
+                x = stack[-2]
             elif op == "T*":
                 y -= leading
             elif op == "TL":
-                leading = stack[-1][1]
+                leading = stack[-1]
             elif op == "Tj":
-                show(stack[-1][1])
+                show(stack[-1])
             elif op == "'":
                 y -= leading
-                show(stack[-1][1])
+                show(stack[-1])
             elif op == "TJ":
-                arr = stack[-1][1]
-                show("".join(v for k, v in arr if k == "str"))
+                show(stack[-1])  # array pre-joined by the tokenizer
             elif op == "BT":
                 x = y = 0.0
             elif op == "re":
-                h = stack[-1][1]
-                w = stack[-2][1]
-                ry = stack[-3][1]
-                rx = stack[-4][1]
+                h = stack[-1]
+                w = stack[-2]
+                ry = stack[-3]
+                rx = stack[-4]
                 rects.append(
                     _Rect(x0=rx, y0_top=page_h - (ry + h), x1=rx + w, y1_top=page_h - ry)
                 )
