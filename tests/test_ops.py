@@ -115,3 +115,43 @@ def test_query_matches_oracle(spark, duck, name):
     sdf = fn(spark, SF_DIR).toPandas()
     ddf = duck.execute(sql).df()
     assert _signature(sdf) == _signature(ddf)
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    """Quality bound for the approximate paths vs exact brute force.
+
+    IVF (nprobe=2 of 10 cells, ~20% of the corpus examined) must reach
+    recall@3 >= 0.5 averaged over the 10 queries. The LSH sign-code path is
+    NOT bounded here: the synthetic embeddings are near-random (true top-3
+    cosine ~0.33, barely above the random-pair distribution), and single-
+    probe sign-code LSH has provably low recall on data without cluster
+    structure — measured ~0.03-0.4 across table/bit configurations. Its
+    structural correctness (only same-bucket candidates, exact re-rank) is
+    oracle-checked; on real embeddings with cluster structure the bucket
+    join is the scale path. We still pin that LSH returns a nonempty,
+    correctly-ranked result set."""
+    from pdf_extractor_spark.ops.registry import queries
+
+    qs = queries()
+
+    def topk(name, k=3):
+        out = {}
+        for r in qs[name](spark, SF_DIR).collect():
+            if r["rank"] <= k:
+                out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk("ann_bruteforce")
+    ivf = topk("ann_ivf")
+    recalls = [len(ivf.get(q, set()) & exact[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+    lsh_rows = qs["ann_lsh"](spark, SF_DIR).collect()
+    assert lsh_rows, "LSH produced no candidates at all"
+    by_q = {}
+    for r in lsh_rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine_micros"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        cos = [c for _, c in rows]
+        assert cos == sorted(cos, reverse=True), (q, rows)  # ranked by cosine
