@@ -146,6 +146,47 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def q_render_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown rendering of extracted spans (the S7 export-md sink,
+    docling_processor.py:241-246) as a pure column expression — text spans
+    become '## Span N' sections, media spans become image links. The sink
+    itself is then just `df.write.text` / a second output table; rendering
+    is JVM-side, no Python."""
+    ext = extract_wrapped(spark, sf_dir)
+    md = F.array_join(
+        F.transform(
+            "spans",
+            lambda s: F.when(
+                s["kind"] == "media",
+                F.concat(F.lit("!["), s["kind"], F.lit("]("), s["media_ref"], F.lit(")")),
+            ).otherwise(
+                F.concat(
+                    F.lit("## Span "),
+                    (s["offset"] + 1).cast("string"),
+                    F.lit("\n\n"),
+                    s["text"],
+                )
+            ),
+        ),
+        "\n\n",
+    )
+    return ext.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), md.alias("markdown")
+    ).orderBy("doc_id")
+
+
+RENDER_MARKDOWN_SQL = """
+SELECT doc_id,
+       '## Span 1' || chr(10) || chr(10) || text
+       || chr(10) || chr(10)
+       || '![media](media://' || CAST(doc_id AS VARCHAR) || ')'
+       || CASE WHEN doc_id % 17 = 0
+               THEN chr(10) || chr(10) || '## Span 3' || chr(10) || chr(10)
+               ELSE '' END AS markdown
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_extract_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF layout parse over the synthetic interleaved corpus (rows-only
     check — content-stream parsing has no SQL equivalent; pytest holds the
@@ -162,5 +203,6 @@ def q_extract_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, tuple] = {
     "extract_clean": (q_extract_clean, EXTRACT_CLEAN_SQL),
     "extract_metrics": (q_extract_metrics, EXTRACT_METRICS_SQL),
+    "render_markdown": (q_render_markdown, RENDER_MARKDOWN_SQL),
     "extract_pdf_corpus": (q_extract_pdf_corpus, None),
 }

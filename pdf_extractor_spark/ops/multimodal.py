@@ -113,6 +113,51 @@ def frame_sample(df: DataFrame, every: int = 4) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("resized_md5", StringType()),
+        StructField("resize_status", StringType()),
+    ]
+)
+
+
+def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
+    """Image resize STUB — deterministic surrogate for the resized bytes.
+
+    A real build calls PIL/libvips resize; the surrogate is a pure function
+    of (content digest, target dims) so the whole Arrow round-trip is
+    value-checkable: md5hex(payload) || '|WxH' utf-8 encoded.
+    """
+    return f"{hashlib.md5(payload).hexdigest()}|{width}x{height}".encode()
+
+
+def _resize_batches(width: int, height: int):
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in RESIZE_SCHEMA.fieldNames()}
+            for i in range(len(b)):
+                payload = bytes(b["payload"].iat[i])
+                resized = resize_image_stub(payload, width, height)
+                rows["doc_id"].append(int(b["doc_id"].iat[i]))
+                rows["out_width"].append(width)
+                rows["out_height"].append(height)
+                rows["resized_md5"].append(hashlib.md5(resized).hexdigest())
+                rows["resize_status"].append("stub")
+            yield pd.DataFrame(rows)
+
+    return gen
+
+
+def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """(doc_id, payload:binary) -> resized-image metadata via Arrow batches."""
+    return df.select("doc_id", "payload").mapInPandas(
+        _resize_batches(width, height), schema=RESIZE_SCHEMA
+    )
+
+
 # --- oracle-checked query ---------------------------------------------------
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +214,25 @@ ORDER BY doc_id
 """
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing over binary payloads (stubbed codec, real Arrow path)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return resize_images(payloads, width=32, height=32).orderBy("doc_id")
+
+
+MEDIA_RESIZE_SQL = """
+SELECT doc_id,
+       CAST(32 AS INTEGER) AS out_width,
+       CAST(32 AS INTEGER) AS out_height,
+       md5(md5(text) || '|32x32') AS resized_md5,
+       'stub' AS resize_status
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "media_features": (q_media_features, MEDIA_FEATURES_SQL),
     "frame_sample": (q_frame_sample, FRAME_SAMPLE_SQL),
+    "media_resize": (q_media_resize, MEDIA_RESIZE_SQL),
 }

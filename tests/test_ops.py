@@ -28,6 +28,7 @@ SPOT_CHECK = [
     "quality",
     "fingerprint",
     "media_features",
+    "media_resize",
 ]
 
 
@@ -43,7 +44,8 @@ def test_registry_complete():
         "extract_clean", "dedup_exact", "dedup_jaccard", "minhash_signatures",
         "minhash_lsh_pairs", "simhash", "embed_neardup", "ann_bruteforce",
         "ann_lsh", "ann_ivf", "lang_id", "quality", "token_counts", "fingerprint",
-        "media_features", "frame_sample", "status_rollup", "bucket_concat",
+        "media_features", "media_resize", "frame_sample", "render_markdown",
+        "status_rollup", "bucket_concat",
         "transcript_buckets",
         "resume_antijoin", "pricing_summary", "shipping_priority",
         "salted_topk_users", "asof_join",
