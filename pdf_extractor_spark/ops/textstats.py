@@ -97,6 +97,80 @@ FROM c ORDER BY doc_id
 LANG_ID_SQL = _lang_id_sql()
 
 
+# characteristic lowercase character trigrams per language (the n-gram
+# profile method, Cavnar-Trenkle-style reduced to a fixed tiny profile);
+# occurrence counts are exact substring arithmetic on both engines
+LANG_TRIGRAMS: dict[str, tuple[str, ...]] = {
+    "en": ("the", " an", "ing"),
+    "de": ("der", "ein", "sch"),
+    "es": ("que", " de", "los"),
+    "fr": ("les", " le", "ent"),
+    "zh": ("shi", "zho", "wo "),
+}
+
+
+def _gram_count(col, gram: str):
+    """# occurrences of `gram` = (len - len(text with gram removed)) / len(gram)."""
+    removed = F.length(F.replace(col, F.lit(gram), F.lit("")))
+    return ((F.length(col) - removed) / len(gram)).cast("bigint")
+
+
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram-profile language ID (argmax over per-language
+    trigram occurrence counts; same fixed tie priority as lang_id)."""
+    docs = _docs(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            sum(
+                (_gram_count(low, g) for g in LANG_TRIGRAMS[lg][1:]),
+                _gram_count(low, LANG_TRIGRAMS[lg][0]),
+            ).alias(f"g_{lg}")
+            for lg in _PRIORITY
+        ],
+    )
+    best = F.greatest(*[F.col(f"g_{lg}") for lg in _PRIORITY])
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lg in _PRIORITY:
+        pred = pred.when(F.col(f"g_{lg}") == best, F.lit(lg))
+    return (
+        d.select("doc_id", "lang", pred.alias("pred_lang"), best.alias("top_grams"))
+        .orderBy("doc_id")
+    )
+
+
+def _lang_id_ngram_sql() -> str:
+    def gram_sql(g: str) -> str:
+        esc = g.replace("'", "''")
+        return (
+            f"CAST((length(low) - length(replace(low, '{esc}', ''))) / {len(g)} AS BIGINT)"
+        )
+
+    counts = ",\n         ".join(
+        " + ".join(gram_sql(g) for g in LANG_TRIGRAMS[lg]) + f" AS g_{lg}"
+        for lg in _PRIORITY
+    )
+    best = "greatest(" + ", ".join(f"g_{lg}" for lg in _PRIORITY) + ")"
+    whens = "\n         ".join(f"WHEN g_{lg} = {best} THEN '{lg}'" for lg in _PRIORITY)
+    return f"""
+WITH t AS (SELECT doc_id, lang, lower(text) AS low FROM documents),
+c AS (SELECT doc_id, lang,
+         {counts}
+      FROM t)
+SELECT doc_id, lang,
+       CASE WHEN {best} <= 0 THEN 'unknown'
+         {whens}
+       END AS pred_lang,
+       {best} AS top_grams
+FROM c ORDER BY doc_id
+"""
+
+
+LANG_ID_NGRAM_SQL = _lang_id_ngram_sql()
+
+
 # --- quality score ---------------------------------------------------------
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,6 +280,7 @@ ORDER BY w.doc_id
 
 QUERIES: dict[str, tuple] = {
     "lang_id": (q_lang_id, LANG_ID_SQL),
+    "lang_id_ngram": (q_lang_id_ngram, LANG_ID_NGRAM_SQL),
     "quality": (q_quality, QUALITY_SQL),
     "token_counts": (q_token_counts, TOKEN_COUNTS_SQL),
     "fingerprint": (q_fingerprint, FINGERPRINT_SQL),

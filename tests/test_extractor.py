@@ -109,3 +109,36 @@ def test_quality_scores():
     assert empty.scores == {
         "parse_score": 1.0, "media_ratio": 0.0, "avg_span_chars": 0.0,
     }
+
+
+def test_hostile_pdf_inputs_never_crash():
+    """At corpus scale malformed PDFs are routine: random garbage, truncated
+    files, and bit-flipped valid PDFs must all land as parse_failures (or, if
+    the flip is benign, still parse) — never an uncaught exception."""
+    import base64
+    import random
+
+    from pdf_extractor_spark.core.extractor import extract_document
+    from pdf_extractor_spark.corpus import gen_documents
+
+    rng = random.Random(7)
+    blobs = [
+        base64.b64encode(
+            bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400)))
+        ).decode()
+        for _ in range(60)
+    ]
+    for t in (s["text"] for r in gen_documents(5, seed=42, profile="heavy")
+              for s in r["spans"]):
+        raw = bytearray(base64.b64decode(t))
+        for _ in range(5):
+            b = bytearray(raw)
+            for _ in range(rng.randrange(1, 30)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            blobs.append(base64.b64encode(bytes(b)).decode())
+        blobs.append(base64.b64encode(bytes(raw[: rng.randrange(len(raw))])).decode())
+        blobs.append(t + "!!notb64")
+
+    for blob in blobs:
+        res = extract_document([("pdf", blob, "", 0)])  # must not raise
+        assert res.spans_emitted >= 1
