@@ -34,14 +34,18 @@ BENCH_QUERIES = [
     "ann_bruteforce",
     "ann_ivf",
     "lang_id",
+    "lang_id_ngram",
     "quality",
     "token_counts",
     "fingerprint",
     "media_features",
+    "media_resize",
+    "render_markdown",
     "pricing_summary",
     "shipping_priority",
     "salted_topk_users",
     "asof_join",
+    "transcript_buckets",
     "hourly_windows",
 ]
 

@@ -146,8 +146,9 @@ AUDITS: list[tuple] = [
         _query_df,
         [
             # map-only operator: no hash shuffle anywhere (the single range
-            # exchange is the oracle's deterministic final sort)
-            lambda p: absent(p, "Exchange hashpartitioning"),
+            # exchange is the oracle's deterministic final sort); formatted
+            # mode puts partitioning in the Arguments line, so match the token
+            lambda p: absent(p, "hashpartitioning"),
             lambda p: never_reads(p, "source"),
         ],
         False,
@@ -160,6 +161,18 @@ AUDITS: list[tuple] = [
             lambda p: contains(p, "HashAggregate", 4),
             lambda p: contains(p, "_salt"),
             lambda p: never_reads(p, "props"),
+        ],
+        False,
+    ),
+    (
+        "asof_join",
+        _query_df,
+        [
+            # union+carry-forward as-of plan: window over user_id, NO join
+            # node, and exactly one hash exchange (the user_id partition)
+            lambda p: contains(p, "Window"),
+            lambda p: absent(p, "Join"),
+            lambda p: contains(p, "hashpartitioning(user_id", 1),
         ],
         False,
     ),
