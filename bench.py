@@ -28,6 +28,7 @@ sys.path.insert(0, str(REPO))
 BENCH_QUERIES = [
     "extract_clean",
     "extract_pdf_corpus",
+    "curate_corpus",
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash",

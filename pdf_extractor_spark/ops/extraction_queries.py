@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..spark.pipeline import extract_documents
+from .portable import tokens_sql
 
 # HTML wrapper: nav/script/footer are boilerplate the DOM-density stripper
 # must drop; <article><p>text</p></article> is the main content it must keep.
@@ -187,6 +188,55 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation DAG as ONE composed query: REAL
+    extraction pipeline -> token counting -> quality filter (>= 5 tokens) ->
+    exact dedup on a 5-token prefix fingerprint (keep lowest doc_id) ->
+    curated survivors with stats. This is the composition a corpus-curation
+    user runs end-to-end; everything after the Arrow extraction stage is
+    JVM-side, and the oracle predicts the whole chain in closed form.
+    """
+    from pyspark.sql import Window
+
+    from .portable import tokens
+
+    ext = extract_wrapped(spark, sf_dir)
+    txt = ext.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.element_at("spans", 1)["text"].alias("text"),
+    )
+    tok = tokens("text")
+    stats = txt.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.md5(F.array_join(F.slice(tok, 1, 5), " ")).alias("content_key"),
+    ).where(F.col("n_tokens") >= 5)
+    w = Window.partitionBy("content_key").orderBy("doc_id")
+    return (
+        stats.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "content_key", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+CURATE_CORPUS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql('text')} AS tok FROM documents),
+stats AS (
+  SELECT doc_id,
+         len(tok) AS n_tokens,
+         md5(array_to_string(tok[1:5], ' ')) AS content_key
+  FROM t WHERE len(tok) >= 5),
+ranked AS (
+  SELECT doc_id, content_key, n_tokens,
+         row_number() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
+  FROM stats)
+SELECT doc_id, content_key, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM ranked WHERE rn = 1 ORDER BY doc_id
+"""
+
+
 def q_extract_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF layout parse over the synthetic interleaved corpus (rows-only
     check — content-stream parsing has no SQL equivalent; pytest holds the
@@ -204,5 +254,6 @@ QUERIES: dict[str, tuple] = {
     "extract_clean": (q_extract_clean, EXTRACT_CLEAN_SQL),
     "extract_metrics": (q_extract_metrics, EXTRACT_METRICS_SQL),
     "render_markdown": (q_render_markdown, RENDER_MARKDOWN_SQL),
+    "curate_corpus": (q_curate_corpus, CURATE_CORPUS_SQL),
     "extract_pdf_corpus": (q_extract_pdf_corpus, None),
 }

@@ -45,6 +45,7 @@ def test_registry_complete():
         "minhash_lsh_pairs", "simhash", "embed_neardup", "ann_bruteforce",
         "ann_lsh", "ann_ivf", "lang_id", "quality", "token_counts", "fingerprint",
         "media_features", "media_resize", "frame_sample", "render_markdown",
+        "curate_corpus",
         "status_rollup", "bucket_concat",
         "transcript_buckets",
         "resume_antijoin", "pricing_summary", "shipping_priority",
