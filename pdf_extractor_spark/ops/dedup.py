@@ -373,8 +373,87 @@ WHERE cos >= 0.4 ORDER BY vec1, vec2
 """
 
 
+# --- duplicate clusters: connected components over LSH pairs ---------------
+
+MAX_CC_ITERS = 20
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph: each doc in a
+    candidate pair gets its duplicate-cluster id (= min doc_id reachable).
+
+    Iterative min-label propagation in the DataFrame API: per round, every
+    vertex takes min(own label, neighbors' labels); loop until a fixpoint
+    (converges in graph-diameter rounds — near-dup clusters are shallow).
+    Deterministic under any partitioning; each round is one shuffle on the
+    vertex id. At 10^12-doc scale the same loop runs with large-star/
+    small-star rewrites and checkpointing every few rounds to cut lineage;
+    the driver-side part is only the convergence test (a count), never data.
+    """
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc1", "doc2")
+    edges = (
+        pairs.select(F.col("doc1").alias("u"), F.col("doc2").alias("v"))
+        .union(pairs.select(F.col("doc2").alias("u"), F.col("doc1").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("u").alias("doc_id")).distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(MAX_CC_ITERS):
+        neigh_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.doc_id == neigh_min.u, "left")
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce("nmin", "comp")).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("comp").alias("component")).orderBy("doc_id")
+
+
+def _dedup_components_sql() -> str:
+    # transitive closure via recursive CTE (UNION dedups -> terminates);
+    # fine at oracle scale, the Spark loop is the scale path
+    lsh = _minhash_lsh_sql().replace("ORDER BY doc1, doc2", "")
+    return f"""
+WITH RECURSIVE p AS ({lsh}),
+e AS (SELECT doc1 AS u, doc2 AS v FROM p
+      UNION SELECT doc2, doc1 FROM p),
+r(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT r.u, e.v FROM r JOIN e ON r.v = e.u
+)
+SELECT u AS doc_id, min(v) AS component
+FROM r GROUP BY u ORDER BY doc_id
+"""
+
+
+DEDUP_COMPONENTS_SQL = _dedup_components_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_components": (q_dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_jaccard": (q_dedup_jaccard, DEDUP_JACCARD_SQL),
     "minhash_signatures": (q_minhash_signatures, MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),

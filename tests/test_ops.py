@@ -18,6 +18,7 @@ SPOT_CHECK = [
     "status_rollup",
     "transcript_buckets",
     "dedup_exact",
+    "dedup_components",
     "minhash_signatures",
     "simhash",
     "ann_lsh",
