@@ -100,7 +100,14 @@ class CommitLog:
     # --------------------------------------------------------------- read side
 
     def read_extracted(self, spark: SparkSession) -> DataFrame:
-        """Union of committed chunks only (uncommitted dirs are invisible)."""
+        """Union of committed chunks only (uncommitted dirs are invisible).
+
+        Chunks are part_id-partitioned directories, so each chunk is read on
+        its own (multi-root partition discovery would see conflicting
+        structures) and unioned by name — the parquet emulation of reading
+        one partitioned Iceberg table."""
+        from functools import reduce
+
         chunks = self.committed_chunks()
         paths = [
             os.path.join(self.data_dir, f"chunk-{c['chunk_id']:06d}")
@@ -111,7 +118,7 @@ class CommitLog:
             from .pipeline import EXTRACTED_SCHEMA
 
             return spark.createDataFrame([], EXTRACTED_SCHEMA)
-        return spark.read.parquet(*paths)
+        return reduce(DataFrame.unionByName, (spark.read.parquet(p) for p in paths))
 
     def read_lineage(self, spark: SparkSession) -> DataFrame:
         chunks = self.committed_chunks()
@@ -189,7 +196,10 @@ def run_extraction(
         )
         data_path = os.path.join(log.data_dir, f"chunk-{chunk_id:06d}")
         lineage_path = os.path.join(log.lineage_dir, f"chunk-{chunk_id:06d}")
-        extracted.write.mode("overwrite").parquet(data_path)
+        # partition the committed data by part_id: point lookups and resume
+        # reads prune whole directories (the Iceberg partition-spec analogue;
+        # preview.py's part_id filter becomes a PartitionFilter, not a scan)
+        extracted.write.partitionBy("part_id").mode("overwrite").parquet(data_path)
 
         # lineage rollup from the just-written data (no recompute of the UDF)
         written = spark.read.parquet(data_path)

@@ -70,7 +70,8 @@ def make_batch_processor(
         )
         data_path = os.path.join(log.data_dir, f"chunk-{chunk_id:06d}")
         lineage_path = os.path.join(log.lineage_dir, f"chunk-{chunk_id:06d}")
-        extracted.write.mode("overwrite").parquet(data_path)
+        # same part_id-partitioned layout as the batch writer (lineage.py)
+        extracted.write.partitionBy("part_id").mode("overwrite").parquet(data_path)
 
         written = spark.read.parquet(data_path)
         lineage = (

@@ -171,6 +171,17 @@ def test_preview_point_lookup(spark, tmp_path):
     ]
     assert got == want
 
+    # part_id filter must reach the scan as a PartitionFilter (directory
+    # pruning — the partitioned-layout payoff), not a rowgroup predicate
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import plan_of
+
+    plan = plan_of(doc_spans(spark, log, target["doc_id"], n_parts=16))
+    assert "PartitionFilters: [isnotnull(part_id" in plan, plan
+
     page1 = read_page(spark, log, target["doc_id"], 1, n_parts=16)
     assert page1 is not None
     assert page1["content"] == want[0][1]
