@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .portable import tokens, tokens_sql
+from .portable import epoch_s, tokens, tokens_sql
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -70,11 +70,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # TIMESTAMP_NTZ has no direct long cast in Spark 4; go through an
-    # explicit UTC timestamp -> whole epoch seconds (sessions pin
-    # spark.sql.session.timeZone=UTC so this is tz-independent and matches
-    # the oracle's floor(epoch(ts)))
-    epoch = F.unix_timestamp(F.to_timestamp(F.col("ts")))
+    # wall-clock-field epoch: correct in ANY session timezone (the driver's
+    # session config is not ours to control), matches floor(epoch(ts))
+    epoch = epoch_s("ts")
     gap_s = epoch - F.lag(epoch).over(w)
     new_session = F.when(
         gap_s.isNull() | (gap_s > SESSION_GAP_MIN * 60), F.lit(1)
@@ -203,7 +201,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes on wide time gaps).
     """
     ev = _read(spark, sf_dir, "events")
-    epoch = F.unix_timestamp(F.to_timestamp(F.col("ts")))
+    epoch = epoch_s("ts")
     tagged = ev.where(F.col("event_type").isin("signup", "purchase")).select(
         "event_id",
         "user_id",

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .portable import epoch_s
+
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -95,7 +97,7 @@ def q_transcript_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Events model segments: ts = start, value = duration seconds.
     """
     ev = _read(spark, sf_dir, "events")
-    start_s = F.unix_timestamp(F.to_timestamp(F.col("ts")))
+    start_s = epoch_s("ts")  # session-tz-independent (see portable.epoch_s)
     seg = ev.select(
         "event_id",
         start_s.alias("start_s"),

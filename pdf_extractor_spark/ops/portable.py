@@ -74,3 +74,20 @@ def tokens(col: Column | str) -> Column:
 
 def tokens_sql(expr: str) -> str:
     return rf"string_split_regex(lower(trim({expr})), '\s+')"
+
+
+def epoch_s(col: Column | str) -> Column:
+    """Whole-second epoch of a TIMESTAMP_NTZ, session-timezone-INDEPENDENT.
+
+    ``unix_timestamp(to_timestamp(ntz))`` converts through the session zone
+    (wrong answers in any non-UTC driver session, and DST-dependent even for
+    differences); building the epoch from wall-clock fields matches DuckDB's
+    ``floor(epoch(ts))`` under every session timezone.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.unix_date(F.to_date(c)).cast("long") * 86400
+        + F.hour(c) * 3600
+        + F.minute(c) * 60
+        + F.second(c)
+    )

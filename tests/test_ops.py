@@ -159,3 +159,41 @@ def test_ann_recall_vs_bruteforce(spark):
         rows.sort()
         cos = [c for _, c in rows]
         assert cos == sorted(cos, reverse=True), (q, rows)  # ranked by cosine
+
+
+def test_timestamp_queries_timezone_independent(spark):
+    """The driver runs queries in ITS session, whose timezone we don't
+    control. Every timestamp-arithmetic query must match its oracle under a
+    non-UTC session timezone (portable.epoch_s builds epochs from wall-clock
+    fields instead of unix_timestamp's session-zone conversion)."""
+    import math
+
+    import duckdb
+
+    from pdf_extractor_spark.ops.registry import REGISTRY
+
+    def norm(v):
+        if v is None:
+            return "<null>"
+        if isinstance(v, float):
+            return "<nan>" if math.isnan(v) else f"{v:.9g}"
+        return str(v)
+
+    con = duckdb.connect()
+    for t in ("events", "documents", "orders", "customer", "lineitem", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for name in ("bucket_concat", "hourly_windows", "sessionize",
+                     "asof_join", "transcript_buckets"):
+            fn, sql = REGISTRY[name]
+            sdf = fn(spark, SF_DIR).toPandas()
+            ddf = con.sql(sql).df()
+            cols = sorted(sdf.columns)
+            a = sorted(tuple(norm(r[c]) for c in cols) for _, r in sdf.iterrows())
+            b = sorted(tuple(norm(r[c]) for c in cols) for _, r in ddf.iterrows())
+            assert a == b, f"{name} diverges in a non-UTC session"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
