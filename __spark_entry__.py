@@ -28,7 +28,9 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: the full extraction pipeline (wrap -> salted
     repartition -> mapInPandas parse -> spans+metrics) on sf0.001."""
     from pdf_extractor_spark.ops.extraction_queries import extract_wrapped
+    from pdf_extractor_spark.shipping import ensure_shipped
 
+    ensure_shipped(spark)  # executors need the package regardless of cwd
     return extract_wrapped(spark, "/root/testdata/sf0.001")
 
 

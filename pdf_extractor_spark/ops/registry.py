@@ -38,8 +38,20 @@ for _m in _MODULES:
         REGISTRY[_name] = (_fn, _sql)
 
 
+def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..shipping import ensure_shipped
+
+        ensure_shipped(spark)  # executors must import this package (kernels)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    return {name: _with_shipping(fn) for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -197,3 +197,32 @@ def test_timestamp_queries_timezone_independent(spark):
             assert a == b, f"{name} diverges in a non-UTC session"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_kernel_queries_work_from_any_cwd(tmp_path):
+    """Executors must import pdf_extractor_spark even when the DRIVER process
+    runs from an unrelated cwd (the driver harness does not cd into the
+    repo). shipping.ensure_shipped addPyFiles the package per session; this
+    runs a kernel query in a fresh interpreter with cwd=/tmp to prove it."""
+    import subprocess
+    import sys as _sys
+
+    script = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "import __spark_entry__ as e\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = (SparkSession.builder.master('local[2]').appName('cwdtest')\n"
+        "         .config('spark.sql.shuffle.partitions','4')\n"
+        "         .config('spark.ui.enabled','false').getOrCreate())\n"
+        "try:\n"
+        "    n = e.queries()['extract_clean'](spark, '/root/testdata/sf0.001').count()\n"
+        "    assert n > 0, n\n"
+        "    print('CWD_TEST_OK', n)\n"
+        "finally:\n"
+        "    spark.stop()\n"
+    )
+    out = subprocess.run(
+        [_sys.executable, "-c", script], cwd=str(tmp_path),
+        capture_output=True, text=True, timeout=300,
+    )
+    assert "CWD_TEST_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
