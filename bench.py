@@ -82,6 +82,8 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     extract_documents(corpus_df(spark, 32, seed=1), n_parts=8, num_partitions=8).count()
 
+    from pdf_extractor_spark.ops.dedup import release_caches
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
@@ -89,6 +91,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         df = fn(spark, sf_dir)
         n = df.count()  # forces full execution without driver-side collect
         timings[name] = round(time.monotonic() - t0, 3)
+        release_caches()  # drop any query-builder cache before the next timing
         assert n >= 0
     return timings
 

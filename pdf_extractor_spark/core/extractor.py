@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import base64
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from .html_extract import extract_main_text
 from .pdf_parse import PdfParseError, extract_pdf_text
@@ -42,7 +42,7 @@ class ExtractResult:
     spans_emitted: int
     parse_failures: int
     duration_ms: int
-    scores: dict[str, float] = None  # type: ignore[assignment]
+    scores: dict[str, float] = field(default_factory=dict)
 
 
 def _compute_scores(

@@ -232,3 +232,85 @@ def corpus_parquet(
 def corpus_df(spark, n_docs: int, seed: int = 42, profile: str = "mixed"):
     """Synthetic documents table as a Spark DataFrame (parquet-backed)."""
     return spark.read.parquet(corpus_parquet(n_docs, seed, profile=profile))
+
+
+# --- expected extraction results (parser-independent oracle) ----------------
+
+_PAGE_OBJ_RE = None  # lazy-compiled
+
+
+def _count_pdf_pages(pdf_bytes: bytes) -> int:
+    """Page count straight from the object dictionaries — page objects are
+    never compressed by the builder (only content streams are), so a byte
+    scan is parser-independent: the oracle derives from generator structure,
+    not from the layout parser it is checking."""
+    global _PAGE_OBJ_RE
+    if _PAGE_OBJ_RE is None:
+        import re
+
+        _PAGE_OBJ_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+    return len(_PAGE_OBJ_RE.findall(pdf_bytes))
+
+
+def expected_extraction_rows(n_docs: int, seed: int = 42, profile: str = "mixed") -> list[dict]:
+    """Closed-form expected (pages_parsed, spans_emitted, parse_failures,
+    output-kind sequence) per doc, derived from the deterministic generator —
+    NOT by running the extraction kernel. Every generated span is valid, so
+    parse_failures is identically 0; a pdf span emits one text span per page,
+    media passes through, text/html emit one text span each (the
+    extract_document contract, core/extractor.py)."""
+    out: list[dict] = []
+    for row in gen_documents(n_docs, seed, profile=profile):
+        kinds: list[str] = []
+        pages = 0
+        for s in sorted(row["spans"], key=lambda s: s["offset"]):
+            if s["kind"] == "media":
+                kinds.append("media")
+            elif s["kind"] == "pdf":
+                n = _count_pdf_pages(base64.b64decode(s["text"]))
+                pages += n
+                kinds.extend(["text"] * n)
+            else:  # text | html
+                kinds.append("text")
+        out.append(
+            {
+                "doc_id": row["doc_id"],
+                "pages_parsed": pages,
+                "spans_emitted": len(kinds),
+                "parse_failures": 0,
+                "kinds": ",".join(kinds),
+            }
+        )
+    return out
+
+
+def expected_corpus_parquet(n_docs: int, seed: int = 42, profile: str = "mixed") -> str:
+    """Materialize the expected-results table (cached by (n, seed, profile));
+    returns the parquet file path for a DuckDB ``read_parquet`` oracle."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"pes-expected-{profile}-{n_docs}-{seed}"
+    )
+    path = os.path.join(out_dir, "expected.parquet")
+    done = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(done):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    rows = expected_extraction_rows(n_docs, seed, profile=profile)
+    table = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+            "pages_parsed": pa.array([r["pages_parsed"] for r in rows], pa.int64()),
+            "spans_emitted": pa.array([r["spans_emitted"] for r in rows], pa.int64()),
+            "parse_failures": pa.array([r["parse_failures"] for r in rows], pa.int64()),
+            "kinds": pa.array([r["kinds"] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+    with open(done, "w"):
+        pass
+    return path

@@ -252,7 +252,7 @@ ORDER BY e.event_id
 """
 
 
-# --- grouped applyInPandas: per-language deviation ------------------------
+# --- per-language deviation: two-phase agg + broadcast join ----------------
 
 _ZSCORE_SCHEMA = (
     "doc_id bigint, lang string, n_chars bigint, lang_mean_micros bigint, "
@@ -274,16 +274,48 @@ def _lang_stats(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def q_lang_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language doc-length deviation via grouped ``applyInPandas``.
+def lang_deviation_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ``applyInPandas`` form — BOUNDED-GROUP DEMO ONLY.
 
-    The grouped sibling of the extraction pipeline's mapInPandas: one
-    shuffle on the group key, then per-group pandas logic on the executor.
+    Kept as the grouped sibling of the extraction pipeline's mapInPandas
+    (one shuffle on the group key, per-group pandas on the executor), but it
+    materializes an entire language's rows in one pandas frame: at corpus
+    scale one language is most of the data -> straggler, then OOM (VERDICT
+    r01). The shipped query is :func:`q_lang_deviation` below; a pytest
+    differential pins both forms equal at test scale.
     """
     docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return (
         docs.groupBy("lang")
         .applyInPandas(_lang_stats, schema=_ZSCORE_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+def q_lang_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language doc-length deviation, scale-safe plan.
+
+    Two-phase aggregation (map-side partial sum/count per lang -> a
+    languages-sized stats table) + broadcast join back to the docs — no
+    executor ever holds a whole language, the big side never shuffles.
+    Integer sum -> one double division keeps the mean bit-identical to the
+    grouped-pandas form and the DuckDB oracle regardless of row order.
+    """
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    stats = docs.groupBy("lang").agg(
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("mean")
+    )
+    return (
+        docs.join(F.broadcast(stats), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.floor(F.col("mean") * 1_000_000.0).cast("bigint").alias("lang_mean_micros"),
+            F.floor((F.col("n_chars") - F.col("mean")) * 1_000_000.0)
+            .cast("bigint")
+            .alias("dev_micros"),
+        )
         .orderBy("doc_id")
     )
 

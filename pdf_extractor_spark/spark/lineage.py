@@ -81,11 +81,28 @@ class CommitLog:
         chunks = self.committed_chunks()
         return (max((c["chunk_id"] for c in chunks), default=-1)) + 1
 
-    def commit_chunk(self, chunk_id: int, part_ids: list[int], metrics: dict) -> None:
+    def n_parts(self) -> int | None:
+        """The n_parts the writer used, from the newest marker recording it
+        (ADVICE r01: the reader must not have to guess the writer's value —
+        a mismatched guess recomputes a different part_id and silently
+        returns nothing)."""
+        for c in reversed(self.committed_chunks()):
+            if c.get("n_parts") is not None:
+                return c["n_parts"]
+        return None
+
+    def commit_chunk(
+        self,
+        chunk_id: int,
+        part_ids: list[int],
+        metrics: dict,
+        n_parts: int | None = None,
+    ) -> None:
         """Atomic visibility flip: tmp write + rename (POSIX atomic)."""
         marker = {
             "chunk_id": chunk_id,
             "part_ids": sorted(part_ids),
+            "n_parts": n_parts,
             "metrics": metrics,
             "committed_at": time.time(),
         }
@@ -233,6 +250,7 @@ def run_extraction(
             chunk_id,
             chunk_parts,
             {"docs": agg["docs"], "pages": agg["pages"], "failures": agg["failures"]},
+            n_parts=n_parts,
         )
         report.chunks_committed += 1
         report.parts_processed += len(chunk_parts)

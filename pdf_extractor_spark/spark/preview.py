@@ -17,15 +17,31 @@ from .lineage import CommitLog
 from .pipeline import assign_part_id
 
 
+def _resolve_n_parts(log: CommitLog, n_parts: int | None) -> int | None:
+    """Use the writer-recorded n_parts; a mismatched caller value would
+    compute a different part_id and silently prune the doc away (ADVICE r01),
+    so a supplied value is validated against the log instead of trusted."""
+    recorded = log.n_parts()
+    if n_parts is None:
+        return recorded
+    if recorded is not None and recorded != n_parts:
+        raise ValueError(
+            f"n_parts={n_parts} does not match the writer's value {recorded} "
+            f"recorded in the commit log at {log.root}"
+        )
+    return n_parts
+
+
 def doc_spans(spark: SparkSession, log: CommitLog, doc_id: str, n_parts: int | None = None) -> DataFrame:
     """All extracted spans of one document, in offset order.
 
-    With ``n_parts`` the lookup first computes the doc's part_id (the same
-    pure function the writer used) and filters on it — at scale part_id is
-    the partition column, so this prunes to one partition before the doc_id
-    filter touches row groups.
+    The lookup first computes the doc's part_id (the same pure function the
+    writer used — writer's n_parts read back from the commit log) and filters
+    on it — at scale part_id is the partition column, so this prunes to one
+    partition before the doc_id filter touches row groups.
     """
     ext = log.read_extracted(spark)
+    n_parts = _resolve_n_parts(log, n_parts)
     if n_parts is not None:
         part = (
             assign_part_id(spark.createDataFrame([(doc_id,)], "doc_id string"), n_parts)
@@ -52,6 +68,7 @@ def read_page(
     """One page's entry — (text, scores) — the preview pane's
     ``content[page-1]`` lookup (dashboard.py:963-978). 1-based page index."""
     ext = log.read_extracted(spark)
+    n_parts = _resolve_n_parts(log, n_parts)
     if n_parts is not None:
         part = (
             assign_part_id(spark.createDataFrame([(doc_id,)], "doc_id string"), n_parts)

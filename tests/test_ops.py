@@ -226,3 +226,17 @@ def test_kernel_queries_work_from_any_cwd(tmp_path):
         capture_output=True, text=True, timeout=300,
     )
     assert "CWD_TEST_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_lang_deviation_grouped_matches_scale_plan(spark):
+    """The bounded-group applyInPandas demo and the shipped two-phase
+    agg + broadcast-join plan must produce identical rows (VERDICT r01:
+    the grouped form is the spec, the agg form is the scale path)."""
+    from pdf_extractor_spark.ops.advanced import (
+        lang_deviation_grouped,
+        q_lang_deviation,
+    )
+
+    a = [tuple(r) for r in q_lang_deviation(spark, SF_DIR).collect()]
+    b = [tuple(r) for r in lang_deviation_grouped(spark, SF_DIR).collect()]
+    assert a == b

@@ -190,3 +190,39 @@ def test_preview_point_lookup(spark, tmp_path):
 
     assert read_page(spark, log, target["doc_id"], len(want) + 5) is None
     assert read_page(spark, log, "no-such-doc", 1) is None
+
+
+def test_preview_n_parts_recorded_and_validated(spark, tmp_path):
+    """ADVICE r01: the writer's n_parts is recorded in the commit log, the
+    reader uses it without being told, and a mismatched caller value fails
+    loudly instead of silently pruning the doc away."""
+    from pdf_extractor_spark.corpus import corpus_df, gen_documents
+    from pdf_extractor_spark.core.extractor import extract_document
+    from pdf_extractor_spark.spark.lineage import CommitLog, run_extraction
+    from pdf_extractor_spark.spark.preview import doc_spans, read_page
+
+    log = CommitLog(str(tmp_path / "log"))
+    run_extraction(spark, corpus_df(spark, 30, seed=9), log, n_parts=16,
+                   parts_per_chunk=16, num_partitions=4)
+    assert log.n_parts() == 16
+
+    rows = gen_documents(30, seed=9)
+    target = rows[3]
+    want = extract_document(target["spans"]).spans
+
+    # no n_parts supplied: the recorded value still prunes to one partition
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import plan_of
+
+    df = doc_spans(spark, log, target["doc_id"])
+    assert "PartitionFilters: [isnotnull(part_id" in plan_of(df)
+    got = [(r["kind"], r["text"], r["media_ref"], r["offset"]) for r in df.collect()]
+    assert got == want
+
+    with pytest.raises(ValueError, match="does not match the writer"):
+        doc_spans(spark, log, target["doc_id"], n_parts=8)
+    with pytest.raises(ValueError, match="does not match the writer"):
+        read_page(spark, log, target["doc_id"], 1, n_parts=64)

@@ -65,6 +65,9 @@ def main() -> int:
         t0 = time.monotonic()
         sdf = fn(spark, sf_dir).toPandas()
         t_spark = time.monotonic() - t0
+        from pdf_extractor_spark.ops.dedup import release_caches
+
+        release_caches()  # drop any query-builder cache (session hygiene)
         if name not in oracles:
             print(f"  {name:24s} rows-only: {len(sdf)} rows  ({t_spark:.1f}s)")
             if len(sdf) == 0:

@@ -177,6 +177,34 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "simhash",
+        _query_df,
+        [
+            # map-only signature (VERDICT r01 item "wrong" #3): no token
+            # explode, no hash shuffle — the only exchange is the oracle's
+            # deterministic final range sort
+            lambda p: absent(p, "hashpartitioning"),
+            lambda p: absent(p, "Generate"),  # no explode node at all
+            lambda p: exchange_count(p, 1),
+        ],
+        False,
+    ),
+    (
+        "lang_deviation",
+        _query_df,
+        [
+            # two-phase agg + broadcast join back (VERDICT r01 item 3): no
+            # grouped-pandas stage may appear on the corpus path — that form
+            # materializes an entire language on one executor
+            lambda p: absent(p, "FlatMapGroupsInPandas"),
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: contains(p, "HashAggregate", 2),  # partial+final stats
+            lambda p: never_reads(p, "text"),
+        ],
+        False,
+    ),
+    (
         "extract_stage",
         _extract_stage_df,
         [
