@@ -1,15 +1,31 @@
 """Synthetic PDF builder for the test corpus.
 
-Emits small, well-formed PDF 1.4 files whose content streams use the real text
+Emits small, well-formed PDFs whose content streams use the real text
 operators (BT/ET, Tf, TL, Td, TD, Tm, T*, Tj, TJ, ') and ruled-line table
-grids (re/S), optionally Flate-compressed — so the layout parser in
-``pdf_parse.py`` has genuine work to do (page -> textbox -> line ordering),
-per the scope bound in SURVEY.md §7.4. Deterministic: byte output depends only
-on the page specs.
+grids (re/S) — so the layout parser in ``pdf_parse.py`` has genuine work to
+do (page -> textbox -> line ordering), per the scope bound in SURVEY.md §7.4.
+
+Round-2 feature coverage (generator <-> parser subset contract, §7.4):
+
+- literal AND <hex> show strings (``style="hex"``);
+- a second font with an /Encoding /Differences remap (``font="F2"`` boxes,
+  ``differences=[(code, glyphname, char), ...]``) — text bytes are written
+  through the inverse map, so the parser must decode through the glyph list;
+- per-box ``cm`` CTM transforms wrapped in q/Q (translate+scale, the builder
+  emits pre-transformed user-space coordinates);
+- classic xref tables (optionally with physically shuffled object order —
+  offsets must come from the xref, not file order), PDF 1.5 xref streams
+  (``xref_mode="stream"``), object streams (``objstm=True``), PNG Up
+  predictor on the xref stream (``predictor=True``);
+- incremental updates: ``append_incremental_page_update`` appends a second
+  revision whose xref /Prev-chains to the first — newest revision wins.
+
+Deterministic: byte output depends only on the arguments.
 """
 
 from __future__ import annotations
 
+import random
 import zlib
 from dataclasses import dataclass, field
 
@@ -28,7 +44,12 @@ class TextBox:
     leading: float = 14.0
     # which operator family the builder uses to place the box — exercises
     # different parser paths while producing identical layout
-    style: str = "td"  # td | tm | quote | tj_array
+    style: str = "td"  # td | tm | quote | tj_array | hex
+    font: str = "F1"  # F2 = the /Differences-encoded font
+    # optional CTM (a, b, c, d, e, f) applied via "q ... cm ... Q"; the
+    # builder emits pre-transformed coordinates so the DEVICE-space layout
+    # (and therefore the extracted text) is unchanged. b = c = 0 required.
+    ctm: tuple | None = None
 
 
 @dataclass
@@ -48,26 +69,66 @@ class PageSpec:
     tables: list[Table] = field(default_factory=list)
 
 
-def _esc(s: str) -> str:
-    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+def _esc(s: str, inv_diff: dict[str, int] | None = None) -> str:
+    """Escape a literal string body; chars in the /Differences inverse map
+    are emitted as their remapped code (octal escape)."""
+    out = []
+    for ch in s:
+        if inv_diff and ch in inv_diff:
+            out.append(f"\\{inv_diff[ch]:03o}")
+        elif ch == "\\":
+            out.append(r"\\")
+        elif ch == "(":
+            out.append(r"\(")
+        elif ch == ")":
+            out.append(r"\)")
+        else:
+            out.append(ch)
+    return "".join(out)
 
 
-def _textbox_ops(box: TextBox) -> str:
-    y0 = PAGE_H - box.y_top  # PDF y-up baseline of the first line
-    ops = [f"BT /F1 {box.font_size:g} Tf {box.leading:g} TL"]
-    if box.style == "tm":
-        ops.append(f"1 0 0 1 {box.x:g} {y0:g} Tm")
+def _hex_str(s: str, inv_diff: dict[str, int] | None = None) -> str:
+    """<hex> form of a string (codes through the /Differences inverse map)."""
+    codes = [
+        inv_diff[ch] if inv_diff and ch in inv_diff else ord(ch) for ch in s
+    ]
+    if any(c > 255 for c in codes):
+        raise ValueError("non-latin-1 char outside the differences map")
+    return "<" + "".join(f"{c:02x}" for c in codes) + ">"
+
+
+def _textbox_ops(box: TextBox, inv_diff: dict[str, int] | None = None) -> str:
+    inv = inv_diff if box.font == "F2" else None
+    # with a CTM, coordinates/leading are emitted in user space so that the
+    # device-space result is identical to the untransformed box
+    if box.ctm is not None:
+        a, b, c, d, e, f = box.ctm
+        if b or c or a <= 0 or d <= 0:
+            raise ValueError("builder CTMs must be axis-aligned with positive scale")
     else:
-        ops.append(f"{box.x:g} {y0:g} Td")
+        a = d = 1.0
+        e = f = 0.0
+    y0_dev = PAGE_H - box.y_top  # PDF y-up baseline of the first line
+    x_u = (box.x - e) / a
+    y0_u = (y0_dev - f) / d
+    lead_u = box.leading / d
+    ops = []
+    if box.ctm is not None:
+        ops.append(f"q {a:g} {b:g} {c:g} {d:g} {e:g} {f:g} cm")
+    ops.append(f"BT /{box.font} {box.font_size:g} Tf {lead_u:g} TL")
+    if box.style == "tm":
+        ops.append(f"1 0 0 1 {x_u:g} {y0_u:g} Tm")
+    else:
+        ops.append(f"{x_u:g} {y0_u:g} Td")
     for i, line in enumerate(box.lines):
         if i > 0:
             if box.style == "quote":
-                ops.append(f"({_esc(line)}) '")
+                ops.append(f"({_esc(line, inv)}) '")
                 continue
             if box.style == "tm":
-                ops.append(f"1 0 0 1 {box.x:g} {y0 - i * box.leading:g} Tm")
+                ops.append(f"1 0 0 1 {x_u:g} {y0_u - i * lead_u:g} Tm")
             elif box.style == "td":
-                ops.append(f"0 {-box.leading:g} Td")
+                ops.append(f"0 {-lead_u:g} Td")
             else:
                 ops.append("T*")
         if i == 0 or box.style != "quote":
@@ -75,11 +136,15 @@ def _textbox_ops(box: TextBox) -> str:
                 # split the line across a TJ array with kerning numbers
                 mid = max(1, len(line) // 2)
                 ops.append(
-                    f"[({_esc(line[:mid])}) -20 ({_esc(line[mid:])})] TJ"
+                    f"[({_esc(line[:mid], inv)}) -20 ({_esc(line[mid:], inv)})] TJ"
                 )
+            elif box.style == "hex":
+                ops.append(f"{_hex_str(line, inv)} Tj")
             else:
-                ops.append(f"({_esc(line)}) Tj")
+                ops.append(f"({_esc(line, inv)}) Tj")
     ops.append("ET")
+    if box.ctm is not None:
+        ops.append("Q")
     return "\n".join(ops)
 
 
@@ -103,31 +168,45 @@ def _table_ops(tbl: Table) -> str:
     return "\n".join(ops)
 
 
-def build_pdf(pages: list[PageSpec], compress: bool = False) -> bytes:
-    """Assemble a complete PDF (header, objects, xref, trailer)."""
-    objs: list[bytes] = []  # 1-indexed bodies, object n = index n-1
+def _page_objects(
+    pages: list[PageSpec],
+    compress: bool,
+    differences: list[tuple[int, str, str]] | None,
+) -> tuple[list[tuple[int, bytes, bool]], int]:
+    """Assemble numbered object bodies.
 
+    Returns ([(num, body, is_stream)], size). Numbering: 1 catalog, 2 pages
+    node, then per page i: page 3+2i / contents 4+2i, then fonts.
+    """
+    inv_diff = {ch: code for code, _name, ch in (differences or [])}
     n_pages = len(pages)
-    font_num = 3 + 2 * n_pages
+    f1_num = 3 + 2 * n_pages
+    f2_num = f1_num + 1
+    objs: list[tuple[int, bytes, bool]] = []
     kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
-    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # obj 1
+    objs.append((1, b"<< /Type /Catalog /Pages 2 0 R >>", False))
     objs.append(
-        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
-    )  # obj 2
-
-    content_bodies: list[bytes] = []
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode(), False)
+    )
+    font_res = f"/F1 {f1_num} 0 R"
+    if differences:
+        font_res += f" /F2 {f2_num} 0 R"
     for i, page in enumerate(pages):
         page_num = 3 + 2 * i
         content_num = page_num + 1
         objs.append(
             (
-                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:g} "
-                f"{PAGE_H:g}] /Contents {content_num} 0 R "
-                f"/Resources << /Font << /F1 {font_num} 0 R >> >> >>"
-            ).encode()
+                page_num,
+                (
+                    f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:g} "
+                    f"{PAGE_H:g}] /Contents {content_num} 0 R "
+                    f"/Resources << /Font << {font_res} >> >> >>"
+                ).encode(),
+                False,
+            )
         )
         parts = [_table_ops(t) for t in page.tables]
-        parts += [_textbox_ops(b) for b in page.boxes]
+        parts += [_textbox_ops(b, inv_diff) for b in page.boxes]
         content = "\n".join(parts).encode("latin-1", errors="replace")
         if compress:
             data = zlib.compress(content)
@@ -142,29 +221,181 @@ def build_pdf(pages: list[PageSpec], compress: bool = False) -> bytes:
                 + content
                 + b"\nendstream"
             )
-        content_bodies.append(body)
-
-    # interleave page/content objects in numbering order
-    final_objs: list[bytes] = objs[:2]
-    for i in range(n_pages):
-        final_objs.append(objs[2 + i])
-        final_objs.append(content_bodies[i])
-    final_objs.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        objs.append((content_num, body, True))
+    objs.append(
+        (f1_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", False)
     )
+    size = f1_num + 1
+    if differences:
+        diff_items = " ".join(f"{code} /{name}" for code, name, _ch in differences)
+        objs.append(
+            (
+                f2_num,
+                (
+                    "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                    f"/Encoding << /Type /Encoding /Differences [{diff_items}] >> >>"
+                ).encode(),
+                False,
+            )
+        )
+        size = f2_num + 1
+    return objs, size
 
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
-    for n, body in enumerate(final_objs, start=1):
-        offsets.append(len(out))
-        out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+
+def _png_up_predict(data: bytes, columns: int) -> bytes:
+    """Apply the PNG Up filter (type 2) per row of `columns` bytes."""
+    out = bytearray()
+    prev = bytes(columns)
+    for i in range(0, len(data), columns):
+        row = data[i : i + columns]
+        row = row + bytes(columns - len(row))
+        out.append(2)
+        out += bytes((row[k] - prev[k]) & 0xFF for k in range(columns))
+        prev = row
+    return bytes(out)
+
+
+def build_pdf(
+    pages: list[PageSpec],
+    compress: bool = False,
+    xref_mode: str = "table",
+    objstm: bool = False,
+    predictor: bool = False,
+    differences: list[tuple[int, str, str]] | None = None,
+    order_rng: random.Random | None = None,
+) -> bytes:
+    """Assemble a complete PDF.
+
+    xref_mode="table": classic cross-reference table (PDF 1.4). With
+    ``order_rng`` the physical object order is shuffled — a parser that
+    scans file order instead of honoring xref offsets still works (offsets
+    point wherever the objects landed), but object streams below do not.
+
+    xref_mode="stream": PDF 1.5 cross-reference STREAM (/Type /XRef, /W
+    columns, Flate, optional PNG Up predictor); with ``objstm=True`` all
+    non-stream objects are packed into one compressed object stream
+    (/Type /ObjStm) referenced by type-2 xref entries.
+    """
+    objs, size = _page_objects(pages, compress, differences)
+    if order_rng is not None:
+        objs = list(objs)
+        order_rng.shuffle(objs)
+
+    if xref_mode == "table":
+        out = bytearray(b"%PDF-1.4\n")
+        offsets: dict[int, int] = {}
+        for num, body, _is_stream in objs:
+            offsets[num] = len(out)
+            out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+        xref_at = len(out)
+        out += f"xref\n0 {size}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for num in range(1, size):
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+        out += (
+            f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n"
+        ).encode()
+        return bytes(out)
+
+    if xref_mode != "stream":
+        raise ValueError(f"unknown xref_mode {xref_mode!r}")
+
+    out = bytearray(b"%PDF-1.5\n")
+    xref_num = size
+    # entry per object: ("n", offset) | ("s", objstm_num, idx)
+    entries: dict[int, tuple] = {}
+    if objstm:
+        stm_num = size + 1
+        members = [(num, body) for num, body, is_s in objs if not is_s]
+        streams = [(num, body) for num, body, is_s in objs if is_s]
+        header = []
+        payload = bytearray()
+        for num, body in members:
+            header.append(f"{num} {len(payload)}")
+            payload += body + b"\n"
+        hdr = (" ".join(header) + "\n").encode()
+        stm_data = zlib.compress(hdr + bytes(payload))
+        for idx, (num, _body) in enumerate(members):
+            entries[num] = ("s", stm_num, idx)
+        for num, body in streams:
+            entries[num] = ("n", len(out))
+            out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+        entries[stm_num] = ("n", len(out))
+        out += (
+            f"{stm_num} 0 obj\n<< /Type /ObjStm /N {len(members)} "
+            f"/First {len(hdr)} /Length {len(stm_data)} /Filter /FlateDecode "
+            ">>\nstream\n".encode()
+            + stm_data
+            + b"\nendstream\nendobj\n"
+        )
+        xref_num = stm_num + 1
+        total = xref_num + 1
+    else:
+        for num, body, _is_s in objs:
+            entries[num] = ("n", len(out))
+            out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+        total = xref_num + 1
+
+    # xref stream: W = [1 4 2], rows for 0..total-1
     xref_at = len(out)
-    out += f"xref\n0 {len(final_objs) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
+    entries[xref_num] = ("n", xref_at)
+    rows = bytearray()
+    for num in range(total):
+        e = entries.get(num)
+        if e is None:
+            rows += (0).to_bytes(1, "big") + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        elif e[0] == "n":
+            rows += (1).to_bytes(1, "big") + e[1].to_bytes(4, "big") + (0).to_bytes(2, "big")
+        else:
+            rows += (2).to_bytes(1, "big") + e[1].to_bytes(4, "big") + e[2].to_bytes(2, "big")
+    parms = ""
+    if predictor:
+        rows = bytearray(_png_up_predict(bytes(rows), 7))
+        parms = " /DecodeParms << /Predictor 12 /Columns 7 >>"
+    xdata = zlib.compress(bytes(rows))
     out += (
-        f"trailer\n<< /Size {len(final_objs) + 1} /Root 1 0 R >>\n"
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {total} /W [1 4 2] "
+        f"/Root 1 0 R /Length {len(xdata)} /Filter /FlateDecode{parms} "
+        ">>\nstream\n".encode()
+        + xdata
+        + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def append_incremental_page_update(
+    base: bytes, page_index: int, new_page: PageSpec, n_pages: int
+) -> bytes:
+    """Append an incremental-update revision replacing one page's content
+    stream; the new xref table /Prev-chains to the base revision's xref.
+    Only valid for classic-table, un-shuffled builds (object numbering is
+    positional: content object = 4 + 2*page_index)."""
+    m = None
+    import re as _re
+
+    for m in _re.finditer(rb"startxref\s+(\d+)", base):
+        pass
+    if m is None:
+        raise ValueError("base has no startxref")
+    prev_xref = int(m.group(1))
+    content_num = 4 + 2 * page_index
+    parts = [_table_ops(t) for t in new_page.tables]
+    parts += [_textbox_ops(b) for b in new_page.boxes]
+    content = "\n".join(parts).encode("latin-1", errors="replace")
+    body = (
+        f"<< /Length {len(content)} >>\nstream\n".encode()
+        + content
+        + b"\nendstream"
+    )
+    out = bytearray(base)
+    obj_at = len(out)
+    out += f"{content_num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n{content_num} 1\n{obj_at:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {3 + 2 * n_pages + 1} /Root 1 0 R /Prev {prev_xref} >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)

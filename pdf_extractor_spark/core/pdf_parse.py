@@ -1,4 +1,4 @@
-"""Minimal PDF byte-stream parser + layout analysis (pdfminer-style).
+"""PDF byte-stream parser + layout analysis (pdfminer-style), pure Python.
 
 Replaces the reference's rasterize -> YOLO -> per-region Tesseract pipeline
 (``app/processor/pymu_tesseract_processor.py:189-287``) with digital text
@@ -6,11 +6,25 @@ extraction from content streams: page -> textbox -> line ordering, plus
 ruled-line table detection (the analogue of ``page.find_tables(
 strategy="lines_strict")``, pymu_tesseract_processor.py:204-211).
 
-Scope (SURVEY.md §7.4): PDF 1.4, raw or /FlateDecode content streams, text
-operators BT/ET Tf TL Td TD Tm T* Tj TJ ', rect operator re. One font. This is
-exactly the subset the corpus generator emits; anything outside it raises
-``PdfParseError`` and the pipeline records a parse failure (the analogue of
-the invalid-PDF gate, ``app/utils/helper.py:213-225``) instead of aborting.
+Scope (SURVEY.md §7.4, extended in round 2 toward the reference's
+open-anything contract, ``pymu_tesseract_processor.py:84`` pymupdf.open):
+
+- object layer: classic xref tables, PDF 1.5 xref streams (/W columns,
+  /Index, PNG predictors), object streams (/ObjStm), /Prev incremental-
+  update chains, hybrid /XRefStm, indirect /Length, with a brute-force
+  object-scan fallback when the xref machinery is damaged;
+- document layer: /Root -> /Pages tree walk with /Kids recursion (cycle
+  guard), inherited /MediaBox and /Resources, /Contents as a single stream
+  or an array of streams;
+- content layer: text operators BT/ET Tf TL Td TD Tm T* Tj TJ ' ",
+  literal and <hex> strings, full ``cm`` CTM matrix composition with q/Q
+  graphics-state nesting, multiple fonts per page with /Encoding
+  /Differences glyph remapping, Form XObjects (``Do``) executed recursively,
+  inline images (BI..ID..EI) skipped, rect operator ``re`` for tables.
+
+Anything outside this raises ``PdfParseError`` and the pipeline records a
+parse failure (the analogue of the invalid-PDF gate,
+``app/utils/helper.py:213-225``) instead of aborting.
 
 Pure Python + zlib only — importable on executors and as the local oracle.
 """
@@ -23,24 +37,761 @@ from dataclasses import dataclass, field
 
 from .textclean import clean_text, frame_region, frame_table
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)")
-_PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
-_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
-_MEDIABOX_RE = re.compile(
-    rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
-)
-_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
-_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
-
 # layout constants
 _LINE_Y_TOL = 2.0  # show-ops within this y distance belong to one line
 _BOX_GAP_FACTOR = 1.8  # vertical gap > factor*leading starts a new textbox
 _RECT_SNAP = 1.0  # grid-line coordinate snapping tolerance
 
+_MAX_OBJ_DEPTH = 64  # nested dict/array guard (hostile input)
+_MAX_REF_DEPTH = 32  # indirect-reference chain guard
+_MAX_PAGES = 100_000  # /Kids walk guard
+_MAX_XREF_SECTIONS = 1024  # /Prev chain guard
+_MAX_FORM_DEPTH = 8  # nested Form-XObject execution guard
+
 
 class PdfParseError(ValueError):
     pass
+
+
+# ---------------------------------------------------------------- object model
+
+
+@dataclass(frozen=True)
+class Ref:
+    num: int
+    gen: int = 0
+
+
+class Name(str):
+    """A /Name token (distinct from a string literal)."""
+
+    __slots__ = ()
+
+
+@dataclass
+class Stream:
+    dict: dict
+    raw: bytes  # undecoded bytes as stored in the file
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+_WS_SET = frozenset(_WS)
+_NUM_RE = re.compile(rb"[+\-.0-9]+")
+_BARE_RE = re.compile(rb"[^\x00\t\n\x0c\r ()\[\]<>/%{}]*")
+_OBJ_HDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_DIGITS_RE = re.compile(rb"\d+")
+# "num gen R" in one C-level attempt (the common-case lookahead in dicts)
+_INDIRECT_RE = re.compile(
+    rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|$)"
+)
+_XREF_SEC_RE = re.compile(rb"(\d+)\s+(\d+)")
+_XREF_ENT_RE = re.compile(rb"(\d{10})\s+(\d{5})\s+([nf])\s{0,2}")
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+_STR_SPECIAL_RE = re.compile(rb"[\\()]")
+_STR_ESCAPES = {
+    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
+    b"(": b"(", b")": b")", b"\\": b"\\",
+}
+
+
+def _skip_ws(data: bytes, i: int) -> int:
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c in _WS_SET:
+            i += 1
+        elif c == 0x25:  # % comment to EOL
+            j = data.find(b"\n", i)
+            i = n if j == -1 else j + 1
+        else:
+            break
+    return i
+
+
+def _scan_string(stream: bytes, i: int, n: int):
+    """Scan a ( ) string body starting just past '('; returns (new_pos, text).
+
+    Bulk-copies runs between specials via regex search. Spec escape
+    semantics (ISO 32000 7.3.4.2) in every context — named escapes, octal
+    escapes (1-3 digits), and for any other escaped character the backslash
+    is ignored and the character kept.
+    """
+    buf = bytearray()
+    depth = 1
+    search = _STR_SPECIAL_RE.search
+    while i < n and depth:
+        m = search(stream, i)
+        if m is None:
+            buf += stream[i:n]
+            i = n
+            break
+        j = m.start()
+        buf += stream[i:j]
+        ch = stream[j]
+        if ch == 0x5C:  # backslash
+            nxt = stream[j + 1 : j + 2]
+            if nxt in _STR_ESCAPES:
+                buf += _STR_ESCAPES[nxt]
+                i = j + 2
+            elif nxt in (b"0", b"1", b"2", b"3", b"4", b"5", b"6", b"7"):
+                oct_digits = stream[j + 1 : j + 4]
+                k = 0
+                while k < len(oct_digits) and 0x30 <= oct_digits[k] <= 0x37:
+                    k += 1
+                buf.append(int(oct_digits[:k], 8) & 0xFF)
+                i = j + 1 + k
+            else:
+                buf += nxt  # backslash ignored, character kept (spec)
+                i = j + 2
+        elif ch == 0x28:  # (
+            depth += 1
+            buf += b"("
+            i = j + 1
+        else:  # )
+            depth -= 1
+            if depth:
+                buf += b")"
+            i = j + 1
+    return i, buf.decode("latin-1")
+
+
+def _scan_hex_string(data: bytes, i: int, n: int):
+    """Scan a <...> hex string body starting just past '<'; returns
+    (new_pos_past_close, text). Whitespace allowed inside; odd digit count
+    is padded with 0 per spec."""
+    j = data.find(b">", i)
+    if j == -1:
+        raise PdfParseError("unterminated hex string")
+    body = bytes(c for c in data[i:j] if c not in _WS_SET)
+    if not re.fullmatch(rb"[0-9a-fA-F]*", body):
+        raise PdfParseError("invalid hex string")
+    if len(body) % 2:
+        body += b"0"
+    return j + 1, bytes.fromhex(body.decode("ascii")).decode("latin-1")
+
+
+def _parse_object(data: bytes, i: int, depth: int = 0):
+    """Structural PDF object parser: returns (value, new_pos).
+
+    Values: float/int, str (literal/hex string), Name, bool, None, list,
+    dict (keys are plain strs without the slash), Ref.
+    """
+    if depth > _MAX_OBJ_DEPTH:
+        raise PdfParseError("object nesting too deep")
+    i = _skip_ws(data, i)
+    n = len(data)
+    if i >= n:
+        raise PdfParseError("unexpected end of data in object")
+    c = data[i]
+    if c == 0x3C:  # < or <<
+        if data[i + 1 : i + 2] == b"<":
+            d: dict = {}
+            i += 2
+            while True:
+                i = _skip_ws(data, i)
+                if data[i : i + 2] == b">>":
+                    return d, i + 2
+                if data[i : i + 1] != b"/":
+                    raise PdfParseError("dict key is not a name")
+                key, i = _parse_object(data, i, depth + 1)
+                val, i = _parse_object(data, i, depth + 1)
+                d[str(key)] = val
+        j, s = _scan_hex_string(data, i + 1, n)
+        return s, j
+    if c == 0x28:  # ( string
+        j, s = _scan_string(data, i + 1, n)
+        return s, j
+    if c == 0x2F:  # /name
+        m = _BARE_RE.match(data, i + 1)
+        return Name(m.group().decode("latin-1")), m.end()
+    if c == 0x5B:  # [ array
+        arr: list = []
+        i += 1
+        while True:
+            i = _skip_ws(data, i)
+            if i >= n:
+                raise PdfParseError("unterminated array")
+            if data[i] == 0x5D:
+                return arr, i + 1
+            val, i = _parse_object(data, i, depth + 1)
+            arr.append(val)
+    if c == 0x2B or c == 0x2D or c == 0x2E or 0x30 <= c <= 0x39:  # number
+        mref = _INDIRECT_RE.match(data, i)
+        if mref is not None:
+            return Ref(int(mref.group(1)), int(mref.group(2))), mref.end()
+        m = _NUM_RE.match(data, i)
+        tok = m.group()
+        try:
+            return (float(tok) if b"." in tok else int(tok)), m.end()
+        except ValueError as e:
+            raise PdfParseError(f"bad number token {tok!r}") from e
+    m = _BARE_RE.match(data, i)
+    word = m.group()
+    if word == b"true":
+        return True, m.end()
+    if word == b"false":
+        return False, m.end()
+    if word == b"null":
+        return None, m.end()
+    raise PdfParseError(f"unexpected token {data[i:i+16]!r} at {i}")
+
+
+# --------------------------------------------------------------- filter layer
+
+
+def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
+    """Reverse PNG row predictors (per-row filter byte, types 0-4)."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    row_len = columns * bpp
+    out = bytearray()
+    prev = bytearray(row_len)
+    i = 0
+    n = len(data)
+    while i + 1 + row_len <= n or (i < n and n - i - 1 > 0):
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + row_len])
+        if len(row) < row_len:
+            row.extend(b"\x00" * (row_len - len(row)))
+        i += 1 + row_len
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for k in range(bpp, row_len):
+                row[k] = (row[k] + row[k - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for k in range(row_len):
+                row[k] = (row[k] + prev[k]) & 0xFF
+        elif ft == 3:  # Average
+            for k in range(row_len):
+                left = row[k - bpp] if k >= bpp else 0
+                row[k] = (row[k] + ((left + prev[k]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for k in range(row_len):
+                a = row[k - bpp] if k >= bpp else 0
+                b = prev[k]
+                cc = prev[k - bpp] if k >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                row[k] = (row[k] + pred) & 0xFF
+        else:
+            raise PdfParseError(f"unsupported PNG predictor filter type {ft}")
+        out += row
+        prev = row
+        if i >= n:
+            break
+    return bytes(out)
+
+
+def _apply_filters(raw: bytes, sdict: dict, resolve) -> bytes:
+    filt = resolve(sdict.get("Filter"))
+    parms = resolve(sdict.get("DecodeParms")) or resolve(sdict.get("DP"))
+    if filt is None:
+        return raw
+    filters = filt if isinstance(filt, list) else [filt]
+    parms_list = parms if isinstance(parms, list) else [parms] * len(filters)
+    data = raw
+    for f, p in zip(filters, parms_list):
+        f = str(resolve(f))
+        p = resolve(p) or {}
+        if f == "FlateDecode" or f == "Fl":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:  # corrupt stream -> parse failure, not crash
+                raise PdfParseError(f"flate error: {e}") from e
+        elif f == "ASCIIHexDecode" or f == "AHx":
+            body = bytes(c for c in data.split(b">")[0] if c not in _WS_SET)
+            if len(body) % 2:
+                body += b"0"
+            try:
+                data = bytes.fromhex(body.decode("ascii"))
+            except ValueError as e:
+                raise PdfParseError("bad ASCIIHex stream") from e
+        else:
+            raise PdfParseError(f"unsupported stream filter {f}")
+        pred = resolve(p.get("Predictor", 1)) if isinstance(p, dict) else 1
+        if isinstance(pred, (int, float)) and pred >= 10:
+            cols = int(resolve(p.get("Columns", 1)))
+            colors = int(resolve(p.get("Colors", 1)))
+            bpc = int(resolve(p.get("BitsPerComponent", 8)))
+            data = _png_unpredict(data, cols, colors, bpc)
+        elif pred not in (1, None):
+            raise PdfParseError(f"unsupported predictor {pred}")
+    return data
+
+
+# ------------------------------------------------------------- document layer
+
+
+class PdfDoc:
+    """Lazy object store over the raw bytes: xref chain (tables, streams,
+    /Prev, hybrid /XRefStm) with object-stream support, plus a brute-force
+    scan fallback for files with damaged xref machinery (the reference's
+    pymupdf.open repairs such files too)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        # num -> ("n", offset) | ("s", objstm_num, index_in_stream)
+        self.xref: dict[int, tuple] = {}
+        self.trailer: dict = {}
+        self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, list] = {}
+        try:
+            self._load_xref_chain()
+        except PdfParseError:
+            self.xref = {}
+        if not self.xref:
+            self._scan_fallback()
+        if not self.xref:
+            raise PdfParseError("no objects found")
+
+    # ---- xref machinery
+
+    def _load_xref_chain(self) -> None:
+        tail = self.data[-2048:]
+        m = None
+        for m in _STARTXREF_RE.finditer(tail):
+            pass
+        if m is None:
+            raise PdfParseError("no startxref")
+        pos = int(m.group(1))
+        seen: set[int] = set()
+        sections = 0
+        while pos is not None:
+            if pos in seen or pos < 0 or pos >= len(self.data):
+                break
+            seen.add(pos)
+            sections += 1
+            if sections > _MAX_XREF_SECTIONS:
+                raise PdfParseError("xref /Prev chain too long")
+            trailer = self._load_xref_section(pos)
+            # keep the FIRST (newest) trailer's keys; older revisions fill gaps
+            for k, v in trailer.items():
+                self.trailer.setdefault(k, v)
+            # hybrid-reference file: classic table + /XRefStm pointer
+            xstm = trailer.get("XRefStm")
+            if isinstance(xstm, (int, float)) and int(xstm) not in seen:
+                seen.add(int(xstm))
+                self._load_xref_section(int(xstm))
+            prev = trailer.get("Prev")
+            pos = int(prev) if isinstance(prev, (int, float)) else None
+
+    def _load_xref_section(self, pos: int) -> dict:
+        i = _skip_ws(self.data, pos)
+        if self.data[i : i + 4] == b"xref":
+            return self._load_xref_table(i + 4)
+        return self._load_xref_stream(i)
+
+    def _load_xref_table(self, i: int) -> dict:
+        data = self.data
+        while True:
+            i = _skip_ws(data, i)
+            if data[i : i + 7] == b"trailer":
+                t, _ = _parse_object(data, i + 7)
+                if not isinstance(t, dict):
+                    raise PdfParseError("trailer is not a dict")
+                return t
+            m = _XREF_SEC_RE.match(data, i)
+            if m is None:
+                raise PdfParseError("malformed xref table")
+            start, count = int(m.group(1)), int(m.group(2))
+            i = _skip_ws(data, m.end())
+            for k in range(count):
+                em = _XREF_ENT_RE.match(data, i)
+                if em is None:
+                    raise PdfParseError("malformed xref entry")
+                if em.group(3) == b"n":
+                    self.xref.setdefault(start + k, ("n", int(em.group(1))))
+                i = em.end()
+
+    def _load_xref_stream(self, i: int) -> dict:
+        obj = self._parse_indirect_at(i, expect_stream=True)
+        if not isinstance(obj, Stream) or str(obj.dict.get("Type")) != "XRef":
+            raise PdfParseError("startxref does not point at an xref section")
+        sd = obj.dict
+        data = _apply_filters(obj.raw, sd, self.resolve)
+        w = [int(x) for x in self.resolve(sd.get("W")) or []]
+        if len(w) != 3 or any(x < 0 or x > 8 for x in w):
+            raise PdfParseError("bad /W in xref stream")
+        size = int(self.resolve(sd.get("Size", 0)))
+        index = self.resolve(sd.get("Index")) or [0, size]
+        if len(index) % 2:
+            raise PdfParseError("bad /Index in xref stream")
+        ent_len = sum(w)
+        pos = 0
+        for s in range(0, len(index), 2):
+            start, count = int(index[s]), int(index[s + 1])
+            for k in range(count):
+                if pos + ent_len > len(data):
+                    raise PdfParseError("truncated xref stream")
+                fields = []
+                for width in w:
+                    fields.append(
+                        int.from_bytes(data[pos : pos + width], "big") if width else None
+                    )
+                    pos += width
+                ftype = fields[0] if w[0] else 1  # default type 1 per spec
+                num = start + k
+                if ftype == 1:
+                    self.xref.setdefault(num, ("n", fields[1]))
+                elif ftype == 2:
+                    self.xref.setdefault(num, ("s", fields[1], fields[2]))
+                # type 0 = free: skip
+        return sd
+
+    def _scan_fallback(self) -> None:
+        """Brute-force object discovery when the xref machinery is damaged:
+        every `N G obj` header in the file; later occurrences win (that is
+        the incremental-update semantics: appended revisions override)."""
+        offsets: dict[int, int] = {}
+        for m in _OBJ_HDR_RE.finditer(self.data):
+            offsets[int(m.group(1))] = m.start()
+        self.xref = {num: ("n", off) for num, off in offsets.items()}
+        if not self.trailer:
+            tm = None
+            for tm in re.finditer(rb"trailer", self.data):
+                pass
+            if tm is not None:
+                try:
+                    t, _ = _parse_object(self.data, tm.end())
+                    if isinstance(t, dict):
+                        self.trailer = t
+                except PdfParseError:
+                    pass
+
+    # ---- object access
+
+    def _parse_indirect_at(self, offset: int, expect_stream: bool = False):
+        data = self.data
+        i = _skip_ws(data, offset)
+        m = _OBJ_HDR_RE.match(data, i)
+        if m is None:
+            raise PdfParseError(f"no object header at offset {offset}")
+        val, j = _parse_object(data, m.end())
+        j2 = _skip_ws(data, j)
+        if data[j2 : j2 + 6] == b"stream":
+            if not isinstance(val, dict):
+                raise PdfParseError("stream without a dict")
+            s = j2 + 6
+            if data[s : s + 2] == b"\r\n":
+                s += 2
+            elif data[s : s + 1] == b"\n" or data[s : s + 1] == b"\r":
+                s += 1
+            length = self.resolve(val.get("Length"))
+            if not isinstance(length, (int, float)) or length < 0:
+                length = None
+            if length is not None:
+                end = s + int(length)
+                probe = _skip_ws(data, end)
+                if data[probe : probe + 9] != b"endstream":
+                    length = None  # declared /Length is wrong: re-locate
+            if length is None:
+                end = data.find(b"endstream", s)
+                if end == -1:
+                    raise PdfParseError("unterminated stream")
+                # strip the EOL that precedes endstream
+                while end > s and data[end - 1] in b"\r\n":
+                    end -= 1
+            return Stream(val, data[s:end])
+        return val
+
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        entry = self.xref.get(num)
+        if entry is None:
+            raise PdfParseError(f"missing object {num}")
+        if entry[0] == "n":
+            val = self._parse_indirect_at(entry[1])
+        else:
+            _, stm_num, idx = entry
+            val = self._objstm_object(stm_num, idx)
+        self._cache[num] = val
+        return val
+
+    def _objstm_object(self, stm_num: int, idx: int):
+        objs = self._objstm_cache.get(stm_num)
+        if objs is None:
+            stm = self.get(stm_num)
+            if not isinstance(stm, Stream) or str(stm.dict.get("Type")) != "ObjStm":
+                raise PdfParseError(f"object {stm_num} is not an object stream")
+            data = _apply_filters(stm.raw, stm.dict, self.resolve)
+            n = int(self.resolve(stm.dict.get("N", 0)))
+            first = int(self.resolve(stm.dict.get("First", 0)))
+            pairs = []
+            i = 0
+            for _ in range(n):
+                onum, i = _parse_object(data, i)
+                ooff, i = _parse_object(data, i)
+                if not isinstance(onum, int) or not isinstance(ooff, int):
+                    raise PdfParseError("bad object-stream header")
+                pairs.append((onum, ooff))
+            objs = []
+            for _onum, ooff in pairs:
+                val, _ = _parse_object(data, first + ooff)
+                objs.append(val)
+            self._objstm_cache[stm_num] = objs
+        if idx >= len(objs):
+            raise PdfParseError("object-stream index out of range")
+        return objs[idx]
+
+    def resolve(self, val, depth: int = 0):
+        while isinstance(val, Ref):
+            if depth > _MAX_REF_DEPTH:
+                raise PdfParseError("reference chain too deep")
+            val = self.get(val.num)
+            depth += 1
+        return val
+
+
+# ------------------------------------------------------------------ encodings
+
+# Adobe Glyph List subset: the names that occur in practice for simple Latin
+# text plus the builder's /Differences fixtures. Unmapped names fall back to
+# uniXXXX parsing, then U+FFFD.
+_GLYPHS: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "Aacute": "Á", "aacute": "á", "Agrave": "À",
+    "agrave": "à", "Acircumflex": "Â", "acircumflex": "â",
+    "Adieresis": "Ä", "adieresis": "ä", "Eacute": "É",
+    "eacute": "é", "Egrave": "È", "egrave": "è",
+    "Iacute": "Í", "iacute": "í", "Oacute": "Ó",
+    "oacute": "ó", "Odieresis": "Ö", "odieresis": "ö",
+    "Uacute": "Ú", "uacute": "ú", "Udieresis": "Ü",
+    "udieresis": "ü", "Ccedilla": "Ç", "ccedilla": "ç",
+    "Ntilde": "Ñ", "ntilde": "ñ", "germandbls": "ß",
+    "oslash": "ø", "Oslash": "Ø", "ae": "æ", "AE": "Æ",
+    "Euro": "€", "sterling": "£", "yen": "¥", "cent": "¢",
+    "degree": "°", "plusminus": "±", "section": "§",
+    "ellipsis": "…", "dagger": "†",
+}
+for _ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
+    _GLYPHS[_ch] = _ch
+
+
+def _glyph_to_char(name: str) -> str:
+    ch = _GLYPHS.get(name)
+    if ch is not None:
+        return ch
+    if re.fullmatch(r"uni[0-9A-Fa-f]{4}", name):
+        return chr(int(name[3:], 16))
+    if re.fullmatch(r"u[0-9A-Fa-f]{4,6}", name):
+        return chr(int(name[1:], 16))
+    return "�"
+
+
+@dataclass
+class _Font:
+    """Per-font text decoding state: only /Differences remaps matter for the
+    simple (latin-1 base) fonts in scope; None means identity."""
+
+    decode_map: dict[int, str] | None = None
+
+
+def _build_font(doc: PdfDoc, font_obj) -> _Font:
+    fd = doc.resolve(font_obj)
+    if not isinstance(fd, dict):
+        return _Font()
+    enc = doc.resolve(fd.get("Encoding"))
+    if not isinstance(enc, dict):
+        return _Font()
+    diffs = doc.resolve(enc.get("Differences"))
+    if not isinstance(diffs, list):
+        return _Font()
+    dmap: dict[int, str] = {}
+    code = 0
+    for item in diffs:
+        item = doc.resolve(item)
+        if isinstance(item, (int, float)):
+            code = int(item)
+        elif isinstance(item, Name):
+            dmap[code] = _glyph_to_char(str(item))
+            code += 1
+        else:
+            raise PdfParseError("bad /Differences entry")
+    return _Font(decode_map=dmap or None)
+
+
+def _page_fonts(doc: PdfDoc, resources) -> dict[str, _Font]:
+    res = doc.resolve(resources)
+    if not isinstance(res, dict):
+        return {}
+    fonts = doc.resolve(res.get("Font"))
+    if not isinstance(fonts, dict):
+        return {}
+    return {name: _build_font(doc, obj) for name, obj in fonts.items()}
+
+
+def _page_xobjects(doc: PdfDoc, resources) -> dict[str, Stream]:
+    res = doc.resolve(resources)
+    if not isinstance(res, dict):
+        return {}
+    xo = doc.resolve(res.get("XObject"))
+    if not isinstance(xo, dict):
+        return {}
+    out = {}
+    for name, obj in xo.items():
+        v = doc.resolve(obj)
+        if isinstance(v, Stream):
+            out[name] = v
+    return out
+
+
+# --------------------------------------------------------------- content layer
+
+# hot-path scanners: compiled regexes consume whole token spans in C instead
+# of a Python loop per byte (>3x kernel throughput on the heavy corpus)
+_CONTENT_BARE_RE = re.compile(rb"[^ \t\r\n()\[\]<>/%]*")
+
+
+def _tokenize(stream: bytes, stack: list | None = None):
+    """Tokenize a content stream.
+
+    Default mode yields ('num', float) | ('str', str) | ('arr', list) |
+    ('op', str) | ('name', str) tuples. With ``stack`` (the interpreter hot
+    path), operand VALUES are pushed raw onto the given list and only bare
+    operator strings are yielded — no per-operand tuple is ever built, and
+    TJ arrays are pre-joined to their concatenated string (the only use the
+    interpreter has for them). Hex strings <...> decode like string
+    literals; << ... >> operand dicts are skipped (their operators — BDC,
+    DP — carry no text); inline images (BI..ID..EI) are skipped wholesale
+    because their binary payload is not token-structured.
+    """
+    push = stack.append if stack is not None else None
+    i, n = 0, len(stream)
+    while i < n:
+        c = stream[i]
+        if c in _WS_SET:
+            i += 1
+        elif c == 0x25:  # %
+            j = stream.find(b"\n", i)
+            i = n if j == -1 else j + 1
+        elif c == 0x28:  # (
+            i, s = _scan_string(stream, i + 1, n)
+            if push is None:
+                yield ("str", s)
+            else:
+                push(s)
+        elif c == 0x3C:  # < : hex string or dict
+            if stream[i + 1 : i + 2] == b"<":
+                depth = 1
+                i += 2
+                while i < n and depth:
+                    if stream[i : i + 2] == b"<<":
+                        depth += 1
+                        i += 2
+                    elif stream[i : i + 2] == b">>":
+                        depth -= 1
+                        i += 2
+                    elif stream[i] == 0x28:
+                        i, _ = _scan_string(stream, i + 1, n)
+                    else:
+                        i += 1
+                # dict operand dropped (no text-bearing operator consumes one)
+            else:
+                i, s = _scan_hex_string(stream, i + 1, n)
+                if push is None:
+                    yield ("str", s)
+                else:
+                    push(s)
+        elif c == 0x5B:  # [
+            i += 1
+            arr: list = []
+            for tok in _tokenize_until(stream, i):
+                if tok is None:
+                    break
+                kind, val, i = tok
+                arr.append((kind, val))
+            if push is None:
+                yield ("arr", arr)
+            else:
+                push("".join(v for k, v in arr if k == "str"))
+            i += 1  # past ']'
+        elif c == 0x2F:  # /
+            m = _CONTENT_BARE_RE.match(stream, i + 1)
+            if push is None:
+                yield ("name", m.group().decode("latin-1"))
+            else:
+                push(m.group().decode("latin-1"))
+            i = m.end()
+        elif c == 0x2B or c == 0x2D or c == 0x2E or 0x30 <= c <= 0x39:  # + - . 0-9
+            m = _NUM_RE.match(stream, i)
+            if push is None:
+                yield ("num", float(m.group()))
+            else:
+                push(float(m.group()))
+            i = m.end()
+        else:
+            m = _CONTENT_BARE_RE.match(stream, i)
+            if m.end() == i:
+                i += 1  # skip stray delimiter like ] or >
+                continue
+            op = m.group().decode("latin-1")
+            if op == "BI":  # inline image: skip to EI at a token boundary
+                j = i
+                while True:
+                    j = stream.find(b"EI", j + 1)
+                    if j == -1:
+                        i = n
+                        break
+                    before = stream[j - 1 : j]
+                    after = stream[j + 2 : j + 3]
+                    if (not before or before[0] in _WS_SET) and (
+                        not after or after[0] in _WS_SET or after[0] in _DELIM
+                    ):
+                        i = j + 2
+                        break
+                if stack is not None:
+                    stack.clear()
+                continue
+            yield ("op", op) if push is None else op
+            i = m.end()
+
+
+def _tokenize_until(stream: bytes, start: int):
+    """Helper for array parsing: yields (kind, val, new_pos) until ']'."""
+    i, n = start, len(stream)
+    while i < n:
+        c = stream[i]
+        if c in _WS_SET:
+            i += 1
+            continue
+        if c == 0x5D:  # ]
+            # signal end; caller reads position via last yielded new_pos
+            yield None
+            return
+        if c == 0x28:  # (
+            j, s = _scan_string(stream, i + 1, n)
+            yield ("str", s, j)
+            i = j
+        elif c == 0x3C:  # <hex> inside TJ array
+            j, s = _scan_hex_string(stream, i + 1, n)
+            yield ("str", s, j)
+            i = j
+        elif c == 0x2B or c == 0x2D or c == 0x2E or 0x30 <= c <= 0x39:
+            m = _NUM_RE.match(stream, i)
+            yield ("num", float(m.group()), m.end())
+            i = m.end()
+        else:
+            i += 1
+    yield None
+
+
+# --------------------------------------------------------- interpreter (text)
 
 
 @dataclass
@@ -56,6 +807,175 @@ class _Rect:
     y0_top: float
     x1: float
     y1_top: float
+
+
+_IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m, n):
+    """Affine compose: apply m, then n (row-vector convention)."""
+    a1, b1, c1, d1, e1, f1 = m
+    a2, b2, c2, d2, e2, f2 = n
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def _mat_apply(m, x, y):
+    a, b, c, d, e, f = m
+    return (a * x + c * y + e, b * x + d * y + f)
+
+
+def _interpret(
+    stream: bytes,
+    page_h: float,
+    fonts: dict[str, _Font] | None = None,
+    xobjects: dict[str, "Stream"] | None = None,
+    doc: "PdfDoc | None" = None,
+    ctm=_IDENTITY,
+    items: list[_TextItem] | None = None,
+    rects: list[_Rect] | None = None,
+    form_depth: int = 0,
+) -> tuple[list[_TextItem], list[_Rect]]:
+    """Execute the text/graphics subset, collecting show-ops and rects in
+    top-down device coordinates. Full CTM composition (cm, q/Q), per-font
+    /Differences decoding (Tf), and recursive Form-XObject execution (Do)."""
+    if form_depth > _MAX_FORM_DEPTH:
+        raise PdfParseError("form XObject nesting too deep")
+    items = [] if items is None else items
+    rects = [] if rects is None else rects
+    fonts = fonts or {}
+    xobjects = xobjects or {}
+    stack: list = []
+    gs_stack: list = []  # saved (ctm, font, leading)
+    tm = _IDENTITY  # text matrix (valid inside BT/ET)
+    tlm = _IDENTITY  # text line matrix
+    leading = 0.0
+    font: _Font | None = None
+
+    def show(s) -> None:
+        if not isinstance(s, str):  # e.g. `5 Tj` in a malformed stream
+            raise PdfParseError(f"show operator on non-string operand {s!r}")
+        if font is not None and font.decode_map is not None:
+            s = s.translate(font.decode_map)
+        # device position of the text origin: (tm.e, tm.f) through the CTM;
+        # identity CTM (the overwhelmingly common case) skips the transform
+        if ctm is _IDENTITY:
+            x, y = tm[4], tm[5]
+        else:
+            x, y = _mat_apply(ctm, tm[4], tm[5])
+        items.append(_TextItem(x=x, y_top=page_h - y, text=s))
+
+    # stack mode: the tokenizer pushes operand values directly and yields
+    # only operator strings — no per-operand tuples on the hot path
+    for op in _tokenize(stream, stack):
+        try:
+            if op == "Td":
+                # translate-compose inlined: tlm = T(tx,ty)·tlm (hot path)
+                ty = stack[-1]
+                tx = stack[-2]
+                a, b, c, d, e, f = tlm
+                tlm = tm = (a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f)
+            elif op == "TD":
+                ty = stack[-1]
+                tx = stack[-2]
+                leading = -ty
+                a, b, c, d, e, f = tlm
+                tlm = tm = (a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f)
+            elif op == "Tm":
+                tlm = tm = (
+                    stack[-6], stack[-5], stack[-4], stack[-3], stack[-2], stack[-1],
+                )
+            elif op == "T*":
+                a, b, c, d, e, f = tlm
+                tlm = tm = (a, b, c, d, e - leading * c, f - leading * d)
+            elif op == "TL":
+                leading = stack[-1]
+            elif op == "Tj":
+                show(stack[-1])
+            elif op == "'":
+                a, b, c, d, e, f = tlm
+                tlm = tm = (a, b, c, d, e - leading * c, f - leading * d)
+                show(stack[-1])
+            elif op == '"':
+                a, b, c, d, e, f = tlm
+                tlm = tm = (a, b, c, d, e - leading * c, f - leading * d)
+                show(stack[-1])  # aw/ac spacing operands don't affect layout
+            elif op == "TJ":
+                show(stack[-1])  # array pre-joined by the tokenizer
+            elif op == "BT":
+                tm = tlm = _IDENTITY
+            elif op == "Tf":
+                name = stack[-2]
+                if isinstance(name, str):
+                    font = fonts.get(name, font)
+            elif op == "cm":
+                m = (stack[-6], stack[-5], stack[-4], stack[-3], stack[-2], stack[-1])
+                ctm = _mat_mul(m, ctm)
+            elif op == "q":
+                gs_stack.append((ctm, font, leading))
+                if len(gs_stack) > 256:
+                    raise PdfParseError("graphics state stack too deep")
+            elif op == "Q":
+                if gs_stack:
+                    ctm, font, leading = gs_stack.pop()
+            elif op == "re":
+                h = stack[-1]
+                w = stack[-2]
+                ry = stack[-3]
+                rx = stack[-4]
+                corners = [
+                    _mat_apply(ctm, rx, ry),
+                    _mat_apply(ctm, rx + w, ry),
+                    _mat_apply(ctm, rx, ry + h),
+                    _mat_apply(ctm, rx + w, ry + h),
+                ]
+                xs = [p[0] for p in corners]
+                ys = [p[1] for p in corners]
+                rects.append(
+                    _Rect(
+                        x0=min(xs),
+                        y0_top=page_h - max(ys),
+                        x1=max(xs),
+                        y1_top=page_h - min(ys),
+                    )
+                )
+            elif op == "Do":
+                name = stack[-1]
+                xo = xobjects.get(name) if isinstance(name, str) else None
+                if xo is not None and doc is not None:
+                    sub = str(doc.resolve(xo.dict.get("Subtype")) or "")
+                    if sub == "Form":
+                        mtx = doc.resolve(xo.dict.get("Matrix")) or [1, 0, 0, 1, 0, 0]
+                        sub_ctm = _mat_mul(tuple(float(v) for v in mtx), ctm)
+                        sub_res = xo.dict.get("Resources")
+                        sub_fonts = _page_fonts(doc, sub_res) if sub_res else fonts
+                        sub_xo = _page_xobjects(doc, sub_res) if sub_res else xobjects
+                        _interpret(
+                            _apply_filters(xo.raw, xo.dict, doc.resolve),
+                            page_h,
+                            fonts=sub_fonts,
+                            xobjects=sub_xo,
+                            doc=doc,
+                            ctm=sub_ctm,
+                            items=items,
+                            rects=rects,
+                            form_depth=form_depth + 1,
+                        )
+                    # image XObjects: no text; deliberately not rasterized
+            # ET, S, f, W, n, w, m, l, h, gs, rg, g, BMC/BDC/EMC: no tracked state
+        except (IndexError, TypeError) as e:
+            raise PdfParseError(f"malformed operands for {op}: {e}") from e
+        stack.clear()
+    return items, rects
+
+
+# ---------------------------------------------------------------- layout layer
 
 
 @dataclass
@@ -82,281 +1002,6 @@ class TableOut:
 class PageOut:
     boxes: list[TextBoxOut]
     tables: list[TableOut]
-
-
-# ---------------------------------------------------------------- object layer
-
-
-def _index_objects(data: bytes) -> dict[int, bytes]:
-    """num -> object body (dict + optional stream). Stream bytes are located
-    via the declared /Length, so binary Flate data never confuses the scan."""
-    objs: dict[int, bytes] = {}
-    pos = 0
-    while True:
-        m = _OBJ_RE.search(data, pos)
-        if not m:
-            break
-        start = m.end()
-        stream_at = data.find(b"stream", start)
-        endobj_at = data.find(b"endobj", start)
-        if endobj_at == -1:
-            raise PdfParseError("unterminated object")
-        if stream_at != -1 and stream_at < endobj_at:
-            lm = _LENGTH_RE.search(data, start, stream_at)
-            if not lm:
-                raise PdfParseError("stream without /Length")
-            length = int(lm.group(1))
-            sdata_start = stream_at + len(b"stream")
-            if data[sdata_start : sdata_start + 2] == b"\r\n":
-                sdata_start += 2
-            elif data[sdata_start : sdata_start + 1] == b"\n":
-                sdata_start += 1
-            end = data.find(b"endobj", sdata_start + length)
-            if end == -1:
-                raise PdfParseError("unterminated stream object")
-            objs[int(m.group(1))] = data[start:end]
-            pos = end + 6
-        else:
-            objs[int(m.group(1))] = data[start:endobj_at]
-            pos = endobj_at + 6
-    if not objs:
-        raise PdfParseError("no objects found")
-    return objs
-
-
-def _stream_bytes(body: bytes) -> bytes:
-    at = body.find(b"stream")
-    if at == -1:
-        raise PdfParseError("object has no stream")
-    lm = _LENGTH_RE.search(body, 0, at)
-    if not lm:
-        raise PdfParseError("stream without /Length")
-    length = int(lm.group(1))
-    start = at + len(b"stream")
-    if body[start : start + 2] == b"\r\n":
-        start += 2
-    elif body[start : start + 1] == b"\n":
-        start += 1
-    raw = body[start : start + length]
-    if b"/FlateDecode" in body[:at]:
-        try:
-            return zlib.decompress(raw)
-        except zlib.error as e:  # corrupt stream -> parse failure, not crash
-            raise PdfParseError(f"flate error: {e}") from e
-    return raw
-
-
-# --------------------------------------------------------------- content layer
-
-_STR_ESCAPES = {
-    b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f",
-    b"(": b"(", b")": b")", b"\\": b"\\",
-}
-
-# hot-path scanners: compiled regexes consume whole token spans in C instead
-# of a Python loop per byte (>3x kernel throughput on the heavy corpus)
-_WS_SET = frozenset(b" \t\r\n")
-_NUM_RE = re.compile(rb"[+\-.0-9]+")
-_BARE_RE = re.compile(rb"[^ \t\r\n()\[\]<>/%]*")
-_STR_SPECIAL_RE = re.compile(rb"[\\()]")
-
-
-def _scan_string(stream: bytes, i: int, n: int, octal: bool, keep_unknown: bool):
-    """Scan a ( ) string body starting just past '('; returns (new_pos, text).
-
-    Bulk-copies runs between specials via regex search. Two escape dialects
-    (both preserved from the original byte-at-a-time scanners, byte-exact):
-    - main tokenizer: octal escapes decoded, unknown escapes dropped;
-    - array scanner: unknown escapes kept verbatim, no octal.
-    """
-    buf = bytearray()
-    depth = 1
-    search = _STR_SPECIAL_RE.search
-    while i < n and depth:
-        m = search(stream, i)
-        if m is None:
-            buf += stream[i:n]
-            i = n
-            break
-        j = m.start()
-        buf += stream[i:j]
-        ch = stream[j]
-        if ch == 0x5C:  # backslash
-            nxt = stream[j + 1 : j + 2]
-            if nxt in _STR_ESCAPES:
-                buf += _STR_ESCAPES[nxt]
-                i = j + 2
-            elif octal and nxt in (b"0", b"1", b"2", b"3", b"4", b"5", b"6", b"7"):
-                oct_digits = stream[j + 1 : j + 4]
-                k = 0
-                while k < len(oct_digits) and 0x30 <= oct_digits[k] <= 0x37:
-                    k += 1
-                buf.append(int(oct_digits[:k], 8) & 0xFF)
-                i = j + 1 + k
-            else:
-                if keep_unknown:
-                    buf += nxt
-                i = j + 2
-        elif ch == 0x28:  # (
-            depth += 1
-            buf += b"("
-            i = j + 1
-        else:  # )
-            depth -= 1
-            if depth:
-                buf += b")"
-            i = j + 1
-    return i, buf.decode("latin-1")
-
-
-def _tokenize(stream: bytes, stack: list | None = None):
-    """Tokenize a content stream.
-
-    Default mode yields ('num', float) | ('str', str) | ('arr', list) |
-    ('op', str) | ('name', str) tuples. With ``stack`` (the interpreter hot
-    path), operand VALUES are pushed raw onto the given list and only bare
-    operator strings are yielded — no per-operand tuple is ever built, and
-    TJ arrays are pre-joined to their concatenated string (the only use the
-    interpreter has for them).
-    """
-    push = stack.append if stack is not None else None
-    i, n = 0, len(stream)
-    while i < n:
-        c = stream[i]
-        if c in _WS_SET:
-            i += 1
-        elif c == 0x25:  # %
-            j = stream.find(b"\n", i)
-            i = n if j == -1 else j + 1
-        elif c == 0x28:  # (
-            i, s = _scan_string(stream, i + 1, n, octal=True, keep_unknown=False)
-            if push is None:
-                yield ("str", s)
-            else:
-                push(s)
-        elif c == 0x5B:  # [
-            i += 1
-            arr: list = []
-            for tok in _tokenize_until(stream, i):
-                if tok is None:
-                    break
-                kind, val, i = tok
-                arr.append((kind, val))
-            if push is None:
-                yield ("arr", arr)
-            else:
-                push("".join(v for k, v in arr if k == "str"))
-            i += 1  # past ']'
-        elif c == 0x2F:  # /
-            m = _BARE_RE.match(stream, i + 1)
-            if push is None:
-                yield ("name", m.group().decode("latin-1"))
-            else:
-                push(m.group().decode("latin-1"))
-            i = m.end()
-        elif c == 0x2B or c == 0x2D or c == 0x2E or 0x30 <= c <= 0x39:  # + - . 0-9
-            m = _NUM_RE.match(stream, i)
-            if push is None:
-                yield ("num", float(m.group()))
-            else:
-                push(float(m.group()))
-            i = m.end()
-        else:
-            m = _BARE_RE.match(stream, i)
-            if m.end() == i:
-                i += 1  # skip stray delimiter like ] or >
-                continue
-            op = m.group().decode("latin-1")
-            yield ("op", op) if push is None else op
-            i = m.end()
-
-
-def _tokenize_until(stream: bytes, start: int):
-    """Helper for array parsing: yields (kind, val, new_pos) until ']'."""
-    i, n = start, len(stream)
-    while i < n:
-        c = stream[i]
-        if c in _WS_SET:
-            i += 1
-            continue
-        if c == 0x5D:  # ]
-            # signal end; caller reads position via last yielded new_pos
-            yield None
-            return
-        if c == 0x28:  # (
-            j, s = _scan_string(stream, i + 1, n, octal=False, keep_unknown=True)
-            yield ("str", s, j)
-            i = j
-        elif c == 0x2B or c == 0x2D or c == 0x2E or 0x30 <= c <= 0x39:
-            m = _NUM_RE.match(stream, i)
-            yield ("num", float(m.group()), m.end())
-            i = m.end()
-        else:
-            i += 1
-    yield None
-
-
-def _interpret(stream: bytes, page_h: float) -> tuple[list[_TextItem], list[_Rect]]:
-    """Execute the text/graphics subset, collecting show-ops and rects in
-    top-down coordinates."""
-    items: list[_TextItem] = []
-    rects: list[_Rect] = []
-    stack: list = []
-    x = y = 0.0  # current text-line origin (PDF y-up)
-    leading = 0.0
-
-    def show(s: str) -> None:
-        if not isinstance(s, str):  # e.g. `5 Tj` in a malformed stream
-            raise PdfParseError(f"show operator on non-string operand {s!r}")
-        items.append(_TextItem(x=x, y_top=page_h - y, text=s))
-
-    # stack mode: the tokenizer pushes operand values directly and yields
-    # only operator strings — no per-operand tuples on the hot path
-    for op in _tokenize(stream, stack):
-        try:
-            if op == "Td":
-                ty = stack[-1]
-                tx = stack[-2]
-                x += tx
-                y += ty
-            elif op == "TD":
-                ty = stack[-1]
-                tx = stack[-2]
-                leading = -ty
-                x += tx
-                y += ty
-            elif op == "Tm":
-                y = stack[-1]
-                x = stack[-2]
-            elif op == "T*":
-                y -= leading
-            elif op == "TL":
-                leading = stack[-1]
-            elif op == "Tj":
-                show(stack[-1])
-            elif op == "'":
-                y -= leading
-                show(stack[-1])
-            elif op == "TJ":
-                show(stack[-1])  # array pre-joined by the tokenizer
-            elif op == "BT":
-                x = y = 0.0
-            elif op == "re":
-                h = stack[-1]
-                w = stack[-2]
-                ry = stack[-3]
-                rx = stack[-4]
-                rects.append(
-                    _Rect(x0=rx, y0_top=page_h - (ry + h), x1=rx + w, y1_top=page_h - ry)
-                )
-            # ET, Tf, S, f, q, Q, cm, w, m, l, h, W, n, gs, rg, g: no state we track
-        except (IndexError, TypeError) as e:
-            raise PdfParseError(f"malformed operands for {op}: {e}") from e
-        stack.clear()
-    return items, rects
-
-
-# ---------------------------------------------------------------- layout layer
 
 
 def _snap(vals: list[float]) -> list[float]:
@@ -483,49 +1128,114 @@ def _group_textboxes(items: list[_TextItem]) -> list[TextBoxOut]:
 # ------------------------------------------------------------------ public API
 
 
+def _page_list(doc: PdfDoc) -> list[tuple[dict, dict]]:
+    """Ordered (page_dict, inherited) pairs via the /Root -> /Pages walk;
+    `inherited` carries MediaBox/Resources inherited from ancestors.
+    Falls back to numeric-order /Type /Page discovery for damaged trees."""
+    pages: list[tuple[dict, dict]] = []
+    root = None
+    try:
+        root = doc.resolve(doc.trailer.get("Root"))
+    except PdfParseError:
+        root = None
+    pages_node = None
+    if isinstance(root, dict):
+        try:
+            pages_node = doc.resolve(root.get("Pages"))
+        except PdfParseError:
+            pages_node = None
+
+    if isinstance(pages_node, dict):
+        visited: set[int] = set()
+
+        def walk(node, inherited: dict) -> None:
+            node_res = doc.resolve(node)
+            if not isinstance(node_res, dict):
+                raise PdfParseError("page-tree node is not a dict")
+            if isinstance(node, Ref):
+                if node.num in visited:
+                    raise PdfParseError("cycle in page tree /Kids")
+                visited.add(node.num)
+            inh = dict(inherited)
+            for key in ("MediaBox", "Resources"):
+                if key in node_res:
+                    inh[key] = node_res[key]
+            ntype = str(doc.resolve(node_res.get("Type")) or "")
+            kids = node_res.get("Kids")
+            if ntype == "Page" or (kids is None and ntype != "Pages"):
+                if len(pages) >= _MAX_PAGES:
+                    raise PdfParseError("too many pages")
+                pages.append((node_res, inh))
+                return
+            for kid in doc.resolve(kids) or []:
+                walk(kid, inh)
+
+        walk(pages_node, {})
+        if pages:
+            return pages
+
+    # fallback: any object whose dict is /Type /Page, in numeric order
+    for num in sorted(doc.xref):
+        try:
+            obj = doc.get(num)
+        except PdfParseError:
+            continue
+        if isinstance(obj, dict) and str(obj.get("Type")) == "Page":
+            pages.append((obj, {}))
+    if not pages:
+        raise PdfParseError("no pages")
+    return pages
+
+
+def _page_content(doc: PdfDoc, page: dict) -> bytes:
+    """Decoded content bytes; /Contents may be one stream or an array of
+    streams (concatenated with newline separators per spec)."""
+    contents = doc.resolve(page.get("Contents"))
+    if contents is None:
+        return b""
+    streams = contents if isinstance(contents, list) else [contents]
+    parts: list[bytes] = []
+    for s in streams:
+        s = doc.resolve(s)
+        if not isinstance(s, Stream):
+            raise PdfParseError("page /Contents is not a stream")
+        parts.append(_apply_filters(s.raw, s.dict, doc.resolve))
+    return b"\n".join(parts)
+
+
 def parse_pdf(data: bytes) -> list[PageOut]:
     """Parse a PDF byte string into per-page textboxes + tables."""
     if not data.startswith(b"%PDF"):
         raise PdfParseError("not a PDF (bad header)")
-    objs = _index_objects(data)
+    try:
+        doc = PdfDoc(data)
+        page_nodes = _page_list(doc)
 
-    # page order: follow /Kids if a Pages node exists, else numeric order
-    page_nums: list[int] = []
-    for num, body in sorted(objs.items()):
-        head = body.split(b"stream", 1)[0]
-        if b"/Type" in head and b"/Pages" in head and b"/Kids" in head:
-            km = _KIDS_RE.search(head)
-            if km:
-                page_nums = [int(r) for r in _REF_RE.findall(km.group(1))]
-            break
-    if not page_nums:
-        page_nums = [
-            n for n, b in sorted(objs.items()) if _PAGE_RE.search(b.split(b"stream", 1)[0])
-        ]
-    if not page_nums:
-        raise PdfParseError("no pages")
-
-    pages: list[PageOut] = []
-    for pn in page_nums:
-        body = objs.get(pn)
-        if body is None:
-            raise PdfParseError(f"missing page object {pn}")
-        mb = _MEDIABOX_RE.search(body)
-        page_h = float(mb.group(4)) if mb else 792.0
-        cm = _CONTENTS_RE.search(body)
-        if not cm:
-            pages.append(PageOut(boxes=[], tables=[]))
-            continue
-        content_obj = objs.get(int(cm.group(1)))
-        if content_obj is None:
-            raise PdfParseError(f"missing content object {cm.group(1)}")
-        stream = _stream_bytes(content_obj)
-        items, rects = _interpret(stream, page_h)
-        tables, used = _detect_tables(rects, items)
-        free_items = [it for i, it in enumerate(items) if i not in used]
-        boxes = _group_textboxes(free_items)
-        pages.append(PageOut(boxes=boxes, tables=tables))
-    return pages
+        pages: list[PageOut] = []
+        for page, inherited in page_nodes:
+            mb = doc.resolve(page.get("MediaBox", inherited.get("MediaBox")))
+            page_h = 792.0
+            if isinstance(mb, list) and len(mb) == 4:
+                page_h = float(doc.resolve(mb[3]))
+            resources = page.get("Resources", inherited.get("Resources"))
+            fonts = _page_fonts(doc, resources)
+            xobjects = _page_xobjects(doc, resources)
+            stream = _page_content(doc, page)
+            items, rects = _interpret(
+                stream, page_h, fonts=fonts, xobjects=xobjects, doc=doc
+            )
+            tables, used = _detect_tables(rects, items)
+            free_items = [it for i, it in enumerate(items) if i not in used]
+            boxes = _group_textboxes(free_items)
+            pages.append(PageOut(boxes=boxes, tables=tables))
+        return pages
+    except PdfParseError:
+        raise
+    except RecursionError as e:
+        raise PdfParseError("recursion limit during parse") from e
+    except (ValueError, KeyError, IndexError, TypeError, OverflowError) as e:
+        # hostile/garbled input must yield a parse failure, never a crash
+        raise PdfParseError(f"malformed PDF structure: {e}") from e
 
 
 def page_to_text(page: PageOut) -> str:

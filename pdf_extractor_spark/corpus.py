@@ -14,7 +14,21 @@ import base64
 import os
 import random
 
-from .core.pdf_build import PageSpec, Table, TextBox, build_pdf
+# bump when gen_documents/make_pdf_bytes output changes: the parquet cache
+# in tempdir is keyed by it, so stale corpora are never reused across edits
+_GEN_VERSION = 2
+
+from .core.pdf_build import (
+    PageSpec,
+    Table,
+    TextBox,
+    append_incremental_page_update,
+    build_pdf,
+)
+
+# the /Differences remap some corpus PDFs write their accented text through
+# (decoded back by the parser's glyph table — a real multi-font path)
+CORPUS_DIFFS = [(200, "eacute", "é"), (201, "ccedilla", "ç"), (202, "Adieresis", "Ä")]
 
 _WORDS = (
     "data spark engine document extraction pipeline content span layout "
@@ -79,7 +93,7 @@ def _html_doc(rng: random.Random) -> str:
 
 def _pdf_page(rng: random.Random, two_col: bool, with_table: bool) -> PageSpec:
     page = PageSpec()
-    styles = ["td", "tm", "quote", "tj_array"]
+    styles = ["td", "tm", "quote", "tj_array", "hex"]
     y = 60.0
     if two_col:
         # interleave two columns so pure content-stream order != reading order
@@ -114,6 +128,11 @@ def _pdf_page(rng: random.Random, two_col: bool, with_table: bool) -> PageSpec:
 
 
 def make_pdf_bytes(rng: random.Random, n_pages: int) -> bytes:
+    """One synthetic PDF drawing from the full round-2 feature matrix:
+    operator styles incl. <hex> strings, /Differences-encoded accented boxes,
+    per-box cm translates, classic xref (optionally physically shuffled),
+    PDF 1.5 xref streams / object streams / PNG predictor, and incremental
+    updates — all deterministic from the rng stream."""
     pages = []
     for _ in range(n_pages):
         pages.append(
@@ -123,7 +142,45 @@ def make_pdf_bytes(rng: random.Random, n_pages: int) -> bytes:
                 with_table=rng.random() < 0.35,
             )
         )
-    return build_pdf(pages, compress=rng.random() < 0.5)
+    use_diff = rng.random() < 0.25
+    for page in pages:
+        for box in page.boxes:
+            if use_diff and rng.random() < 0.4:
+                box.font = "F2"
+                box.lines = [
+                    line.replace("a", "é", 1) if rng.random() < 0.5 else line
+                    for line in box.lines
+                ]
+            if rng.random() < 0.2:
+                box.ctm = (
+                    1.0, 0.0, 0.0, 1.0,
+                    float(rng.randint(-30, 30)), float(rng.randint(-20, 20)),
+                )
+    kwargs: dict = {}
+    incremental = False
+    mode = rng.random()
+    if mode < 0.30:
+        kwargs["xref_mode"] = "stream"
+        if rng.random() < 0.5:
+            kwargs["objstm"] = True
+            if rng.random() < 0.5:
+                kwargs["predictor"] = True
+    elif mode < 0.40:
+        kwargs["order_rng"] = rng
+    else:
+        incremental = rng.random() < 0.15
+    data = build_pdf(
+        pages,
+        compress=rng.random() < 0.5,
+        differences=CORPUS_DIFFS if use_diff else None,
+        **kwargs,
+    )
+    if incremental:
+        new_page = _pdf_page(rng, two_col=False, with_table=False)
+        data = append_incremental_page_update(
+            data, len(pages) - 1, new_page, n_pages=len(pages)
+        )
+    return data
 
 
 def gen_documents(n_docs: int, seed: int = 42, profile: str = "mixed") -> list[dict]:
@@ -141,12 +198,14 @@ def gen_documents(n_docs: int, seed: int = 42, profile: str = "mixed") -> list[d
         doc_id = f"doc-{seed}-{d:08d}"
         spans: list[dict] = []
         if profile == "heavy":
-            pdf = make_pdf_bytes(rng, rng.randint(6, 14))
+            n_pages = rng.randint(6, 14)
+            pdf = make_pdf_bytes(rng, n_pages)
             spans.append({
                 "kind": "pdf",
                 "text": base64.b64encode(pdf).decode("ascii"),
                 "media_ref": "",
                 "offset": 0,
+                "n_pages": n_pages,  # generator metadata (stripped on write)
             })
             rows.append({"doc_id": doc_id, "spans": spans})
             continue
@@ -171,6 +230,7 @@ def gen_documents(n_docs: int, seed: int = 42, profile: str = "mixed") -> list[d
                     "text": base64.b64encode(pdf).decode("ascii"),
                     "media_ref": "",
                     "offset": off,
+                    "n_pages": n_pages,  # generator metadata (stripped on write)
                 })
             else:
                 ref = f"media://{rng.getrandbits(64):016x}.{rng.choice(['png','jpg','mp3','mp4'])}"
@@ -195,7 +255,7 @@ def corpus_parquet(
     import pyarrow.parquet as pq
 
     out_dir = out_dir or os.path.join(
-        tempfile.gettempdir(), f"pes-corpus-{profile}-{n_docs}-{seed}"
+        tempfile.gettempdir(), f"pes-corpus-v{_GEN_VERSION}-{profile}-{n_docs}-{seed}"
     )
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
@@ -212,10 +272,17 @@ def corpus_parquet(
             ]
         )
     )
+    schema_keys = ("kind", "text", "media_ref", "offset")
     table = pa.table(
         {
             "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
-            "spans": pa.array([r["spans"] for r in rows], span_type),
+            "spans": pa.array(
+                [
+                    [{k: s[k] for k in schema_keys} for s in r["spans"]]
+                    for r in rows
+                ],
+                span_type,
+            ),
         }
     )
     # several row groups so Spark can split the scan across tasks
@@ -267,7 +334,10 @@ def expected_extraction_rows(n_docs: int, seed: int = 42, profile: str = "mixed"
             if s["kind"] == "media":
                 kinds.append("media")
             elif s["kind"] == "pdf":
-                n = _count_pdf_pages(base64.b64decode(s["text"]))
+                # the generator records its page count directly (object
+                # streams hide page dicts from a byte scan); the scan stays
+                # as a fallback for externally-built spans
+                n = s.get("n_pages") or _count_pdf_pages(base64.b64decode(s["text"]))
                 pages += n
                 kinds.extend(["text"] * n)
             else:  # text | html
@@ -293,7 +363,7 @@ def expected_corpus_parquet(n_docs: int, seed: int = 42, profile: str = "mixed")
     import pyarrow.parquet as pq
 
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"pes-expected-{profile}-{n_docs}-{seed}"
+        tempfile.gettempdir(), f"pes-expected-v{_GEN_VERSION}-{profile}-{n_docs}-{seed}"
     )
     path = os.path.join(out_dir, "expected.parquet")
     done = os.path.join(out_dir, "_SUCCESS")

@@ -129,19 +129,20 @@ def test_corpus_pdfs_parse_clean():
 
 
 def test_tokenizer_escape_dialects():
-    """Pin the content-stream tokenizer's escape semantics: named escapes and
-    octal decode in top-level strings (unknown escapes dropped), verbatim-keep
-    dialect inside TJ arrays, nested parens, unterminated string at EOF."""
+    """Pin the content-stream tokenizer's escape semantics (ISO 32000
+    7.3.4.2, uniform in every context since round 2): named escapes, octal
+    decode, unknown escapes keep the character with the backslash ignored;
+    nested parens; unterminated string at EOF."""
     from pdf_extractor_spark.core.pdf_parse import _tokenize
 
     cases = {
         rb"(ab\tc) Tj": [("str", "ab\tc"), ("op", "Tj")],
         rb"(a\053b) Tj": [("str", "a+b"), ("op", "Tj")],
-        # \8 is not a valid octal escape -> dropped (not a crash)
-        rb"(\101\8)Tj": [("str", "A"), ("op", "Tj")],
-        # array dialect: unknown escape kept verbatim, no octal
-        rb"[(a\q) -3 (b)] TJ": [
-            ("arr", [("str", "aq"), ("num", -3.0), ("str", "b")]),
+        # \8 is not a valid octal escape -> backslash dropped, char kept
+        rb"(\101\8)Tj": [("str", "A8"), ("op", "Tj")],
+        # same semantics inside TJ arrays (octal works there too)
+        rb"[(a\q) -3 (\102)] TJ": [
+            ("arr", [("str", "aq"), ("num", -3.0), ("str", "B")]),
             ("op", "TJ"),
         ],
         rb"(nest (inner) out) Tj": [("str", "nest (inner) out"), ("op", "Tj")],

@@ -49,6 +49,15 @@ def test_first_seen_dedup_across_batches_and_restarts(spark, tmp_path):
                 str(landing / "drop-0.parquet"))
     _write_drop(spark, [_doc("a3", "X"), _doc("c1", "Z")],
                 str(landing / "drop-1.parquet"))
+    # the file source orders same-mtime files nondeterministically (fs
+    # timestamp granularity); pin strictly increasing mtimes so drop-0 is
+    # batch 0 — the test is about state, not discovery order
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(landing / "drop-0.parquet", (now - 20, now - 20))
+    _os.utime(landing / "drop-1.parquet", (now - 10, now - 10))
 
     out = _run_stream(spark, landing, ckpt, out_dir)
     survivors = {doc for doc, _ in out.values()}
