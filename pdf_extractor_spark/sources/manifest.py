@@ -10,6 +10,9 @@
 - the actual read is ``spark.read.csv`` with an explicit schema: never
   inferSchema at scale (SURVEY.md §1.4) — every column is read as string and
   the caller casts what it needs;
+- ``.xlsx`` manifests (helper.py's Excel branch) go through the stdlib
+  SpreadsheetML reader in :mod:`xlsx` on the driver, then
+  ``spark.createDataFrame`` — same all-string contract;
 - the (id_col, url_col) projection (P7) normalizes to (doc_id, url), the
   fetch stage's input contract (sources/fetch.py).
 """
@@ -21,6 +24,8 @@ import csv
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
+
+from .xlsx import read_xlsx_rows
 
 _SNIFF_BYTES = 64 * 1024
 _DELIMS = ",;\t|"
@@ -47,19 +52,30 @@ def read_manifest(
     url_col: str,
     id_col: str | None = None,
 ) -> DataFrame:
-    """CSV manifest -> (doc_id, url) DataFrame with explicit string schema.
+    """CSV/XLSX manifest -> (doc_id, url) DataFrame with explicit string
+    schema.
 
     Without ``id_col``, doc_id falls back to the URL basename stem — the
     reference's filename-derived id (helper.py:156-158, dashboard.py:597).
     """
-    delim = sniff_delimiter(path)
-    cols = _header_columns(path, delim)
+    if path.lower().endswith((".xlsx", ".xlsm")):
+        rows = read_xlsx_rows(path)
+        if not rows:
+            raise ValueError(f"empty xlsx manifest {path}")
+        cols = [c.strip() for c in rows[0]]
+        schema = StructType([StructField(c, StringType()) for c in cols])
+        df = spark.createDataFrame(
+            [tuple(r) for r in rows[1:]], schema=schema
+        )
+    else:
+        delim = sniff_delimiter(path)
+        cols = _header_columns(path, delim)
+        schema = StructType([StructField(c, StringType()) for c in cols])
+        df = spark.read.csv(path, header=True, sep=delim, schema=schema)
     if url_col not in cols:
         raise ValueError(f"url column {url_col!r} not in manifest header {cols}")
     if id_col is not None and id_col not in cols:
         raise ValueError(f"id column {id_col!r} not in manifest header {cols}")
-    schema = StructType([StructField(c, StringType()) for c in cols])
-    df = spark.read.csv(path, header=True, sep=delim, schema=schema)
     if id_col is not None:
         ids = F.col(id_col)
     else:

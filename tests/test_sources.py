@@ -110,3 +110,96 @@ def test_manifest_reader_id_fallback(spark, tmp_path):
         ("plain", "http://h/plain"),
         ("report.v2", "http://h/path/report.v2.pdf?x=1"),
     ]
+
+
+def _write_xlsx(path, header, rows):
+    """Minimal SpreadsheetML fixture: shared strings for text, inline
+    numbers, one deliberately sparse row (missing B cell)."""
+    import zipfile
+
+    strings = []
+
+    def sref(s):
+        if s not in strings:
+            strings.append(s)
+        return strings.index(s)
+
+    def cell(ref, v):
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return f'<c r="{ref}" t="s"><v>{sref(v)}</v></c>'
+
+    cols = "ABCDEFG"
+    body = []
+    for rix, row in enumerate([header] + rows, start=1):
+        cells = "".join(
+            cell(f"{cols[cix]}{rix}", v)
+            for cix, v in enumerate(row)
+            if v is not None  # None = omitted cell (sparse row)
+        )
+        body.append(f'<row r="{rix}">{cells}</row>')
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sheet = f'<?xml version="1.0"?><worksheet {ns}><sheetData>{"".join(body)}</sheetData></worksheet>'
+    sst = (
+        f'<?xml version="1.0"?><sst {ns} count="{len(strings)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", f'<?xml version="1.0"?><workbook {ns}/>')
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", sst)
+
+
+def test_xlsx_manifest_roundtrip(spark, tmp_path):
+    """S4 Excel branch (helper.py:72-98): stdlib xlsx reader -> all-string
+    DataFrame -> P7 (id_col, url_col) projection."""
+    from pdf_extractor_spark.sources.manifest import read_manifest
+
+    path = str(tmp_path / "manifest.xlsx")
+    _write_xlsx(
+        path,
+        ["doc", "url", "priority"],
+        [
+            ["d1", "https://x.test/a/report.v2.pdf", 3],
+            ["d2", "https://x.test/b/page.html?q=1", 1.5],
+            ["d3", None, 7],  # sparse row: missing url cell -> ""
+        ],
+    )
+    df = read_manifest(spark, path, url_col="url", id_col="doc")
+    got = {r["doc_id"]: r["url"] for r in df.collect()}
+    assert got == {
+        "d1": "https://x.test/a/report.v2.pdf",
+        "d2": "https://x.test/b/page.html?q=1",
+        "d3": "",
+    }
+
+    # filename-derived ids (no id_col): basename stem of the URL path
+    df2 = read_manifest(spark, path, url_col="url")
+    ids = {r["doc_id"] for r in df2.collect()}
+    assert "report.v2" in ids and "page" in ids
+
+    # numeric cells survive as lexical strings under the all-string contract
+    from pdf_extractor_spark.sources.xlsx import read_xlsx_rows
+
+    rows = read_xlsx_rows(path)
+    assert rows[0] == ["doc", "url", "priority"]
+    assert rows[1][2] == "3" and rows[2][2] == "1.5"
+    assert rows[3] == ["d3", "", "7"]
+
+
+def test_xlsx_unknown_column_and_bad_file(spark, tmp_path):
+    import pytest as _pytest
+
+    from pdf_extractor_spark.sources.manifest import read_manifest
+    from pdf_extractor_spark.sources.xlsx import XlsxError, read_xlsx_rows
+
+    path = str(tmp_path / "m.xlsx")
+    _write_xlsx(path, ["a", "b"], [["1", "2"]])
+    with _pytest.raises(ValueError, match="url column"):
+        read_manifest(spark, path, url_col="nope")
+
+    bad = tmp_path / "bad.xlsx"
+    bad.write_bytes(b"this is not a zip")
+    with _pytest.raises(XlsxError):
+        read_xlsx_rows(str(bad))
