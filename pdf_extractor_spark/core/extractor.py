@@ -35,7 +35,7 @@ KIND_PDF = "pdf"
 KIND_MEDIA = "media"
 
 
-@dataclass
+@dataclass(slots=True)
 class ExtractResult:
     spans: list[tuple[str, str, str, int]]  # (kind, text, media_ref, offset)
     pages_parsed: int

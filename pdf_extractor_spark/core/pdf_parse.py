@@ -56,7 +56,7 @@ class PdfParseError(ValueError):
 # ---------------------------------------------------------------- object model
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, slots=True)
 class Ref:
     num: int
     gen: int = 0
@@ -68,7 +68,7 @@ class Name(str):
     __slots__ = ()
 
 
-@dataclass
+@dataclass(slots=True)
 class Stream:
     dict: dict
     raw: bytes  # undecoded bytes as stored in the file
@@ -163,12 +163,13 @@ def _scan_hex_string(data: bytes, i: int, n: int):
     j = data.find(b">", i)
     if j == -1:
         raise PdfParseError("unterminated hex string")
-    body = bytes(c for c in data[i:j] if c not in _WS_SET)
-    if not re.fullmatch(rb"[0-9a-fA-F]*", body):
-        raise PdfParseError("invalid hex string")
+    body = data[i:j].translate(None, _WS)  # C-level whitespace strip
     if len(body) % 2:
         body += b"0"
-    return j + 1, bytes.fromhex(body.decode("ascii")).decode("latin-1")
+    try:
+        return j + 1, bytes.fromhex(body.decode("ascii")).decode("latin-1")
+    except (ValueError, UnicodeDecodeError) as e:
+        raise PdfParseError("invalid hex string") from e
 
 
 def _parse_object(data: bytes, i: int, depth: int = 0):
@@ -594,7 +595,7 @@ def _glyph_to_char(name: str) -> str:
     return "�"
 
 
-@dataclass
+@dataclass(slots=True)
 class _Font:
     """Per-font text decoding state: only /Differences remaps matter for the
     simple (latin-1 base) fonts in scope; None means identity."""
@@ -794,14 +795,14 @@ def _tokenize_until(stream: bytes, start: int):
 # --------------------------------------------------------- interpreter (text)
 
 
-@dataclass
+@dataclass(slots=True)
 class _TextItem:
     x: float
     y_top: float
     text: str
 
 
-@dataclass
+@dataclass(slots=True)
 class _Rect:
     x0: float
     y0_top: float
@@ -978,7 +979,7 @@ def _interpret(
 # ---------------------------------------------------------------- layout layer
 
 
-@dataclass
+@dataclass(slots=True)
 class TextBoxOut:
     """A detected textbox: ordered lines, bbox top-y/left-x for reading order."""
 
@@ -991,14 +992,14 @@ class TextBoxOut:
         return "\n".join(self.lines)
 
 
-@dataclass
+@dataclass(slots=True)
 class TableOut:
     y_top: float
     x: float
     rows: list[list[str | None]] = field(default_factory=list)
 
 
-@dataclass
+@dataclass(slots=True)
 class PageOut:
     boxes: list[TextBoxOut]
     tables: list[TableOut]

@@ -333,8 +333,88 @@ ORDER BY doc_id
 """
 
 
+# --- exact interpolated quantiles (distributed, no driver materialization) --
+
+_QUANTILES = (0.5, 0.95, 0.99)
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source doc-length quantiles (p50/p95/p99), exact linear
+    interpolation, computed distributively: ONE window shuffle on the group
+    key (rank assignment) + conditional aggregation picking the two
+    bracketing ranks per quantile — never a per-group value collect. This is
+    the exact-quantile plan that scales when ``percentile()`` (which
+    materializes each group) cannot; at 100 TB the same shape runs per
+    partition-pruned source. approx_percentile remains the cheap alternative
+    when exactness isn't required.
+    """
+    docs = _read(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.withColumn("rn", F.row_number().over(w) - 1)
+    j = ranked.join(F.broadcast(counts), "source")
+    aggs = []
+    for q in _QUANTILES:
+        pos = (F.col("n") - 1).cast("double") * F.lit(q)
+        lo = F.floor(pos)
+        hi = F.ceil(pos)
+        frac = pos - lo
+        v_lo = F.max(F.when(F.col("rn") == lo, F.col("n_chars").cast("double")))
+        v_hi = F.max(F.when(F.col("rn") == hi, F.col("n_chars").cast("double")))
+        # frac is constant within the group; carry it through max()
+        fr = F.max(F.when(F.col("rn") == lo, frac))
+        val = v_lo + (v_hi - v_lo) * fr
+        aggs.append(
+            F.floor(val * 1_000_000.0)
+            .cast("bigint")
+            .alias(f"p{int(q * 100):02d}_micros")
+        )
+    return j.groupBy("source").agg(*aggs).orderBy("source")
+
+
+def _length_quantiles_sql() -> str:
+    # the SAME manual bracketing-rank formula (not quantile_cont) so both
+    # engines execute identical IEEE operations in identical order
+    cols = []
+    for q in _QUANTILES:
+        cols.append(
+            f"CAST(floor((vlo_{int(q*100)} + (vhi_{int(q*100)} - vlo_{int(q*100)}) "
+            f"* fr_{int(q*100)}) * 1000000.0) AS BIGINT) AS p{int(q*100):02d}_micros"
+        )
+    picks = []
+    for q in _QUANTILES:
+        qq = int(q * 100)
+        picks.append(
+            f"max(CASE WHEN rn = floor(pos_{qq}) THEN CAST(n_chars AS DOUBLE) END) AS vlo_{qq},\n"
+            f"  max(CASE WHEN rn = ceil(pos_{qq}) THEN CAST(n_chars AS DOUBLE) END) AS vhi_{qq},\n"
+            f"  max(CASE WHEN rn = floor(pos_{qq}) THEN pos_{qq} - floor(pos_{qq}) END) AS fr_{qq}"
+        )
+    pos_defs = ", ".join(
+        f"CAST(n - 1 AS DOUBLE) * {q} AS pos_{int(q*100)}" for q in _QUANTILES
+    )
+    return f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+ranked AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1 AS rn
+  FROM documents),
+j AS (SELECT r.source, r.n_chars, r.rn, {pos_defs}
+      FROM ranked r JOIN counts USING (source)),
+agg AS (
+  SELECT source,
+  {", ".join(picks)}
+  FROM j GROUP BY source)
+SELECT source, {", ".join(cols)}
+FROM agg ORDER BY source
+"""
+
+
+LENGTH_QUANTILES_SQL = _length_quantiles_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "rollup_revenue": (q_rollup_revenue, ROLLUP_REVENUE_SQL),
+    "length_quantiles": (q_length_quantiles, LENGTH_QUANTILES_SQL),
     "sessionize": (q_sessionize, SESSIONIZE_SQL),
     "wordcount_topk": (q_wordcount_topk, WORDCOUNT_TOPK_SQL),
     "salted_topk_users": (q_salted_topk_users, SALTED_TOPK_USERS_SQL),

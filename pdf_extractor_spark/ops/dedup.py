@@ -409,6 +409,93 @@ ORDER BY doc1, doc2
 SIMHASH_NEARDUP_SQL = _simhash_neardup_sql()
 
 
+# --- LSH candidates -> exact verification (the composed scale path) --------
+
+DUP_JACCARD_PPB = 500_000_000  # pairs at >= 0.5 exact Jaccard are duplicates
+
+
+def q_dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end near-dup DAG in its 100 TB shape: MinHash LSH candidate
+    generation (banded bucket join — O(n), never all-pairs) followed by
+    EXACT 3-gram Jaccard computed ONLY for the candidate pairs.
+
+    This is the composition that replaces ``q_dedup_jaccard``'s all-pairs
+    self-join at scale: the expensive exact measure runs on the
+    LSH-candidate set (tiny relative to n^2), joined per side against the
+    shingle table — two hash joins keyed on doc_id, one agg on the pair.
+    Every candidate is emitted with its exact score and an is_dup verdict,
+    so recall/precision of the banding is itself observable downstream.
+    """
+    docs = _read_docs(spark, sf_dir)
+    cand = q_minhash_lsh_pairs(spark, sf_dir).select("doc1", "doc2")
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    s1 = sh.alias("s1")
+    s2 = sh.alias("s2")
+    common = (
+        cand.join(s1, F.col("doc1") == F.col("s1.doc_id"))
+        .join(
+            s2,
+            (F.col("doc2") == F.col("s2.doc_id"))
+            & (F.col("s1.shingle") == F.col("s2.shingle")),
+        )
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        cand.join(common, ["doc1", "doc2"], "left")
+        .join(sa, F.col("doc1") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
+        .select(
+            "doc1",
+            "doc2",
+            F.coalesce("common", F.lit(0)).alias("common"),
+            F.floor(
+                F.coalesce("common", F.lit(0))
+                * F.lit(1_000_000_000)
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.coalesce("common", F.lit(0)))
+            )
+            .cast("bigint")
+            .alias("jaccard_ppb"),
+        )
+        .withColumn("is_dup", (F.col("jaccard_ppb") >= DUP_JACCARD_PPB).cast("int"))
+        .orderBy("doc1", "doc2")
+    )
+
+
+def _dedup_verified_sql() -> str:
+    lsh = _minhash_lsh_sql().replace("ORDER BY doc1, doc2", "")
+    return f"""
+WITH cand AS ({lsh}),
+sh AS ({SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc1, c.doc2, count(*) AS common
+  FROM cand c
+  JOIN sh s1 ON c.doc1 = s1.doc_id
+  JOIN sh s2 ON c.doc2 = s2.doc_id AND s1.shingle = s2.shingle
+  GROUP BY c.doc1, c.doc2)
+SELECT c.doc1, c.doc2,
+       coalesce(common, 0) AS common,
+       CAST(floor(coalesce(common, 0) * 1000000000
+                  / (sa.n_sh + sb.n_sh - coalesce(common, 0))) AS BIGINT)
+         AS jaccard_ppb,
+       CAST(CAST(floor(coalesce(common, 0) * 1000000000
+                  / (sa.n_sh + sb.n_sh - coalesce(common, 0))) AS BIGINT)
+            >= {DUP_JACCARD_PPB} AS INT) AS is_dup
+FROM cand c
+LEFT JOIN common USING (doc1, doc2)
+JOIN sizes sa ON c.doc1 = sa.doc_id
+JOIN sizes sb ON c.doc2 = sb.doc_id
+ORDER BY doc1, doc2
+"""
+
+
+DEDUP_VERIFIED_PAIRS_SQL = _dedup_verified_sql()
+
+
 # --- embedding-cosine near-dup ---------------------------------------------
 
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,6 +653,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_components": (q_dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_jaccard": (q_dedup_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_verified_pairs": (q_dedup_verified_pairs, DEDUP_VERIFIED_PAIRS_SQL),
     "minhash_signatures": (q_minhash_signatures, MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),
     "simhash": (q_simhash, SIMHASH_SQL),
