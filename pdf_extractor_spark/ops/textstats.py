@@ -278,8 +278,139 @@ ORDER BY w.doc_id
 """
 
 
+# --- PII scrubbing ---------------------------------------------------------
+
+# deliberately alternation-free, backreference-free patterns so the Java
+# (Spark) and RE2 (DuckDB) engines match byte-identically
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails + intl-format phone numbers), a standard
+    training-data curation stage. Map-only: two regexp_count + two
+    regexp_replace per row, zero shuffle.
+
+    The testdata corpus has no organic PII, so the query plants a
+    deterministic contact line per doc (both engines construct the same
+    string) — the scrubbed output and counts are then value-hash checked,
+    not just the plumbing.
+    """
+    docs = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 (555) 010-"),
+        F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+    )
+    d = docs.select("doc_id", planted.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(PHONE_RE)).alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    ).orderBy("doc_id")
+
+
+PII_SCRUB_SQL = rf"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 (555) 010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(t, '{PHONE_RE}')) AS n_phones,
+       regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM planted ORDER BY doc_id
+"""
+
+
+# --- repetition quality filters (Gopher/C4-style) ---------------------------
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals: fraction of tokens taken by the
+    most frequent token, and by the most frequent word bigram — the classic
+    filters for boilerplate/template spam in web-scale corpora.
+
+    Map-only trick: the mode's count equals the longest run of equal
+    adjacent values in the SORTED token array, so a JVM array_sort + one
+    fold computes it with ZERO shuffle — no explode, no groupBy. The DuckDB
+    oracle computes the same value the set-semantics way (unnest + group +
+    max count), which doubles as an independent check of the fold.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = tokens("text")
+
+    def top_run_frac(arr):
+        """max equal-adjacent run in sorted arr / len(arr), in floor-micros."""
+        sorted_arr = F.array_sort(arr)
+        acc0 = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
+
+        def merge(acc, t):
+            run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                t.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        best = F.aggregate(sorted_arr, acc0, merge, lambda acc: acc["best"])
+        # widen before the scale-up: int * 1e6 would overflow int32 under ANSI
+        return F.floor(
+            best.cast("bigint") * F.lit(1_000_000) / F.size(arr)
+        ).cast("bigint")
+
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tok, i.cast("int")), F.element_at(tok, (i + 1).cast("int"))
+        ),
+    )
+    d = docs.select("doc_id", tok.alias("tok"), bigrams.alias("big")).where(
+        F.size("tok") >= 2
+    )
+    return d.select(
+        "doc_id",
+        F.size("tok").alias("n_tokens"),
+        top_run_frac(F.col("tok")).alias("top_token_micros"),
+        top_run_frac(F.col("big")).alias("top_bigram_micros"),
+    ).orderBy("doc_id")
+
+
+REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {tokens_sql('text')} AS tok FROM documents),
+base AS (SELECT doc_id, tok,
+                [tok[i] || ' ' || tok[i+1] FOR i IN range(1, len(tok))] AS big
+         FROM t WHERE len(tok) >= 2),
+tok_counts AS (
+  SELECT doc_id, count(*) AS c
+  FROM (SELECT doc_id, unnest(tok) AS w FROM base) GROUP BY doc_id, w),
+big_counts AS (
+  SELECT doc_id, count(*) AS c
+  FROM (SELECT doc_id, unnest(big) AS w FROM base) GROUP BY doc_id, w)
+SELECT b.doc_id,
+       len(b.tok) AS n_tokens,
+       CAST(floor((SELECT max(c) FROM tok_counts tc WHERE tc.doc_id = b.doc_id)
+                  * 1000000 / len(b.tok)) AS BIGINT) AS top_token_micros,
+       CAST(floor((SELECT max(c) FROM big_counts bc WHERE bc.doc_id = b.doc_id)
+                  * 1000000 / len(b.big)) AS BIGINT) AS top_bigram_micros
+FROM base b ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "lang_id": (q_lang_id, LANG_ID_SQL),
+    "pii_scrub": (q_pii_scrub, PII_SCRUB_SQL),
+    "repetition": (q_repetition, REPETITION_SQL),
     "lang_id_ngram": (q_lang_id_ngram, LANG_ID_NGRAM_SQL),
     "quality": (q_quality, QUALITY_SQL),
     "token_counts": (q_token_counts, TOKEN_COUNTS_SQL),

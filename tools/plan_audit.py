@@ -205,6 +205,51 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "repetition",
+        _query_df,
+        [
+            # mode-by-sorted-run-fold: map-only, no explode, no groupBy —
+            # the only exchange is the deterministic final sort
+            lambda p: absent(p, "hashpartitioning"),
+            lambda p: absent(p, "Generate"),
+            lambda p: exchange_count(p, 1),
+        ],
+        False,
+    ),
+    (
+        "pii_scrub",
+        _query_df,
+        [
+            lambda p: absent(p, "hashpartitioning"),
+            lambda p: exchange_count(p, 1),
+        ],
+        False,
+    ),
+    (
+        "length_quantiles",
+        _query_df,
+        [
+            # counts broadcast back; rank window is the single big shuffle;
+            # never a per-group pandas or sort-merge join
+            lambda p: contains(p, "Window"),
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: absent(p, "FlatMapGroupsInPandas"),
+        ],
+        False,
+    ),
+    (
+        "dedup_verified_pairs",
+        _query_df,
+        [
+            # candidate-bounded exact verification: equi-joins only — a
+            # cartesian/nested-loop anywhere means the all-pairs path leaked back
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: absent(p, "BroadcastNestedLoopJoin"),
+        ],
+        False,
+    ),
+    (
         "extract_stage",
         _extract_stage_df,
         [
