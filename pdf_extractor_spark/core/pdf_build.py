@@ -67,6 +67,11 @@ class Table:
 class PageSpec:
     boxes: list[TextBox] = field(default_factory=list)
     tables: list[Table] = field(default_factory=list)
+    # /Rotate value (0/90/180/270). Box coordinates stay in DISPLAY space —
+    # the builder inverse-maps them into PDF space and places every line by
+    # absolute Tm, so the displayed (and extracted) layout is identical to
+    # the unrotated page. Tables on rotated pages are unsupported.
+    rotate: int = 0
 
 
 def _esc(s: str, inv_diff: dict[str, int] | None = None) -> str:
@@ -148,6 +153,31 @@ def _textbox_ops(box: TextBox, inv_diff: dict[str, int] | None = None) -> str:
     return "\n".join(ops)
 
 
+def _rotated_textbox_ops(
+    box: TextBox, rotate: int, inv_diff: dict[str, int] | None = None
+) -> str:
+    """Per-line absolute Tm placement for a /Rotate'd page: each DISPLAY
+    position (x, y_top + i*leading) is inverse-rotated into PDF top-down
+    coords (the exact inverse of the parser's _apply_rotation maps)."""
+    inv = inv_diff if box.font == "F2" else None
+    if rotate == 90:
+        back = lambda X, Yt: (Yt, PAGE_H - X)
+    elif rotate == 180:
+        back = lambda X, Yt: (PAGE_W - X, PAGE_H - Yt)
+    elif rotate == 270:
+        back = lambda X, Yt: (PAGE_W - Yt, X)
+    else:
+        raise ValueError(f"unsupported rotate {rotate}")
+    ops = [f"BT /{box.font} {box.font_size:g} Tf"]
+    for i, line in enumerate(box.lines):
+        x_pdf, ytop_pdf = back(box.x, box.y_top + i * box.leading)
+        y = PAGE_H - ytop_pdf
+        ops.append(f"1 0 0 1 {x_pdf:g} {y:g} Tm")
+        ops.append(f"({_esc(line, inv)}) Tj")
+    ops.append("ET")
+    return "\n".join(ops)
+
+
 def _table_ops(tbl: Table) -> str:
     ops = []
     n_rows = len(tbl.rows)
@@ -194,19 +224,27 @@ def _page_objects(
     for i, page in enumerate(pages):
         page_num = 3 + 2 * i
         content_num = page_num + 1
+        rot = f" /Rotate {page.rotate}" if page.rotate else ""
         objs.append(
             (
                 page_num,
                 (
                     f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:g} "
-                    f"{PAGE_H:g}] /Contents {content_num} 0 R "
+                    f"{PAGE_H:g}]{rot} /Contents {content_num} 0 R "
                     f"/Resources << /Font << {font_res} >> >> >>"
                 ).encode(),
                 False,
             )
         )
-        parts = [_table_ops(t) for t in page.tables]
-        parts += [_textbox_ops(b, inv_diff) for b in page.boxes]
+        if page.rotate:
+            if page.tables:
+                raise ValueError("tables on rotated pages are unsupported")
+            parts = [
+                _rotated_textbox_ops(b, page.rotate, inv_diff) for b in page.boxes
+            ]
+        else:
+            parts = [_table_ops(t) for t in page.tables]
+            parts += [_textbox_ops(b, inv_diff) for b in page.boxes]
         content = "\n".join(parts).encode("latin-1", errors="replace")
         if compress:
             data = zlib.compress(content)

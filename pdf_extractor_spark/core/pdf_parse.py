@@ -463,12 +463,18 @@ class PdfDoc:
 
     # ---- object access
 
-    def _parse_indirect_at(self, offset: int, expect_stream: bool = False):
+    def _parse_indirect_at(
+        self, offset: int, expect_stream: bool = False, expect_num: int | None = None
+    ):
         data = self.data
         i = _skip_ws(data, offset)
         m = _OBJ_HDR_RE.match(data, i)
         if m is None:
             raise PdfParseError(f"no object header at offset {offset}")
+        if expect_num is not None and int(m.group(1)) != expect_num:
+            raise PdfParseError(
+                f"stale xref: object {m.group(1).decode()} at offset of {expect_num}"
+            )
         val, j = _parse_object(data, m.end())
         j2 = _skip_ws(data, j)
         if data[j2 : j2 + 6] == b"stream":
@@ -497,14 +503,33 @@ class PdfDoc:
             return Stream(val, data[s:end])
         return val
 
+    def _scan_offset(self, num: int) -> int | None:
+        """Lazy brute-scan offset map for stale-xref recovery (edited or
+        incrementally-damaged files whose tables point at old offsets —
+        pymupdf repairs these too). Last occurrence wins."""
+        if not hasattr(self, "_scanned"):
+            self._scanned = {}
+            for m in _OBJ_HDR_RE.finditer(self.data):
+                self._scanned[int(m.group(1))] = m.start()
+        return self._scanned.get(num)
+
     def get(self, num: int):
         if num in self._cache:
             return self._cache[num]
         entry = self.xref.get(num)
         if entry is None:
-            raise PdfParseError(f"missing object {num}")
+            off = self._scan_offset(num)
+            if off is None:
+                raise PdfParseError(f"missing object {num}")
+            entry = ("n", off)
         if entry[0] == "n":
-            val = self._parse_indirect_at(entry[1])
+            try:
+                val = self._parse_indirect_at(entry[1], expect_num=num)
+            except PdfParseError:
+                off = self._scan_offset(num)
+                if off is None or off == entry[1]:
+                    raise
+                val = self._parse_indirect_at(off, expect_num=num)
         else:
             _, stm_num, idx = entry
             val = self._objstm_object(stm_num, idx)
@@ -976,6 +1001,41 @@ def _interpret(
     return items, rects
 
 
+def _apply_rotation(
+    items: list[_TextItem], rects: list[_Rect], rot: int, w: float, h: float
+) -> tuple[list[_TextItem], list[_Rect]]:
+    """Map device coordinates into DISPLAY space for a /Rotate'd page, so
+    reading order follows what a viewer shows (clockwise rotation per spec).
+
+    Derived point maps (device (x, y_top) -> display (x', y_top')):
+      90:  (h - y_top, x)        — display canvas is h wide, w tall
+      180: (w - x, h - y_top)
+      270: (y_top, w - x)
+    """
+    if rot == 90:
+        f = lambda x, yt: (h - yt, x)
+    elif rot == 180:
+        f = lambda x, yt: (w - x, h - yt)
+    elif rot == 270:
+        f = lambda x, yt: (yt, w - x)
+    else:
+        raise PdfParseError(f"unsupported /Rotate {rot}")
+    new_items = [
+        _TextItem(x=f(it.x, it.y_top)[0], y_top=f(it.x, it.y_top)[1], text=it.text)
+        for it in items
+    ]
+    new_rects = []
+    for r in rects:
+        (x0, y0), (x1, y1) = f(r.x0, r.y0_top), f(r.x1, r.y1_top)
+        new_rects.append(
+            _Rect(
+                x0=min(x0, x1), y0_top=min(y0, y1),
+                x1=max(x0, x1), y1_top=max(y0, y1),
+            )
+        )
+    return new_items, new_rects
+
+
 # ---------------------------------------------------------------- layout layer
 
 
@@ -1158,7 +1218,7 @@ def _page_list(doc: PdfDoc) -> list[tuple[dict, dict]]:
                     raise PdfParseError("cycle in page tree /Kids")
                 visited.add(node.num)
             inh = dict(inherited)
-            for key in ("MediaBox", "Resources"):
+            for key in ("MediaBox", "Resources", "Rotate"):
                 if key in node_res:
                     inh[key] = node_res[key]
             ntype = str(doc.resolve(node_res.get("Type")) or "")
@@ -1210,14 +1270,23 @@ def parse_pdf(data: bytes) -> list[PageOut]:
         raise PdfParseError("not a PDF (bad header)")
     try:
         doc = PdfDoc(data)
+        if doc.trailer.get("Encrypt") is not None:
+            # standard-security files need RC4/AES decryption we deliberately
+            # do not implement: fail loudly into the parse_failures metric
+            # (same quarantine outcome the reference gets from pymupdf's
+            # needs_pass, helper.py:213-225)
+            raise PdfParseError("encrypted PDF (\x2fEncrypt present)")
         page_nodes = _page_list(doc)
 
         pages: list[PageOut] = []
         for page, inherited in page_nodes:
             mb = doc.resolve(page.get("MediaBox", inherited.get("MediaBox")))
-            page_h = 792.0
+            page_w, page_h = 612.0, 792.0
             if isinstance(mb, list) and len(mb) == 4:
+                page_w = float(doc.resolve(mb[2]))
                 page_h = float(doc.resolve(mb[3]))
+            rot = doc.resolve(page.get("Rotate", inherited.get("Rotate", 0))) or 0
+            rot = int(rot) % 360
             resources = page.get("Resources", inherited.get("Resources"))
             fonts = _page_fonts(doc, resources)
             xobjects = _page_xobjects(doc, resources)
@@ -1225,6 +1294,8 @@ def parse_pdf(data: bytes) -> list[PageOut]:
             items, rects = _interpret(
                 stream, page_h, fonts=fonts, xobjects=xobjects, doc=doc
             )
+            if rot:
+                items, rects = _apply_rotation(items, rects, rot, page_w, page_h)
             tables, used = _detect_tables(rects, items)
             free_items = [it for i, it in enumerate(items) if i not in used]
             boxes = _group_textboxes(free_items)

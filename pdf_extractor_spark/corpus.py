@@ -16,7 +16,7 @@ import random
 
 # bump when gen_documents/make_pdf_bytes output changes: the parquet cache
 # in tempdir is keyed by it, so stale corpora are never reused across edits
-_GEN_VERSION = 2
+_GEN_VERSION = 3
 
 from .core.pdf_build import (
     PageSpec,
@@ -144,6 +144,8 @@ def make_pdf_bytes(rng: random.Random, n_pages: int) -> bytes:
         )
     use_diff = rng.random() < 0.25
     for page in pages:
+        if not page.tables and rng.random() < 0.15:
+            page.rotate = rng.choice([90, 180, 270])
         for box in page.boxes:
             if use_diff and rng.random() < 0.4:
                 box.font = "F2"

@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .portable import epoch_s, tokens, tokens_sql
+from .portable import epoch_s, h64, h64_sql, tokens, tokens_sql
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -412,9 +412,55 @@ FROM agg ORDER BY source
 LENGTH_QUANTILES_SQL = _length_quantiles_sql()
 
 
+# --- deterministic stratified sampling --------------------------------------
+
+# per-stratum keep rates in parts-per-million; downsample the dominant
+# language, keep the tail — the standard corpus-rebalancing move
+SAMPLE_RATE_PPM = {"en": 300_000}
+SAMPLE_DEFAULT_PPM = 700_000
+_SAMPLE_SALT = ":sample:42"
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample via deterministic hash thresholding.
+
+    keep iff h(doc_id || salt) mod 1e6 < rate_ppm(lang). Map-only (zero
+    shuffle), reproducible across runs and cluster sizes (no RNG state), and
+    cheap to re-draw with a different salt. This is how you rebalance a
+    10^12-doc corpus: the filter pipelines into the scan, no sampling
+    operator state, exact expected rates per stratum.
+    """
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    rate = F.when(
+        F.col("lang") == "en", F.lit(SAMPLE_RATE_PPM["en"])
+    ).otherwise(F.lit(SAMPLE_DEFAULT_PPM))
+    bucket = F.pmod(
+        h64(F.concat(F.col("doc_id").cast("string"), F.lit(_SAMPLE_SALT))),
+        F.lit(1_000_000),
+    )
+    return (
+        docs.where(bucket < rate)
+        .select("doc_id", "lang", bucket.cast("bigint").alias("sample_bucket"))
+        .orderBy("doc_id")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang,
+       {h64_sql(f"CAST(doc_id AS VARCHAR) || '{_SAMPLE_SALT}'")} % 1000000
+         AS sample_bucket
+FROM documents
+WHERE {h64_sql(f"CAST(doc_id AS VARCHAR) || '{_SAMPLE_SALT}'")} % 1000000
+      < (CASE WHEN lang = 'en' THEN {SAMPLE_RATE_PPM['en']}
+              ELSE {SAMPLE_DEFAULT_PPM} END)
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "rollup_revenue": (q_rollup_revenue, ROLLUP_REVENUE_SQL),
     "length_quantiles": (q_length_quantiles, LENGTH_QUANTILES_SQL),
+    "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "sessionize": (q_sessionize, SESSIONIZE_SQL),
     "wordcount_topk": (q_wordcount_topk, WORDCOUNT_TOPK_SQL),
     "salted_topk_users": (q_salted_topk_users, SALTED_TOPK_USERS_SQL),
