@@ -102,6 +102,33 @@ def _hex_str(s: str, inv_diff: dict[str, int] | None = None) -> str:
     return "<" + "".join(f"{c:02x}" for c in codes) + ">"
 
 
+# CID codes the synthetic Type0 font maps beyond the identity-ASCII range
+CID_EACUTE = 0x0100  # -> "é" (bfchar)
+CID_FFL = 0x0101  # -> "ffl" (bfchar, multi-char ligature target)
+
+
+def _cid_hex(s: str) -> str:
+    """Encode a line as Identity-H 2-byte CIDs for the synthetic F3 font:
+    ASCII 0x20-0x7e identity (covered by one bfrange), é and the ffl
+    ligature via dedicated bfchar codes."""
+    out: list[int] = []
+    i = 0
+    while i < len(s):
+        if s.startswith("ffl", i):
+            out.append(CID_FFL)
+            i += 3
+        elif s[i] == "é":
+            out.append(CID_EACUTE)
+            i += 1
+        else:
+            o = ord(s[i])
+            if not 0x20 <= o <= 0x7E:
+                raise ValueError(f"char {s[i]!r} not in the synthetic CID map")
+            out.append(o)
+            i += 1
+    return "<" + "".join(f"{c:04x}" for c in out) + ">"
+
+
 def _textbox_ops(box: TextBox, inv_diff: dict[str, int] | None = None) -> str:
     inv = inv_diff if box.font == "F2" else None
     # with a CTM, coordinates/leading are emitted in user space so that the
@@ -125,10 +152,16 @@ def _textbox_ops(box: TextBox, inv_diff: dict[str, int] | None = None) -> str:
         ops.append(f"1 0 0 1 {x_u:g} {y0_u:g} Tm")
     else:
         ops.append(f"{x_u:g} {y0_u:g} Td")
+    if box.font == "F3":
+        tok = _cid_hex  # Type0/Identity-H: every show string is CID hex
+    elif box.style == "hex":
+        tok = lambda s: _hex_str(s, inv)
+    else:
+        tok = lambda s: f"({_esc(s, inv)})"
     for i, line in enumerate(box.lines):
         if i > 0:
             if box.style == "quote":
-                ops.append(f"({_esc(line, inv)}) '")
+                ops.append(f"{tok(line)} '")
                 continue
             if box.style == "tm":
                 ops.append(f"1 0 0 1 {x_u:g} {y0_u - i * lead_u:g} Tm")
@@ -140,13 +173,9 @@ def _textbox_ops(box: TextBox, inv_diff: dict[str, int] | None = None) -> str:
             if box.style == "tj_array":
                 # split the line across a TJ array with kerning numbers
                 mid = max(1, len(line) // 2)
-                ops.append(
-                    f"[({_esc(line[:mid], inv)}) -20 ({_esc(line[mid:], inv)})] TJ"
-                )
-            elif box.style == "hex":
-                ops.append(f"{_hex_str(line, inv)} Tj")
+                ops.append(f"[{tok(line[:mid])} -20 {tok(line[mid:])}] TJ")
             else:
-                ops.append(f"({_esc(line, inv)}) Tj")
+                ops.append(f"{tok(line)} Tj")
     ops.append("ET")
     if box.ctm is not None:
         ops.append("Q")
@@ -168,12 +197,18 @@ def _rotated_textbox_ops(
         back = lambda X, Yt: (PAGE_W - Yt, X)
     else:
         raise ValueError(f"unsupported rotate {rotate}")
+    if box.font == "F3":
+        tok = _cid_hex
+    elif box.style == "hex":
+        tok = lambda s: _hex_str(s, inv)
+    else:
+        tok = lambda s: f"({_esc(s, inv)})"
     ops = [f"BT /{box.font} {box.font_size:g} Tf"]
     for i, line in enumerate(box.lines):
         x_pdf, ytop_pdf = back(box.x, box.y_top + i * box.leading)
         y = PAGE_H - ytop_pdf
         ops.append(f"1 0 0 1 {x_pdf:g} {y:g} Tm")
-        ops.append(f"({_esc(line, inv)}) Tj")
+        ops.append(f"{tok(line)} Tj")
     ops.append("ET")
     return "\n".join(ops)
 
@@ -202,11 +237,13 @@ def _page_objects(
     pages: list[PageSpec],
     compress: bool,
     differences: list[tuple[int, str, str]] | None,
+    cid: bool = False,
 ) -> tuple[list[tuple[int, bytes, bool]], int]:
     """Assemble numbered object bodies.
 
     Returns ([(num, body, is_stream)], size). Numbering: 1 catalog, 2 pages
-    node, then per page i: page 3+2i / contents 4+2i, then fonts.
+    node, then per page i: page 3+2i / contents 4+2i, then fonts (F1; F2 if
+    differences; F3 Type0 + descendant + ToUnicode stream if cid).
     """
     inv_diff = {ch: code for code, _name, ch in (differences or [])}
     n_pages = len(pages)
@@ -221,6 +258,9 @@ def _page_objects(
     font_res = f"/F1 {f1_num} 0 R"
     if differences:
         font_res += f" /F2 {f2_num} 0 R"
+    f3_num = f2_num + 1 if differences else f1_num + 1
+    if cid:
+        font_res += f" /F3 {f3_num} 0 R"
     for i, page in enumerate(pages):
         page_num = 3 + 2 * i
         content_num = page_num + 1
@@ -277,6 +317,51 @@ def _page_objects(
             )
         )
         size = f2_num + 1
+    if cid:
+        desc_num = f3_num + 1
+        tu_num = f3_num + 2
+        objs.append(
+            (
+                f3_num,
+                (
+                    "<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic "
+                    f"/Encoding /Identity-H /DescendantFonts [{desc_num} 0 R] "
+                    f"/ToUnicode {tu_num} 0 R >>"
+                ).encode(),
+                False,
+            )
+        )
+        objs.append(
+            (
+                desc_num,
+                (
+                    "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synthetic "
+                    "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+                    "/Supplement 0 >> >>"
+                ).encode(),
+                False,
+            )
+        )
+        # identity-ASCII bfrange + two bfchar extras (é, ffl ligature)
+        cmap = (
+            "/CIDInit /ProcSet findresource begin\n"
+            "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+            "1 beginbfrange\n<0020> <007e> <0020>\nendbfrange\n"
+            "2 beginbfchar\n"
+            f"<{CID_EACUTE:04x}> <00e9>\n"
+            f"<{CID_FFL:04x}> <00660066006c>\n"
+            "endbfchar\nend\n"
+        ).encode()
+        objs.append(
+            (
+                tu_num,
+                f"<< /Length {len(cmap)} >>\nstream\n".encode()
+                + cmap
+                + b"\nendstream",
+                True,
+            )
+        )
+        size = tu_num + 1
     return objs, size
 
 
@@ -301,6 +386,7 @@ def build_pdf(
     predictor: bool = False,
     differences: list[tuple[int, str, str]] | None = None,
     order_rng: random.Random | None = None,
+    cid: bool = False,
 ) -> bytes:
     """Assemble a complete PDF.
 
@@ -314,7 +400,7 @@ def build_pdf(
     non-stream objects are packed into one compressed object stream
     (/Type /ObjStm) referenced by type-2 xref entries.
     """
-    objs, size = _page_objects(pages, compress, differences)
+    objs, size = _page_objects(pages, compress, differences, cid=cid)
     if order_rng is not None:
         objs = list(objs)
         order_rng.shuffle(objs)

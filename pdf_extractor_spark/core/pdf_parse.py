@@ -622,16 +622,78 @@ def _glyph_to_char(name: str) -> str:
 
 @dataclass(slots=True)
 class _Font:
-    """Per-font text decoding state: only /Differences remaps matter for the
-    simple (latin-1 base) fonts in scope; None means identity."""
+    """Per-font text decoding state.
+
+    Simple fonts: latin-1 base + optional /Differences remap (decode_map).
+    Composite (Type0/Identity-H) fonts: show strings are sequences of 2-byte
+    big-endian CIDs decoded through the /ToUnicode CMap (cid_map) — the way
+    virtually every modern subset-embedded font encodes its text.
+    """
 
     decode_map: dict[int, str] | None = None
+    is_cid: bool = False
+    cid_map: dict[int, str] | None = None
+
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_HEXTRIPLE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[[^\]]*\])"
+)
+_HEXTOKEN_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16be_hex_to_str(h: bytes) -> str:
+    try:
+        return bytes.fromhex(h.decode("ascii")).decode("utf-16-be")
+    except (ValueError, UnicodeDecodeError) as e:
+        raise PdfParseError(f"bad ToUnicode hex {h!r}") from e
+
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """Extract code -> unicode mappings from a ToUnicode CMap stream:
+    bfchar pairs, bfrange (start stop offset) and bfrange array form."""
+    cmap: dict[int, str] = {}
+    for m in _BFRANGE_RE.finditer(data):
+        for t in _HEXTRIPLE_RE.finditer(m.group(1)):
+            start = int(t.group(1), 16)
+            stop = int(t.group(2), 16)
+            if stop - start > 0x10000:
+                raise PdfParseError("oversized bfrange")
+            dst = t.group(3)
+            if dst.startswith(b"["):
+                targets = _HEXTOKEN_RE.findall(dst)
+                for k, th in enumerate(targets):
+                    if start + k <= stop:
+                        cmap[start + k] = _utf16be_hex_to_str(th)
+            else:
+                base_hex = dst[1:-1]
+                base = int(base_hex, 16)
+                for k in range(stop - start + 1):
+                    cmap[start + k] = _utf16be_hex_to_str(
+                        f"{base + k:0{len(base_hex)}x}".encode()
+                    )
+    for m in _BFCHAR_RE.finditer(data):
+        for p in _HEXPAIR_RE.finditer(m.group(1)):
+            cmap[int(p.group(1), 16)] = _utf16be_hex_to_str(p.group(2))
+    return cmap
 
 
 def _build_font(doc: PdfDoc, font_obj) -> _Font:
     fd = doc.resolve(font_obj)
     if not isinstance(fd, dict):
         return _Font()
+    subtype = str(doc.resolve(fd.get("Subtype")) or "")
+    if subtype == "Type0":
+        enc = doc.resolve(fd.get("Encoding"))
+        if str(enc) not in ("Identity-H", "Identity-V"):
+            raise PdfParseError(f"unsupported Type0 encoding {enc!r}")
+        tu = doc.resolve(fd.get("ToUnicode"))
+        cid_map: dict[int, str] = {}
+        if isinstance(tu, Stream):
+            cid_map = _parse_tounicode(_apply_filters(tu.raw, tu.dict, doc.resolve))
+        return _Font(is_cid=True, cid_map=cid_map)
     enc = doc.resolve(fd.get("Encoding"))
     if not isinstance(enc, dict):
         return _Font()
@@ -887,8 +949,18 @@ def _interpret(
     def show(s) -> None:
         if not isinstance(s, str):  # e.g. `5 Tj` in a malformed stream
             raise PdfParseError(f"show operator on non-string operand {s!r}")
-        if font is not None and font.decode_map is not None:
-            s = s.translate(font.decode_map)
+        if font is not None:
+            if font.is_cid:
+                # Identity-H: raw bytes are 2-byte big-endian CIDs mapped
+                # through the ToUnicode CMap (U+FFFD for unmapped codes)
+                raw = s.encode("latin-1")
+                cm = font.cid_map or {}
+                s = "".join(
+                    cm.get(int.from_bytes(raw[k : k + 2], "big"), "�")
+                    for k in range(0, len(raw) - len(raw) % 2, 2)
+                )
+            elif font.decode_map is not None:
+                s = s.translate(font.decode_map)
         # device position of the text origin: (tm.e, tm.f) through the CTM;
         # identity CTM (the overwhelmingly common case) skips the transform
         if ctm is _IDENTITY:

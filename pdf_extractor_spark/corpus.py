@@ -16,7 +16,7 @@ import random
 
 # bump when gen_documents/make_pdf_bytes output changes: the parquet cache
 # in tempdir is keyed by it, so stale corpora are never reused across edits
-_GEN_VERSION = 3
+_GEN_VERSION = 4
 
 from .core.pdf_build import (
     PageSpec,
@@ -143,6 +143,7 @@ def make_pdf_bytes(rng: random.Random, n_pages: int) -> bytes:
             )
         )
     use_diff = rng.random() < 0.25
+    use_cid = (not use_diff) and rng.random() < 0.20
     for page in pages:
         if not page.tables and rng.random() < 0.15:
             page.rotate = rng.choice([90, 180, 270])
@@ -151,6 +152,14 @@ def make_pdf_bytes(rng: random.Random, n_pages: int) -> bytes:
                 box.font = "F2"
                 box.lines = [
                     line.replace("a", "é", 1) if rng.random() < 0.5 else line
+                    for line in box.lines
+                ]
+            elif use_cid and rng.random() < 0.4:
+                # Type0/Identity-H boxes: ASCII via the identity bfrange,
+                # plus é through its bfchar code
+                box.font = "F3"
+                box.lines = [
+                    line.replace("a", "é", 1) if rng.random() < 0.3 else line
                     for line in box.lines
                 ]
             if rng.random() < 0.2:
@@ -175,6 +184,7 @@ def make_pdf_bytes(rng: random.Random, n_pages: int) -> bytes:
         pages,
         compress=rng.random() < 0.5,
         differences=CORPUS_DIFFS if use_diff else None,
+        cid=use_cid,
         **kwargs,
     )
     if incremental:
