@@ -158,6 +158,24 @@ def _textbox_ops(box: TextBox, inv_diff: dict[str, int] | None = None) -> str:
         tok = lambda s: _hex_str(s, inv)
     else:
         tok = lambda s: f"({_esc(s, inv)})"
+    if box.style == "words":
+        # one show-op per positioned word (how real writers emit text):
+        # advances follow the same 0.5 em/char + 0.3 em gap width model the
+        # parser's word-assembly uses, emitted in user space
+        for i, line in enumerate(box.lines):
+            wy = y0_u - i * lead_u
+            wx = x_u
+            for w in line.split(" "):
+                if w:
+                    ops.append(f"1 0 0 1 {wx:g} {wy:g} Tm")
+                    ops.append(f"{tok(w)} Tj")
+                    wx += (0.5 * len(w) + 0.3) * box.font_size * d / a
+                else:
+                    wx += 0.3 * box.font_size * d / a
+        ops.append("ET")
+        if box.ctm is not None:
+            ops.append("Q")
+        return "\n".join(ops)
     for i, line in enumerate(box.lines):
         if i > 0:
             if box.style == "quote":

@@ -39,6 +39,7 @@ from .textclean import clean_text, frame_region, frame_table
 
 # layout constants
 _LINE_Y_TOL = 2.0  # show-ops within this y distance belong to one line
+_WORD_MERGE_MAX_CHARS = 24  # word-assembly only continues after short items
 _BOX_GAP_FACTOR = 1.8  # vertical gap > factor*leading starts a new textbox
 _RECT_SNAP = 1.0  # grid-line coordinate snapping tolerance
 
@@ -285,6 +286,78 @@ def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> 
     return bytes(out)
 
 
+def _a85_decode(data: bytes) -> bytes:
+    """Adobe ASCII85: body up to '~>' (whitespace ignored, 'z' groups)."""
+    import base64
+
+    body = data.split(b"~>")[0].translate(None, _WS)
+    try:
+        return base64.a85decode(b"<~" + body + b"~>", adobe=True)
+    except ValueError as e:
+        raise PdfParseError(f"bad ASCII85 stream: {e}") from e
+
+
+def _rl_decode(data: bytes) -> bytes:
+    """RunLengthDecode: 0-127 = copy n+1 literal, 129-255 = repeat next
+    byte 257-n times, 128 = EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        if ln == 128:
+            break
+        if ln < 128:
+            out += data[i + 1 : i + 2 + ln]
+            i += 2 + ln
+        else:
+            if i + 1 >= n:
+                raise PdfParseError("truncated RunLength stream")
+            out += data[i + 1 : i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """LZWDecode, PDF variant: 9..12-bit codes MSB-first, clear=256,
+    EOD=257, early-change table-width bumps (ISO 32000 7.4.4)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    buf = bits = 0
+    prev: bytes | None = None
+    for byte in data:
+        buf = (buf << 8) | byte
+        bits += 8
+        while bits >= width:
+            bits -= width
+            code = (buf >> bits) & ((1 << width) - 1)
+            if code == 256:  # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise PdfParseError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise PdfParseError("LZW code out of range")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+                # early change: widen one code before the table fills
+                if len(table) + 1 >= (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return bytes(out)
+
+
 def _apply_filters(raw: bytes, sdict: dict, resolve) -> bytes:
     filt = resolve(sdict.get("Filter"))
     parms = resolve(sdict.get("DecodeParms")) or resolve(sdict.get("DP"))
@@ -302,13 +375,19 @@ def _apply_filters(raw: bytes, sdict: dict, resolve) -> bytes:
             except zlib.error as e:  # corrupt stream -> parse failure, not crash
                 raise PdfParseError(f"flate error: {e}") from e
         elif f == "ASCIIHexDecode" or f == "AHx":
-            body = bytes(c for c in data.split(b">")[0] if c not in _WS_SET)
+            body = data.split(b">")[0].translate(None, _WS)
             if len(body) % 2:
                 body += b"0"
             try:
                 data = bytes.fromhex(body.decode("ascii"))
             except ValueError as e:
                 raise PdfParseError("bad ASCIIHex stream") from e
+        elif f == "ASCII85Decode" or f == "A85":
+            data = _a85_decode(data)
+        elif f == "RunLengthDecode" or f == "RL":
+            data = _rl_decode(data)
+        elif f == "LZWDecode" or f == "LZW":
+            data = _lzw_decode(data)
         else:
             raise PdfParseError(f"unsupported stream filter {f}")
         pred = resolve(p.get("Predictor", 1)) if isinstance(p, dict) else 1
@@ -887,6 +966,7 @@ class _TextItem:
     x: float
     y_top: float
     text: str
+    size: float = 12.0  # effective font size (Tf x text/CTM vertical scale)
 
 
 @dataclass(slots=True)
@@ -945,6 +1025,7 @@ def _interpret(
     tlm = _IDENTITY  # text line matrix
     leading = 0.0
     font: _Font | None = None
+    font_size = 12.0
 
     def show(s) -> None:
         if not isinstance(s, str):  # e.g. `5 Tj` in a malformed stream
@@ -965,9 +1046,13 @@ def _interpret(
         # identity CTM (the overwhelmingly common case) skips the transform
         if ctm is _IDENTITY:
             x, y = tm[4], tm[5]
+            vscale = abs(tm[3])
         else:
             x, y = _mat_apply(ctm, tm[4], tm[5])
-        items.append(_TextItem(x=x, y_top=page_h - y, text=s))
+            vscale = abs(tm[3] * ctm[3])  # axis-aligned approximation
+        items.append(
+            _TextItem(x=x, y_top=page_h - y, text=s, size=font_size * vscale)
+        )
 
     # stack mode: the tokenizer pushes operand values directly and yields
     # only operator strings — no per-operand tuples on the hot path
@@ -1012,16 +1097,18 @@ def _interpret(
                 name = stack[-2]
                 if isinstance(name, str):
                     font = fonts.get(name, font)
+                if isinstance(stack[-1], float):
+                    font_size = stack[-1]
             elif op == "cm":
                 m = (stack[-6], stack[-5], stack[-4], stack[-3], stack[-2], stack[-1])
                 ctm = _mat_mul(m, ctm)
             elif op == "q":
-                gs_stack.append((ctm, font, leading))
+                gs_stack.append((ctm, font, leading, font_size))
                 if len(gs_stack) > 256:
                     raise PdfParseError("graphics state stack too deep")
             elif op == "Q":
                 if gs_stack:
-                    ctm, font, leading = gs_stack.pop()
+                    ctm, font, leading, font_size = gs_stack.pop()
             elif op == "re":
                 h = stack[-1]
                 w = stack[-2]
@@ -1093,7 +1180,12 @@ def _apply_rotation(
     else:
         raise PdfParseError(f"unsupported /Rotate {rot}")
     new_items = [
-        _TextItem(x=f(it.x, it.y_top)[0], y_top=f(it.x, it.y_top)[1], text=it.text)
+        _TextItem(
+            x=f(it.x, it.y_top)[0],
+            y_top=f(it.x, it.y_top)[1],
+            text=it.text,
+            size=it.size,
+        )
         for it in items
     ]
     new_rects = []
@@ -1225,17 +1317,44 @@ def _group_textboxes(items: list[_TextItem]) -> list[TextBoxOut]:
     if not items:
         return []
     # 1. lines: bucket by y AND x origin — same-y items in different columns
-    # must stay separate lines (two-column layouts), so a show-op only joins
-    # the current line when it shares the line origin
+    # must stay separate lines (two-column layouts), so a show-op joins the
+    # current line when it shares the line origin OR (word-assembly, the way
+    # real writers emit one show-op per positioned word) when it begins
+    # within a tight window after the previous item's estimated right edge.
+    # The width model is 0.5 em per char (Helvetica-ish average); the window
+    # is deliberately narrow and only applies after SHORT items, so the
+    # estimate's error can never reach across a column gutter.
     items = sorted(items, key=lambda it: (it.y_top, it.x))
     lines: list[tuple[float, float, str]] = []  # (y_top, x0, text)
-    cur_y, cur_x, parts = items[0].y_top, items[0].x, [items[0].text]
+    first = items[0]
+    cur_y, cur_x, parts = first.y_top, first.x, [first.text]
+    cur_end = first.x + 0.5 * first.size * len(first.text)
+    cur_len = len(first.text)
+    cur_size = first.size
     for it in items[1:]:
-        if abs(it.y_top - cur_y) <= _LINE_Y_TOL and abs(it.x - cur_x) <= 1.0:
-            parts.append(it.text)
-        else:
-            lines.append((cur_y, cur_x, "".join(parts)))
-            cur_y, cur_x, parts = it.y_top, it.x, [it.text]
+        if abs(it.y_top - cur_y) <= _LINE_Y_TOL:
+            gap = it.x - cur_end
+            if abs(it.x - cur_x) <= 1.0:
+                parts.append(it.text)
+                cur_end = it.x + 0.5 * it.size * len(it.text)
+                cur_len += len(it.text)
+                continue
+            if (
+                cur_len <= _WORD_MERGE_MAX_CHARS
+                and -0.15 * cur_size <= gap <= 0.45 * cur_size
+            ):
+                if gap > 0.12 * cur_size:
+                    parts.append(" ")
+                parts.append(it.text)
+                cur_end = it.x + 0.5 * it.size * len(it.text)
+                cur_len = len(it.text)
+                cur_size = it.size
+                continue
+        lines.append((cur_y, cur_x, "".join(parts)))
+        cur_y, cur_x, parts = it.y_top, it.x, [it.text]
+        cur_end = it.x + 0.5 * it.size * len(it.text)
+        cur_len = len(it.text)
+        cur_size = it.size
     lines.append((cur_y, cur_x, "".join(parts)))
 
     # 2. boxes: a line joins a box sharing its column (x within tol) whose last

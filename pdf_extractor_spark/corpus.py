@@ -16,7 +16,7 @@ import random
 
 # bump when gen_documents/make_pdf_bytes output changes: the parquet cache
 # in tempdir is keyed by it, so stale corpora are never reused across edits
-_GEN_VERSION = 4
+_GEN_VERSION = 5
 
 from .core.pdf_build import (
     PageSpec,
@@ -93,7 +93,7 @@ def _html_doc(rng: random.Random) -> str:
 
 def _pdf_page(rng: random.Random, two_col: bool, with_table: bool) -> PageSpec:
     page = PageSpec()
-    styles = ["td", "tm", "quote", "tj_array", "hex"]
+    styles = ["td", "tm", "quote", "tj_array", "hex", "words"]
     y = 60.0
     if two_col:
         # interleave two columns so pure content-stream order != reading order
