@@ -840,12 +840,17 @@ def _tokenize(stream: bytes, stack: list | None = None):
     """
     push = stack.append if stack is not None else None
     i, n = 0, len(stream)
+    # hot-loop local bindings: global/attr lookups cost ~20% of tokenizing
+    ws_set = _WS_SET
+    num_match = _NUM_RE.match
+    bare_match = _CONTENT_BARE_RE.match
+    find = stream.find
     while i < n:
         c = stream[i]
-        if c in _WS_SET:
+        if c in ws_set:
             i += 1
         elif c == 0x25:  # %
-            j = stream.find(b"\n", i)
+            j = find(b"\n", i)
             i = n if j == -1 else j + 1
         elif c == 0x28:  # (
             i, s = _scan_string(stream, i + 1, n)
@@ -889,21 +894,21 @@ def _tokenize(stream: bytes, stack: list | None = None):
                 push("".join(v for k, v in arr if k == "str"))
             i += 1  # past ']'
         elif c == 0x2F:  # /
-            m = _CONTENT_BARE_RE.match(stream, i + 1)
+            m = bare_match(stream, i + 1)
             if push is None:
                 yield ("name", m.group().decode("latin-1"))
             else:
                 push(m.group().decode("latin-1"))
             i = m.end()
         elif c == 0x2B or c == 0x2D or c == 0x2E or 0x30 <= c <= 0x39:  # + - . 0-9
-            m = _NUM_RE.match(stream, i)
+            m = num_match(stream, i)
             if push is None:
                 yield ("num", float(m.group()))
             else:
                 push(float(m.group()))
             i = m.end()
         else:
-            m = _CONTENT_BARE_RE.match(stream, i)
+            m = bare_match(stream, i)
             if m.end() == i:
                 i += 1  # skip stray delimiter like ] or >
                 continue

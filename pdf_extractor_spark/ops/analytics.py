@@ -220,6 +220,44 @@ WHERE rn <= 5 ORDER BY lang, rn
 """
 
 
+# --- W2: latest-per-key argmax (the pick-newest-artifact-by-mtime pattern,
+#     helper.py:51-70 latest JSON selection, lifted to a relational op) -----
+
+def q_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each user's most recent event — row_number over (ts desc, event_id
+    desc) = 1. One shuffle on the key; at scale this is the dedup-to-latest
+    move for any mutable-entity feed (the reference applies it to artifact
+    files by mtime). event_id breaks ts ties deterministically."""
+    ev = _read(spark, sf_dir, "events")
+    from .portable import epoch_s
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            epoch_s("ts").alias("ts_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+LATEST_EVENTS_SQL = """
+SELECT user_id, event_id, event_type,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
 # --- J1: broadcast equi-join (failure retry rematch, dashboard.py:453-465) -
 
 def q_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,6 +408,7 @@ QUERIES: dict[str, tuple] = {
     "resume_antijoin": (q_resume_antijoin, RESUME_ANTIJOIN_SQL),
     "point_lookup": (q_point_lookup, POINT_LOOKUP_SQL),
     "enumerate_docs": (q_enumerate_docs, ENUMERATE_DOCS_SQL),
+    "latest_events": (q_latest_events, LATEST_EVENTS_SQL),
     "revenue_by_segment": (q_revenue_by_segment, REVENUE_BY_SEGMENT_SQL),
     "shipping_priority": (q_shipping_priority, SHIPPING_PRIORITY_SQL),
     "pricing_summary": (q_pricing_summary, PRICING_SUMMARY_SQL),
