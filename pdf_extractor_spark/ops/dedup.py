@@ -186,7 +186,17 @@ ORDER BY jaccard_ppb DESC, doc1, doc2 LIMIT 20
 # --- MinHash signatures ----------------------------------------------------
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-permutation MinHash signature per document."""
+    """16-permutation MinHash signature per document.
+
+    Plan note: explode -> md5 -> groupBy(doc) with 16 min-aggs. A "map-only"
+    formulation (array of shingle hashes + 16 array_min/transform passes)
+    was tried and measured 6x SLOWER at sf0.1: Spark's higher-order array
+    functions evaluate interpreted (outside whole-stage codegen) and repeat
+    the permutation arithmetic per pass, while the explode form keeps md5
+    and the min-aggregation inside codegen with map-side partial aggregation
+    — so the one hash shuffle here carries only (doc_id, 16 longs) partials,
+    not raw shingles. Measured > clever.
+    """
     sh = shingles(_read_docs(spark, sf_dir))
     hashed = sh.select("doc_id", reduce_hash(h64("shingle")).alias("h"))
     aggs = [

@@ -205,6 +205,17 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "minhash_signatures",
+        _query_df,
+        [
+            # explode + partial-agg combine: the exchange carries only
+            # (doc_id, 16 longs) partials, never raw shingles
+            lambda p: contains(p, "HashAggregate", 2),
+            lambda p: never_reads(p, "source"),
+        ],
+        False,
+    ),
+    (
         "repetition",
         _query_df,
         [
