@@ -237,6 +237,63 @@ FROM ranked WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def q_extract_failures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PDF failure path through the REAL kernel, value-hash gated:
+    every doc gets one valid text span plus one doctored pdf span — invalid
+    base64 (doc_id % 3 == 0), valid base64 of non-PDF bytes (% 3 == 1), or a
+    truncated header (% 3 == 2). All three must quarantine into
+    parse_failures with an empty placeholder span, never abort (the
+    helper.py:213-225 validity-gate contract), and the oracle predicts the
+    resulting spans/kinds/scores in closed form."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.col("text").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    bad_payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("!!!not-base64!!!"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.base64(F.encode(F.lit("this is not a pdf at all"), "utf-8")),
+        )
+        .otherwise(F.base64(F.encode(F.lit("%PDF-1.4\ntruncated"), "utf-8")))
+    )
+    pdf_span = F.struct(
+        F.lit("pdf").alias("kind"),
+        bad_payload.alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(1).alias("offset"),
+    )
+    wrapped = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(text_span, pdf_span).alias("spans"),
+    )
+    ext = extract_documents(wrapped, n_parts=32, num_partitions=16)
+    return ext.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "spans_emitted",
+        "pages_parsed",
+        "parse_failures",
+        F.element_at("spans", 2)["text"].alias("failed_text"),
+        F.floor(F.element_at("scores", "parse_score") * 1e6)
+        .cast("bigint")
+        .alias("parse_score_micros"),
+    ).orderBy("doc_id")
+
+
+EXTRACT_FAILURES_SQL = """
+SELECT doc_id,
+       2 AS spans_emitted,
+       0 AS pages_parsed,
+       1 AS parse_failures,
+       '' AS failed_text,
+       CAST(floor(0.5 * 1000000.0) AS BIGINT) AS parse_score_micros
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_extract_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF layout parse over the synthetic interleaved corpus, value-hash
     checked: the oracle table is derived in closed form from the generator's
@@ -275,5 +332,6 @@ QUERIES: dict[str, tuple] = {
     "extract_metrics": (q_extract_metrics, EXTRACT_METRICS_SQL),
     "render_markdown": (q_render_markdown, RENDER_MARKDOWN_SQL),
     "curate_corpus": (q_curate_corpus, CURATE_CORPUS_SQL),
+    "extract_failures": (q_extract_failures, EXTRACT_FAILURES_SQL),
     "extract_pdf_corpus": (q_extract_pdf_corpus, EXTRACT_PDF_CORPUS_SQL),
 }
