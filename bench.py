@@ -71,7 +71,7 @@ def _make_spark(cpus: int, app: str):
     )
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str, passes: int = 2) -> dict[str, float]:
     from pdf_extractor_spark.ops.registry import queries
 
     qs = queries()
@@ -84,15 +84,22 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     from pdf_extractor_spark.ops.dedup import release_caches
 
+    # best-of-N INTERLEAVED passes (like the scaling sweep): this shared host
+    # has ±50% co-tenant noise, and a single unlucky pass once recorded a 2x
+    # phantom regression across every query (BENCH_r02.json vs the idle
+    # baseline). Interleaving means a load burst hurts one pass, not one query.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = qs[name]
-        t0 = time.monotonic()
-        df = fn(spark, sf_dir)
-        n = df.count()  # forces full execution without driver-side collect
-        timings[name] = round(time.monotonic() - t0, 3)
-        release_caches()  # drop any query-builder cache before the next timing
-        assert n >= 0
+    for _ in range(passes):
+        for name in BENCH_QUERIES:
+            fn = qs[name]
+            t0 = time.monotonic()
+            df = fn(spark, sf_dir)
+            n = df.count()  # forces full execution without driver-side collect
+            dt = round(time.monotonic() - t0, 3)
+            release_caches()  # drop any query-builder cache before the next timing
+            assert n >= 0
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
     return timings
 
 

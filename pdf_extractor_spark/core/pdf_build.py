@@ -522,6 +522,13 @@ def append_incremental_page_update(
     if m is None:
         raise ValueError("base has no startxref")
     prev_xref = int(m.group(1))
+    # carry the base revision's actual /Size: recomputing it positionally
+    # undercounts when the base carries diff/CID font objects (ADVICE r02 —
+    # spec-invalid trailer for external readers)
+    sm = None
+    for sm in _re.finditer(rb"/Size\s+(\d+)", base):
+        pass
+    size = int(sm.group(1)) if sm is not None else 3 + 2 * n_pages + 1
     content_num = 4 + 2 * page_index
     parts = [_table_ops(t) for t in new_page.tables]
     parts += [_textbox_ops(b) for b in new_page.boxes]
@@ -537,7 +544,7 @@ def append_incremental_page_update(
     xref_at = len(out)
     out += f"xref\n{content_num} 1\n{obj_at:010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {3 + 2 * n_pages + 1} /Root 1 0 R /Prev {prev_xref} >>\n"
+        f"trailer\n<< /Size {size} /Root 1 0 R /Prev {prev_xref} >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)

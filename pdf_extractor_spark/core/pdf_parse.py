@@ -483,6 +483,12 @@ class PdfDoc:
                     raise PdfParseError("malformed xref entry")
                 if em.group(3) == b"n":
                     self.xref.setdefault(start + k, ("n", int(em.group(1))))
+                else:
+                    # free entry: record a tombstone so an object deleted in
+                    # a NEWER incremental revision shadows older revisions'
+                    # in-use entries (setdefault fallthrough would otherwise
+                    # resurrect it — ADVICE r02)
+                    self.xref.setdefault(start + k, ("f",))
                 i = em.end()
 
     def _load_xref_stream(self, i: int) -> dict:
@@ -517,7 +523,8 @@ class PdfDoc:
                     self.xref.setdefault(num, ("n", fields[1]))
                 elif ftype == 2:
                     self.xref.setdefault(num, ("s", fields[1], fields[2]))
-                # type 0 = free: skip
+                elif ftype == 0:  # free: tombstone shadows older revisions
+                    self.xref.setdefault(num, ("f",))
         return sd
 
     def _scan_fallback(self) -> None:
@@ -601,6 +608,11 @@ class PdfDoc:
             if off is None:
                 raise PdfParseError(f"missing object {num}")
             entry = ("n", off)
+        if entry[0] == "f":
+            # freed in the newest revision that mentions it: a reference to
+            # it is dangling — never fall back to a brute scan, which would
+            # resurrect a deleted revision's bytes
+            raise PdfParseError(f"object {num} is free (deleted)")
         if entry[0] == "n":
             try:
                 val = self._parse_indirect_at(entry[1], expect_num=num)
@@ -1478,17 +1490,28 @@ def parse_pdf(data: bytes) -> list[PageOut]:
         for page, inherited in page_nodes:
             mb = doc.resolve(page.get("MediaBox", inherited.get("MediaBox")))
             page_w, page_h = 612.0, 792.0
+            mb_x0 = mb_y0 = 0.0
             if isinstance(mb, list) and len(mb) == 4:
-                page_w = float(doc.resolve(mb[2]))
-                page_h = float(doc.resolve(mb[3]))
+                # dimensions are the box EXTENT, not the upper corner — a
+                # non-zero lower-left origin (cropped/print PDFs) is folded
+                # into the base CTM as a translate so y_top and /Rotate
+                # mapping stay correct (ADVICE r02; pymupdf does the same)
+                mb_x0 = float(doc.resolve(mb[0]))
+                mb_y0 = float(doc.resolve(mb[1]))
+                page_w = float(doc.resolve(mb[2])) - mb_x0
+                page_h = float(doc.resolve(mb[3])) - mb_y0
             rot = doc.resolve(page.get("Rotate", inherited.get("Rotate", 0))) or 0
             rot = int(rot) % 360
             resources = page.get("Resources", inherited.get("Resources"))
             fonts = _page_fonts(doc, resources)
             xobjects = _page_xobjects(doc, resources)
             stream = _page_content(doc, page)
+            base_ctm = (
+                _IDENTITY if mb_x0 == 0.0 and mb_y0 == 0.0
+                else (1.0, 0.0, 0.0, 1.0, -mb_x0, -mb_y0)
+            )
             items, rects = _interpret(
-                stream, page_h, fonts=fonts, xobjects=xobjects, doc=doc
+                stream, page_h, fonts=fonts, xobjects=xobjects, doc=doc, ctm=base_ctm
             )
             if rot:
                 items, rects = _apply_rotation(items, rects, rot, page_w, page_h)

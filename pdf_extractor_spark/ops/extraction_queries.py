@@ -315,6 +315,9 @@ def q_extract_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pdf_corpus_oracle_sql() -> str:
+    # called lazily by registry.oracle_sql(), NOT at import: resolving it
+    # builds the synthetic corpus + expected parquet, which must never be an
+    # import side effect of the ops registry (ADVICE r02)
     from ..corpus import expected_corpus_parquet
 
     path = expected_corpus_parquet(40, seed=42)
@@ -324,14 +327,11 @@ def _pdf_corpus_oracle_sql() -> str:
     )
 
 
-EXTRACT_PDF_CORPUS_SQL = _pdf_corpus_oracle_sql()
-
-
 QUERIES: dict[str, tuple] = {
     "extract_clean": (q_extract_clean, EXTRACT_CLEAN_SQL),
     "extract_metrics": (q_extract_metrics, EXTRACT_METRICS_SQL),
     "render_markdown": (q_render_markdown, RENDER_MARKDOWN_SQL),
     "curate_corpus": (q_curate_corpus, CURATE_CORPUS_SQL),
     "extract_failures": (q_extract_failures, EXTRACT_FAILURES_SQL),
-    "extract_pdf_corpus": (q_extract_pdf_corpus, EXTRACT_PDF_CORPUS_SQL),
+    "extract_pdf_corpus": (q_extract_pdf_corpus, _pdf_corpus_oracle_sql),
 }

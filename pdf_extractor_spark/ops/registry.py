@@ -2,7 +2,10 @@
 
 Aggregates the per-module ``QUERIES`` dicts. Keys are the names the driver
 records in CORRECTNESS_r{N}.json; a ``None`` oracle means rows-only check
-(non-SQL-expressible op, e.g. the PDF content-stream parser).
+(non-SQL-expressible op, e.g. the PDF content-stream parser). An oracle may
+also be a zero-arg callable returning the SQL — resolved lazily by
+``oracle_sql()`` so expensive setup (e.g. building the synthetic expected
+corpus) is never an import side effect.
 """
 
 from __future__ import annotations
@@ -55,4 +58,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    return {
+        name: (sql() if callable(sql) else sql)
+        for name, (_fn, sql) in REGISTRY.items()
+        if sql is not None
+    }

@@ -62,7 +62,10 @@ def read_manifest(
         rows = read_xlsx_rows(path)
         if not rows:
             raise ValueError(f"empty xlsx manifest {path}")
-        cols = [c.strip() for c in rows[0]]
+        # a data row wider than the header pads the header with '' (the xlsx
+        # reader returns dense uniform-width rows): name overflow columns
+        # _c<N> like spark.read.csv does, so they stay addressable (ADVICE r02)
+        cols = [c.strip() or f"_c{i}" for i, c in enumerate(rows[0])]
         schema = StructType([StructField(c, StringType()) for c in cols])
         df = spark.createDataFrame(
             [tuple(r) for r in rows[1:]], schema=schema

@@ -203,3 +203,23 @@ def test_xlsx_unknown_column_and_bad_file(spark, tmp_path):
     bad.write_bytes(b"this is not a zip")
     with _pytest.raises(XlsxError):
         read_xlsx_rows(str(bad))
+
+
+def test_xlsx_data_row_wider_than_header(spark, tmp_path):
+    """A data row wider than the header must not produce unaddressable ''
+    columns: overflow header cells are named _c<N> (ADVICE r03)."""
+    from pdf_extractor_spark.sources.manifest import read_manifest
+
+    path = str(tmp_path / "wide.xlsx")
+    _write_xlsx(
+        path,
+        ["doc", "url"],
+        [["d1", "http://h/a.pdf", "stray-extra-cell"]],
+    )
+    df = read_manifest(spark, path, url_col="url", id_col="doc")
+    assert [tuple(r) for r in df.collect()] == [("d1", "http://h/a.pdf")]
+    # the overflow column is present and addressable on the raw frame
+    from pdf_extractor_spark.sources.xlsx import read_xlsx_rows
+
+    rows = read_xlsx_rows(path)
+    assert rows[0] == ["doc", "url", ""] and rows[1][2] == "stray-extra-cell"
