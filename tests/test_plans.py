@@ -20,9 +20,14 @@ SF_DIR = "/root/testdata/sf0.01"
 
 @pytest.mark.parametrize("name,factory,checks,exec_first", AUDITS, ids=[a[0] for a in AUDITS])
 def test_plan_invariants(spark, name, factory, checks, exec_first):
-    df = factory(spark, SF_DIR, name) if factory is _query_df else factory(spark, SF_DIR)
-    if exec_first:
-        df.collect()  # materialize AQE's final plan on THIS QueryExecution
-    plan = plan_of(df)
+    from pdf_extractor_spark.ops.dedup import release_caches
+
+    try:
+        df = factory(spark, SF_DIR, name) if factory is _query_df else factory(spark, SF_DIR)
+        if exec_first:
+            df.collect()  # materialize AQE's final plan on THIS QueryExecution
+        plan = plan_of(df)
+    finally:
+        release_caches()  # builders may stage persisted intermediates
     failures = [detail for ok, detail in (chk(plan) for chk in checks) if not ok]
     assert not failures, f"{name}: {failures}\n--- plan ---\n{plan}"

@@ -65,6 +65,11 @@ def exchange_count(plan: str, n: int):
     return found == n, f"exactly {n} Exchange nodes (found {found})"
 
 
+def occurs_at_most(plan: str, token: str, n_max: int):
+    found = plan.count(token)
+    return found <= n_max, f"<= {n_max} occurrences of {token!r} (found {found})"
+
+
 # --- the audited queries ----------------------------------------------------
 
 def _query_df(spark, sf_dir: str, name: str):
@@ -257,6 +262,24 @@ AUDITS: list[tuple] = [
             # cartesian/nested-loop anywhere means the all-pairs path leaked back
             lambda p: absent(p, "CartesianProduct"),
             lambda p: absent(p, "BroadcastNestedLoopJoin"),
+            # staged intermediates (VERDICT r02 #1): the shingle + candidate
+            # stages are persisted, so the raw table is scanned at most twice
+            # (the un-staged DAG re-scanned it 8x and rebuilt the signature
+            # subtree ~4x)
+            lambda p: occurs_at_most(p, "documents.parquet", 2),
+            lambda p: contains(p, "InMemoryTableScan"),
+        ],
+        False,
+    ),
+    (
+        "dedup_components",
+        _query_df,
+        [
+            # the LSH pair stage is persisted + materialized before the loop:
+            # the result plan reads caches, never the raw table subtree again
+            lambda p: occurs_at_most(p, "documents.parquet", 2),
+            lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: absent(p, "CartesianProduct"),
         ],
         False,
     ),
@@ -278,12 +301,15 @@ AUDITS: list[tuple] = [
 
 def run_audit(spark, sf_dir: str):
     """Evaluate every audit; returns [(name, plan, [(ok, detail), ...])]."""
+    from pdf_extractor_spark.ops.dedup import release_caches
+
     results = []
     for name, factory, checks, exec_first in AUDITS:
         df = factory(spark, sf_dir, name) if factory is _query_df else factory(spark, sf_dir)
         if exec_first:
             df.collect()  # materialize AQE's final plan on THIS QueryExecution
         plan = plan_of(df)
+        release_caches()  # builders may stage persisted intermediates
         results.append((name, plan, [chk(plan) for chk in checks]))
     return results
 
