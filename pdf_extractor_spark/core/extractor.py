@@ -10,8 +10,11 @@ Dispatch by ``kind`` mirrors the reference's extension -> category routing
   text  -> clean_text (pymu_tesseract_processor.py:150-154)
   html  -> DOM text-density boilerplate strip, then clean_text (the YOLO
            Non-Text masking analogue, pymu_tesseract_processor.py:44-66)
-  pdf   -> base64 PDF bytes -> layout parse -> one output span per page
-           (the process_pdf page loop, pymu_tesseract_processor.py:84-117)
+  pdf   -> base64 PDF bytes -> layout parse -> per-page span sequence in
+           reading order: text regions merge into text spans, embedded
+           images (Image XObjects / inline images) become kind='media'
+           spans with synthesized pdf:// refs (the process_pdf page loop +
+           Non-Text region handling, pymu_tesseract_processor.py:44-117)
   media -> passthrough unchanged (kind, media_ref, relative order preserved)
 
 Failures never abort: an invalid PDF increments ``parse_failures`` (the
@@ -26,7 +29,7 @@ import time
 from dataclasses import dataclass, field
 
 from .html_extract import extract_main_text
-from .pdf_parse import PdfParseError, extract_pdf_text
+from .pdf_parse import PdfParseError, extract_pdf_spans
 from .textclean import clean_text
 
 KIND_TEXT = "text"
@@ -46,16 +49,23 @@ class ExtractResult:
 
 
 def _compute_scores(
-    n_input: int, n_failures: int, out: list[tuple[str, str, str, int]]
+    n_input: int,
+    n_failures: int,
+    out: list[tuple[str, str, str, int]],
+    pages_empty_with_images: int,
 ) -> dict[str, float]:
     """Per-document quality scores — the engine's analogue of Docling's
     per-page confidence block (docling_processor.py:135-144, surfaced as
     parse_score/layout_score in the UI, dashboard.py:973-978). Deterministic
-    pure ratios, exact in IEEE on any engine:
+    pure ratios/counts, exact in IEEE on any engine:
 
     - parse_score: fraction of input spans that processed without failure;
-    - media_ratio: fraction of emitted spans that are media passthrough;
-    - avg_span_chars: mean text length over emitted spans.
+    - media_ratio: fraction of emitted spans that are media (passthrough or
+      PDF-embedded images);
+    - avg_span_chars: mean text length over emitted spans;
+    - pages_empty_with_images: count of PDF pages with no text regions but
+      >= 1 image — the needs-OCR routing signal (the reference's P6
+      empty-text force-OCR trigger, docling_processor.py:235-239).
     """
     n_media = sum(1 for s in out if s[0] == KIND_MEDIA)
     total_chars = sum(len(s[1]) for s in out)
@@ -63,6 +73,7 @@ def _compute_scores(
         "parse_score": (n_input - n_failures) / n_input if n_input else 1.0,
         "media_ratio": n_media / len(out) if out else 0.0,
         "avg_span_chars": total_chars / len(out) if out else 0.0,
+        "pages_empty_with_images": float(pages_empty_with_images),
     }
 
 
@@ -87,11 +98,12 @@ def extract_document(
     out: list[tuple[str, str, str, int]] = []
     pages = 0
     failures = 0
+    empty_with_images = 0
 
     def emit(kind: str, text: str, media_ref: str = "") -> None:
         out.append((kind, text, media_ref, len(out)))
 
-    for kind, text, media_ref, _off in norm:
+    for kind, text, media_ref, off in norm:
         if kind == KIND_MEDIA:
             emit(KIND_MEDIA, "", media_ref)
         elif kind == KIND_TEXT:
@@ -101,15 +113,21 @@ def extract_document(
         elif kind == KIND_PDF:
             try:
                 pdf_bytes = base64.b64decode(text.encode("ascii"), validate=True)
-                page_texts = extract_pdf_text(pdf_bytes)
+                # media_ref prefix = the INPUT span offset: stable per doc,
+                # known to the generator oracle, no doc_id needed in-kernel
+                page_spans, n_pages, n_empty = extract_pdf_spans(
+                    pdf_bytes, ref_prefix=str(off)
+                )
             except (PdfParseError, ValueError, UnicodeEncodeError):
                 # binascii.Error (bad base64) subclasses ValueError
                 failures += 1
                 emit(KIND_TEXT, "")
             else:
-                pages += len(page_texts)
-                for pt in page_texts:
-                    emit(KIND_TEXT, pt)
+                pages += n_pages
+                empty_with_images += n_empty
+                for pspans in page_spans:
+                    for k, t, ref in pspans:
+                        emit(k, t, ref)
         else:  # unknown kind: the unsupported-file error path (helper.py:160-171)
             failures += 1
             emit(KIND_TEXT, "")
@@ -120,5 +138,5 @@ def extract_document(
         spans_emitted=len(out),
         parse_failures=failures,
         duration_ms=int((time.monotonic() - t0) * 1000),
-        scores=_compute_scores(len(norm), failures, out),
+        scores=_compute_scores(len(norm), failures, out, empty_with_images),
     )

@@ -18,7 +18,10 @@ Round-2 feature coverage (generator <-> parser subset contract, §7.4):
   (``xref_mode="stream"``), object streams (``objstm=True``), PNG Up
   predictor on the xref stream (``predictor=True``);
 - incremental updates: ``append_incremental_page_update`` appends a second
-  revision whose xref /Prev-chains to the first — newest revision wins.
+  revision whose xref /Prev-chains to the first — newest revision wins;
+- embedded images (round 3): ``ImageBox`` places an Image XObject (``/Im<k>
+  Do`` under a ``cm`` scale) or an inline image (``BI..ID..EI``) — the
+  parser records placement as media regions, never pixels.
 
 Deterministic: byte output depends only on the arguments.
 """
@@ -64,13 +67,31 @@ class Table:
 
 
 @dataclass
+class ImageBox:
+    """A placed image at (x, y_top) in top-down page coords.
+
+    ``inline=False`` -> an Image XObject (resource name /Im<k>, k = index
+    among the page's XObject images) drawn via ``q w 0 0 h x y cm /Im<k>
+    Do Q``; ``inline=True`` -> a BI..ID..EI inline image under the same CTM.
+    Pixel payload is a fixed 2x2 gray stub — the parser records placement,
+    never pixels."""
+
+    x: float
+    y_top: float
+    w: float = 80.0
+    h: float = 60.0
+    inline: bool = False
+
+
+@dataclass
 class PageSpec:
     boxes: list[TextBox] = field(default_factory=list)
     tables: list[Table] = field(default_factory=list)
+    images: list[ImageBox] = field(default_factory=list)
     # /Rotate value (0/90/180/270). Box coordinates stay in DISPLAY space —
     # the builder inverse-maps them into PDF space and places every line by
     # absolute Tm, so the displayed (and extracted) layout is identical to
-    # the unrotated page. Tables on rotated pages are unsupported.
+    # the unrotated page. Tables and images on rotated pages are unsupported.
     rotate: int = 0
 
 
@@ -231,6 +252,22 @@ def _rotated_textbox_ops(
     return "\n".join(ops)
 
 
+# 2x2 gray inline/XObject pixel stub; bytes chosen to never contain "EI"
+_IMG_PAYLOAD = b"\x10\x30\x50\x70"
+
+
+def _image_ops(img: ImageBox, xobj_name: str | None) -> str:
+    """Placement ops: unit square scaled to (w, h) at the image's lower-left.
+
+    ``xobj_name`` None -> inline image (BI..ID..EI) under the same CTM."""
+    y = PAGE_H - img.y_top - img.h  # PDF y-up lower-left corner
+    cm = f"q {img.w:g} 0 0 {img.h:g} {img.x:g} {y:g} cm"
+    if xobj_name is not None:
+        return f"{cm} /{xobj_name} Do Q"
+    payload = _IMG_PAYLOAD.decode("latin-1")
+    return f"{cm} BI /W 2 /H 2 /CS /G /BPC 8 ID {payload} EI Q"
+
+
 def _table_ops(tbl: Table) -> str:
     ops = []
     n_rows = len(tbl.rows)
@@ -279,30 +316,62 @@ def _page_objects(
     f3_num = f2_num + 1 if differences else f1_num + 1
     if cid:
         font_res += f" /F3 {f3_num} 0 R"
+    # image XObjects are numbered after every font object
+    img_base = f1_num + 1 + (1 if differences else 0) + (3 if cid else 0)
+    img_objs: list[tuple[int, bytes, bool]] = []
     for i, page in enumerate(pages):
         page_num = 3 + 2 * i
         content_num = page_num + 1
         rot = f" /Rotate {page.rotate}" if page.rotate else ""
+        # per-page XObject resources: /Im<k> for the non-inline images
+        img_parts: list[str] = []
+        xobj_res = ""
+        k = 0
+        for img in page.images:
+            if img.inline:
+                img_parts.append(_image_ops(img, None))
+            else:
+                num = img_base + len(img_objs)
+                name = f"Im{k}"
+                k += 1
+                xobj_res += f" /{name} {num} 0 R"
+                img_objs.append(
+                    (
+                        num,
+                        (
+                            "<< /Type /XObject /Subtype /Image /Width 2 "
+                            "/Height 2 /ColorSpace /DeviceGray "
+                            f"/BitsPerComponent 8 /Length {len(_IMG_PAYLOAD)} "
+                            ">>\nstream\n"
+                        ).encode()
+                        + _IMG_PAYLOAD
+                        + b"\nendstream",
+                        True,
+                    )
+                )
+                img_parts.append(_image_ops(img, name))
+        xobj_dict = f" /XObject <<{xobj_res} >>" if xobj_res else ""
         objs.append(
             (
                 page_num,
                 (
                     f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 {PAGE_W:g} "
                     f"{PAGE_H:g}]{rot} /Contents {content_num} 0 R "
-                    f"/Resources << /Font << {font_res} >> >> >>"
+                    f"/Resources << /Font << {font_res} >>{xobj_dict} >> >>"
                 ).encode(),
                 False,
             )
         )
         if page.rotate:
-            if page.tables:
-                raise ValueError("tables on rotated pages are unsupported")
+            if page.tables or page.images:
+                raise ValueError("tables/images on rotated pages are unsupported")
             parts = [
                 _rotated_textbox_ops(b, page.rotate, inv_diff) for b in page.boxes
             ]
         else:
             parts = [_table_ops(t) for t in page.tables]
             parts += [_textbox_ops(b, inv_diff) for b in page.boxes]
+            parts += img_parts
         content = "\n".join(parts).encode("latin-1", errors="replace")
         if compress:
             data = zlib.compress(content)
@@ -380,7 +449,9 @@ def _page_objects(
             )
         )
         size = tu_num + 1
-    return objs, size
+    assert size == img_base
+    objs.extend(img_objs)
+    return objs, img_base + len(img_objs)
 
 
 def _png_up_predict(data: bytes, columns: int) -> bytes:

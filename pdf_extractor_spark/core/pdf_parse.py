@@ -925,7 +925,9 @@ def _tokenize(stream: bytes, stack: list | None = None):
                 i += 1  # skip stray delimiter like ] or >
                 continue
             op = m.group().decode("latin-1")
-            if op == "BI":  # inline image: skip to EI at a token boundary
+            if op == "BI":  # inline image: skip payload to EI at a token
+                # boundary, then yield a synthetic EI op so the interpreter
+                # can record the image's CTM placement as a media region
                 j = i
                 while True:
                     j = stream.find(b"EI", j + 1)
@@ -941,6 +943,7 @@ def _tokenize(stream: bytes, stack: list | None = None):
                         break
                 if stack is not None:
                     stack.clear()
+                yield ("op", "EI") if push is None else "EI"
                 continue
             yield ("op", op) if push is None else op
             i = m.end()
@@ -994,6 +997,21 @@ class _Rect:
     y1_top: float
 
 
+@dataclass(slots=True)
+class ImageOut:
+    """A placed image (Image XObject or inline image) in display coords:
+    top-left (x, y_top) and extent, plus the resource name for media_ref
+    synthesis. The analogue of the reference's detected Non-Text regions
+    (pymu_tesseract_processor.py:44-66) — positions survive into the span
+    sequence as kind='media' instead of being silently dropped."""
+
+    y_top: float
+    x: float
+    w: float
+    h: float
+    name: str
+
+
 _IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
 
 
@@ -1016,6 +1034,25 @@ def _mat_apply(m, x, y):
     return (a * x + c * y + e, b * x + d * y + f)
 
 
+def _image_region(ctm, page_h: float, name: str) -> "ImageOut":
+    """Display-space bbox of the unit image square under the CTM."""
+    corners = [
+        _mat_apply(ctm, 0.0, 0.0),
+        _mat_apply(ctm, 1.0, 0.0),
+        _mat_apply(ctm, 0.0, 1.0),
+        _mat_apply(ctm, 1.0, 1.0),
+    ]
+    xs = [p[0] for p in corners]
+    ys = [p[1] for p in corners]
+    return ImageOut(
+        y_top=page_h - max(ys),
+        x=min(xs),
+        w=max(xs) - min(xs),
+        h=max(ys) - min(ys),
+        name=name,
+    )
+
+
 def _interpret(
     stream: bytes,
     page_h: float,
@@ -1025,15 +1062,19 @@ def _interpret(
     ctm=_IDENTITY,
     items: list[_TextItem] | None = None,
     rects: list[_Rect] | None = None,
+    images: list[ImageOut] | None = None,
     form_depth: int = 0,
-) -> tuple[list[_TextItem], list[_Rect]]:
-    """Execute the text/graphics subset, collecting show-ops and rects in
-    top-down device coordinates. Full CTM composition (cm, q/Q), per-font
-    /Differences decoding (Tf), and recursive Form-XObject execution (Do)."""
+) -> tuple[list[_TextItem], list[_Rect], list[ImageOut]]:
+    """Execute the text/graphics subset, collecting show-ops, rects, and
+    placed images in top-down device coordinates. Full CTM composition
+    (cm, q/Q), per-font /Differences decoding (Tf), and recursive
+    Form-XObject execution (Do); Image XObjects and inline images record
+    their CTM-transformed unit-square bbox as media regions."""
     if form_depth > _MAX_FORM_DEPTH:
         raise PdfParseError("form XObject nesting too deep")
     items = [] if items is None else items
     rects = [] if rects is None else rects
+    images = [] if images is None else images
     fonts = fonts or {}
     xobjects = xobjects or {}
     stack: list = []
@@ -1167,19 +1208,35 @@ def _interpret(
                             ctm=sub_ctm,
                             items=items,
                             rects=rects,
+                            images=images,
                             form_depth=form_depth + 1,
                         )
-                    # image XObjects: no text; deliberately not rasterized
+                    elif sub == "Image":
+                        # image XObject: the unit square through the CTM is
+                        # the placed rect (PDF imaging model) — record it as
+                        # a media region; pixels deliberately not decoded
+                        images.append(_image_region(ctm, page_h, str(name)))
+            elif op == "EI":
+                # inline image (payload skipped by the tokenizer): placed at
+                # the current CTM like an XObject, name synthesized
+                images.append(
+                    _image_region(ctm, page_h, f"inline-{len(images)}")
+                )
             # ET, S, f, W, n, w, m, l, h, gs, rg, g, BMC/BDC/EMC: no tracked state
         except (IndexError, TypeError) as e:
             raise PdfParseError(f"malformed operands for {op}: {e}") from e
         stack.clear()
-    return items, rects
+    return items, rects, images
 
 
 def _apply_rotation(
-    items: list[_TextItem], rects: list[_Rect], rot: int, w: float, h: float
-) -> tuple[list[_TextItem], list[_Rect]]:
+    items: list[_TextItem],
+    rects: list[_Rect],
+    images: list[ImageOut],
+    rot: int,
+    w: float,
+    h: float,
+) -> tuple[list[_TextItem], list[_Rect], list[ImageOut]]:
     """Map device coordinates into DISPLAY space for a /Rotate'd page, so
     reading order follows what a viewer shows (clockwise rotation per spec).
 
@@ -1214,7 +1271,16 @@ def _apply_rotation(
                 x1=max(x0, x1), y1_top=max(y0, y1),
             )
         )
-    return new_items, new_rects
+    new_images = []
+    for im in images:
+        (x0, y0), (x1, y1) = f(im.x, im.y_top), f(im.x + im.w, im.y_top + im.h)
+        new_images.append(
+            ImageOut(
+                y_top=min(y0, y1), x=min(x0, x1),
+                w=abs(x1 - x0), h=abs(y1 - y0), name=im.name,
+            )
+        )
+    return new_items, new_rects, new_images
 
 
 # ---------------------------------------------------------------- layout layer
@@ -1244,6 +1310,7 @@ class TableOut:
 class PageOut:
     boxes: list[TextBoxOut]
     tables: list[TableOut]
+    images: list[ImageOut] = field(default_factory=list)
 
 
 def _snap(vals: list[float]) -> list[float]:
@@ -1510,15 +1577,17 @@ def parse_pdf(data: bytes) -> list[PageOut]:
                 _IDENTITY if mb_x0 == 0.0 and mb_y0 == 0.0
                 else (1.0, 0.0, 0.0, 1.0, -mb_x0, -mb_y0)
             )
-            items, rects = _interpret(
+            items, rects, images = _interpret(
                 stream, page_h, fonts=fonts, xobjects=xobjects, doc=doc, ctm=base_ctm
             )
             if rot:
-                items, rects = _apply_rotation(items, rects, rot, page_w, page_h)
+                items, rects, images = _apply_rotation(
+                    items, rects, images, rot, page_w, page_h
+                )
             tables, used = _detect_tables(rects, items)
             free_items = [it for i, it in enumerate(items) if i not in used]
             boxes = _group_textboxes(free_items)
-            pages.append(PageOut(boxes=boxes, tables=tables))
+            pages.append(PageOut(boxes=boxes, tables=tables, images=images))
         return pages
     except PdfParseError:
         raise
@@ -1545,6 +1614,67 @@ def page_to_text(page: PageOut) -> str:
     return clean_text("".join(r[2] for r in regions))
 
 
+def page_to_spans(
+    page: PageOut, page_idx: int, ref_prefix: str = ""
+) -> list[tuple[str, str, str]]:
+    """One page's ordered (kind, text, media_ref) span sequence.
+
+    Regions merge in reading order by (top-y, left-x) — the same key
+    ``page_to_text`` uses; consecutive TEXT regions (textboxes + framed
+    tables) collapse into one cleaned text span, and each image becomes a
+    ``kind='media'`` span with a synthesized ref
+    ``pdf://{ref_prefix}/{page_idx}/{name}`` at its reading-order position
+    (SURVEY §2.8-K2: detected non-content regions become media spans — the
+    reference's Non-Text region handling, pymu_tesseract_processor.py:44-66).
+    A page with no regions at all still emits one empty text span so blank
+    pages keep the one-span-per-page contract; a page with ONLY images (a
+    scanned page) emits only its media spans.
+    """
+    regions: list[tuple[float, float, int, object]] = []
+    n_tables = len(page.tables)
+    for i, tbl in enumerate(page.tables, start=1):
+        label = f"Table{i}" if n_tables > 1 else "Table"
+        regions.append((tbl.y_top, tbl.x, 0, frame_table(label, tbl.rows)))
+    for box in page.boxes:
+        regions.append((box.y_top, box.x, 0, frame_region(box.text)))
+    for im in page.images:
+        regions.append((im.y_top, im.x, 1, im))
+    if not regions:
+        return [("text", "", "")]
+    regions.sort(key=lambda r: (r[0], r[1], r[2]))
+    out: list[tuple[str, str, str]] = []
+    text_parts: list[str] = []
+    for _y, _x, is_media, payload in regions:
+        if is_media:
+            if text_parts:
+                out.append(("text", clean_text("".join(text_parts)), ""))
+                text_parts = []
+            ref = f"pdf://{ref_prefix}/{page_idx}/{payload.name}"
+            out.append(("media", "", ref))
+        else:
+            text_parts.append(payload)
+    if text_parts:
+        out.append(("text", clean_text("".join(text_parts)), ""))
+    return out
+
+
 def extract_pdf_text(data: bytes) -> list[str]:
-    """Full pipeline: bytes -> ordered per-page cleaned content strings."""
+    """Full pipeline: bytes -> ordered per-page cleaned content strings
+    (text only — images do not contribute; see extract_pdf_spans)."""
     return [page_to_text(p) for p in parse_pdf(data)]
+
+
+def extract_pdf_spans(data: bytes, ref_prefix: str = "") -> tuple[list, int, int]:
+    """bytes -> (per-page span-sequence lists, n_pages, n_empty_with_images).
+
+    ``n_empty_with_images`` counts pages with zero text regions but >= 1
+    image — the needs-OCR signal (the reference's P6 empty-text force-OCR
+    trigger, docling_processor.py:235-239) surfaced as a metric so
+    downstream can route scanned documents to an OCR stage.
+    """
+    pages = parse_pdf(data)
+    page_spans = [page_to_spans(p, i, ref_prefix) for i, p in enumerate(pages)]
+    n_empty_with_images = sum(
+        1 for p in pages if not p.boxes and not p.tables and p.images
+    )
+    return page_spans, len(pages), n_empty_with_images

@@ -3,9 +3,10 @@
 Generates the ``documents(doc_id, spans)`` table the extraction pipeline runs
 on: ~50% plain text (messy whitespace to exercise clean_text), 25% HTML with
 link-dense boilerplate, 15% base64 synthetic PDFs (multi-textbox, two-column,
-tabled pages), 10% media passthrough spans — plus a ~1% heavy tail of "giant"
-multi-page PDFs to exercise size bucketing + salted repartitioning. seed=42,
-no external data.
+tabled pages; v6 adds embedded Image XObjects / inline images and text-free
+"scanned" pages), 10% media passthrough spans — plus a ~1% heavy tail of
+"giant" multi-page PDFs to exercise size bucketing + salted repartitioning.
+seed=42, no external data.
 """
 
 from __future__ import annotations
@@ -16,9 +17,10 @@ import random
 
 # bump when gen_documents/make_pdf_bytes output changes: the parquet cache
 # in tempdir is keyed by it, so stale corpora are never reused across edits
-_GEN_VERSION = 5
+_GEN_VERSION = 6
 
 from .core.pdf_build import (
+    ImageBox,
     PageSpec,
     Table,
     TextBox,
@@ -91,14 +93,24 @@ def _html_doc(rng: random.Random) -> str:
     )
 
 
-def _pdf_page(rng: random.Random, two_col: bool, with_table: bool) -> PageSpec:
+def _pdf_page(
+    rng: random.Random, two_col: bool, with_table: bool, features: int = 6
+) -> PageSpec:
     page = PageSpec()
     styles = ["td", "tm", "quote", "tj_array", "hex", "words"]
     y = 60.0
+    # v6 keeps every box's LAST line above the table zone (y >= 560): a box
+    # landing entirely inside a table's ruled bbox would be absorbed into the
+    # table region by the parser, and the expected-kind oracle derives region
+    # interleaving from generator geometry alone (v5 didn't care — all text
+    # regions collapsed into one span per page)
+    y_cap = 480.0 if features >= 6 else float("inf")
     if two_col:
         # interleave two columns so pure content-stream order != reading order
         left_y, right_y = 60.0, 75.0
         for _ in range(rng.randint(2, 4)):
+            if max(left_y, right_y) > y_cap:
+                break
             lines = [_sentence(rng, rng.randint(3, 6)) for _ in range(rng.randint(1, 4))]
             page.boxes.append(TextBox(x=50, y_top=left_y, lines=lines, style=rng.choice(styles)))
             left_y += 14.0 * len(lines) + rng.randint(32, 50)
@@ -109,6 +121,8 @@ def _pdf_page(rng: random.Random, two_col: bool, with_table: bool) -> PageSpec:
         rng.shuffle(page.boxes)
     else:
         for _ in range(rng.randint(1, 5)):
+            if y > y_cap:
+                break
             lines = [_sentence(rng, rng.randint(4, 8)) for _ in range(rng.randint(1, 5))]
             page.boxes.append(TextBox(x=rng.choice([50, 72, 90]), y_top=y, lines=lines, style=rng.choice(styles)))
             y += 14.0 * len(lines) + rng.randint(32, 55)
@@ -124,15 +138,39 @@ def _pdf_page(rng: random.Random, two_col: bool, with_table: bool) -> PageSpec:
         page.tables.append(
             Table(x=60, y_top=560 + rng.randint(0, 60), rows=rows)
         )
+    # v6: embedded figures — Image XObjects and inline images become media
+    # spans at their reading-order position. y gets a .5 offset so an image
+    # anchor never ties a text anchor (box/table y_tops are integer-valued);
+    # the expected-kind oracle sorts the same keys.
+    if features >= 6 and rng.random() < 0.25:
+        for _ in range(rng.randint(1, 2)):
+            page.images.append(
+                ImageBox(
+                    x=float(rng.choice([60, 180, 330])),
+                    y_top=rng.randint(45, 745) + 0.5,
+                    w=float(rng.randint(60, 160)),
+                    h=float(rng.randint(40, 120)),
+                    inline=rng.random() < 0.3,
+                )
+            )
     return page
 
 
-def make_pdf_bytes(rng: random.Random, n_pages: int) -> bytes:
-    """One synthetic PDF drawing from the full round-2 feature matrix:
-    operator styles incl. <hex> strings, /Differences-encoded accented boxes,
-    per-box cm translates, classic xref (optionally physically shuffled),
-    PDF 1.5 xref streams / object streams / PNG predictor, and incremental
-    updates — all deterministic from the rng stream."""
+def make_pdf(
+    rng: random.Random, n_pages: int, features: int = 6
+) -> tuple[bytes, list[PageSpec]]:
+    """One synthetic PDF drawing from the full feature matrix: operator
+    styles incl. <hex> strings, /Differences-encoded accented boxes, per-box
+    cm translates, classic xref (optionally physically shuffled), PDF 1.5
+    xref streams / object streams / PNG predictor, incremental updates, and
+    (features >= 6) embedded Image XObjects / inline images incl. text-free
+    "scanned" pages — all deterministic from the rng stream.
+
+    Returns (bytes, effective page specs) — the specs are the
+    parser-independent ground truth ``expected_extraction_rows`` derives the
+    span-kind/media_ref oracle from. ``features=5`` reproduces the round-2
+    corpus byte-for-byte (the scaling benchmark holds its workload fixed
+    across rounds; every v6 draw is behind a features guard)."""
     pages = []
     for _ in range(n_pages):
         pages.append(
@@ -140,12 +178,21 @@ def make_pdf_bytes(rng: random.Random, n_pages: int) -> bytes:
                 rng,
                 two_col=rng.random() < 0.4,
                 with_table=rng.random() < 0.35,
+                features=features,
             )
         )
+    if features >= 6:
+        # ~6% of pages are "scanned": one full-page image, zero text ops —
+        # the pages_empty_with_images / needs-OCR path (P6 analogue)
+        for i in range(len(pages)):
+            if rng.random() < 0.06:
+                pages[i] = PageSpec(
+                    images=[ImageBox(x=50, y_top=49.5, w=512, h=693)]
+                )
     use_diff = rng.random() < 0.25
     use_cid = (not use_diff) and rng.random() < 0.20
     for page in pages:
-        if not page.tables and rng.random() < 0.15:
+        if not page.tables and not page.images and rng.random() < 0.15:
             page.rotate = rng.choice([90, 180, 270])
         for box in page.boxes:
             if use_diff and rng.random() < 0.4:
@@ -188,11 +235,18 @@ def make_pdf_bytes(rng: random.Random, n_pages: int) -> bytes:
         **kwargs,
     )
     if incremental:
-        new_page = _pdf_page(rng, two_col=False, with_table=False)
+        # incremental revisions replace a content stream only, so the new
+        # page stays image-free (the base page dict carries no /XObject)
+        new_page = _pdf_page(rng, two_col=False, with_table=False, features=5)
         data = append_incremental_page_update(
             data, len(pages) - 1, new_page, n_pages=len(pages)
         )
-    return data
+        pages = pages[:-1] + [new_page]  # effective spec: newest revision wins
+    return data, pages
+
+
+def make_pdf_bytes(rng: random.Random, n_pages: int, features: int = 6) -> bytes:
+    return make_pdf(rng, n_pages, features=features)[0]
 
 
 def gen_documents(n_docs: int, seed: int = 42, profile: str = "mixed") -> list[dict]:
@@ -210,8 +264,10 @@ def gen_documents(n_docs: int, seed: int = 42, profile: str = "mixed") -> list[d
         doc_id = f"doc-{seed}-{d:08d}"
         spans: list[dict] = []
         if profile == "heavy":
+            # features=5: the scaling benchmark's workload is held
+            # byte-identical across rounds so BENCH deltas measure the code
             n_pages = rng.randint(6, 14)
-            pdf = make_pdf_bytes(rng, n_pages)
+            pdf = make_pdf_bytes(rng, n_pages, features=5)
             spans.append({
                 "kind": "pdf",
                 "text": base64.b64encode(pdf).decode("ascii"),
@@ -236,13 +292,14 @@ def gen_documents(n_docs: int, seed: int = 42, profile: str = "mixed") -> list[d
             elif kind == "html":
                 spans.append({"kind": "html", "text": _html_doc(rng), "media_ref": "", "offset": off})
             elif kind == "pdf":
-                pdf = make_pdf_bytes(rng, n_pages)
+                pdf, specs = make_pdf(rng, n_pages)
                 spans.append({
                     "kind": "pdf",
                     "text": base64.b64encode(pdf).decode("ascii"),
                     "media_ref": "",
                     "offset": off,
                     "n_pages": n_pages,  # generator metadata (stripped on write)
+                    "_specs": specs,  # oracle ground truth (stripped on write)
                 })
             else:
                 ref = f"media://{rng.getrandbits(64):016x}.{rng.choice(['png','jpg','mp3','mp4'])}"
@@ -331,27 +388,72 @@ def _count_pdf_pages(pdf_bytes: bytes) -> int:
     return len(_PAGE_OBJ_RE.findall(pdf_bytes))
 
 
+def _page_kind_seq(spec: PageSpec) -> list[tuple[str, str]]:
+    """Expected (kind, image_name) span sequence of one generated page,
+    derived from the spec GEOMETRY alone (never from the parser): regions
+    sort by (top-y, left-x, media-after-text-on-ties) — the identical key
+    ``page_to_spans`` uses — consecutive text regions collapse into one
+    span, a region-free page emits one empty text span."""
+    regions: list[tuple[float, float, int, str]] = []
+    for t in spec.tables:
+        regions.append((t.y_top, t.x, 0, ""))
+    for b in spec.boxes:
+        regions.append((b.y_top, b.x, 0, ""))
+    n_xobj = 0
+    for j, im in enumerate(spec.images):
+        name = f"inline-{j}" if im.inline else f"Im{n_xobj}"
+        if not im.inline:
+            n_xobj += 1
+        regions.append((im.y_top, im.x, 1, name))
+    if not regions:
+        return [("text", "")]
+    regions.sort(key=lambda r: (r[0], r[1], r[2]))
+    seq: list[tuple[str, str]] = []
+    for _y, _x, is_media, name in regions:
+        if is_media:
+            seq.append(("media", name))
+        elif not seq or seq[-1][0] != "text":
+            seq.append(("text", ""))
+    return seq
+
+
 def expected_extraction_rows(n_docs: int, seed: int = 42, profile: str = "mixed") -> list[dict]:
     """Closed-form expected (pages_parsed, spans_emitted, parse_failures,
-    output-kind sequence) per doc, derived from the deterministic generator —
-    NOT by running the extraction kernel. Every generated span is valid, so
-    parse_failures is identically 0; a pdf span emits one text span per page,
-    media passes through, text/html emit one text span each (the
-    extract_document contract, core/extractor.py)."""
+    output kind sequence, media_refs, needs-OCR page count) per doc, derived
+    from the deterministic generator — NOT by running the extraction kernel.
+    Every generated span is valid, so parse_failures is identically 0; a pdf
+    span emits its per-page region sequence (text groups + media spans for
+    embedded images), media passes through with its ref, text/html emit one
+    text span each (the extract_document contract, core/extractor.py)."""
     out: list[dict] = []
     for row in gen_documents(n_docs, seed, profile=profile):
         kinds: list[str] = []
+        refs: list[str] = []
         pages = 0
+        empty_pages = 0
         for s in sorted(row["spans"], key=lambda s: s["offset"]):
             if s["kind"] == "media":
                 kinds.append("media")
+                refs.append(s["media_ref"])
             elif s["kind"] == "pdf":
-                # the generator records its page count directly (object
-                # streams hide page dicts from a byte scan); the scan stays
-                # as a fallback for externally-built spans
-                n = s.get("n_pages") or _count_pdf_pages(base64.b64decode(s["text"]))
-                pages += n
-                kinds.extend(["text"] * n)
+                specs = s.get("_specs")
+                if specs is None:
+                    # externally-built span without specs: page count from
+                    # metadata or a byte scan, one text span per page
+                    n = s.get("n_pages") or _count_pdf_pages(
+                        base64.b64decode(s["text"])
+                    )
+                    pages += n
+                    kinds.extend(["text"] * n)
+                    continue
+                pages += len(specs)
+                for pi, spec in enumerate(specs):
+                    for kind, name in _page_kind_seq(spec):
+                        kinds.append(kind)
+                        if kind == "media":
+                            refs.append(f"pdf://{s['offset']}/{pi}/{name}")
+                    if not spec.boxes and not spec.tables and spec.images:
+                        empty_pages += 1
             else:  # text | html
                 kinds.append("text")
         out.append(
@@ -361,6 +463,8 @@ def expected_extraction_rows(n_docs: int, seed: int = 42, profile: str = "mixed"
                 "spans_emitted": len(kinds),
                 "parse_failures": 0,
                 "kinds": ",".join(kinds),
+                "media_refs": ",".join(refs),
+                "empty_pages": empty_pages,
             }
         )
     return out
@@ -390,6 +494,8 @@ def expected_corpus_parquet(n_docs: int, seed: int = 42, profile: str = "mixed")
             "spans_emitted": pa.array([r["spans_emitted"] for r in rows], pa.int64()),
             "parse_failures": pa.array([r["parse_failures"] for r in rows], pa.int64()),
             "kinds": pa.array([r["kinds"] for r in rows], pa.string()),
+            "media_refs": pa.array([r["media_refs"] for r in rows], pa.string()),
+            "empty_pages": pa.array([r["empty_pages"] for r in rows], pa.int64()),
         }
     )
     pq.write_table(table, path)

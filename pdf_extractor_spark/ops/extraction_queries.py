@@ -297,20 +297,30 @@ FROM documents ORDER BY doc_id
 def q_extract_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF layout parse over the synthetic interleaved corpus, value-hash
     checked: the oracle table is derived in closed form from the generator's
-    structure (page-object counts, span kinds — corpus.expected_extraction_
-    rows), never from the parser under test. The byte-exact per-span text
-    oracle additionally lives in pytest (tests/test_spark_pipeline.py)."""
+    structure (page specs: region geometry -> span-kind sequence, image
+    names -> pdf:// media refs, text-free image pages -> the needs-OCR
+    count — corpus.expected_extraction_rows), never from the parser under
+    test. The byte-exact per-span text oracle additionally lives in pytest
+    (tests/test_spark_pipeline.py)."""
     from ..corpus import corpus_df
 
     docs = corpus_df(spark, n_docs=40, seed=42)
     ext = extract_documents(docs, n_parts=16, num_partitions=8)
     kinds = F.array_join(F.transform("spans", lambda s: s["kind"]), ",")
+    refs = F.array_join(
+        F.filter(F.transform("spans", lambda s: s["media_ref"]), lambda r: r != ""),
+        ",",
+    )
     return ext.select(
         "doc_id",
         F.col("pages_parsed").cast("bigint").alias("pages_parsed"),
         F.col("spans_emitted").cast("bigint").alias("spans_emitted"),
         F.col("parse_failures").cast("bigint").alias("parse_failures"),
         kinds.alias("kinds"),
+        refs.alias("media_refs"),
+        F.element_at("scores", "pages_empty_with_images")
+        .cast("bigint")
+        .alias("empty_pages"),
     ).orderBy("doc_id")
 
 
@@ -322,7 +332,8 @@ def _pdf_corpus_oracle_sql() -> str:
 
     path = expected_corpus_parquet(40, seed=42)
     return (
-        "SELECT doc_id, pages_parsed, spans_emitted, parse_failures, kinds "
+        "SELECT doc_id, pages_parsed, spans_emitted, parse_failures, kinds, "
+        "media_refs, empty_pages "
         f"FROM read_parquet('{path}') ORDER BY doc_id"
     )
 

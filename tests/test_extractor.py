@@ -105,9 +105,12 @@ def test_quality_scores():
     assert res.scores["media_ratio"] == 1 / 3  # 1 media of 3 emitted
     assert res.scores["avg_span_chars"] == len("hello world") / 3
 
+    assert res.scores["pages_empty_with_images"] == 0.0
+
     empty = extract_document([])
     assert empty.scores == {
         "parse_score": 1.0, "media_ratio": 0.0, "avg_span_chars": 0.0,
+        "pages_empty_with_images": 0.0,
     }
 
 
