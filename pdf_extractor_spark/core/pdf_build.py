@@ -467,6 +467,21 @@ def _png_up_predict(data: bytes, columns: int) -> bytes:
     return bytes(out)
 
 
+def _encrypt_stream_body(body: bytes, num: int, crypt) -> bytes:
+    """Encrypt one builder stream object's payload in place (dict /Length
+    updated — AES grows the payload by IV + PKCS#7 padding)."""
+    import re as _re
+
+    h_end = body.find(b">>\nstream\n")
+    assert h_end != -1, "not a builder stream body"
+    payload = body[h_end + len(b">>\nstream\n") : -len(b"\nendstream")]
+    enc = crypt.encrypt(num, 0, payload)
+    head = _re.sub(
+        rb"/Length \d+", b"/Length %d" % len(enc), body[:h_end], count=1
+    )
+    return head + b">>\nstream\n" + enc + b"\nendstream"
+
+
 def build_pdf(
     pages: list[PageSpec],
     compress: bool = False,
@@ -476,6 +491,9 @@ def build_pdf(
     differences: list[tuple[int, str, str]] | None = None,
     order_rng: random.Random | None = None,
     cid: bool = False,
+    encrypt: str | None = None,
+    owner_pw: bytes = b"owner",
+    user_pw: bytes = b"",
 ) -> bytes:
     """Assemble a complete PDF.
 
@@ -488,11 +506,59 @@ def build_pdf(
     columns, Flate, optional PNG Up predictor); with ``objstm=True`` all
     non-stream objects are packed into one compressed object stream
     (/Type /ObjStm) referenced by type-2 xref entries.
+
+    encrypt="rc4-40" | "rc4-128" | "aes-128": standard security handler
+    with the given ``user_pw`` (default empty — the owner-password-only
+    files the parser must open transparently). Every stream payload is
+    encrypted with its per-object key; the AES IV is derived from the
+    object id so output stays deterministic. Strings in object dicts are
+    left plaintext (spec deviation, mirrored by the parser's streams-only
+    decryption — content extraction never reads them).
     """
+    import hashlib
+
     objs, size = _page_objects(pages, compress, differences, cid=cid)
     if order_rng is not None:
         objs = list(objs)
         order_rng.shuffle(objs)
+
+    enc_extra = ""  # trailer / xref-dict additions
+    if encrypt is not None:
+        from .pdf_crypt import MODES, StandardCrypt, compute_o, compute_u, file_key
+
+        v, r, bits, aes = MODES[encrypt]
+        n = bits // 8
+        fid = hashlib.md5(
+            b"pes-id" + owner_pw + user_pw + bytes([len(pages) & 0xFF])
+        ).digest()
+        o = compute_o(owner_pw, user_pw, r, n)
+        p = -44
+        key = file_key(user_pw, o, p, fid, r, n)
+        u = compute_u(key, fid, r)
+        crypt = StandardCrypt(key, aes)
+        objs = [
+            (num, _encrypt_stream_body(body, num, crypt) if is_s else body, is_s)
+            for num, body, is_s in objs
+        ]
+        enc_num = size
+        size += 1
+        enc_body = (
+            f"<< /Filter /Standard /V {v} /R {r} /Length {bits} /P {p} "
+            f"/O <{o.hex()}> /U <{u.hex()}>"
+        )
+        if v == 4:
+            enc_body += (
+                " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                "/StmF /StdCF /StrF /StdCF"
+            )
+        enc_body += " >>"
+        # the /Encrypt dict itself is never encrypted and (by spec) must not
+        # live in an object stream: mark is_stream so the objstm path writes
+        # it directly
+        objs = list(objs) + [(enc_num, enc_body.encode(), True)]
+        enc_extra = f" /Encrypt {enc_num} 0 R /ID [<{fid.hex()}> <{fid.hex()}>]"
+    else:
+        crypt = None
 
     if xref_mode == "table":
         out = bytearray(b"%PDF-1.4\n")
@@ -506,7 +572,7 @@ def build_pdf(
         for num in range(1, size):
             out += f"{offsets[num]:010d} 00000 n \n".encode()
         out += (
-            f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
+            f"trailer\n<< /Size {size} /Root 1 0 R{enc_extra} >>\n"
             f"startxref\n{xref_at}\n%%EOF\n"
         ).encode()
         return bytes(out)
@@ -529,6 +595,10 @@ def build_pdf(
             payload += body + b"\n"
         hdr = (" ".join(header) + "\n").encode()
         stm_data = zlib.compress(hdr + bytes(payload))
+        if crypt is not None:
+            # the ObjStm is a stream: encrypted wholesale with its own key;
+            # member objects are never encrypted individually (spec)
+            stm_data = crypt.encrypt(stm_num, 0, stm_data)
         for idx, (num, _body) in enumerate(members):
             entries[num] = ("s", stm_num, idx)
         for num, body in streams:
@@ -569,7 +639,7 @@ def build_pdf(
     xdata = zlib.compress(bytes(rows))
     out += (
         f"{xref_num} 0 obj\n<< /Type /XRef /Size {total} /W [1 4 2] "
-        f"/Root 1 0 R /Length {len(xdata)} /Filter /FlateDecode{parms} "
+        f"/Root 1 0 R{enc_extra} /Length {len(xdata)} /Filter /FlateDecode{parms} "
         ">>\nstream\n".encode()
         + xdata
         + b"\nendstream\nendobj\n"

@@ -35,6 +35,7 @@ import re
 import zlib
 from dataclasses import dataclass, field
 
+from .pdf_crypt import PdfCryptError, make_decryptor
 from .textclean import clean_text, frame_region, frame_table
 
 # layout constants
@@ -412,11 +413,12 @@ class PdfDoc:
 
     def __init__(self, data: bytes):
         self.data = data
-        # num -> ("n", offset) | ("s", objstm_num, index_in_stream)
+        # num -> ("n", offset) | ("s", objstm_num, index_in_stream) | ("f",)
         self.xref: dict[int, tuple] = {}
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, list] = {}
+        self._crypt = None
         try:
             self._load_xref_chain()
         except PdfParseError:
@@ -425,6 +427,33 @@ class PdfDoc:
             self._scan_fallback()
         if not self.xref:
             raise PdfParseError("no objects found")
+        self._setup_encryption()
+
+    def _setup_encryption(self) -> None:
+        """Standard security handler for the EMPTY-user-password case
+        (RC4-40/128, AES-128) — the owner-password-only files pymupdf opens
+        transparently (pymu_tesseract_processor.py:84). Files that need a
+        real user password, or use an unsupported handler, fail as
+        PdfParseError -> the parse_failures quarantine (helper.py:213-225)."""
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is None:
+            return
+        try:
+            enc = self.resolve(enc_ref)
+            if not isinstance(enc, dict):
+                raise PdfCryptError("/Encrypt is not a dict")
+            ids = self.trailer.get("ID")
+            fid = b""
+            if isinstance(ids, list) and ids:
+                first = self.resolve(ids[0])
+                if isinstance(first, str):
+                    fid = first.encode("latin-1")
+            self._crypt = make_decryptor(enc, fid, self.resolve)
+        except (PdfCryptError, PdfParseError) as e:
+            raise PdfParseError(f"encrypted PDF ({e})") from e
+        # drop anything parsed before the key existed (raw-encrypted streams)
+        self._cache.clear()
+        self._objstm_cache.clear()
 
     # ---- xref machinery
 
@@ -586,7 +615,17 @@ class PdfDoc:
                 # strip the EOL that precedes endstream
                 while end > s and data[end - 1] in b"\r\n":
                     end -= 1
-            return Stream(val, data[s:end])
+            raw = data[s:end]
+            # decrypt BEFORE filters (ISO 32000 7.6.2); xref streams are
+            # never encrypted by spec
+            if self._crypt is not None and str(val.get("Type")) != "XRef":
+                try:
+                    raw = self._crypt.decrypt(
+                        int(m.group(1)), int(m.group(2)), raw
+                    )
+                except PdfCryptError as e:
+                    raise PdfParseError(f"stream decryption failed: {e}") from e
+            return Stream(val, raw)
         return val
 
     def _scan_offset(self, num: int) -> int | None:
@@ -1544,13 +1583,10 @@ def parse_pdf(data: bytes) -> list[PageOut]:
     if not data.startswith(b"%PDF"):
         raise PdfParseError("not a PDF (bad header)")
     try:
+        # encrypted files: PdfDoc transparently decrypts the empty-user-
+        # password case (RC4-40/128, AES-128); password-protected or
+        # unsupported handlers raise PdfParseError -> parse_failures
         doc = PdfDoc(data)
-        if doc.trailer.get("Encrypt") is not None:
-            # standard-security files need RC4/AES decryption we deliberately
-            # do not implement: fail loudly into the parse_failures metric
-            # (same quarantine outcome the reference gets from pymupdf's
-            # needs_pass, helper.py:213-225)
-            raise PdfParseError("encrypted PDF (\x2fEncrypt present)")
         page_nodes = _page_list(doc)
 
         pages: list[PageOut] = []

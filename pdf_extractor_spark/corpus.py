@@ -157,7 +157,11 @@ def _pdf_page(
 
 
 def make_pdf(
-    rng: random.Random, n_pages: int, features: int = 6
+    rng: random.Random,
+    n_pages: int,
+    features: int = 6,
+    encrypt: str | None = None,
+    user_pw: bytes = b"",
 ) -> tuple[bytes, list[PageSpec]]:
     """One synthetic PDF drawing from the full feature matrix: operator
     styles incl. <hex> strings, /Differences-encoded accented boxes, per-box
@@ -226,7 +230,13 @@ def make_pdf(
     elif mode < 0.40:
         kwargs["order_rng"] = rng
     else:
-        incremental = rng.random() < 0.15
+        # an incremental revision onto an encrypted base would need its new
+        # stream encrypted too — the builder's appender writes plaintext, so
+        # encrypted docs skip it (the rng draw stays for stream stability)
+        incremental = rng.random() < 0.15 and encrypt is None
+    if encrypt is not None:
+        kwargs["encrypt"] = encrypt
+        kwargs["user_pw"] = user_pw
     data = build_pdf(
         pages,
         compress=rng.random() < 0.5,
@@ -257,12 +267,33 @@ def gen_documents(n_docs: int, seed: int = 42, profile: str = "mixed") -> list[d
     the skew path. profile="heavy": every doc is one 6-14 page PDF —
     used by the scaling benchmark so parse compute dominates fixed
     overhead and the N-vs-4N efficiency measurement is meaningful.
+    profile="encrypted": every doc is one standard-security PDF cycling
+    rc4-40 / rc4-128 / aes-128 with an EMPTY user password (must decrypt
+    transparently); every 7th doc instead carries a REAL user password and
+    must quarantine as a parse failure.
     """
     rng = random.Random(seed)
     rows: list[dict] = []
     for d in range(n_docs):
         doc_id = f"doc-{seed}-{d:08d}"
         spans: list[dict] = []
+        if profile == "encrypted":
+            mode = ("rc4-40", "rc4-128", "aes-128")[d % 3]
+            pw = b"real-password" if d % 7 == 0 else b""
+            pdf, specs = make_pdf(
+                rng, rng.randint(1, 4), encrypt=mode, user_pw=pw
+            )
+            spans.append({
+                "kind": "pdf",
+                "text": base64.b64encode(pdf).decode("ascii"),
+                "media_ref": "",
+                "offset": 0,
+                "n_pages": len(specs),
+                "_specs": specs,
+                "_pw_protected": bool(pw),  # oracle metadata (stripped)
+            })
+            rows.append({"doc_id": doc_id, "spans": spans})
+            continue
         if profile == "heavy":
             # features=5: the scaling benchmark's workload is held
             # byte-identical across rounds so BENCH deltas measure the code
@@ -431,11 +462,18 @@ def expected_extraction_rows(n_docs: int, seed: int = 42, profile: str = "mixed"
         refs: list[str] = []
         pages = 0
         empty_pages = 0
+        failures = 0
         for s in sorted(row["spans"], key=lambda s: s["offset"]):
             if s["kind"] == "media":
                 kinds.append("media")
                 refs.append(s["media_ref"])
             elif s["kind"] == "pdf":
+                if s.get("_pw_protected"):
+                    # user-password-protected: quarantines as a parse
+                    # failure with one empty placeholder span
+                    failures += 1
+                    kinds.append("text")
+                    continue
                 specs = s.get("_specs")
                 if specs is None:
                     # externally-built span without specs: page count from
@@ -461,7 +499,7 @@ def expected_extraction_rows(n_docs: int, seed: int = 42, profile: str = "mixed"
                 "doc_id": row["doc_id"],
                 "pages_parsed": pages,
                 "spans_emitted": len(kinds),
-                "parse_failures": 0,
+                "parse_failures": failures,
                 "kinds": ",".join(kinds),
                 "media_refs": ",".join(refs),
                 "empty_pages": empty_pages,

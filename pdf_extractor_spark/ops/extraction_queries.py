@@ -338,6 +338,47 @@ def _pdf_corpus_oracle_sql() -> str:
     )
 
 
+def q_extract_encrypted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard-security PDFs through the REAL kernel, value-hash checked:
+    the corpus cycles RC4-40 / RC4-128 / AES-128 with an empty user password
+    (must decrypt transparently — the pymupdf.open behavior the reference
+    relies on, pymu_tesseract_processor.py:84) and every 7th doc carries a
+    real user password (must quarantine as a parse failure, never garble).
+    The oracle derives from generator structure: page specs for the
+    decryptable docs, the failure contract for the passworded ones."""
+    from ..corpus import corpus_df
+
+    docs = corpus_df(spark, n_docs=24, seed=7, profile="encrypted")
+    ext = extract_documents(docs, n_parts=8, num_partitions=8)
+    kinds = F.array_join(F.transform("spans", lambda s: s["kind"]), ",")
+    refs = F.array_join(
+        F.filter(F.transform("spans", lambda s: s["media_ref"]), lambda r: r != ""),
+        ",",
+    )
+    return ext.select(
+        "doc_id",
+        F.col("pages_parsed").cast("bigint").alias("pages_parsed"),
+        F.col("spans_emitted").cast("bigint").alias("spans_emitted"),
+        F.col("parse_failures").cast("bigint").alias("parse_failures"),
+        kinds.alias("kinds"),
+        refs.alias("media_refs"),
+        F.element_at("scores", "pages_empty_with_images")
+        .cast("bigint")
+        .alias("empty_pages"),
+    ).orderBy("doc_id")
+
+
+def _encrypted_corpus_oracle_sql() -> str:
+    from ..corpus import expected_corpus_parquet
+
+    path = expected_corpus_parquet(24, seed=7, profile="encrypted")
+    return (
+        "SELECT doc_id, pages_parsed, spans_emitted, parse_failures, kinds, "
+        "media_refs, empty_pages "
+        f"FROM read_parquet('{path}') ORDER BY doc_id"
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "extract_clean": (q_extract_clean, EXTRACT_CLEAN_SQL),
     "extract_metrics": (q_extract_metrics, EXTRACT_METRICS_SQL),
@@ -345,4 +386,8 @@ QUERIES: dict[str, tuple] = {
     "curate_corpus": (q_curate_corpus, CURATE_CORPUS_SQL),
     "extract_failures": (q_extract_failures, EXTRACT_FAILURES_SQL),
     "extract_pdf_corpus": (q_extract_pdf_corpus, _pdf_corpus_oracle_sql),
+    "extract_encrypted_corpus": (
+        q_extract_encrypted_corpus,
+        _encrypted_corpus_oracle_sql,
+    ),
 }
