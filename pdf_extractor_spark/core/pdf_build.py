@@ -150,7 +150,49 @@ def _cid_hex(s: str) -> str:
     return "<" + "".join(f"{c:04x}" for c in out) + ">"
 
 
-def _textbox_ops(box: TextBox, inv_diff: dict[str, int] | None = None) -> str:
+# the non-Identity embedded CMap's 2-byte code page (codespace <8000><80ff>)
+EMB_EACUTE = 0x8001  # -> "é"
+EMB_FFL = 0x8002  # -> "ffl"
+
+
+def _cid_hex_embedded(s: str) -> str:
+    """Encode for the embedded-CMap F3 variant: MIXED code widths — ASCII as
+    single bytes (codespace <20><7e>), é / ffl as 2-byte <80xx> codes. The
+    parser must split the byte string by codespacerange to decode this."""
+    out: list[str] = []
+    i = 0
+    while i < len(s):
+        if s.startswith("ffl", i):
+            out.append(f"{EMB_FFL:04x}")
+            i += 3
+        elif s[i] == "é":
+            out.append(f"{EMB_EACUTE:04x}")
+            i += 1
+        else:
+            o = ord(s[i])
+            if not 0x20 <= o <= 0x7E:
+                raise ValueError(f"char {s[i]!r} not in the embedded CMap")
+            out.append(f"{o:02x}")
+            i += 1
+    return "<" + "".join(out) + ">"
+
+
+def _cid_hex_ucs2(s: str) -> str:
+    """Encode for the predefined UniGB-UCS2-H F3 variant: 2-byte codes that
+    ARE the UCS-2 values (no ToUnicode needed)."""
+    return "<" + s.encode("utf-16-be").hex() + ">"
+
+
+_CID_TOKS = {
+    "identity": _cid_hex,
+    "embedded": _cid_hex_embedded,
+    "ucs2": _cid_hex_ucs2,
+}
+
+
+def _textbox_ops(
+    box: TextBox, inv_diff: dict[str, int] | None = None, cid_tok=_cid_hex
+) -> str:
     inv = inv_diff if box.font == "F2" else None
     # with a CTM, coordinates/leading are emitted in user space so that the
     # device-space result is identical to the untransformed box
@@ -174,7 +216,7 @@ def _textbox_ops(box: TextBox, inv_diff: dict[str, int] | None = None) -> str:
     else:
         ops.append(f"{x_u:g} {y0_u:g} Td")
     if box.font == "F3":
-        tok = _cid_hex  # Type0/Identity-H: every show string is CID hex
+        tok = cid_tok  # Type0: every show string is CID hex (per encoding)
     elif box.style == "hex":
         tok = lambda s: _hex_str(s, inv)
     else:
@@ -222,7 +264,10 @@ def _textbox_ops(box: TextBox, inv_diff: dict[str, int] | None = None) -> str:
 
 
 def _rotated_textbox_ops(
-    box: TextBox, rotate: int, inv_diff: dict[str, int] | None = None
+    box: TextBox,
+    rotate: int,
+    inv_diff: dict[str, int] | None = None,
+    cid_tok=_cid_hex,
 ) -> str:
     """Per-line absolute Tm placement for a /Rotate'd page: each DISPLAY
     position (x, y_top + i*leading) is inverse-rotated into PDF top-down
@@ -237,7 +282,7 @@ def _rotated_textbox_ops(
     else:
         raise ValueError(f"unsupported rotate {rotate}")
     if box.font == "F3":
-        tok = _cid_hex
+        tok = cid_tok
     elif box.style == "hex":
         tok = lambda s: _hex_str(s, inv)
     else:
@@ -288,19 +333,28 @@ def _table_ops(tbl: Table) -> str:
     return "\n".join(ops)
 
 
+# object-slot count of the F3 family per encoding variant:
+# identity: F3 + descendant + ToUnicode; ucs2: F3 + descendant (no
+# ToUnicode); embedded: + the /Encoding CMap stream
+_CID_N_OBJS = {"identity": 3, "ucs2": 2, "embedded": 4}
+
+
 def _page_objects(
     pages: list[PageSpec],
     compress: bool,
     differences: list[tuple[int, str, str]] | None,
     cid: bool = False,
+    cid_encoding: str = "identity",
 ) -> tuple[list[tuple[int, bytes, bool]], int]:
     """Assemble numbered object bodies.
 
     Returns ([(num, body, is_stream)], size). Numbering: 1 catalog, 2 pages
     node, then per page i: page 3+2i / contents 4+2i, then fonts (F1; F2 if
-    differences; F3 Type0 + descendant + ToUnicode stream if cid).
+    differences; the F3 Type0 family if cid — see _CID_N_OBJS), then image
+    XObjects.
     """
     inv_diff = {ch: code for code, _name, ch in (differences or [])}
+    cid_tok = _CID_TOKS[cid_encoding]
     n_pages = len(pages)
     f1_num = 3 + 2 * n_pages
     f2_num = f1_num + 1
@@ -317,7 +371,12 @@ def _page_objects(
     if cid:
         font_res += f" /F3 {f3_num} 0 R"
     # image XObjects are numbered after every font object
-    img_base = f1_num + 1 + (1 if differences else 0) + (3 if cid else 0)
+    img_base = (
+        f1_num
+        + 1
+        + (1 if differences else 0)
+        + (_CID_N_OBJS[cid_encoding] if cid else 0)
+    )
     img_objs: list[tuple[int, bytes, bool]] = []
     for i, page in enumerate(pages):
         page_num = 3 + 2 * i
@@ -366,11 +425,12 @@ def _page_objects(
             if page.tables or page.images:
                 raise ValueError("tables/images on rotated pages are unsupported")
             parts = [
-                _rotated_textbox_ops(b, page.rotate, inv_diff) for b in page.boxes
+                _rotated_textbox_ops(b, page.rotate, inv_diff, cid_tok=cid_tok)
+                for b in page.boxes
             ]
         else:
             parts = [_table_ops(t) for t in page.tables]
-            parts += [_textbox_ops(b, inv_diff) for b in page.boxes]
+            parts += [_textbox_ops(b, inv_diff, cid_tok=cid_tok) for b in page.boxes]
             parts += img_parts
         content = "\n".join(parts).encode("latin-1", errors="replace")
         if compress:
@@ -406,14 +466,67 @@ def _page_objects(
         size = f2_num + 1
     if cid:
         desc_num = f3_num + 1
-        tu_num = f3_num + 2
+        if cid_encoding == "identity":
+            enc_entry = "/Encoding /Identity-H"
+            tu_num = f3_num + 2
+            tu_entry = f" /ToUnicode {tu_num} 0 R"
+            ordering = "Identity"
+            size = tu_num + 1
+            # identity-ASCII bfrange + two bfchar extras (é, ffl ligature)
+            tu_cmap = (
+                "/CIDInit /ProcSet findresource begin\n"
+                "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+                "1 beginbfrange\n<0020> <007e> <0020>\nendbfrange\n"
+                "2 beginbfchar\n"
+                f"<{CID_EACUTE:04x}> <00e9>\n"
+                f"<{CID_FFL:04x}> <00660066006c>\n"
+                "endbfchar\nend\n"
+            ).encode()
+        elif cid_encoding == "ucs2":
+            # predefined CMap: 2-byte codes ARE UCS-2; no ToUnicode at all —
+            # the parser must decode from the encoding name
+            enc_entry = "/Encoding /UniGB-UCS2-H"
+            tu_entry = ""
+            ordering = "GB1"
+            size = desc_num + 1
+        else:  # embedded: non-Identity CMap stream with MIXED code widths
+            cmap_num = f3_num + 2
+            tu_num = f3_num + 3
+            enc_entry = f"/Encoding {cmap_num} 0 R"
+            tu_entry = f" /ToUnicode {tu_num} 0 R"
+            ordering = "PesCustom"
+            size = tu_num + 1
+            enc_cmap = (
+                "/CIDInit /ProcSet findresource begin\n"
+                "12 dict begin\nbegincmap\n"
+                "/CIDSystemInfo << /Registry (PES) /Ordering (PesCustom) "
+                "/Supplement 0 >> def\n"
+                "/CMapName /PES-Custom def\n/CMapType 1 def\n"
+                "2 begincodespacerange\n<20> <7e>\n<8000> <80ff>\n"
+                "endcodespacerange\n"
+                "1 begincidrange\n<20> <7e> 100\nendcidrange\n"
+                "2 begincidchar\n"
+                f"<{EMB_EACUTE:04x}> 501\n<{EMB_FFL:04x}> 502\n"
+                "endcidchar\nendcmap\nend\n"
+            ).encode()
+            # ToUnicode keyed by the SAME mixed-width codes
+            tu_cmap = (
+                "/CIDInit /ProcSet findresource begin\n"
+                "2 begincodespacerange\n<20> <7e>\n<8000> <80ff>\n"
+                "endcodespacerange\n"
+                "1 beginbfrange\n<20> <7e> <0020>\nendbfrange\n"
+                "2 beginbfchar\n"
+                f"<{EMB_EACUTE:04x}> <00e9>\n"
+                f"<{EMB_FFL:04x}> <00660066006c>\n"
+                "endbfchar\nend\n"
+            ).encode()
         objs.append(
             (
                 f3_num,
                 (
                     "<< /Type /Font /Subtype /Type0 /BaseFont /Synthetic "
-                    f"/Encoding /Identity-H /DescendantFonts [{desc_num} 0 R] "
-                    f"/ToUnicode {tu_num} 0 R >>"
+                    f"{enc_entry} /DescendantFonts [{desc_num} 0 R]"
+                    f"{tu_entry} >>"
                 ).encode(),
                 False,
             )
@@ -423,32 +536,36 @@ def _page_objects(
                 desc_num,
                 (
                     "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synthetic "
-                    "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+                    f"/CIDSystemInfo << /Registry (Adobe) /Ordering ({ordering}) "
                     "/Supplement 0 >> >>"
                 ).encode(),
                 False,
             )
         )
-        # identity-ASCII bfrange + two bfchar extras (é, ffl ligature)
-        cmap = (
-            "/CIDInit /ProcSet findresource begin\n"
-            "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
-            "1 beginbfrange\n<0020> <007e> <0020>\nendbfrange\n"
-            "2 beginbfchar\n"
-            f"<{CID_EACUTE:04x}> <00e9>\n"
-            f"<{CID_FFL:04x}> <00660066006c>\n"
-            "endbfchar\nend\n"
-        ).encode()
-        objs.append(
-            (
-                tu_num,
-                f"<< /Length {len(cmap)} >>\nstream\n".encode()
-                + cmap
-                + b"\nendstream",
-                True,
+        if cid_encoding == "embedded":
+            objs.append(
+                (
+                    cmap_num,
+                    (
+                        "<< /Type /CMap /CMapName /PES-Custom "
+                        f"/Length {len(enc_cmap)} >>\nstream\n"
+                    ).encode()
+                    + enc_cmap
+                    + b"\nendstream",
+                    True,
+                )
             )
-        )
-        size = tu_num + 1
+        if cid_encoding != "ucs2":
+            objs.append(
+                (
+                    tu_num,
+                    f"<< /Length {len(tu_cmap)} >>\nstream\n".encode()
+                    + tu_cmap
+                    + b"\nendstream",
+                    True,
+                )
+            )
+            size = tu_num + 1
     assert size == img_base
     objs.extend(img_objs)
     return objs, img_base + len(img_objs)
@@ -491,6 +608,7 @@ def build_pdf(
     differences: list[tuple[int, str, str]] | None = None,
     order_rng: random.Random | None = None,
     cid: bool = False,
+    cid_encoding: str = "identity",
     encrypt: str | None = None,
     owner_pw: bytes = b"owner",
     user_pw: bytes = b"",
@@ -517,7 +635,9 @@ def build_pdf(
     """
     import hashlib
 
-    objs, size = _page_objects(pages, compress, differences, cid=cid)
+    objs, size = _page_objects(
+        pages, compress, differences, cid=cid, cid_encoding=cid_encoding
+    )
     if order_rng is not None:
         objs = list(objs)
         order_rng.shuffle(objs)

@@ -755,14 +755,34 @@ class _Font:
     """Per-font text decoding state.
 
     Simple fonts: latin-1 base + optional /Differences remap (decode_map).
-    Composite (Type0/Identity-H) fonts: show strings are sequences of 2-byte
-    big-endian CIDs decoded through the /ToUnicode CMap (cid_map) — the way
-    virtually every modern subset-embedded font encodes its text.
+    Composite (Type0) fonts: show strings are byte sequences split into
+    character CODES, then mapped to unicode:
+
+    - Identity-H/V: fixed 2-byte codes, unicode via /ToUnicode (cid_map);
+    - predefined Uni(GB|JIS|KS|CNS)-UCS2-H/V: fixed 2-byte codes that ARE
+      UCS-2 values (ucs2_codes) — unicode without any ToUnicode;
+    - embedded CMap stream (round 3): variable-width codes split by the
+      CMap's codespacerange (code_ranges), code -> CID via its
+      cidrange/cidchar operators (cid_ranges / cid_chars, kept for glyph
+      identity), unicode via the code-keyed /ToUnicode.
     """
 
     decode_map: dict[int, str] | None = None
     is_cid: bool = False
     cid_map: dict[int, str] | None = None
+    code_ranges: list[tuple[int, int, int]] | None = None  # (lo, hi, nbytes)
+    cid_ranges: list[tuple[int, int, int]] | None = None  # (lo, hi, cid_base)
+    cid_chars: dict[int, int] | None = None
+    ucs2_codes: bool = False
+
+    def cid_of(self, code: int) -> int | None:
+        """CID for a character code (embedded-CMap fonts); None if unmapped."""
+        if self.cid_chars and code in self.cid_chars:
+            return self.cid_chars[code]
+        for lo, hi, base in self.cid_ranges or []:
+            if lo <= code <= hi:
+                return base + (code - lo)
+        return None
 
 
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
@@ -810,6 +830,72 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
     return cmap
 
 
+_CODESPACE_RE = re.compile(rb"begincodespacerange(.*?)endcodespacerange", re.S)
+_CIDRANGE_RE = re.compile(rb"begincidrange(.*?)endcidrange", re.S)
+_CIDCHAR_RE = re.compile(rb"begincidchar(.*?)endcidchar", re.S)
+_CIDRANGE_TRIPLE_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s+(\d+)")
+_CIDCHAR_PAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s+(\d+)")
+
+
+def _parse_cid_cmap(data: bytes):
+    """Parse an embedded /Encoding CMap stream: codespacerange (the code
+    byte-width structure show strings split by) plus cidrange/cidchar
+    (code -> CID, kept for glyph identity). ISO 32000 9.7.5.3."""
+    code_ranges: list[tuple[int, int, int]] = []
+    for m in _CODESPACE_RE.finditer(data):
+        for p in _HEXPAIR_RE.finditer(m.group(1)):
+            lo_hex, hi_hex = p.group(1), p.group(2)
+            if len(lo_hex) != len(hi_hex) or len(lo_hex) % 2:
+                raise PdfParseError("bad codespacerange widths")
+            nbytes = len(lo_hex) // 2
+            if nbytes > 4:
+                raise PdfParseError("codespacerange wider than 4 bytes")
+            code_ranges.append((int(lo_hex, 16), int(hi_hex, 16), nbytes))
+    if not code_ranges:
+        raise PdfParseError("CMap without codespacerange")
+    cid_ranges: list[tuple[int, int, int]] = []
+    for m in _CIDRANGE_RE.finditer(data):
+        for t in _CIDRANGE_TRIPLE_RE.finditer(m.group(1)):
+            lo, hi = int(t.group(1), 16), int(t.group(2), 16)
+            if hi - lo > 0x10000:
+                raise PdfParseError("oversized cidrange")
+            cid_ranges.append((lo, hi, int(t.group(3))))
+    cid_chars: dict[int, int] = {}
+    for m in _CIDCHAR_RE.finditer(data):
+        for p in _CIDCHAR_PAIR_RE.finditer(m.group(1)):
+            cid_chars[int(p.group(1), 16)] = int(p.group(2))
+    return code_ranges, cid_ranges, cid_chars
+
+
+def _split_codes(raw: bytes, ranges: list[tuple[int, int, int]]) -> list[int]:
+    """Split show-string bytes into character codes by codespacerange:
+    shortest matching width wins; an unmatchable byte advances by one and
+    yields -1 (rendered U+FFFD) so hostile input never hangs."""
+    by_len: dict[int, list[tuple[int, int]]] = {}
+    for lo, hi, nb in ranges:
+        by_len.setdefault(nb, []).append((lo, hi))
+    max_len = max(by_len)
+    out: list[int] = []
+    i, n = 0, len(raw)
+    while i < n:
+        for ln in range(1, max_len + 1):
+            spans = by_len.get(ln)
+            if spans is None or i + ln > n:
+                continue
+            code = int.from_bytes(raw[i : i + ln], "big")
+            if any(lo <= code <= hi for lo, hi in spans):
+                out.append(code)
+                i += ln
+                break
+        else:
+            out.append(-1)
+            i += 1
+    return out
+
+
+_UCS2_CMAP_RE = re.compile(r"Uni(GB|JIS|JIS2004|KS|CNS)-UCS2-[HV]")
+
+
 def _build_font(doc: PdfDoc, font_obj) -> _Font:
     fd = doc.resolve(font_obj)
     if not isinstance(fd, dict):
@@ -817,13 +903,32 @@ def _build_font(doc: PdfDoc, font_obj) -> _Font:
     subtype = str(doc.resolve(fd.get("Subtype")) or "")
     if subtype == "Type0":
         enc = doc.resolve(fd.get("Encoding"))
-        if str(enc) not in ("Identity-H", "Identity-V"):
-            raise PdfParseError(f"unsupported Type0 encoding {enc!r}")
         tu = doc.resolve(fd.get("ToUnicode"))
         cid_map: dict[int, str] = {}
         if isinstance(tu, Stream):
             cid_map = _parse_tounicode(_apply_filters(tu.raw, tu.dict, doc.resolve))
-        return _Font(is_cid=True, cid_map=cid_map)
+        if isinstance(enc, Stream):
+            # embedded CMap: variable-width codes via its codespacerange,
+            # code -> CID via cidrange/cidchar; unicode via the code-keyed
+            # ToUnicode (round 3 — previously only Identity-H/V parsed)
+            code_ranges, cid_ranges, cid_chars = _parse_cid_cmap(
+                _apply_filters(enc.raw, enc.dict, doc.resolve)
+            )
+            return _Font(
+                is_cid=True,
+                cid_map=cid_map,
+                code_ranges=code_ranges,
+                cid_ranges=cid_ranges,
+                cid_chars=cid_chars,
+            )
+        enc_name = str(enc)
+        if enc_name in ("Identity-H", "Identity-V"):
+            return _Font(is_cid=True, cid_map=cid_map)
+        if _UCS2_CMAP_RE.fullmatch(enc_name):
+            # predefined *-UCS2 encodings: 2-byte codes ARE UCS-2 values,
+            # so text decodes without any ToUnicode (common CJK subset)
+            return _Font(is_cid=True, cid_map=cid_map, ucs2_codes=True)
+        raise PdfParseError(f"unsupported Type0 encoding {enc!r}")
     enc = doc.resolve(fd.get("Encoding"))
     if not isinstance(enc, dict):
         return _Font()
@@ -1129,14 +1234,29 @@ def _interpret(
             raise PdfParseError(f"show operator on non-string operand {s!r}")
         if font is not None:
             if font.is_cid:
-                # Identity-H: raw bytes are 2-byte big-endian CIDs mapped
-                # through the ToUnicode CMap (U+FFFD for unmapped codes)
                 raw = s.encode("latin-1")
                 cm = font.cid_map or {}
-                s = "".join(
-                    cm.get(int.from_bytes(raw[k : k + 2], "big"), "�")
-                    for k in range(0, len(raw) - len(raw) % 2, 2)
-                )
+                if font.code_ranges is not None:
+                    # embedded CMap: variable-width codes per codespacerange
+                    codes = _split_codes(raw, font.code_ranges)
+                elif font.ucs2_codes and not cm:
+                    # predefined *-UCS2: codes are UTF-16BE code units
+                    s = raw.decode("utf-16-be", errors="replace")
+                    codes = None
+                else:
+                    # Identity-H (or UCS2 with an explicit ToUnicode):
+                    # fixed 2-byte big-endian codes
+                    codes = [
+                        int.from_bytes(raw[k : k + 2], "big")
+                        for k in range(0, len(raw) - len(raw) % 2, 2)
+                    ]
+                if codes is not None:
+                    fallback = (
+                        (lambda c: chr(c) if 0 <= c <= 0xFFFF else "�")
+                        if font.ucs2_codes
+                        else (lambda c: "�")
+                    )
+                    s = "".join(cm.get(c) or fallback(c) for c in codes)
             elif font.decode_map is not None:
                 s = s.translate(font.decode_map)
         # device position of the text origin: (tm.e, tm.f) through the CTM;

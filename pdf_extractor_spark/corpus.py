@@ -17,7 +17,7 @@ import random
 
 # bump when gen_documents/make_pdf_bytes output changes: the parquet cache
 # in tempdir is keyed by it, so stale corpora are never reused across edits
-_GEN_VERSION = 6
+_GEN_VERSION = 7
 
 from .core.pdf_build import (
     ImageBox,
@@ -195,6 +195,11 @@ def make_pdf(
                 )
     use_diff = rng.random() < 0.25
     use_cid = (not use_diff) and rng.random() < 0.20
+    cid_encoding = "identity"
+    if use_cid and features >= 6:
+        # v7: non-Identity CID encodings — an embedded CMap stream with
+        # mixed 1/2-byte codes, and the predefined UniGB-UCS2-H family
+        cid_encoding = rng.choice(["identity", "embedded", "ucs2"])
     for page in pages:
         if not page.tables and not page.images and rng.random() < 0.15:
             page.rotate = rng.choice([90, 180, 270])
@@ -242,6 +247,7 @@ def make_pdf(
         compress=rng.random() < 0.5,
         differences=CORPUS_DIFFS if use_diff else None,
         cid=use_cid,
+        cid_encoding=cid_encoding,
         **kwargs,
     )
     if incremental:
