@@ -699,6 +699,53 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("comp").alias("component")).orderBy("doc_id")
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization — the stage a curation pipeline
+    runs on top of connected components: within every near-dup cluster keep
+    the highest-quality member (quality = token count here; ties break to
+    the lowest doc_id) and mark the rest as drops.
+
+    Scale shape: components come from the staged iterative loop
+    (q_dedup_components — LSH pairs persisted, one raw-table scan); quality
+    is a map-only projection of the documents scan; the argmax is ONE
+    row_number window partitioned by component — clustered docs only, a
+    vanishing fraction of the corpus, so the window shuffle is tiny relative
+    to the dedup graph itself. Never a per-group collect.
+    """
+    from pyspark.sql import Window
+
+    comp = q_dedup_components(spark, sf_dir)
+    docs = _read_docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    return (
+        comp.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "component",
+            "n_tokens",
+            (F.col("rn") == 1).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_keep_best_sql() -> str:
+    comp = _dedup_components_sql().replace("ORDER BY doc_id", "")
+    return f"""
+WITH comp AS ({comp}),
+q AS (SELECT doc_id, len({tokens_sql('text')}) AS n_tokens FROM documents)
+SELECT c.doc_id, c.component, CAST(q.n_tokens AS INT) AS n_tokens,
+       CAST(row_number() OVER (
+              PARTITION BY c.component
+              ORDER BY q.n_tokens DESC, c.doc_id) = 1 AS INT) AS keep
+FROM comp c JOIN q ON c.doc_id = q.doc_id
+ORDER BY c.doc_id
+"""
+
+
 def _dedup_components_sql() -> str:
     # transitive closure via recursive CTE (UNION dedups -> terminates);
     # fine at oracle scale, the Spark loop is the scale path
@@ -723,6 +770,7 @@ DEDUP_COMPONENTS_SQL = _dedup_components_sql()
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_components": (q_dedup_components, DEDUP_COMPONENTS_SQL),
+    "dedup_keep_best": (q_dedup_keep_best, _dedup_keep_best_sql()),
     "dedup_jaccard": (q_dedup_jaccard, DEDUP_JACCARD_SQL),
     "dedup_verified_pairs": (q_dedup_verified_pairs, DEDUP_VERIFIED_PAIRS_SQL),
     "minhash_signatures": (q_minhash_signatures, MINHASH_SIGNATURES_SQL),

@@ -284,6 +284,20 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "dedup_keep_best",
+        _query_df,
+        [
+            # components (staged/cached) + one quality scan + one argmax
+            # window — never a per-group collect or pandas stage
+            lambda p: occurs_at_most(p, "documents.parquet", 3),
+            lambda p: contains(p, "Window"),
+            lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: absent(p, "FlatMapGroupsInPandas"),
+            lambda p: absent(p, "CartesianProduct"),
+        ],
+        False,
+    ),
+    (
         "extract_stage",
         _extract_stage_df,
         [
