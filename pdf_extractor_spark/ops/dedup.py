@@ -746,6 +746,53 @@ ORDER BY c.doc_id
 """
 
 
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: verified duplicate pairs counted by
+    their (source, source) combination — the contamination signal a web
+    curation pipeline uses to decide source-level dedup policy (which sites
+    mirror each other, how much of source A is copies of source B).
+
+    Scale shape: rides the staged verified-pairs output (LSH candidates ->
+    exact Jaccard, documents scanned once); sources attach via two joins on
+    doc_id against a two-column projection; the (least, greatest)
+    normalization makes the matrix order-insensitive and the final agg is a
+    tiny groupBy on source pairs.
+    """
+    vp = q_dedup_verified_pairs(spark, sf_dir).where(F.col("is_dup") == 1)
+    src = _read_docs(spark, sf_dir).select("doc_id", "source")
+    s1 = src.alias("s1")
+    s2 = src.alias("s2")
+    joined = (
+        vp.join(s1, F.col("doc1") == F.col("s1.doc_id"))
+        .join(s2, F.col("doc2") == F.col("s2.doc_id"))
+        .select(
+            F.least("s1.source", "s2.source").alias("source_a"),
+            F.greatest("s1.source", "s2.source").alias("source_b"),
+        )
+    )
+    return (
+        joined.groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _dedup_cross_source_sql() -> str:
+    vp = _dedup_verified_sql().replace("ORDER BY doc1, doc2", "")
+    return f"""
+WITH vp AS ({vp}),
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(s1.source, s2.source) AS source_a,
+       greatest(s1.source, s2.source) AS source_b,
+       count(*) AS n_dup_pairs
+FROM vp
+JOIN src s1 ON vp.doc1 = s1.doc_id
+JOIN src s2 ON vp.doc2 = s2.doc_id
+WHERE vp.is_dup = 1
+GROUP BY 1, 2 ORDER BY source_a, source_b
+"""
+
+
 def _dedup_components_sql() -> str:
     # transitive closure via recursive CTE (UNION dedups -> terminates);
     # fine at oracle scale, the Spark loop is the scale path
@@ -773,6 +820,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_keep_best": (q_dedup_keep_best, _dedup_keep_best_sql()),
     "dedup_jaccard": (q_dedup_jaccard, DEDUP_JACCARD_SQL),
     "dedup_verified_pairs": (q_dedup_verified_pairs, DEDUP_VERIFIED_PAIRS_SQL),
+    "dedup_cross_source": (q_dedup_cross_source, _dedup_cross_source_sql()),
     "minhash_signatures": (q_minhash_signatures, MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),
     "simhash": (q_simhash, SIMHASH_SQL),
