@@ -286,8 +286,70 @@ FROM ranked WHERE rank <= {IVF_TOP_K} ORDER BY query_id, rank
 """
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (per-vector absmax
+    scaling) plus the reconstruction error — the storage-compression stage
+    an embedding pipeline runs before writing vectors at corpus scale (4x
+    smaller than float32, 8x than float64).
+
+    Map-only: amax fold, quantize transform, and the error fold are all
+    per-row JVM expressions — zero shuffles beyond the deterministic output
+    sort. Cross-engine exactness: q_i = floor((x/amax)*127) (floor, never
+    round — engines disagree at .5), folds left-associated, outputs as
+    floor-micros and the full comma-joined int8 vector so EVERY element is
+    value-hash gated.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    d = emb.select("vec_id", v.alias("v"), amax.alias("amax"))
+    safe = F.when(F.col("amax") == 0.0, F.lit(1.0)).otherwise(F.col("amax"))
+    q = F.transform(F.col("v"), lambda x: F.floor((x / safe) * 127).cast("int"))
+    d = d.select("vec_id", "v", "amax", q.alias("q"))
+    err = F.aggregate(
+        F.zip_with(
+            "v",
+            "q",
+            lambda x, qi: (x - (qi.cast("double") * F.col("amax")) / 127)
+            * (x - (qi.cast("double") * F.col("amax")) / 127),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return d.select(
+        "vec_id",
+        F.floor(F.col("amax") * 1e6).cast("bigint").alias("amax_micros"),
+        F.array_join(F.transform("q", lambda x: x.cast("string")), ",").alias("q_vec"),
+        F.floor(err * 1e9).cast("bigint").alias("sq_err_nanos"),
+    ).orderBy("vec_id")
+
+
+def _embed_quantize_sql() -> str:
+    amax = "greatest(" + ", ".join(f"abs(v[{i}])" for i in range(1, DIM + 1)) + ")"
+    q_i = lambda i: f"CAST(floor((v[{i}] / s) * 127) AS INT)"
+    q_list = "[" + ", ".join(q_i(i) for i in range(1, DIM + 1)) + "]"
+    err = " + ".join(
+        f"((v[{i}] - (CAST(q[{i}] AS DOUBLE) * amax) / 127) "
+        f"* (v[{i}] - (CAST(q[{i}] AS DOUBLE) * amax) / 127))"
+        for i in range(1, DIM + 1)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+a AS (SELECT vec_id, v, {amax} AS amax,
+             CASE WHEN {amax} = 0 THEN 1.0 ELSE {amax} END AS s
+      FROM e),
+qd AS (SELECT vec_id, v, amax, {q_list} AS q FROM a)
+SELECT vec_id,
+       CAST(floor(amax * 1000000.0) AS BIGINT) AS amax_micros,
+       array_to_string(list_transform(q, x -> CAST(x AS VARCHAR)), ',') AS q_vec,
+       CAST(floor(({err}) * 1000000000.0) AS BIGINT) AS sq_err_nanos
+FROM qd ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ann_bruteforce": (q_ann_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
     "ann_ivf": (q_ann_ivf, ANN_IVF_SQL),
+    "embed_quantize": (q_embed_quantize, _embed_quantize_sql()),
 }

@@ -298,6 +298,19 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "embed_quantize",
+        _query_df,
+        [
+            # map-only quantization: amax fold + int8 transform + error fold
+            # are all per-row JVM expressions — the only exchange is the
+            # deterministic output sort
+            lambda p: absent(p, "hashpartitioning"),
+            lambda p: exchange_count(p, 1),
+            lambda p: never_reads(p, "label"),
+        ],
+        False,
+    ),
+    (
         "extract_stage",
         _extract_stage_df,
         [
