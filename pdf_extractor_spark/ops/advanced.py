@@ -457,10 +457,102 @@ ORDER BY doc_id
 """
 
 
+# --- corpus mixing: resample to a TARGET language distribution ---------------
+
+# target language shares in ppm (sum = 1.0): the mixing recipe a training
+# run specifies, independent of what the crawl actually contains
+MIX_TARGET_PPM = {"en": 400_000, "de": 150_000, "fr": 150_000, "es": 150_000,
+                  "zh": 150_000}
+_MIX_SALT = ":mix:7"
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: derive per-language sampling rates FROM the data so
+    the selected subset matches a target language distribution (capped at
+    rate 1.0 — you cannot upsample without duplication), then select docs by
+    deterministic hash thresholding. This is the distribution-matching stage
+    of a training-data pipeline (stratified_sample applies FIXED rates; this
+    computes the rates from target shares x observed counts).
+
+    Scale shape: per-language counts are one partial-agg groupBy (a handful
+    of rows), the rate table broadcasts back, and selection is a map-only
+    hash threshold that pipelines into the scan — rerunnable with a new salt,
+    reproducible across cluster sizes. Exactness: rate = floor of one double
+    division of exact bigints; both engines evaluate the identical IEEE op.
+    """
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n_total"))
+    share = F.lit(None).cast("bigint")
+    expr = None
+    for lang, ppm in MIX_TARGET_PPM.items():
+        cond = F.when(F.col("lang") == lang, F.lit(ppm).cast("bigint"))
+        expr = cond if expr is None else expr.when(
+            F.col("lang") == lang, F.lit(ppm).cast("bigint")
+        )
+    share = expr.otherwise(F.lit(0).cast("bigint"))
+    rates = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(1_000_000).cast("bigint"),
+                F.floor((share * F.col("n_total")).cast("double") / F.col("n_docs"))
+                .cast("bigint"),
+            ),
+        )
+        .select("lang", "n_docs", "rate_ppm")
+    )
+    bucket = F.pmod(
+        h64(F.concat(F.col("doc_id").cast("string"), F.lit(_MIX_SALT))),
+        F.lit(1_000_000),
+    )
+    selected = (
+        docs.join(F.broadcast(rates.select("lang", "rate_ppm")), "lang")
+        .where(bucket < F.col("rate_ppm"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_selected"))
+    )
+    return (
+        rates.join(F.broadcast(selected), "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "rate_ppm",
+            F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _corpus_mix_sql() -> str:
+    share = "CASE lang " + " ".join(
+        f"WHEN '{lang}' THEN {ppm}" for lang, ppm in MIX_TARGET_PPM.items()
+    ) + " ELSE 0 END"
+    bucket = h64_sql(f"CAST(doc_id AS VARCHAR) || '{_MIX_SALT}'") + " % 1000000"
+    return f"""
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+r AS (SELECT lang, n_docs,
+             least(1000000,
+                   CAST(floor(CAST(({share}) * (SELECT sum(n_docs) FROM c)
+                                   AS DOUBLE) / n_docs) AS BIGINT)) AS rate_ppm
+      FROM c),
+sel AS (SELECT d.lang, count(*) AS n_selected
+        FROM documents d JOIN r ON d.lang = r.lang
+        WHERE {bucket} < r.rate_ppm
+        GROUP BY d.lang)
+SELECT r.lang, r.n_docs, r.rate_ppm,
+       CAST(coalesce(sel.n_selected, 0) AS BIGINT) AS n_selected
+FROM r LEFT JOIN sel ON r.lang = sel.lang
+ORDER BY r.lang
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "rollup_revenue": (q_rollup_revenue, ROLLUP_REVENUE_SQL),
     "length_quantiles": (q_length_quantiles, LENGTH_QUANTILES_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "corpus_mix": (q_corpus_mix, _corpus_mix_sql()),
     "sessionize": (q_sessionize, SESSIONIZE_SQL),
     "wordcount_topk": (q_wordcount_topk, WORDCOUNT_TOPK_SQL),
     "salted_topk_users": (q_salted_topk_users, SALTED_TOPK_USERS_SQL),

@@ -173,17 +173,13 @@ LANG_ID_NGRAM_SQL = _lang_id_ngram_sql()
 
 # --- quality score ---------------------------------------------------------
 
-def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length/stopword/punctuation quality signals + composite score.
-
-    Ratios are exact integer pairs divided once at the end; the composite is
-    a single double expression evaluated in the same operation order both
-    engines, then rounded to 6dp.
-    """
-    docs = _docs(spark, sf_dir)
+def _quality_df(docs: DataFrame, extra_cols: list[str]) -> DataFrame:
+    """Shared per-doc quality computation (doc_id + extra_cols + signals +
+    floor-micros composite) — reused by q_quality and q_source_quality."""
     tok = tokens("text")
     d = docs.select(
         "doc_id",
+        *extra_cols,
         F.length("text").alias("n_chars_m"),
         F.size(tok).alias("n_tokens"),
         _count_in(tok, STOPWORDS).alias("n_stop"),
@@ -199,8 +195,18 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * 1000000.0
     ).cast("bigint")
-    return d.select(
-        "doc_id", "n_chars_m", "n_tokens", "n_stop", "n_long", score.alias("quality_micros")
+    return d.withColumn("quality_micros", score)
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/punctuation quality signals + composite score.
+
+    Ratios are exact integer pairs divided once at the end; the composite is
+    a single double expression evaluated in the same operation order both
+    engines, then rounded to 6dp.
+    """
+    return _quality_df(_docs(spark, sf_dir), []).select(
+        "doc_id", "n_chars_m", "n_tokens", "n_stop", "n_long", "quality_micros"
     ).orderBy("doc_id")
 
 
@@ -217,6 +223,63 @@ SELECT doc_id, n_chars_m, n_tokens, n_stop, n_long,
              + (CAST(n_long AS DOUBLE) / n_tokens) * 0.3) * 1000000.0) AS BIGINT)
          AS quality_micros
 FROM c ORDER BY doc_id
+"""
+
+
+# --- per-source quality prior ------------------------------------------------
+
+LOW_QUALITY_MICROS = 500_000  # composite < 0.5 counts as low quality
+
+
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality prior: mean composite quality and low-quality
+    share by source — the signal a curation pipeline uses to set per-source
+    sampling/filtering policy (drop or down-weight chronically bad sources
+    before any per-doc work).
+
+    Scale shape: the per-doc quality computation is map-only; the rollup is
+    one partial-agg groupBy on `source` (a handful of groups). Cross-engine
+    exactness: the mean aggregates the already-floored per-doc MICROS
+    bigints (exact integer sum in any order) and divides once at the end —
+    never a float sum across rows, whose order would differ between engines.
+    """
+    q = _quality_df(_docs(spark, sf_dir), ["source"])
+    return (
+        q.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.floor(
+                F.sum("quality_micros").cast("double") / F.count("*")
+            )
+            .cast("bigint")
+            .alias("mean_quality_micros"),
+            F.sum(
+                (F.col("quality_micros") < LOW_QUALITY_MICROS).cast("bigint")
+            ).alias("n_low_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, source, {tokens_sql('text')} AS t FROM documents),
+c AS (SELECT doc_id, source, len(t) AS n_tokens,
+             {_count_in_sql('t', STOPWORDS)} AS n_stop,
+             len(list_filter(t, x -> length(x) >= 6)) AS n_long
+      FROM t),
+q AS (SELECT source,
+             CAST(floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                   + (CAST(n_stop AS DOUBLE) / n_tokens) * 0.3
+                   + (CAST(n_long AS DOUBLE) / n_tokens) * 0.3) * 1000000.0)
+               AS BIGINT) AS quality_micros
+      FROM c)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(floor(CAST(sum(quality_micros) AS DOUBLE) / count(*)) AS BIGINT)
+         AS mean_quality_micros,
+       CAST(sum(CASE WHEN quality_micros < {LOW_QUALITY_MICROS} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_low_quality
+FROM q GROUP BY source ORDER BY source
 """
 
 
@@ -413,6 +476,7 @@ QUERIES: dict[str, tuple] = {
     "repetition": (q_repetition, REPETITION_SQL),
     "lang_id_ngram": (q_lang_id_ngram, LANG_ID_NGRAM_SQL),
     "quality": (q_quality, QUALITY_SQL),
+    "source_quality": (q_source_quality, SOURCE_QUALITY_SQL),
     "token_counts": (q_token_counts, TOKEN_COUNTS_SQL),
     "fingerprint": (q_fingerprint, FINGERPRINT_SQL),
 }

@@ -298,6 +298,28 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "corpus_mix",
+        _query_df,
+        [
+            # tiny rate table broadcasts back to the selection scan: the big
+            # side is never shuffled for the join
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: never_reads(p, "text"),
+        ],
+        False,
+    ),
+    (
+        "source_quality",
+        _query_df,
+        [
+            # map-only per-doc quality + one partial-agg rollup on source
+            lambda p: contains(p, "HashAggregate", 2),
+            lambda p: never_reads(p, "props"),
+        ],
+        False,
+    ),
+    (
         "embed_quantize",
         _query_df,
         [
