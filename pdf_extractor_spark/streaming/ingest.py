@@ -51,6 +51,7 @@ def make_batch_processor(
     base: int,
     n_parts: int = 64,
     num_partitions: int = 32,
+    route_needs_ocr: bool = False,
 ):
     """foreachBatch callable: (batch_df, epoch_id) -> one committed chunk.
 
@@ -58,6 +59,15 @@ def make_batch_processor(
     the epoch is a replay (same checkpoint, post-crash) and is skipped —
     the marker, not the Spark checkpoint, is the source of truth for what
     reached the table.
+
+    ``route_needs_ocr``: documents whose extraction found text-free pages
+    with images (the ``pages_empty_with_images`` score — scanned documents)
+    are ALSO written to an ``ocr_queue/chunk-*`` side output with their
+    pdf:// media refs, so a downstream OCR stage consumes the queue without
+    rescanning the corpus (the reference's P6 force-OCR retry,
+    docling_processor.py:235-239, as a routed pipeline stage). Derived from
+    the just-written chunk — no recompute — and covered by the same atomic
+    chunk marker, so replays stay idempotent for the queue too.
     """
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -74,6 +84,28 @@ def make_batch_processor(
         extracted.write.partitionBy("part_id").mode("overwrite").parquet(data_path)
 
         written = spark.read.parquet(data_path)
+        if route_needs_ocr:
+            queue_path = os.path.join(
+                os.path.dirname(log.data_dir.rstrip("/")),
+                "ocr_queue",
+                f"chunk-{chunk_id:06d}",
+            )
+            needs = F.coalesce(
+                F.element_at("scores", "pages_empty_with_images"), F.lit(0.0)
+            )
+            (
+                written.where(needs > 0)
+                .select(
+                    "doc_id",
+                    needs.cast("int").alias("pages_needing_ocr"),
+                    F.filter(
+                        F.transform("spans", lambda s: s["media_ref"]),
+                        lambda r: r.startswith("pdf://"),
+                    ).alias("media_refs"),
+                )
+                .write.mode("overwrite")
+                .parquet(queue_path)
+            )
         lineage = (
             written.groupBy("part_id")
             .agg(
@@ -114,6 +146,7 @@ def start_extraction_stream(
     n_parts: int = 64,
     num_partitions: int = 32,
     max_files_per_trigger: int = 4,
+    route_needs_ocr: bool = False,
 ) -> StreamingQuery:
     """Incremental extraction: each micro-batch becomes one committed chunk.
 
@@ -123,7 +156,7 @@ def start_extraction_stream(
     """
     process_batch = make_batch_processor(
         spark, log, base=log.next_chunk_id(), n_parts=n_parts,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions, route_needs_ocr=route_needs_ocr,
     )
     return (
         stream_documents(spark, input_dir, max_files_per_trigger)

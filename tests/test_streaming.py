@@ -171,3 +171,67 @@ def test_windowed_lineage_counts_streaming_mode(spark, tmp_path):
         assert v == want_all[w]
     # batch totals must account for every doc regardless
     assert sum(v[0] for v in want_all.values()) == 40
+
+
+def test_streaming_needs_ocr_routing(spark, tmp_path):
+    """route_needs_ocr: scanned documents (text-free pages with images) land
+    in the ocr_queue side output with their pdf:// refs; clean documents do
+    not; replayed epochs stay idempotent for the queue."""
+    import base64
+
+    from pdf_extractor_spark.core.pdf_build import ImageBox, PageSpec, TextBox, build_pdf
+
+    def pdf_span(pdf_bytes):
+        return {
+            "kind": "pdf",
+            "text": base64.b64encode(pdf_bytes).decode("ascii"),
+            "media_ref": "",
+            "offset": 0,
+        }
+
+    scanned = build_pdf(
+        [
+            PageSpec(images=[ImageBox(x=50, y_top=49.5, w=512, h=693)]),
+            PageSpec(boxes=[TextBox(x=72, y_top=100, lines=["Real text."])]),
+        ]
+    )
+    clean = build_pdf([PageSpec(boxes=[TextBox(x=72, y_top=100, lines=["Fine."])])])
+    rows = [
+        {"doc_id": "scan-1", "spans": [pdf_span(scanned)]},
+        {"doc_id": "clean-1", "spans": [pdf_span(clean)]},
+        {"doc_id": "text-1", "spans": [{"kind": "text", "text": "plain", "media_ref": "", "offset": 0}]},
+    ]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    _write_drop(spark, rows, str(landing / "drop-0.parquet"))
+
+    log = CommitLog(str(tmp_path / "log"))
+    q = start_extraction_stream(
+        spark,
+        str(landing),
+        log,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_parts=8,
+        num_partitions=2,
+        route_needs_ocr=True,
+    )
+    q.awaitTermination(300)
+
+    queue = spark.read.parquet(str(tmp_path / "log" / "ocr_queue" / "chunk-*")).collect()
+    assert len(queue) == 1
+    [r] = queue
+    assert r["doc_id"] == "scan-1" and r["pages_needing_ocr"] == 1
+    assert r["media_refs"] == ["pdf://0/0/Im0"]
+
+    # restart over the same checkpoint: replayed/empty epochs add nothing
+    q2 = start_extraction_stream(
+        spark,
+        str(landing),
+        log,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_parts=8,
+        num_partitions=2,
+        route_needs_ocr=True,
+    )
+    q2.awaitTermination(120)
+    assert len(spark.read.parquet(str(tmp_path / "log" / "ocr_queue" / "chunk-*")).collect()) == 1
