@@ -140,3 +140,92 @@ def extract_document(
         duration_ms=int((time.monotonic() - t0) * 1000),
         scores=_compute_scores(len(norm), failures, out, empty_with_images),
     )
+
+
+def stage_span(kind: str, text: str | None) -> bytes | None:
+    """Ingest text -> staged binary payload for ONE span (pure, per-span).
+
+    The one-time conversion a multi-pass pipeline runs when writing the
+    internal staging table: pdf base64 is strictly decoded here (exactly the
+    ``extract_document`` decode — same ``validate=True`` semantics), so every
+    later pass reads raw bytes and never pays the 4/3 base64 inflation again.
+    ``None`` payload is the tombstone for base64 that failed strict decode;
+    ``extract_document_staged`` turns it into the same parse-failure the
+    direct path produces. Non-pdf text is carried as its UTF-8 bytes.
+    """
+    text = text or ""
+    if kind == KIND_PDF:
+        try:
+            return base64.b64decode(text.encode("ascii"), validate=True)
+        except (ValueError, UnicodeEncodeError):
+            return None
+    return text.encode("utf-8")
+
+
+def extract_document_staged(
+    spans: list[tuple[str, bytes | None, str, int]] | list[dict],
+) -> ExtractResult:
+    """``extract_document`` over STAGED spans (kind, payload, media_ref, offset).
+
+    Differs from the ingest-contract path only in payload encoding: pdf
+    payloads are raw bytes (base64 already stripped at staging time by
+    ``stage_span``; ``None`` = failed strict decode -> parse failure), text/
+    html payloads are UTF-8 bytes. Output is byte-identical to
+    ``extract_document`` on the un-staged document (differentially tested,
+    ``tests/test_staging.py``) — the staging table is an internal
+    optimization, never a semantic change.
+    """
+    t0 = time.monotonic()
+    norm: list[tuple[str, bytes | None, str, int]] = []
+    for s in spans:
+        if isinstance(s, dict):
+            norm.append((s["kind"], s["payload"], s["media_ref"] or "", s["offset"]))
+        else:
+            norm.append((s[0], s[1], s[2] or "", s[3]))
+    norm.sort(key=lambda s: s[3])
+
+    out: list[tuple[str, str, str, int]] = []
+    pages = 0
+    failures = 0
+    empty_with_images = 0
+
+    def emit(kind: str, text: str, media_ref: str = "") -> None:
+        out.append((kind, text, media_ref, len(out)))
+
+    for kind, payload, media_ref, off in norm:
+        if kind == KIND_MEDIA:
+            emit(KIND_MEDIA, "", media_ref)
+        elif kind == KIND_TEXT:
+            emit(KIND_TEXT, clean_text((payload or b"").decode("utf-8")))
+        elif kind == KIND_HTML:
+            emit(KIND_TEXT, clean_text(extract_main_text((payload or b"").decode("utf-8"))))
+        elif kind == KIND_PDF:
+            if payload is None:  # staged tombstone: strict base64 decode failed
+                failures += 1
+                emit(KIND_TEXT, "")
+                continue
+            try:
+                page_spans, n_pages, n_empty = extract_pdf_spans(
+                    payload, ref_prefix=str(off)
+                )
+            except (PdfParseError, ValueError):
+                failures += 1
+                emit(KIND_TEXT, "")
+            else:
+                pages += n_pages
+                empty_with_images += n_empty
+                for pspans in page_spans:
+                    for k, t, ref in pspans:
+                        emit(k, t, ref)
+        else:  # unknown kind: unsupported-file error path, as in the direct path
+            failures += 1
+            emit(KIND_TEXT, "")
+
+    return ExtractResult(
+        spans=out,
+        pages_parsed=pages,
+        spans_emitted=len(out),
+        parse_failures=failures,
+        duration_ms=int((time.monotonic() - t0) * 1000),
+        scores=_compute_scores(len(norm), failures, out, empty_with_images),
+    )

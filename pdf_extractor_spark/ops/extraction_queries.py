@@ -379,8 +379,68 @@ def _encrypted_corpus_oracle_sql() -> str:
     )
 
 
+def q_extract_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME flagship extraction, but through the internal binary-payload
+    staging table (spark/staging.py): ingest -> ``stage_documents`` (one
+    strict base64 decode, payload becomes BINARY) -> salted balance ->
+    binary Arrow kernel. Oracled against the SAME closed-form SQL as
+    ``extract_clean`` — staging is an optimization, not a semantic change,
+    so the driver's value-hash must agree bit-for-bit with the direct path's
+    oracle. Covers the text / html / media / unknown-kind staged branches."""
+    from ..spark.staging import extract_documents_staged, stage_documents
+
+    staged = stage_documents(wrap_documents(spark, sf_dir))
+    ext = extract_documents_staged(staged, n_parts=64, num_partitions=32)
+    return ext.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.element_at("spans", 1)["text"].alias("extracted_text"),
+        F.element_at("spans", 2)["media_ref"].alias("media_ref"),
+        F.element_at("spans", 2)["kind"].alias("media_kind"),
+        "spans_emitted",
+        "pages_parsed",
+        "parse_failures",
+        F.floor(F.element_at("scores", "parse_score") * 1e6)
+        .cast("bigint")
+        .alias("parse_score_micros"),
+        F.floor(F.element_at("scores", "avg_span_chars") * 1e6)
+        .cast("bigint")
+        .alias("avg_chars_micros"),
+    ).orderBy("doc_id")
+
+
+def q_staged_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PDF layout parse through the staging table: pdf base64 decoded
+    ONCE at staging, raw bytes shuffled/Arrow-transferred (3/4 the volume),
+    parsed by the binary kernel. Same generator-derived oracle as
+    ``extract_pdf_corpus`` — media spans, needs-OCR counts and failure
+    accounting must survive staging unchanged."""
+    from ..corpus import corpus_df
+    from ..spark.staging import extract_documents_staged, stage_documents
+
+    docs = corpus_df(spark, n_docs=40, seed=42)
+    ext = extract_documents_staged(stage_documents(docs), n_parts=16, num_partitions=8)
+    kinds = F.array_join(F.transform("spans", lambda s: s["kind"]), ",")
+    refs = F.array_join(
+        F.filter(F.transform("spans", lambda s: s["media_ref"]), lambda r: r != ""),
+        ",",
+    )
+    return ext.select(
+        "doc_id",
+        F.col("pages_parsed").cast("bigint").alias("pages_parsed"),
+        F.col("spans_emitted").cast("bigint").alias("spans_emitted"),
+        F.col("parse_failures").cast("bigint").alias("parse_failures"),
+        kinds.alias("kinds"),
+        refs.alias("media_refs"),
+        F.element_at("scores", "pages_empty_with_images")
+        .cast("bigint")
+        .alias("empty_pages"),
+    ).orderBy("doc_id")
+
+
 QUERIES: dict[str, tuple] = {
     "extract_clean": (q_extract_clean, EXTRACT_CLEAN_SQL),
+    "extract_staged": (q_extract_staged, EXTRACT_CLEAN_SQL),
+    "staged_pdf_corpus": (q_staged_pdf_corpus, _pdf_corpus_oracle_sql),
     "extract_metrics": (q_extract_metrics, EXTRACT_METRICS_SQL),
     "render_markdown": (q_render_markdown, RENDER_MARKDOWN_SQL),
     "curate_corpus": (q_curate_corpus, CURATE_CORPUS_SQL),

@@ -85,18 +85,24 @@ def assign_part_id(df: DataFrame, n_parts: int) -> DataFrame:
     return df.withColumn("part_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_parts)).cast("int"))
 
 
-def with_size_salt(df: DataFrame, salts_per_bucket: tuple[int, ...] = (1, 4, 16)) -> DataFrame:
+def with_size_salt(
+    df: DataFrame,
+    salts_per_bucket: tuple[int, ...] = (1, 4, 16),
+    payload_field: str = "text",
+) -> DataFrame:
     """Add n_bytes / size_bucket / salt columns for skew-aware repartitioning.
 
     Giant docs get more salts so they scatter; tiny docs share partitions.
     ``aggregate`` over the span array is JVM-side (no Python), so sizing is
-    free relative to the parse stage.
+    free relative to the parse stage. ``payload_field`` names the span's
+    payload member (``text`` on the ingest contract, ``payload`` binary on
+    the internal staging table — ``octet_length`` covers both types).
     """
     n_bytes = F.aggregate(
         "spans",
         F.lit(0).cast("long"),
         lambda acc, s: acc
-        + F.coalesce(F.octet_length(s["text"]), F.lit(0))
+        + F.coalesce(F.octet_length(s[payload_field]), F.lit(0))
         + F.coalesce(F.octet_length(s["media_ref"]), F.lit(0)),
     )
     df = df.withColumn("n_bytes", n_bytes)
@@ -115,7 +121,9 @@ def with_size_salt(df: DataFrame, salts_per_bucket: tuple[int, ...] = (1, 4, 16)
     return df
 
 
-def balance_partitions(df: DataFrame, num_partitions: int) -> DataFrame:
+def balance_partitions(
+    df: DataFrame, num_partitions: int, payload_field: str = "text"
+) -> DataFrame:
     """Skew-aware physical repartition before the parse stage.
 
     Range-partition on (size_bucket, salt, doc_id): each size class gets a
@@ -123,7 +131,7 @@ def balance_partitions(df: DataFrame, num_partitions: int) -> DataFrame:
     space, so one partition never holds more than ~1/salts of the giant tail.
     doc_id as the final key spreads ties uniformly.
     """
-    df = with_size_salt(df)
+    df = with_size_salt(df, payload_field=payload_field)
     return df.repartitionByRange(
         num_partitions, F.col("size_bucket"), F.col("salt"), F.col("doc_id")
     )

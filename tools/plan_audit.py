@@ -87,6 +87,19 @@ def _extract_stage_df(spark, sf_dir: str):
     return extract_documents(wrap_documents(spark, sf_dir), n_parts=64, num_partitions=32)
 
 
+def _staged_extract_stage_df(spark, sf_dir: str):
+    """The staged-binary extraction stage (scan -> stage kernel -> salt ->
+    repartition -> binary parse kernel), without the oracle projection."""
+    from pdf_extractor_spark.ops.extraction_queries import wrap_documents
+    from pdf_extractor_spark.spark.staging import (
+        extract_documents_staged,
+        stage_documents,
+    )
+
+    staged = stage_documents(wrap_documents(spark, sf_dir))
+    return extract_documents_staged(staged, n_parts=64, num_partitions=32)
+
+
 AUDITS: list[tuple] = [
     (
         "point_lookup",
@@ -341,6 +354,21 @@ AUDITS: list[tuple] = [
             lambda p: exchange_count(p, 1),
             lambda p: contains(p, "rangepartitioning"),
             lambda p: contains(p, "MapInArrow"),
+            lambda p: never_reads(p, "n_chars"),
+        ],
+        False,
+    ),
+    (
+        "staged_extract_stage",
+        _staged_extract_stage_df,
+        [
+            # staged multi-pass path: stage kernel pipelines straight out of
+            # the scan (narrow), then the SAME single skew exchange — now
+            # moving binary payloads (3/4 the base64 bytes) — then the parse
+            # kernel. Still exactly one Exchange; two MapInArrow nodes.
+            lambda p: exchange_count(p, 1),
+            lambda p: contains(p, "rangepartitioning"),
+            lambda p: contains(p, "MapInArrow", 2),
             lambda p: never_reads(p, "n_chars"),
         ],
         False,
