@@ -629,41 +629,32 @@ WHERE cos >= 0.4 ORDER BY vec1, vec2
 # --- duplicate clusters: connected components over LSH pairs ---------------
 
 MAX_CC_ITERS = 20
+_CC_CHECKPOINT_EVERY = 5
 
 
-def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the LSH candidate-pair graph: each doc in a
-    candidate pair gets its duplicate-cluster id (= min doc_id reachable).
+def propagate_min_labels(edges: DataFrame, max_iters: int = MAX_CC_ITERS):
+    """Iterative min-label propagation over an undirected edge list
+    ``edges(u, v)`` (both directions present). Returns ``(labels, changed)``
+    where ``labels(doc_id, comp)`` is persisted (caller owns release) and
+    ``changed`` is the final round's changed-label count (0 at a fixpoint;
+    caller decides whether non-convergence is fatal).
 
-    Iterative min-label propagation in the DataFrame API: per round, every
-    vertex takes min(own label, neighbors' labels); loop until a fixpoint
-    (converges in graph-diameter rounds — near-dup clusters are shallow).
-    Deterministic under any partitioning; each round is one shuffle on the
-    vertex id. At 10^12-doc scale the same loop runs with large-star/
-    small-star rewrites and checkpointing every few rounds to cut lineage;
-    the driver-side part is only the convergence test (a count), never data.
-
-    The LSH pair stage is persisted and materialized BEFORE the loop
-    (VERDICT r02 #1): ``pairs`` feeds both union branches of ``edges``, so
-    an un-staged plan rebuilt the whole shingle->minhash->banding subtree
-    twice before the edge cache filled; now ``documents`` is scanned once.
+    Each round is one shuffle keyed on the vertex id. Every
+    ``_CC_CHECKPOINT_EVERY`` rounds the labels are ``localCheckpoint``-ed
+    (eager): persist alone caches the DATA but the logical plan still nests
+    every previous round's joins, so analysis time — and, on a real cluster,
+    the recovery lineage a lost executor would replay — grows per round;
+    the checkpoint truncates the plan to a leaf. Deep-diameter graphs
+    (long chains) are exactly the case that needs it; shallow near-dup
+    clusters converge before the first checkpoint fires.
     """
-    pairs = _persisted(
-        _lsh_pairs_from(_signatures_from(shingles(_read_docs(spark, sf_dir))))
-    )
-    pairs.count()  # materialize: the loop and both edge branches read the cache
-    edges = _persisted(
-        pairs.select(F.col("doc1").alias("u"), F.col("doc2").alias("v"))
-        .union(pairs.select(F.col("doc2").alias("u"), F.col("doc1").alias("v")))
-        .distinct()
-    )
     labels = (
         edges.select(F.col("u").alias("doc_id")).distinct()
         .withColumn("comp", F.col("doc_id"))
         .persist()
     )
     changed = 0
-    for _ in range(MAX_CC_ITERS):
+    for it in range(max_iters):
         neigh_min = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy("u")
@@ -687,6 +678,44 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+        if (it + 1) % _CC_CHECKPOINT_EVERY == 0:
+            # the count above already materialized the persisted cache, so
+            # this is a cheap partition copy, never a recompute
+            truncated = labels.localCheckpoint(eager=True)
+            labels.unpersist()
+            labels = truncated
+    return labels, changed
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph: each doc in a
+    candidate pair gets its duplicate-cluster id (= min doc_id reachable).
+
+    Iterative min-label propagation in the DataFrame API: per round, every
+    vertex takes min(own label, neighbors' labels); loop until a fixpoint
+    (converges in graph-diameter rounds — near-dup clusters are shallow).
+    Deterministic under any partitioning; each round is one shuffle on the
+    vertex id, and lineage is truncated by an eager localCheckpoint every
+    few rounds (see ``propagate_min_labels``). At 10^12-doc scale the same
+    loop additionally runs large-star/small-star rewrites to cut round
+    count; the driver-side part is only the convergence test (a count),
+    never data.
+
+    The LSH pair stage is persisted and materialized BEFORE the loop
+    (VERDICT r02 #1): ``pairs`` feeds both union branches of ``edges``, so
+    an un-staged plan rebuilt the whole shingle->minhash->banding subtree
+    twice before the edge cache filled; now ``documents`` is scanned once.
+    """
+    pairs = _persisted(
+        _lsh_pairs_from(_signatures_from(shingles(_read_docs(spark, sf_dir))))
+    )
+    pairs.count()  # materialize: the loop and both edge branches read the cache
+    edges = _persisted(
+        pairs.select(F.col("doc1").alias("u"), F.col("doc2").alias("v"))
+        .union(pairs.select(F.col("doc2").alias("u"), F.col("doc1").alias("v")))
+        .distinct()
+    )
+    labels, changed = propagate_min_labels(edges)
     _DF_CACHE.append(labels)  # the returned frame reads it; harness releases
     if changed != 0:
         # a non-fixpoint labeling would silently diverge from the

@@ -470,8 +470,65 @@ FROM base b ORDER BY doc_id
 """
 
 
+# --- cross-document boilerplate n-grams ------------------------------------
+
+_BP_N = 4  # words per gram
+_BP_MIN_DOCS = 3  # document-frequency threshold
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: word 4-grams appearing verbatim
+    in >= 3 distinct documents, with document frequency and total occurrence
+    counts. `repetition` scores template spam WITHIN a document; this is its
+    ACROSS-documents complement — the shared-n-gram removal list a web-scale
+    pipeline (CCNet/RefinedWeb-style) subtracts before training.
+
+    Scale shape: explode to (doc_id, gram), then ONE distinct aggregation.
+    Spark's distinct-agg rewrite runs it as two shuffles with map-side
+    partial dedup: the first keys on (gram, doc_id), so a heavy-hitter gram
+    (a footer shared by millions of pages) spreads across reducers by
+    doc_id instead of hot-spotting one; the second moves one pre-deduped row
+    per (gram, doc). At 100 TB the shuffle key would additionally be
+    pre-hashed to 8 bytes (portable.h64) with the gram text carried as a
+    partial-agg min — elided here because the oracle compares the plain
+    string key.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = tokens("text")
+    d = docs.select("doc_id", tok.alias("tok")).where(F.size("tok") >= _BP_N)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("tok") - (_BP_N - 1)),
+        lambda i: F.array_join(F.slice("tok", i.cast("int"), _BP_N), " "),
+    )
+    g = d.select("doc_id", F.explode(grams).alias("gram"))
+    return (
+        g.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("df_docs"),
+            F.count("*").alias("occurrences"),
+        )
+        .where(F.col("df_docs") >= _BP_MIN_DOCS)
+        .orderBy(F.desc("df_docs"), "gram")
+    )
+
+
+BOILERPLATE_NGRAMS_SQL = f"""
+WITH t AS (SELECT doc_id, {tokens_sql('text')} AS tok FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(tok[u.i:u.i+{_BP_N - 1}], ' ') AS gram
+  FROM t, LATERAL unnest(generate_series(1, len(tok) - {_BP_N - 1})) AS u(i)
+  WHERE len(tok) >= {_BP_N})
+SELECT gram,
+       count(DISTINCT doc_id) AS df_docs,
+       count(*) AS occurrences
+FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+ORDER BY df_docs DESC, gram
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "lang_id": (q_lang_id, LANG_ID_SQL),
+    "boilerplate_ngrams": (q_boilerplate_ngrams, BOILERPLATE_NGRAMS_SQL),
     "pii_scrub": (q_pii_scrub, PII_SCRUB_SQL),
     "repetition": (q_repetition, REPETITION_SQL),
     "lang_id_ngram": (q_lang_id_ngram, LANG_ID_NGRAM_SQL),

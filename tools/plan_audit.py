@@ -346,6 +346,20 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "boilerplate_ngrams",
+        _query_df,
+        [
+            # distinct-agg rewrite: partial+final over (gram, doc_id) then
+            # partial+final over gram — 4 HashAggregates with map-side dedup,
+            # so heavy-hitter grams cannot hot-spot a single reducer
+            lambda p: contains(p, "HashAggregate", 4),
+            lambda p: contains(p, "Generate"),  # the explode
+            lambda p: never_reads(p, "source"),
+            lambda p: never_reads(p, "lang"),
+        ],
+        False,
+    ),
+    (
         "extract_stage",
         _extract_stage_df,
         [
