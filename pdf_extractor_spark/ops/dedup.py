@@ -235,8 +235,8 @@ MINHASH_SIGNATURES_SQL = _minhash_sig_sql()
 
 # --- MinHash + LSH candidate pairs -----------------------------------------
 
-def _lsh_pairs_from(sig: DataFrame) -> DataFrame:
-    """Banded LSH candidate pairs from a signature table (unordered)."""
+def _banded_from(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH band table from a signature table."""
     rows_per_band = NUM_MINHASH // MINHASH_BANDS
     bands = F.array(
         *[
@@ -255,9 +255,14 @@ def _lsh_pairs_from(sig: DataFrame) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    banded = sig.select("doc_id", F.explode(bands).alias("band")).select(
+    return sig.select("doc_id", F.explode(bands).alias("band")).select(
         "doc_id", "band.band_id", "band.band_hash"
     )
+
+
+def _lsh_pairs_from(sig: DataFrame) -> DataFrame:
+    """Banded LSH candidate pairs from a signature table (unordered)."""
+    banded = _banded_from(sig)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -843,6 +848,173 @@ FROM r GROUP BY u ORDER BY doc_id
 DEDUP_COMPONENTS_SQL = _dedup_components_sql()
 
 
+# --- benchmark decontamination ---------------------------------------------
+
+# deterministic "held-out benchmark" subset: doc_id % 41 == 0 (~2.4%); a real
+# pipeline reads the eval suites from their own table — the split here only
+# makes the op self-contained on the synthetic corpus
+BENCH_DOC_MOD = 41
+CONTAM_THRESH_MICROS = 500_000  # flag docs with >= 50% benchmark-gram overlap
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the fraction of its
+    distinct word n-grams that also appear in a held-out benchmark set —
+    the GPT-3/PaLM-style eval-overlap filter a training pipeline runs before
+    any model sees the data (13-grams there; 3-gram shingles here, scaled to
+    the short synthetic docs). Docs over the threshold get flagged for drop.
+
+    Scale shape: the benchmark gram set is tiny (eval suites are MBs; the
+    corpus is TBs), so it is collected into a BROADCAST left join against
+    the exploded corpus grams — the probe is map-side, no corpus shuffle for
+    the membership test. The only exchange is the per-doc count aggregation
+    keyed on doc_id with map-side partial aggregation. Never a join shuffled
+    on the gram itself: a heavy-hitter gram would hot-spot a reducer, and
+    the gram side of the join is the 100 TB side.
+    """
+    sh = shingles(_read_docs(spark, sf_dir))
+    bench = (
+        sh.where(F.col("doc_id") % BENCH_DOC_MOD == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = sh.where(F.col("doc_id") % BENCH_DOC_MOD != 0)
+    return (
+        corpus.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_overlap"),
+        )
+        .withColumn(
+            "contamination_micros",
+            F.floor(F.col("n_overlap") * F.lit(1_000_000) / F.col("n_shingles")).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "flagged",
+            (F.col("contamination_micros") >= CONTAM_THRESH_MICROS).cast("int"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH sh AS ({SHINGLES_SQL}),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_DOC_MOD} = 0),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {BENCH_DOC_MOD} <> 0)
+SELECT c.doc_id,
+       count(*) AS n_shingles,
+       count(b.shingle) AS n_overlap,
+       CAST(floor(count(b.shingle) * 1000000 / count(*)) AS BIGINT)
+         AS contamination_micros,
+       CAST(floor(count(b.shingle) * 1000000 / count(*))
+              >= {CONTAM_THRESH_MICROS} AS INT) AS flagged
+FROM corpus c LEFT JOIN bench b USING (shingle)
+GROUP BY c.doc_id ORDER BY doc_id
+"""
+
+
+# --- incremental dedup: new batch vs existing corpus ------------------------
+
+# deterministic "today's delta" subset: doc_id % 10 in {8, 9} (20%); a real
+# pipeline reads the delta from the ingest stream and the corpus signatures
+# from the staged signature table (see BENCH/BASELINE.md "Binary staging")
+DELTA_DOC_MOD = 10
+DELTA_MIN_REMAINDER = 8
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-corpus) near-dup screen — the daily-ingest
+    shape: for each document in the new batch, does it LSH-collide with any
+    document already in the corpus? Collisions are dropped (or routed to
+    exact verification); novel docs proceed to ingest.
+
+    Scale shape: signatures+bands are computed in one pass over the raw
+    table (in production the corpus side is READ from the staged signature
+    table and only the delta is hashed fresh), then the DELTA's band table
+    — the small side, a day's crawl vs years of corpus — is BROADCAST so the
+    corpus bands stream past it map-side: the 100 TB side is never shuffled
+    for the probe. The remaining exchange is the per-delta-doc aggregation
+    (doc_id-keyed, map-side combine). Contrast q_minhash_lsh_pairs, which
+    self-joins and must shuffle on (band_id, band_hash): incremental dedup
+    replaces the corpus-wide shuffle with a broadcast because only one side
+    is new.
+    """
+    banded = _persisted(
+        _banded_from(_signatures_from(shingles(_read_docs(spark, sf_dir))))
+    )
+    banded.count()  # materialize: delta + corpus + ids branches read the cache
+    is_delta = F.col("doc_id") % DELTA_DOC_MOD >= DELTA_MIN_REMAINDER
+    delta = banded.where(is_delta)
+    corpus = banded.where(~is_delta)
+    d = delta.alias("d")
+    c = corpus.alias("c")
+    matches = (
+        c.join(F.broadcast(d), ["band_id", "band_hash"])
+        .select(
+            F.col("d.doc_id").alias("doc_id"),
+            F.col("c.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    agg = matches.groupBy("doc_id").agg(
+        F.count("*").alias("n_corpus_dups"),
+        F.min("corpus_doc").alias("first_dup"),
+    )
+    ids = delta.select("doc_id").distinct()
+    # agg is bounded by the delta size (one row per matched delta doc), so
+    # the novel/duplicate stitch broadcasts too — no sort-merge anywhere
+    return (
+        ids.join(F.broadcast(agg), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_corpus_dups", F.lit(0)).alias("n_corpus_dups"),
+            "first_dup",
+            F.when(F.col("n_corpus_dups").isNotNull(), F.lit("duplicate"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_incremental_sql() -> str:
+    rows_per_band = NUM_MINHASH // MINHASH_BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"CAST(mh{b * rows_per_band + r:02d} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH sig AS ({_minhash_sig_sql()}),
+banded AS ({band_rows}),
+delta AS (SELECT * FROM banded
+          WHERE doc_id % {DELTA_DOC_MOD} >= {DELTA_MIN_REMAINDER}),
+corpus AS (SELECT * FROM banded
+           WHERE doc_id % {DELTA_DOC_MOD} < {DELTA_MIN_REMAINDER}),
+m AS (SELECT DISTINCT d.doc_id AS doc_id, c.doc_id AS corpus_doc
+      FROM delta d JOIN corpus c USING (band_id, band_hash)),
+agg AS (SELECT doc_id, count(*) AS n_corpus_dups, min(corpus_doc) AS first_dup
+        FROM m GROUP BY doc_id),
+ids AS (SELECT DISTINCT doc_id FROM delta)
+SELECT ids.doc_id,
+       coalesce(agg.n_corpus_dups, 0) AS n_corpus_dups,
+       agg.first_dup,
+       CASE WHEN agg.n_corpus_dups IS NOT NULL
+            THEN 'duplicate' ELSE 'novel' END AS status
+FROM ids LEFT JOIN agg ON ids.doc_id = agg.doc_id
+ORDER BY ids.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_components": (q_dedup_components, DEDUP_COMPONENTS_SQL),
@@ -850,6 +1022,8 @@ QUERIES: dict[str, tuple] = {
     "dedup_jaccard": (q_dedup_jaccard, DEDUP_JACCARD_SQL),
     "dedup_verified_pairs": (q_dedup_verified_pairs, DEDUP_VERIFIED_PAIRS_SQL),
     "dedup_cross_source": (q_dedup_cross_source, _dedup_cross_source_sql()),
+    "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
+    "dedup_incremental": (q_dedup_incremental, _dedup_incremental_sql()),
     "minhash_signatures": (q_minhash_signatures, MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),
     "simhash": (q_simhash, SIMHASH_SQL),

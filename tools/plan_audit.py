@@ -311,6 +311,38 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "decontaminate",
+        _query_df,
+        [
+            # the benchmark gram set broadcasts; the corpus-side grams are
+            # never shuffled on the gram itself (a heavy-hitter gram would
+            # hot-spot a reducer, and the gram side is the 100 TB side).
+            # Exactly ONE gram-keyed exchange is allowed: the distinct over
+            # the tiny benchmark set — a second would mean the corpus side
+            # got shuffled for the join
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: occurs_at_most(p, "hashpartitioning(shingle", 1),
+            lambda p: never_reads(p, "source"),
+            lambda p: never_reads(p, "lang"),
+        ],
+        False,
+    ),
+    (
+        "dedup_incremental",
+        _query_df,
+        [
+            # delta bands broadcast so the corpus side streams map-side; the
+            # staged band table means one raw scan feeds all three branches
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: occurs_at_most(p, "documents.parquet", 1),
+            lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: absent(p, "CartesianProduct"),
+        ],
+        False,
+    ),
+    (
         "corpus_mix",
         _query_df,
         [
