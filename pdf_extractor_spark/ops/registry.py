@@ -22,6 +22,7 @@ from . import (
     multimodal,
     similarity,
     textstats,
+    training,
 )
 
 _MODULES = (
@@ -31,6 +32,7 @@ _MODULES = (
     dedup,
     similarity,
     textstats,
+    training,
     multimodal,
 )
 

@@ -1,0 +1,336 @@
+"""Training-data preparation operators: context packing, LM quality
+scoring, and centroid training.
+
+The last mile of an LLM data pipeline, after extraction/dedup/filtering
+(reference scope ends at extraction — `app/processor/*` emits markdown; a
+training pipeline consumes it):
+
+- ``pack_contexts``: deterministic corpus shuffle + concat-and-chunk
+  sequence packing into fixed token-budget contexts. The prefix sum over
+  the shuffled order is computed with the two-phase distributed-scan
+  pattern (shard partials + broadcast shard offsets), never a
+  single-partition global window.
+- ``lm_score``: add-one-smoothed bigram language-model scoring of every
+  document against corpus-level n-gram counts — the CCNet/KenLM
+  perplexity-filter analogue. All arithmetic is *rational* (integer
+  micros per position) because ``ln``/``exp`` are libm-dependent: the last
+  ulp of ``log()`` differs between the JVM and DuckDB's C runtime, so a
+  log-prob-based score could flip a floor(1e6*x) boundary on one engine
+  only. Mean next-token probability ranks documents the same way for
+  filtering purposes and is exactly reproducible everywhere.
+- ``kmeans_step``: one Lloyd iteration over the embedding corpus in
+  fixed-point (micros) arithmetic — the trainer for the IVF coarse
+  quantizer in :mod:`similarity` (which currently uses deterministic
+  medoid seeds). Float k-means is order-of-summation-dependent; summing
+  integer micros is associative, so the step is bit-reproducible across
+  engines, partitionings, and retries — the property you want for an
+  index build that runs on 1000 executors and must be resumable.
+
+Scale design (100 TB):
+- pack_contexts: one groupBy on a 256-value shard key (tiny), a broadcast
+  of 256 shard offsets, and one window per shard — shards are processed
+  in parallel and the only global structure is the 256-row offset table.
+- lm_score: n-gram counts are map-side-combined groupBys; the scoring
+  pass joins the corpus's bigram stream against the count tables on the
+  n-gram key (shuffle hash join). In production the count tables come
+  from a held-out reference corpus and the top-V vocabulary is broadcast;
+  the shuffle-join form here is the general (unbounded-vocab) shape.
+- kmeans_step: assignment is a map-only pass over a broadcast of K
+  centroids; the update is posexplode -> partial-agg -> shuffle on
+  (cell, dim) — K*DIM groups, i.e. the shuffle carries centroids, not
+  vectors. Iterating = re-running the step with the previous output as
+  seeds (each step one action, lineage truncated by writing centroids,
+  exactly the CC-loop pattern in ops/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .portable import h64, h64_sql, tokens, tokens_sql
+
+CTX_TOKENS = 512  # context length in tokens
+PACK_SHARDS_DIV = 1 << 52  # h64 in [0, 2^60) -> 256 hash-range shards
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- sequence packing -------------------------------------------------------
+
+def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing: where each document lands in the stream of
+    fixed 512-token training contexts.
+
+    Documents are first placed in deterministic shuffled order (md5 of
+    doc_id — a seedable global shuffle with no RNG state), then assigned
+    token offsets by a global exclusive prefix sum over their token
+    counts; a document's contexts are ``floor(start/CTX)`` ..
+    ``floor((end-1)/CTX)`` — the standard "concatenate then chunk"
+    packing used for LLM pre-training batches (documents may straddle
+    context boundaries; n_chunks counts the straddle).
+
+    The prefix sum is the textbook two-phase distributed scan: the hash
+    order is range-sharded into 256 buckets by the top bits of the hash
+    (so shard boundaries respect the global order), per-shard token
+    totals are one tiny groupBy, the 256 shard offsets are a broadcast
+    join, and the intra-shard running sum is a per-shard window — no
+    single-partition global window anywhere. At 25B docs the offset
+    table is still 256 rows; recurse the same trick if shards themselves
+    grow too large.
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        h64(F.col("doc_id").cast("string")).alias("h"),
+    )
+    d = d.withColumn("shard", F.expr(f"h div {PACK_SHARDS_DIV}"))
+    shard_tot = d.groupBy("shard").agg(F.sum("n_tokens").alias("stok"))
+    w_shard = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    shard_off = shard_tot.select(
+        "shard",
+        F.coalesce(F.sum("stok").over(w_shard), F.lit(0)).alias("shard_off"),
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("shard_off") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    placed = d.join(F.broadcast(shard_off), "shard").select(
+        "doc_id", "n_tokens", start.alias("start_off")
+    )
+    return (
+        placed.select(
+            "doc_id",
+            "n_tokens",
+            "start_off",
+            F.expr(f"start_off div {CTX_TOKENS}").alias("first_chunk"),
+            F.expr(f"(start_off + n_tokens - 1) div {CTX_TOKENS}").alias("last_chunk"),
+        )
+        .withColumn("n_chunks", F.col("last_chunk") - F.col("first_chunk") + F.lit(1))
+        .orderBy("doc_id")
+    )
+
+
+PACK_CONTEXTS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({tokens_sql("text")}) AS BIGINT) AS n_tokens,
+         {h64_sql("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+                ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_off
+  FROM t)
+SELECT doc_id, n_tokens, start_off,
+       start_off // {CTX_TOKENS} AS first_chunk,
+       (start_off + n_tokens - 1) // {CTX_TOKENS} AS last_chunk,
+       ((start_off + n_tokens - 1) // {CTX_TOKENS})
+         - (start_off // {CTX_TOKENS}) + 1 AS n_chunks
+FROM p ORDER BY doc_id
+"""
+
+
+# --- bigram LM scoring ------------------------------------------------------
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality score per document (CCNet perplexity-filter
+    analogue): mean add-one-smoothed next-token probability under counts
+    trained on the corpus itself.
+
+    Per bigram position (w1, w2):
+        p = (c(w1,w2) + 1) / (c(w1) + V)
+    quantized to ``m = (1e6 * (c+1)) div (c(w1) + V)`` BEFORE summing, so
+    the per-document aggregate is a sum of integers — associative,
+    order-free, and identical across engines (a log-prob formulation
+    would inherit libm's last-ulp differences; see module docstring).
+
+    Bigrams are built map-only (slice + zip_with, no self-join / no
+    window over token position); counts are map-side-combined groupBys;
+    scoring joins the bigram stream to the count tables on the n-gram
+    keys. Documents with fewer than two tokens have no bigrams and drop
+    out, as in the oracle.
+    """
+    toks = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("t"))
+    pairs = F.zip_with(
+        F.expr("slice(t, 1, size(t) - 1)"),
+        F.expr("slice(t, 2, size(t) - 1)"),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bp = toks.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c_uni"))
+    )
+    bigc = bp.groupBy("w1", "w2").agg(F.count("*").alias("c_big"))
+    vocab = uni.agg(F.count("*").alias("v"))
+    scored = (
+        bp.join(bigc, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr("(1000000 * (c_big + 1)) div (c_uni + v)").alias("m"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("m").alias("score_micros"))
+        .withColumn("mean_prob_micros", F.expr("score_micros div n_bigrams"))
+        .orderBy("doc_id")
+    )
+
+
+LM_SCORE_SQL = f"""
+WITH toks AS (SELECT doc_id, {tokens_sql("text")} AS t FROM documents),
+pos AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i FROM toks),
+uni AS (SELECT w AS w1, count(*) AS c_uni FROM pos GROUP BY 1),
+v AS (SELECT count(*) AS v FROM uni),
+big AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+  FROM pos),
+bp AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+bigc AS (SELECT w1, w2, count(*) AS c_big FROM bp GROUP BY w1, w2),
+scored AS (
+  SELECT bp.doc_id,
+         (1000000 * (bigc.c_big + 1)) // (uni.c_uni + v.v) AS m
+  FROM bp JOIN bigc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(m) AS BIGINT) AS score_micros,
+       CAST(sum(m) AS BIGINT) // count(*) AS mean_prob_micros
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- k-means Lloyd step -----------------------------------------------------
+
+K_DIM = 64
+
+
+def _floordiv(a: str, b: str) -> str:
+    """Spark SQL floor division for possibly-negative a (b > 0): `div`
+    truncates toward zero, DuckDB's `//` floors — route both through an
+    explicit floor-mod so negative per-dim sums divide identically."""
+    return f"(({a}) - pmod({a}, {b})) div ({b})"
+
+
+def _floordiv_duck(a: str, b: str) -> str:
+    return f"((({a}) - ((( ({a}) % ({b}) ) + ({b})) % ({b}))) // ({b}))"
+
+
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embeddings in fixed-point.
+
+    Seeds are the deterministic medoids used by ``ann_ivf`` (min vec_id
+    per label); every vector is quantized to integer micros and assigned
+    to the nearest seed by *integer* squared-L2 (ties -> lowest cell),
+    then each cell's new centroid is the per-dimension floor-mean of its
+    members' micros. Integer sums are associative, so the result is
+    independent of partitioning/ordering — what makes the step usable as
+    the body of a resumable distributed index build (run it again with
+    these centroids as seeds for the next iteration).
+
+    Plan shape: broadcast 10 seeds -> map-only assignment; posexplode ->
+    partial agg -> shuffle carrying only (cell, dim) groups; final
+    per-cell assembly via the ordered-collect convention.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vm = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000000.0).cast("bigint")
+    )
+    e = emb.select("vec_id", "label", vm.alias("vm"))
+    seed_ids = emb.groupBy("label").agg(F.min("vec_id").alias("vec_id"))
+    seeds = e.join(F.broadcast(seed_ids), ["label", "vec_id"]).select(
+        F.col("label").alias("cell"), F.col("vm").alias("sm")
+    )
+    dist = F.aggregate(
+        F.zip_with("vm", "sm", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "vm", "cell", dist.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    members = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("cell", F.posexplode("vm").alias("dim", "val"))
+    )
+    dim_stats = members.groupBy("cell", "dim").agg(
+        F.sum("val").alias("s"), F.count("*").alias("n")
+    )
+    cm = dim_stats.select(
+        "cell", "dim", "n", F.expr(_floordiv("s", "n")).alias("c")
+    )
+    return (
+        cm.groupBy("cell")
+        .agg(
+            F.max("n").alias("n_members"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda x: x["c"].cast("string"),
+                ),
+                ",",
+            ).alias("centroid_micros"),
+        )
+        .orderBy("cell")
+    )
+
+
+def _kmeans_step_sql() -> str:
+    d2 = " + ".join(
+        f"((e.vm[{i}] - s.sm[{i}]) * (e.vm[{i}] - s.sm[{i}]))"
+        for i in range(1, K_DIM + 1)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS vm
+  FROM embeddings),
+seed_ids AS (SELECT label, min(vec_id) AS vec_id FROM embeddings GROUP BY label),
+seeds AS (
+  SELECT e.label AS cell, e.vm AS sm
+  FROM e JOIN seed_ids ON e.label = seed_ids.label AND e.vec_id = seed_ids.vec_id),
+scored AS (
+  SELECT e.vec_id, e.vm, s.cell, ({d2}) AS d2
+  FROM e CROSS JOIN seeds s),
+assigned AS (
+  SELECT vec_id, vm, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+  FROM scored),
+members AS (
+  SELECT cell, unnest(vm) AS val, generate_subscripts(vm, 1) - 1 AS dim
+  FROM assigned WHERE rk = 1),
+dim_stats AS (
+  SELECT cell, dim, CAST(sum(val) AS BIGINT) AS s, count(*) AS n
+  FROM members GROUP BY cell, dim),
+cm AS (
+  SELECT cell, dim, n, {_floordiv_duck("s", "n")} AS c
+  FROM dim_stats)
+SELECT cell,
+       CAST(max(n) AS BIGINT) AS n_members,
+       string_agg(CAST(c AS VARCHAR), ',' ORDER BY dim) AS centroid_micros
+FROM cm GROUP BY cell ORDER BY cell
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "pack_contexts": (q_pack_contexts, PACK_CONTEXTS_SQL),
+    "lm_score": (q_lm_score, LM_SCORE_SQL),
+    "kmeans_step": (q_kmeans_step, _kmeans_step_sql()),
+}

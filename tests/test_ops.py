@@ -30,6 +30,9 @@ SPOT_CHECK = [
     "fingerprint",
     "media_features",
     "media_resize",
+    "pack_contexts",
+    "lm_score",
+    "kmeans_step",
 ]
 
 

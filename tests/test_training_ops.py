@@ -1,0 +1,69 @@
+"""Semantic invariants for the training-data preparation operators
+(ops/training.py) that the value-hash oracle can't express: the packing
+layout must tile the token stream exactly, LM scores must be valid
+probabilities, and the k-means step must partition the corpus.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    from pdf_extractor_spark.ops.registry import queries
+
+    return queries()[name](spark, SF_DIR).collect()
+
+
+def test_pack_contexts_tiles_token_stream(spark):
+    """Offsets in shuffled order form an exact partition of [0, total):
+    every document starts where the previous one ends, and chunk spans
+    are consistent with CTX_TOKENS."""
+    from pdf_extractor_spark.ops.training import CTX_TOKENS
+
+    rows = _rows(spark, "pack_contexts")
+    assert len(rows) == 500
+    by_off = sorted(rows, key=lambda r: r["start_off"])
+    expect = 0
+    for r in by_off:
+        assert r["start_off"] == expect, "gap or overlap in the packed stream"
+        expect += r["n_tokens"]
+        assert r["first_chunk"] == r["start_off"] // CTX_TOKENS
+        assert r["last_chunk"] == (r["start_off"] + r["n_tokens"] - 1) // CTX_TOKENS
+        assert r["n_chunks"] == r["last_chunk"] - r["first_chunk"] + 1 >= 1
+    assert expect == sum(r["n_tokens"] for r in rows)
+    # the shuffle did something: packed order differs from doc_id order
+    assert [r["doc_id"] for r in by_off] != sorted(r["doc_id"] for r in rows)
+
+
+def test_lm_score_is_valid_probability(spark):
+    """Every per-position score is a probability in micros: the per-doc sum
+    is bounded by n_bigrams * 1e6 and strictly positive (add-one smoothing
+    never yields zero), and every multi-token document is scored."""
+    import duckdb
+
+    rows = _rows(spark, "lm_score")
+    n_expected = duckdb.sql(
+        f"""SELECT count(*) FROM '{SF_DIR}/documents.parquet'
+            WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 2"""
+    ).fetchone()[0]
+    assert len(rows) == n_expected
+    for r in rows:
+        assert 0 < r["score_micros"] <= r["n_bigrams"] * 1_000_000
+        assert 0 < r["mean_prob_micros"] <= 1_000_000
+
+
+def test_kmeans_step_partitions_corpus(spark):
+    """The Lloyd step assigns every vector to exactly one cell and emits a
+    full-dimension centroid per non-empty cell."""
+    from pdf_extractor_spark.ops.training import K_DIM
+
+    rows = _rows(spark, "kmeans_step")
+    assert sum(r["n_members"] for r in rows) == 500
+    for r in rows:
+        vals = r["centroid_micros"].split(",")
+        assert len(vals) == K_DIM
+        assert all(v.lstrip("-").isdigit() for v in vals)

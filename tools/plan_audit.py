@@ -392,6 +392,51 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "pack_contexts",
+        _query_df,
+        [
+            # two-phase distributed scan: shard totals are a partial+final
+            # agg, the 256-row offset table broadcasts back, and the only
+            # partition-less window runs over those <=256 shard rows — the
+            # corpus itself is windowed per-shard, never globally
+            lambda p: contains(p, "HashAggregate", 2),
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: never_reads(p, "lang"),
+            lambda p: never_reads(p, "source"),
+        ],
+        False,
+    ),
+    (
+        "lm_score",
+        _query_df,
+        [
+            # n-gram counts are map-side-combined (partial+final for both
+            # unigram and bigram tables); the single-row vocab scalar joins
+            # as a broadcast nested loop, never a cartesian materialization
+            lambda p: contains(p, "HashAggregate", 4),
+            lambda p: contains(p, "Generate"),  # the bigram explode
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: never_reads(p, "lang"),
+            lambda p: never_reads(p, "source"),
+        ],
+        False,
+    ),
+    (
+        "kmeans_step",
+        _query_df,
+        [
+            # assignment is map-only against a broadcast of K centroids; the
+            # update shuffle carries (cell, dim) partial sums — partial+final
+            # agg after the posexplode, no cartesian materialization
+            lambda p: contains(p, "HashAggregate", 2),
+            lambda p: contains(p, "Generate"),  # the posexplode
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: absent(p, "SortMergeJoin"),
+        ],
+        False,
+    ),
+    (
         "extract_stage",
         _extract_stage_df,
         [
