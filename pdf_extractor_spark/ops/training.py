@@ -152,10 +152,15 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     would inherit libm's last-ulp differences; see module docstring).
 
     Bigrams are built map-only (slice + zip_with, no self-join / no
-    window over token position); counts are map-side-combined groupBys;
-    scoring joins the bigram stream to the count tables on the n-gram
-    keys. Documents with fewer than two tokens have no bigrams and drop
-    out, as in the oracle.
+    window over token position); counts are map-side-combined groupBys.
+    Skew: the scoring join's keys are tokens, and natural-language token
+    frequency is Zipfian — joining the raw per-position stream on w1
+    would send every occurrence of "the" to one reducer. So occurrences
+    are first collapsed to (doc_id, w1, w2, n_occ) — a well-distributed
+    key — and the count join moves one row per distinct bigram per doc
+    (the score is n_occ * m, exactly). Residual skew on the (w1, w2) key
+    is AQE skew-join territory. Documents with fewer than two tokens
+    have no bigrams and drop out, as in the oracle.
     """
     toks = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("t"))
     pairs = F.zip_with(
@@ -173,18 +178,23 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bigc = bp.groupBy("w1", "w2").agg(F.count("*").alias("c_big"))
     vocab = uni.agg(F.count("*").alias("v"))
+    occ = bp.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n_occ"))
     scored = (
-        bp.join(bigc, ["w1", "w2"])
+        occ.join(bigc, ["w1", "w2"])
         .join(uni, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
+            "n_occ",
             F.expr("(1000000 * (c_big + 1)) div (c_uni + v)").alias("m"),
         )
     )
     return (
         scored.groupBy("doc_id")
-        .agg(F.count("*").alias("n_bigrams"), F.sum("m").alias("score_micros"))
+        .agg(
+            F.sum("n_occ").alias("n_bigrams"),
+            F.sum(F.col("n_occ") * F.col("m")).alias("score_micros"),
+        )
         .withColumn("mean_prob_micros", F.expr("score_micros div n_bigrams"))
         .orderBy("doc_id")
     )
@@ -329,8 +339,163 @@ FROM cm GROUP BY cell ORDER BY cell
 """
 
 
+# --- iterative k-means training --------------------------------------------
+
+KMEANS_ITERS = 3
+
+
+def _points(e: DataFrame) -> DataFrame:
+    """(vec_id, dim, val): the long-form micros points table. For the
+    iterative trainer the relational long form beats the array-HOF form of
+    q_kmeans_step: distances become a broadcast join on `dim` + partial
+    agg (all whole-stage codegen), and the SAME pts table feeds every
+    iteration's assignment and update without re-exploding."""
+    return e.select("vec_id", F.posexplode("vm").alias("dim", "val"))
+
+
+def _assign_relational(pts: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cell, d2) for the nearest centroid (ties -> lowest cell)."""
+    diff = F.col("val") - F.col("c")
+    d = (
+        pts.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cell", "d2")
+    )
+
+
+def _update_centroids(pts: DataFrame, members: DataFrame) -> DataFrame:
+    """(cell, dim, c): per-dimension floor-mean of each cell's members."""
+    return (
+        members.select("vec_id", "cell")
+        .join(pts, "vec_id")
+        .groupBy("cell", "dim")
+        .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        .select("cell", "dim", F.expr(_floordiv("s", "n")).alias("c"))
+    )
+
+
+def kmeans_train_df(spark: SparkSession, sf_dir: str, n_iters: int) -> DataFrame:
+    """n_iters Lloyd iterations as ONE declarative plan (no driver loop
+    actions — the loop unrolls into the DAG; a production build of
+    thousands of iterations would checkpoint centroids per iteration like
+    the CC label loop in ops/dedup.py, but the plan shape per iteration is
+    identical to this)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vm = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000000.0).cast("bigint")
+    )
+    e = emb.select("vec_id", "label", vm.alias("vm"))
+    pts = _points(e)
+    seed_ids = emb.groupBy("label").agg(F.min("vec_id").alias("vec_id"))
+    cent = (
+        e.join(F.broadcast(seed_ids), ["label", "vec_id"])
+        .select(F.col("label").alias("cell"), "vm")
+        .select("cell", F.posexplode("vm").alias("dim", "c"))
+    )
+    members = None
+    for _ in range(n_iters):
+        members = _assign_relational(pts, cent)
+        cent = _update_centroids(pts, members)
+    stats_m = members.groupBy("cell").agg(
+        F.count("*").alias("n_members"), F.sum("d2").alias("wcss")
+    )
+    stats_c = cent.groupBy("cell").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda x: x["c"].cast("string"),
+            ),
+            ",",
+        ).alias("centroid_micros")
+    )
+    return (
+        stats_m.join(stats_c, "cell")
+        .select("cell", "n_members", "wcss", "centroid_micros")
+        .orderBy("cell")
+    )
+
+
+def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three Lloyd iterations over the embeddings, exactly oracled.
+
+    The iterative sibling of ``q_kmeans_step``: same fixed-point micros
+    arithmetic (integer sums are associative -> bit-reproducible across
+    partitionings, engines, and retries — an index build that restarts
+    mid-iteration converges to the same centroids), but in relational long
+    form: points explode ONCE into (vec_id, dim, val); each iteration is a
+    broadcast join on `dim` (centroids are K*D rows — the broadcast side)
+    + a partial-agg distance reduction + an argmax window + a partial-agg
+    centroid update. Per-cell WCSS against the final assignment centroids
+    is emitted as convergence evidence (monotonically non-increasing over
+    iterations — pinned in tests/test_training_ops.py).
+
+    A cell whose membership empties mid-training drops out on both
+    engines identically (no resurrection policy, deterministically).
+    """
+    return kmeans_train_df(spark, sf_dir, KMEANS_ITERS)
+
+
+def _kmeans_train_sql(n_iters: int = KMEANS_ITERS) -> str:
+    ctes = [
+        """e AS (
+  SELECT vec_id, label,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS vm
+  FROM embeddings)""",
+        """pts AS (
+  SELECT vec_id, unnest(vm) AS val, generate_subscripts(vm, 1) - 1 AS dim
+  FROM e)""",
+        """seed_ids AS (SELECT label, min(vec_id) AS vec_id FROM embeddings GROUP BY label)""",
+        """cent0 AS (
+  SELECT e.label AS cell, unnest(e.vm) AS c, generate_subscripts(e.vm, 1) - 1 AS dim
+  FROM e JOIN seed_ids ON e.label = seed_ids.label AND e.vec_id = seed_ids.vec_id)""",
+    ]
+    for i in range(n_iters):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT p.vec_id, c.cell,
+         CAST(sum((p.val - c.c) * (p.val - c.c)) AS BIGINT) AS d2
+  FROM pts p JOIN cent{i} c USING (dim) GROUP BY p.vec_id, c.cell)"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT vec_id, cell, d2,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+    FROM d{i}) WHERE rk = 1)"""
+        )
+        ctes.append(
+            f"""cent{i + 1} AS (
+  SELECT m.cell, p.dim,
+         {_floordiv_duck("CAST(sum(p.val) AS BIGINT)", "count(*)")} AS c
+  FROM m{i} m JOIN pts p USING (vec_id) GROUP BY m.cell, p.dim)"""
+        )
+    last_m, last_c = f"m{n_iters - 1}", f"cent{n_iters}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+stats_m AS (
+  SELECT cell, count(*) AS n_members, CAST(sum(d2) AS BIGINT) AS wcss
+  FROM {last_m} GROUP BY cell),
+stats_c AS (
+  SELECT cell, string_agg(CAST(c AS VARCHAR), ',' ORDER BY dim) AS centroid_micros
+  FROM {last_c} GROUP BY cell)
+SELECT cell, n_members, wcss, centroid_micros
+FROM stats_m JOIN stats_c USING (cell) ORDER BY cell
+"""
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "pack_contexts": (q_pack_contexts, PACK_CONTEXTS_SQL),
     "lm_score": (q_lm_score, LM_SCORE_SQL),
     "kmeans_step": (q_kmeans_step, _kmeans_step_sql()),
+    "kmeans_train": (q_kmeans_train, _kmeans_train_sql()),
 }

@@ -56,6 +56,24 @@ def test_lm_score_is_valid_probability(spark):
         assert 0 < r["mean_prob_micros"] <= 1_000_000
 
 
+def test_kmeans_train_wcss_monotone(spark):
+    """Lloyd's algorithm must not increase total within-cluster scatter
+    across iterations (assignment and update each minimize the objective).
+    The floor-quantized centroid is within 1 micro/dim of the true
+    minimizer, so in principle the sequence could wobble by that epsilon
+    right at convergence — but the arithmetic is fully deterministic, so
+    this pin can never flake: it records that on this corpus the descent
+    is strict."""
+    from pdf_extractor_spark.ops.training import kmeans_train_df
+
+    totals = []
+    for n in (1, 2, 3):
+        rows = kmeans_train_df(spark, SF_DIR, n).collect()
+        assert sum(r["n_members"] for r in rows) == 500
+        totals.append(sum(r["wcss"] for r in rows))
+    assert totals[0] >= totals[1] >= totals[2], totals
+
+
 def test_kmeans_step_partitions_corpus(spark):
     """The Lloyd step assigns every vector to exactly one cell and emits a
     full-dimension centroid per non-empty cell."""

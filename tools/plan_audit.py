@@ -437,6 +437,22 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "kmeans_train",
+        _query_df,
+        [
+            # relational Lloyd loop: distance joins broadcast the K*D
+            # centroid side; the assignment->points update join is the one
+            # legitimate big-big equi-join (both sides O(N), keyed vec_id —
+            # the window already partitioned on it, so the shuffle reuses
+            # that partitioning); never a cartesian over the points
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: absent(p, "BroadcastNestedLoopJoin"),
+            lambda p: contains(p, "HashAggregate", 4),
+        ],
+        False,
+    ),
+    (
         "extract_stage",
         _extract_stage_df,
         [
