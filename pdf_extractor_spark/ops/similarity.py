@@ -286,6 +286,122 @@ FROM ranked WHERE rank <= {IVF_TOP_K} ORDER BY query_id, rank
 """
 
 
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe over a TRAINED coarse quantizer: the index-build pipeline
+    end-to-end (train -> assign -> probe) as one oracled query.
+
+    ``q_ann_ivf`` stands in deterministic medoids for its cells; this
+    variant plugs in the centroids from three fixed-point Lloyd
+    iterations (ops/training.kmeans_loop — the full training chain is
+    part of this query's oracle, so the ENTIRE pipeline is value-hash
+    gated). Cell assignment is integer squared-L2 against the broadcast
+    K*D centroid table; queries probe their NPROBE nearest trained cells;
+    exact double-precision cosine re-ranks within the probed cells.
+
+    At 100 TB: training runs on a sample, the centroid table broadcasts,
+    assignment is a map-side pass, and `cell` becomes the partition
+    column of the index — a query touches nprobe/K of the corpus.
+    """
+    from .training import KMEANS_ITERS, kmeans_loop
+
+    pts, _members, cent = kmeans_loop(spark, sf_dir, KMEANS_ITERS)
+    diff = F.col("val") - F.col("c")
+    d = (
+        pts.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    ranked_cells = d.withColumn("cell_rank", F.row_number().over(w_assign))
+    emb = _embeddings(spark, sf_dir)
+    idx = (
+        ranked_cells.where(F.col("cell_rank") == 1)
+        .join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cnorm"),
+            "cell",
+        )
+    )
+    probes = (
+        ranked_cells.where(
+            (F.col("vec_id") < N_QUERIES) & (F.col("cell_rank") <= NPROBE)
+        )
+        .join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            "cell",
+        )
+    )
+    cand_cos = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / (F.col("qnorm") * F.col("cnorm"))
+    scored = (
+        idx.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", F.col("cand_id").alias("neighbor_id"), cand_cos.alias("cos"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= IVF_TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("cos") * 1000000.0).cast("bigint").alias("cosine_micros"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ann_ivf_trained_sql() -> str:
+    from .training import KMEANS_ITERS, kmeans_ctes
+
+    n = KMEANS_ITERS
+    return (
+        "WITH "
+        + ",\n".join(kmeans_ctes(n))
+        + f""",
+ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+nv AS (SELECT vec_id, v, {_norm_sql('v')} AS nrm FROM ev),
+dT AS (
+  SELECT p.vec_id, c.cell,
+         CAST(sum((p.val - c.c) * (p.val - c.c)) AS BIGINT) AS d2
+  FROM pts p JOIN cent{n} c USING (dim) GROUP BY p.vec_id, c.cell),
+rankedT AS (
+  SELECT vec_id, cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS cell_rank
+  FROM dT),
+idx AS (
+  SELECT r.vec_id AS cand_id, nv.v AS cv, nv.nrm AS cnrm, r.cell
+  FROM rankedT r JOIN nv ON nv.vec_id = r.vec_id WHERE r.cell_rank = 1),
+probes AS (
+  SELECT r.vec_id AS query_id, nv.v AS qv, nv.nrm AS qnrm, r.cell
+  FROM rankedT r JOIN nv ON nv.vec_id = r.vec_id
+  WHERE r.vec_id < {N_QUERIES} AND r.cell_rank <= {NPROBE}),
+scored AS (
+  SELECT query_id, cand_id AS neighbor_id,
+         ({_dot_sql('qv', 'cv')}) / (qnrm * cnrm) AS cos
+  FROM idx JOIN probes USING (cell)
+  WHERE query_id <> cand_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank,
+       CAST(floor(cos * 1000000.0) AS BIGINT) AS cosine_micros
+FROM ranked WHERE rank <= {IVF_TOP_K} ORDER BY query_id, rank
+"""
+    )
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column (per-vector absmax
     scaling) plus the reconstruction error — the storage-compression stage
@@ -351,5 +467,6 @@ QUERIES: dict[str, tuple] = {
     "ann_bruteforce": (q_ann_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
     "ann_ivf": (q_ann_ivf, ANN_IVF_SQL),
+    "ann_ivf_trained": (q_ann_ivf_trained, _ann_ivf_trained_sql),
     "embed_quantize": (q_embed_quantize, _embed_quantize_sql()),
 }

@@ -380,12 +380,11 @@ def _update_centroids(pts: DataFrame, members: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_train_df(spark: SparkSession, sf_dir: str, n_iters: int) -> DataFrame:
-    """n_iters Lloyd iterations as ONE declarative plan (no driver loop
-    actions — the loop unrolls into the DAG; a production build of
-    thousands of iterations would checkpoint centroids per iteration like
-    the CC label loop in ops/dedup.py, but the plan shape per iteration is
-    identical to this)."""
+def kmeans_loop(spark: SparkSession, sf_dir: str, n_iters: int):
+    """Run the unrolled Lloyd loop; returns (pts, members, cent) — the
+    long-form points table, the final assignment (vec_id, cell, d2), and
+    the final centroids (cell, dim, c). Shared by ``kmeans_train`` and the
+    trained-quantizer ANN path (similarity.q_ann_ivf_trained)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     vm = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * 1000000.0).cast("bigint")
@@ -402,6 +401,16 @@ def kmeans_train_df(spark: SparkSession, sf_dir: str, n_iters: int) -> DataFrame
     for _ in range(n_iters):
         members = _assign_relational(pts, cent)
         cent = _update_centroids(pts, members)
+    return pts, members, cent
+
+
+def kmeans_train_df(spark: SparkSession, sf_dir: str, n_iters: int) -> DataFrame:
+    """n_iters Lloyd iterations as ONE declarative plan (no driver loop
+    actions — the loop unrolls into the DAG; a production build of
+    thousands of iterations would checkpoint centroids per iteration like
+    the CC label loop in ops/dedup.py, but the plan shape per iteration is
+    identical to this)."""
+    _pts, members, cent = kmeans_loop(spark, sf_dir, n_iters)
     stats_m = members.groupBy("cell").agg(
         F.count("*").alias("n_members"), F.sum("d2").alias("wcss")
     )
@@ -441,7 +450,10 @@ def q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_train_df(spark, sf_dir, KMEANS_ITERS)
 
 
-def _kmeans_train_sql(n_iters: int = KMEANS_ITERS) -> str:
+def kmeans_ctes(n_iters: int = KMEANS_ITERS) -> list[str]:
+    """The Lloyd-loop CTE chain (shared with the trained-IVF oracle):
+    after the chain, ``m{n_iters-1}`` is the final assignment and
+    ``cent{n_iters}`` the final centroids."""
     ctes = [
         """e AS (
   SELECT vec_id, label,
@@ -476,10 +488,14 @@ def _kmeans_train_sql(n_iters: int = KMEANS_ITERS) -> str:
          {_floordiv_duck("CAST(sum(p.val) AS BIGINT)", "count(*)")} AS c
   FROM m{i} m JOIN pts p USING (vec_id) GROUP BY m.cell, p.dim)"""
         )
+    return ctes
+
+
+def _kmeans_train_sql(n_iters: int = KMEANS_ITERS) -> str:
     last_m, last_c = f"m{n_iters - 1}", f"cent{n_iters}"
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(kmeans_ctes(n_iters))
         + f""",
 stats_m AS (
   SELECT cell, count(*) AS n_members, CAST(sum(d2) AS BIGINT) AS wcss

@@ -74,6 +74,27 @@ def test_kmeans_train_wcss_monotone(spark):
     assert totals[0] >= totals[1] >= totals[2], totals
 
 
+def test_ann_ivf_trained_recall_vs_bruteforce(spark):
+    """The trained quantizer must not degrade probe quality below the
+    medoid-seeded IVF's bound (recall@3 >= 0.5 vs exact brute force at
+    nprobe=2 of 10 cells)."""
+    from pdf_extractor_spark.ops.registry import queries
+
+    qs = queries()
+
+    def topk(name, k=3):
+        out = {}
+        for r in qs[name](spark, SF_DIR).collect():
+            if r["rank"] <= k:
+                out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk("ann_bruteforce")
+    trained = topk("ann_ivf_trained")
+    recalls = [len(trained.get(q, set()) & exact[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
 def test_kmeans_step_partitions_corpus(spark):
     """The Lloyd step assigns every vector to exactly one cell and emits a
     full-dimension centroid per non-empty cell."""

@@ -453,6 +453,18 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "ann_ivf_trained",
+        _query_df,
+        [
+            # trained-quantizer probe: centroid/probe sides broadcast; the
+            # only big-big equi-joins are keyed vec_id/cell; no cartesian
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: absent(p, "BroadcastNestedLoopJoin"),
+        ],
+        False,
+    ),
+    (
         "extract_stage",
         _extract_stage_df,
         [
