@@ -1015,6 +1015,132 @@ ORDER BY ids.doc_id
 """
 
 
+# --- semantic dedup: embedding candidates, text verification ---------------
+
+SEMANTIC_COS = 0.4  # candidate threshold (matches embed_neardup)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal near-dup verification: embedding-cosine candidate pairs
+    checked against exact text 3-gram Jaccard.
+
+    ``vec_id`` is the embedding of document ``doc_id = vec_id`` (the
+    corpus convention: one vector per document, same key). Embedding
+    similarity is cheap but fuzzy — paraphrases and true duplicates both
+    score high — so a pipeline that deletes data verifies candidates
+    against the text before acting. This operator is that composition:
+
+    - candidates: cosine >= 0.4 within the same coarse cell (label-
+      blocked pairwise join — per-block, never global, exactly
+      ``embed_neardup``);
+    - verification: exact Jaccard over word-3-gram shingles computed ONLY
+      for candidate pairs (the candidate-bounded join of
+      ``dedup_verified_pairs``, keyed on doc_id — well-distributed);
+    - the shingle table feeds three branches (two join sides + sizes), so
+      it is staged via ``_persisted`` (Catalyst does no cross-branch CSE).
+
+    Output: both signals side by side + ``text_dup`` (Jaccard >= 0.5) —
+    the divergence between the columns is the false-positive rate of the
+    embedding space, which is exactly what you tune the cosine threshold
+    against.
+    """
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    withnorm = emb.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)).alias("norm"),
+    )
+    a = withnorm.alias("a")
+    b = withnorm.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        a.join(b, "label")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("doc1"),
+            F.col("b.vec_id").alias("doc2"),
+            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cos"),
+        )
+        .where(F.col("cos") >= SEMANTIC_COS)
+        .select(
+            "doc1",
+            "doc2",
+            F.floor(F.col("cos") * 1000000.0).cast("bigint").alias("cosine_micros"),
+        )
+    )
+    sh = _persisted(shingles(_read_docs(spark, sf_dir)))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    common = (
+        cand.select("doc1", "doc2")
+        .join(s1, "doc1")
+        .join(s2, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("common"))
+    )
+    jac = F.floor(
+        F.col("common") * F.lit(1000000000)
+        / (F.col("na") + F.col("nb") - F.col("common"))
+    ).cast("bigint")
+    return (
+        cand.join(common, ["doc1", "doc2"], "left")
+        .na.fill({"common": 0})
+        .join(sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("na")), "doc1")
+        .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("nb")), "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            "cosine_micros",
+            "common",
+            jac.alias("jaccard_ppb"),
+            (jac >= F.lit(500000000)).cast("int").alias("text_dup"),
+        )
+        .orderBy("doc1", "doc2")
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, label, v, {_norm_sql('v')} AS nrm FROM e),
+cand AS (
+  SELECT doc1, doc2, CAST(floor(cos * 1000000.0) AS BIGINT) AS cosine_micros
+  FROM (
+    SELECT a.vec_id AS doc1, b.vec_id AS doc2,
+           ({_dot_sql('a.v', 'b.v')}) / (a.nrm * b.nrm) AS cos
+    FROM n a JOIN n b USING (label)
+    WHERE a.vec_id < b.vec_id)
+  WHERE cos >= {SEMANTIC_COS}),
+sh AS ({SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc1, c.doc2, count(*) AS common
+  FROM cand c
+  JOIN sh s1 ON c.doc1 = s1.doc_id
+  JOIN sh s2 ON c.doc2 = s2.doc_id AND s1.shingle = s2.shingle
+  GROUP BY c.doc1, c.doc2)
+SELECT c.doc1, c.doc2, c.cosine_micros,
+       coalesce(m.common, 0) AS common,
+       CAST(floor(coalesce(m.common, 0) * 1000000000
+                  / (sa.n_sh + sb.n_sh - coalesce(m.common, 0))) AS BIGINT)
+         AS jaccard_ppb,
+       CAST(CAST(floor(coalesce(m.common, 0) * 1000000000
+                  / (sa.n_sh + sb.n_sh - coalesce(m.common, 0))) AS BIGINT)
+            >= 500000000 AS INT) AS text_dup
+FROM cand c
+LEFT JOIN common m USING (doc1, doc2)
+JOIN sizes sa ON c.doc1 = sa.doc_id
+JOIN sizes sb ON c.doc2 = sb.doc_id
+ORDER BY doc1, doc2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_components": (q_dedup_components, DEDUP_COMPONENTS_SQL),
@@ -1029,4 +1155,5 @@ QUERIES: dict[str, tuple] = {
     "simhash": (q_simhash, SIMHASH_SQL),
     "simhash_neardup": (q_simhash_neardup, SIMHASH_NEARDUP_SQL),
     "embed_neardup": (q_embed_neardup, EMBED_NEARDUP_SQL),
+    "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
 }

@@ -27,9 +27,11 @@ training pipeline consumes it):
   index build that runs on 1000 executors and must be resumable.
 
 Scale design (100 TB):
-- pack_contexts: one groupBy on a 256-value shard key (tiny), a broadcast
-  of 256 shard offsets, and one window per shard — shards are processed
-  in parallel and the only global structure is the 256-row offset table.
+- pack_contexts: one groupBy on a 4096-value shard key (tiny), a
+  broadcast of 4096 shard offsets, and one window per shard — shards are
+  processed in parallel and the only global structure is the 4096-row
+  offset table (at 10B docs a shard window sorts ~2.4M rows; recurse the
+  same scan if that ever dominates).
 - lm_score: n-gram counts are map-side-combined groupBys; the scoring
   pass joins the corpus's bigram stream against the count tables on the
   n-gram key (shuffle hash join). In production the count tables come
@@ -51,7 +53,7 @@ from pyspark.sql import functions as F
 from .portable import h64, h64_sql, tokens, tokens_sql
 
 CTX_TOKENS = 512  # context length in tokens
-PACK_SHARDS_DIV = 1 << 52  # h64 in [0, 2^60) -> 256 hash-range shards
+PACK_SHARDS_DIV = 1 << 48  # h64 in [0, 2^60) -> 4096 hash-range shards
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,13 +75,13 @@ def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     context boundaries; n_chunks counts the straddle).
 
     The prefix sum is the textbook two-phase distributed scan: the hash
-    order is range-sharded into 256 buckets by the top bits of the hash
+    order is range-sharded into 4096 buckets by the top bits of the hash
     (so shard boundaries respect the global order), per-shard token
-    totals are one tiny groupBy, the 256 shard offsets are a broadcast
+    totals are one tiny groupBy, the 4096 shard offsets are a broadcast
     join, and the intra-shard running sum is a per-shard window — no
     single-partition global window anywhere. At 25B docs the offset
-    table is still 256 rows; recurse the same trick if shards themselves
-    grow too large.
+    table is still 4096 rows; recurse the same trick if shards
+    themselves grow too large.
     """
     d = _docs(spark, sf_dir).select(
         "doc_id",

@@ -453,6 +453,19 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "semantic_dedup",
+        _query_df,
+        [
+            # candidate-bounded cross-modal verification: the label-blocked
+            # embedding join is the only pairwise stage; the staged shingle
+            # table feeds all three text branches from one documents scan
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: occurs_at_most(p, "documents.parquet", 1),
+            lambda p: contains(p, "InMemoryTableScan"),
+        ],
+        False,
+    ),
+    (
         "ann_ivf_trained",
         _query_df,
         [
