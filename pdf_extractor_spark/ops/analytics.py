@@ -400,6 +400,132 @@ ORDER BY 1, 2
 """
 
 
+# --- semi-structured: JSON property extraction ------------------------------
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract a typed field from the JSON `props` column and roll it up
+    per event type — the semi-structured path every event pipeline needs
+    (Spark: get_json_object, JVM-side Jackson; never a Python UDF). JSON
+    parsing happens in the map stage, so only (event_type, k) reaches the
+    aggregate; integer payloads keep the rollup exact across engines."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("k").alias("distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS distinct_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# --- pivot: per-user event-type matrix --------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type count matrix via pivot (explicit value list —
+    an implicit pivot would need an extra distinct-values job AND make the
+    output schema data-dependent, which breaks both the oracle contract
+    and any downstream consumer; at scale the value list is always
+    declared). One shuffle on user_id; the pivot itself is a conditional
+    aggregation, map-side combined like any groupBy."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("user_id")
+    )
+
+
+EVENT_PIVOT_SQL = f"""
+SELECT user_id,
+       {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --- gap-filled daily resample ----------------------------------------------
+
+def q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily time series per event type, zero-filled for days with
+    no events — the gap-filling resample a monitoring/trend query needs
+    (a plain groupBy silently drops empty days and the downstream chart
+    or anomaly detector never knows). The day grid is generated from the
+    observed min/max (sequence + explode on a 1-row aggregate — tiny by
+    construction), cross-joined with the distinct types, and the real
+    counts left-join onto it; event values aggregate as integer cents."""
+    ev = _read(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    grid = days.crossJoin(types)
+    counts = (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+    )
+    return (
+        grid.join(counts, ["day", "event_type"], "left")
+        .na.fill({"n_events": 0, "value_cents": 0})
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+RESAMPLE_DAILY_SQL = """
+WITH bounds AS (
+  SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+         CAST(date_trunc('day', max(ts)) AS DATE) AS d1
+  FROM events),
+days AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT day, event_type FROM days CROSS JOIN types),
+counts AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         count(*) AS n_events,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM events GROUP BY 1, 2)
+SELECT strftime(g.day, '%Y-%m-%d') AS day, g.event_type,
+       coalesce(c.n_events, 0) AS n_events,
+       coalesce(c.value_cents, 0) AS value_cents
+FROM grid g LEFT JOIN counts c ON g.day = c.day AND g.event_type = c.event_type
+ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "status_rollup": (q_status_rollup, STATUS_ROLLUP_SQL),
     "bucket_concat": (q_bucket_concat, BUCKET_CONCAT_SQL),
@@ -413,4 +539,7 @@ QUERIES: dict[str, tuple] = {
     "shipping_priority": (q_shipping_priority, SHIPPING_PRIORITY_SQL),
     "pricing_summary": (q_pricing_summary, PRICING_SUMMARY_SQL),
     "hourly_windows": (q_hourly_windows, HOURLY_WINDOWS_SQL),
+    "json_props": (q_json_props, JSON_PROPS_SQL),
+    "event_pivot": (q_event_pivot, EVENT_PIVOT_SQL),
+    "resample_daily": (q_resample_daily, RESAMPLE_DAILY_SQL),
 }

@@ -453,6 +453,41 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "json_props",
+        _query_df,
+        [
+            # JSON parse in the map stage, two-phase agg after: only
+            # (event_type, k) crosses the exchange, never the raw props
+            lambda p: contains(p, "HashAggregate", 2),
+            lambda p: never_reads(p, "value"),
+        ],
+        False,
+    ),
+    (
+        "event_pivot",
+        _query_df,
+        [
+            # pivot = conditional agg: partial+final, no per-value scans
+            lambda p: contains(p, "HashAggregate", 2),
+            lambda p: never_reads(p, "props"),
+            lambda p: never_reads(p, "value"),
+        ],
+        False,
+    ),
+    (
+        "resample_daily",
+        _query_df,
+        [
+            # the generated grid (days x types, tiny by construction)
+            # broadcasts onto the aggregated counts — the raw events table
+            # is never shuffled for the gap-fill join
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: never_reads(p, "props"),
+        ],
+        False,
+    ),
+    (
         "semantic_dedup",
         _query_df,
         [
