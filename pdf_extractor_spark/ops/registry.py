@@ -21,6 +21,7 @@ from . import (
     extraction_queries,
     multimodal,
     similarity,
+    sketches,
     textstats,
     training,
 )
@@ -34,6 +35,7 @@ _MODULES = (
     textstats,
     training,
     multimodal,
+    sketches,
 )
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

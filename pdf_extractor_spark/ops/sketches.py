@@ -1,0 +1,249 @@
+"""Cardinality / frequency sketches — the 100 TB answer to COUNT(DISTINCT).
+
+At scale, exact distinct counts and exact per-key frequencies are shuffle
+monsters: ``COUNT(DISTINCT user_id)`` shuffles every distinct key, and a
+full per-key frequency table is as large as the key space. The canonical
+fix is a sketch: a small, mergeable summary built map-side whose size is
+independent of the input. This module implements two classics with
+*bit-identical* Spark/DuckDB arithmetic (integer-only estimators — no
+libm, no float pow — per the CLAUDE.md cross-engine exactness rules):
+
+- **KMV (k-minimum-values)** distinct estimator [Bar-Yossef et al. 2002]:
+  keep the k smallest 52-bit hashes per group; if the group has >= k
+  distinct values, estimate D ~= (k-1) * 2^52 / h_(k) (integer division).
+  Standard error ~ 1/sqrt(k-2), ~12.7% at k=64.
+- **Threshold (proportional) sampling** estimator: keep distinct hashes
+  below 2^52 / R and estimate D ~= n_kept * R. Unlike KMV this needs *no
+  per-group sort at all* — a map-side filter, one distinct, one count —
+  so it is the pure-scale path; KMV adapts its precision to small groups.
+- **Count-min sketch** [Cormode & Muthukrishnan 2005]: d=4 hash rows x
+  w=1024 counters; per-key frequency estimate = min over rows of the
+  addressed counter. Collisions only ever *over*-estimate, and the sketch
+  is w*d integers regardless of input size — it broadcasts.
+
+Scale shape: the KMV per-group top-k uses a row_number window (one
+exchange on the group key, per-group sort over the *distinct hashes*
+only). For extreme-cardinality groups, prefix the window with the same
+``h < 2^52/R`` threshold filter (safe whenever a cardinality lower bound
+of k*R is known) so the sort sees a 1/R sample; the threshold estimator
+columns in the same output are the sort-free fallback. The CMS build is
+one map-side-combined groupBy over *per-key counts* (not raw events), and
+the point-query join broadcasts the 512-row sketch.
+
+Reference parity: the reference's only cardinality op is an exact
+``len(set(...))`` on the driver (see S-P8, `app/utils/metrics.py` — exact
+distinct counters); these are the distributed/approximate siblings a
+100 TB corpus requires, per SURVEY.md §2.4's "beyond reference" note.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+KMV_K = 128  # k smallest hashes kept per group; SE ~ 1/sqrt(k-2) ~= 8.9%
+THRESH_R = 8  # proportional sampling rate 1/R
+H52_MAX = 1 << 52  # 13 hex digits of md5: uniform in [0, 2^52)
+# (KMV_K - 1) * 2^52 -- precomputed so the Spark plan and the oracle SQL
+# embed the identical literal; 127 * 2^52 = 5.7e17 < 2^63 (no overflow in
+# either engine; DuckDB errors on BIGINT overflow, the JVM wraps).
+KMV_NUM = (KMV_K - 1) * H52_MAX
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_TOPK = 10
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _h52(c) -> F.Column:
+    """Portable 52-bit hash (md5 prefix — identical in Spark and DuckDB)."""
+    return F.conv(F.substring(F.md5(c), 1, 13), 16, 10).cast("bigint")
+
+
+def _h52_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 13))::BIGINT)"
+
+
+# --- approx distinct: KMV + threshold sampling -------------------------------
+
+def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users: exact vs KMV vs threshold estimates.
+
+    One distinct on (event_type, h) feeds both estimators; the exact
+    count rides along for calibration (at 100 TB you would drop it — it
+    is the expensive column). All estimator arithmetic is BIGINT: the
+    KMV estimate is ``(k-1)*2^52 DIV h_(k)`` and the threshold estimate
+    is ``n_kept * R``, so both engines agree bit-for-bit.
+    """
+    ev = _read(spark, sf_dir, "events")
+    hashed = (
+        ev.select("event_type", _h52(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    kmv = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("kth"), F.count("*").alias("n_kept"))
+        .select(
+            "event_type",
+            F.when(F.col("n_kept") < KMV_K, F.col("n_kept"))
+            .otherwise(F.expr(f"{KMV_NUM} DIV kth"))
+            .alias("kmv_est"),
+        )
+    )
+    thresh = (
+        hashed.filter(F.col("h") < H52_MAX // THRESH_R)
+        .groupBy("event_type")
+        .agg((F.count("*") * THRESH_R).alias("thresh_est"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        exact.join(kmv, "event_type", "left")
+        .join(thresh, "event_type", "left")
+        .na.fill({"kmv_est": 0, "thresh_est": 0})
+        .orderBy("event_type")
+    )
+
+
+APPROX_DISTINCT_KMV_SQL = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         {_h52_sql("CAST(user_id AS VARCHAR)")} AS h
+  FROM events),
+ranked AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed),
+kmv AS (
+  SELECT event_type,
+         CASE WHEN count(*) < {KMV_K} THEN count(*)
+              ELSE {KMV_NUM} // max(h) END AS kmv_est
+  FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type),
+thresh AS (
+  SELECT event_type, count(*) * {THRESH_R} AS thresh_est
+  FROM hashed WHERE h < {H52_MAX // THRESH_R} GROUP BY event_type),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact
+  FROM events GROUP BY event_type)
+SELECT e.event_type, e.n_exact,
+       coalesce(k.kmv_est, 0) AS kmv_est,
+       coalesce(t.thresh_est, 0) AS thresh_est
+FROM exact e
+LEFT JOIN kmv k USING (event_type)
+LEFT JOIN thresh t USING (event_type)
+ORDER BY event_type
+"""
+
+
+# --- count-min sketch: heavy-hitter frequency estimates -----------------------
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by event count: true count vs count-min estimate.
+
+    The sketch is built from *per-key* counts (one map-side-combined
+    groupBy), not raw events — the d-way explode touches one row per
+    distinct key. The point query joins the <=4096-row sketch back to
+    the candidate keys; Spark broadcasts it. CMS never under-counts, so
+    ``est_n >= true_n`` always (pinned in tests); residual collisions
+    (1.5k keys into 4x1024 counters at sf0.1) still surface on a cell or
+    two, which is honest sketch behavior, not a bug.
+    """
+    ev = _read(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    cells = counts.select(
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(
+                            _h52(
+                                F.concat(
+                                    F.lit(f"{j}:"), F.col("user_id").cast("string")
+                                )
+                            ),
+                            F.lit(CMS_WIDTH),
+                        ).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    )
+    sketch = (
+        cells.select("cell.j", "cell.bucket", "true_n")
+        .groupBy("j", "bucket")
+        .agg(F.sum("true_n").alias("cell_sum"))
+    )
+    top = counts.orderBy(F.desc("true_n"), "user_id").limit(CMS_TOPK)
+    probes = top.select(
+        "user_id",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(
+                            _h52(
+                                F.concat(
+                                    F.lit(f"{j}:"), F.col("user_id").cast("string")
+                                )
+                            ),
+                            F.lit(CMS_WIDTH),
+                        ).alias("bucket"),
+                    )
+                    for j in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("cell"),
+    ).select("user_id", "true_n", "cell.j", "cell.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("cell_sum").alias("est_n"))
+        .orderBy(F.desc("true_n"), "user_id")
+    )
+
+
+def _cms_bucket_sql(j: int) -> str:
+    key = f"'{j}:' || CAST(user_id AS VARCHAR)"
+    return f"({_h52_sql(key)} % {CMS_WIDTH})"
+
+
+_CMS_CELLS_SQL = " UNION ALL ".join(
+    f"SELECT user_id, true_n, {j} AS j, {_cms_bucket_sql(j)} AS bucket FROM counts"
+    for j in range(CMS_DEPTH)
+)
+
+HEAVY_HITTERS_CMS_SQL = f"""
+WITH counts AS (
+  SELECT user_id, count(*) AS true_n FROM events GROUP BY user_id),
+cells AS ({_CMS_CELLS_SQL}),
+sketch AS (
+  SELECT j, bucket, CAST(sum(true_n) AS BIGINT) AS cell_sum
+  FROM cells GROUP BY j, bucket),
+top AS (
+  SELECT user_id, true_n FROM counts
+  ORDER BY true_n DESC, user_id LIMIT {CMS_TOPK}),
+probes AS (
+  SELECT t.user_id, t.true_n, c.j, c.bucket
+  FROM top t JOIN cells c ON t.user_id = c.user_id)
+SELECT p.user_id, p.true_n, min(s.cell_sum) AS est_n
+FROM probes p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+GROUP BY p.user_id, p.true_n
+ORDER BY p.true_n DESC, p.user_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "approx_distinct_kmv": (q_approx_distinct_kmv, APPROX_DISTINCT_KMV_SQL),
+    "heavy_hitters_cms": (q_heavy_hitters_cms, HEAVY_HITTERS_CMS_SQL),
+}

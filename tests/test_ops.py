@@ -33,6 +33,8 @@ SPOT_CHECK = [
     "pack_contexts",
     "lm_score",
     "kmeans_step",
+    "approx_distinct_kmv",
+    "heavy_hitters_cms",
 ]
 
 

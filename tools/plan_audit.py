@@ -488,6 +488,36 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "approx_distinct_kmv",
+        _query_df,
+        [
+            # both estimators feed off ONE distinct on (event_type, h);
+            # the 5-row estimator tables broadcast onto the exact side
+            lambda p: contains(p, "Window"),
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: never_reads(p, "props"),
+            lambda p: never_reads(p, "value"),
+            lambda p: never_reads(p, "ts"),
+        ],
+        False,
+    ),
+    (
+        "heavy_hitters_cms",
+        _query_df,
+        [
+            # the <=4096-row sketch broadcasts onto the probe keys;
+            # sketch build is a map-side-combined agg over per-key counts
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: never_reads(p, "props"),
+            lambda p: never_reads(p, "value"),
+            lambda p: never_reads(p, "ts"),
+        ],
+        False,
+    ),
+    (
         "semantic_dedup",
         _query_df,
         [
