@@ -548,8 +548,113 @@ ORDER BY r.lang
 """
 
 
+# --- full cube -----------------------------------------------------------
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue over the FULL cube of (mktsegment, orderpriority): every
+    grouping-set combination incl. per-priority totals that ROLLUP omits.
+
+    `grouping_id` disambiguates a rolled-up NULL from a data NULL (the
+    bitmask contract is identical in Spark's grouping_id() and DuckDB's
+    GROUPING(a, b): first column = most significant bit). Same scale
+    shape as any groupBy — Spark expands the grouping sets BEFORE the
+    exchange, so the cube is one shuffle with map-side partial aggs,
+    not four separate jobs.
+    """
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+    return (
+        joined.cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("revenue_cents"),
+        )
+        .select(
+            "gid",
+            F.coalesce("c_mktsegment", F.lit("<all>")).alias("mktsegment"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("orderpriority"),
+            "n_orders",
+            "revenue_cents",
+        )
+        .orderBy("gid", "mktsegment", "orderpriority")
+    )
+
+
+CUBE_REVENUE_SQL = """
+SELECT CAST(GROUPING(c_mktsegment, o_orderpriority) AS BIGINT) AS gid,
+       coalesce(c_mktsegment, '<all>') AS mktsegment,
+       coalesce(o_orderpriority, '<all>') AS orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+ORDER BY gid, mktsegment, orderpriority
+"""
+
+
+# --- value-based (RANGE) sliding window --------------------------------------
+
+def q_moving_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day event count / revenue per event type, per active day.
+
+    A RANGE frame over the integer day number — unlike a ROWS frame this
+    is gap-correct: a day with no events contributes nothing AND days
+    more than 6 back fall out of the frame even when the intervening
+    rows are missing. Pre-aggregating to daily grain first means the
+    window sees <=365 rows per type per year regardless of raw event
+    volume — the shuffle carries daily partials, never events. The
+    trailing average is floor-micros integer division (n_7d >= 1 by
+    construction: the current day always has events).
+    """
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("cents"),
+    ).withColumn("day_num", F.datediff("day", F.lit("2024-01-01").cast("date")))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-6, 0)
+    )
+    return (
+        daily.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.sum("n").over(w).alias("n_7d"),
+            F.sum("cents").over(w).alias("cents_7d"),
+        )
+        .withColumn("avg_cents_micros", F.expr("(cents_7d * 1000000) DIV n_7d"))
+        .orderBy("day", "event_type")
+    )
+
+
+MOVING_WINDOW_7D_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day_num
+  FROM events GROUP BY 1, 2, 5)
+SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+       CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+       CAST(sum(cents) OVER w AS BIGINT) AS cents_7d,
+       (CAST(sum(cents) OVER w AS BIGINT) * 1000000) // CAST(sum(n) OVER w AS BIGINT)
+         AS avg_cents_micros
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day, event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "rollup_revenue": (q_rollup_revenue, ROLLUP_REVENUE_SQL),
+    "cube_revenue": (q_cube_revenue, CUBE_REVENUE_SQL),
+    "moving_window_7d": (q_moving_window_7d, MOVING_WINDOW_7D_SQL),
     "length_quantiles": (q_length_quantiles, LENGTH_QUANTILES_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "corpus_mix": (q_corpus_mix, _corpus_mix_sql()),

@@ -526,8 +526,69 @@ ORDER BY 1, 2
 """
 
 
+# --- set operations: audience segmentation ------------------------------------
+
+SEGMENT_VALUE_MIN = 150.0
+
+
+def q_user_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience segmentation via relational set ops: high-value purchasers
+    vs high-value viewers, split into EXCEPT / INTERSECT segments.
+
+    Spark lowers subtract()/intersect() to broadcast/shuffled LeftAnti and
+    LeftSemi hash joins over the DISTINCT key sets — never a sort or a
+    cross product — so each set op is one hash join on user_id after the
+    filters push to the scan. Output is the segment size triple.
+    """
+    ev = _read(spark, sf_dir, "events")
+    hv = F.col("value") >= SEGMENT_VALUE_MIN
+    buyers = (
+        ev.filter((F.col("event_type") == "purchase") & hv)
+        .select("user_id")
+        .distinct()
+    )
+    viewers = (
+        ev.filter((F.col("event_type") == "view") & hv)
+        .select("user_id")
+        .distinct()
+    )
+
+    def sized(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(name).alias("segment"), "n_users"
+        )
+
+    return (
+        sized("buyer_only", buyers.subtract(viewers))
+        .unionByName(sized("viewer_only", viewers.subtract(buyers)))
+        .unionByName(sized("both", buyers.intersect(viewers)))
+        .orderBy("segment")
+    )
+
+
+USER_SEGMENTS_SQL = f"""
+WITH buyers AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value >= {SEGMENT_VALUE_MIN}),
+viewers AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'view' AND value >= {SEGMENT_VALUE_MIN}),
+sized AS (
+  SELECT 'buyer_only' AS segment, count(*) AS n_users
+  FROM (SELECT * FROM buyers EXCEPT SELECT * FROM viewers)
+  UNION ALL
+  SELECT 'viewer_only', count(*)
+  FROM (SELECT * FROM viewers EXCEPT SELECT * FROM buyers)
+  UNION ALL
+  SELECT 'both', count(*)
+  FROM (SELECT * FROM buyers INTERSECT SELECT * FROM viewers))
+SELECT segment, n_users FROM sized ORDER BY segment
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "status_rollup": (q_status_rollup, STATUS_ROLLUP_SQL),
+    "user_segments": (q_user_segments, USER_SEGMENTS_SQL),
     "bucket_concat": (q_bucket_concat, BUCKET_CONCAT_SQL),
     "transcript_buckets": (q_transcript_buckets, TRANSCRIPT_BUCKETS_SQL),
     "distinct_users": (q_distinct_users, DISTINCT_USERS_SQL),

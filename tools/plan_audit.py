@@ -488,6 +488,47 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "cube_revenue",
+        _query_df,
+        [
+            # grouping sets expand BEFORE the exchange: one shuffle with
+            # map-side partials, not one job per grouping set
+            lambda p: contains(p, "Expand"),
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: never_reads(p, "o_comment"),
+            lambda p: never_reads(p, "c_name"),
+        ],
+        False,
+    ),
+    (
+        "moving_window_7d",
+        _query_df,
+        [
+            # the RANGE frame runs over DAILY partials (two-phase agg
+            # first), so the window shuffle carries <=365 rows/type/year
+            lambda p: contains(p, "Window"),
+            lambda p: contains(p, "HashAggregate", 2),
+            lambda p: never_reads(p, "props"),
+            lambda p: never_reads(p, "user_id"),
+        ],
+        False,
+    ),
+    (
+        "user_segments",
+        _query_df,
+        [
+            # set ops lower to anti/semi hash joins on the distinct key
+            # sets; the type/value predicates reach the parquet scan
+            lambda p: contains(p, "LeftAnti"),
+            lambda p: contains(p, "LeftSemi"),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: pushed(p, "EqualTo(event_type,purchase)"),
+            lambda p: never_reads(p, "props"),
+        ],
+        False,
+    ),
+    (
         "approx_distinct_kmv",
         _query_df,
         [
