@@ -651,10 +651,56 @@ ORDER BY day, event_type
 """
 
 
+# --- NTILE length tiers --------------------------------------------------------
+
+N_TIERS = 10
+
+
+def q_length_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length deciles via NTILE: tier boundaries +
+    populations, the bucketing a curation pipeline uses to cap or
+    resample by length within each source.
+
+    NTILE sorts within its window partition, so the partition key must
+    be a real grouping (source), never the whole corpus — a global NTILE
+    funnels 100 TB through one partition (for global tiers use the
+    bracketing-rank `length_quantiles` instead). Per-source windows
+    parallelize across sources and the sort is bounded by the largest
+    source. Ties break on doc_id so both engines assign identically.
+    """
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    tiers = docs.select(
+        "source", "n_chars", F.ntile(N_TIERS).over(w).cast("bigint").alias("tier")
+    )
+    return (
+        tiers.groupBy("source", "tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source", "tier")
+    )
+
+
+LENGTH_TIERS_SQL = f"""
+WITH tiers AS (
+  SELECT source, n_chars,
+         ntile({N_TIERS}) OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS tier
+  FROM documents)
+SELECT source, tier, count(*) AS n_docs,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM tiers GROUP BY source, tier ORDER BY source, tier
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "rollup_revenue": (q_rollup_revenue, ROLLUP_REVENUE_SQL),
     "cube_revenue": (q_cube_revenue, CUBE_REVENUE_SQL),
     "moving_window_7d": (q_moving_window_7d, MOVING_WINDOW_7D_SQL),
+    "length_tiers": (q_length_tiers, LENGTH_TIERS_SQL),
     "length_quantiles": (q_length_quantiles, LENGTH_QUANTILES_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "corpus_mix": (q_corpus_mix, _corpus_mix_sql()),

@@ -526,7 +526,80 @@ ORDER BY df_docs DESC, gram
 """
 
 
+# --- TF-IDF keyword extraction ------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 keywords per document by TF-IDF — the per-doc topical
+    signature a curation pipeline keys on (topic balancing, domain mix).
+
+    idf is the log-free rational form tf * N / df in floor-micros: ln()
+    is libm-dependent and differs across engines (the same trap lm_score
+    documents), while the rational score induces the identical ranking
+    for fixed N. Scale shape: the token explode collapses immediately to
+    (doc_id, term, tf) partials (map-side combine), the document-
+    frequency table aggregates those PARTIALS (never raw tokens, one
+    row per doc-term), and the vocab-sized (term, df) side joins back
+    broadcast — vocabularies are millions of rows when corpora are
+    billions, so the broadcast survives scale-up; if a vocab ever
+    outgrew memory the same plan degrades to a shuffle join on term.
+    The per-doc top-k window partitions on doc_id — maximal parallelism,
+    k rows retained per doc.
+    """
+    docs = _docs(spark, sf_dir)
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.expr("(tf * n_docs * 1000000) DIV df").alias("score_micros"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micros"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "rank", "term", "score_micros")
+        .orderBy("doc_id", "rank")
+    )
+
+
+TFIDF_KEYWORDS_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({tokens_sql("text")}) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.term,
+         (t.tf * n.n_docs * 1000000) // d.df AS score_micros
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, score_micros,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_micros DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, rank, term, score_micros FROM ranked
+WHERE rank <= {TFIDF_TOPK} ORDER BY doc_id, rank
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "tfidf_keywords": (q_tfidf_keywords, TFIDF_KEYWORDS_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
     "boilerplate_ngrams": (q_boilerplate_ngrams, BOILERPLATE_NGRAMS_SQL),
     "pii_scrub": (q_pii_scrub, PII_SCRUB_SQL),

@@ -488,6 +488,32 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "tfidf_keywords",
+        _query_df,
+        [
+            # token explode collapses to (doc,term) partials map-side;
+            # the vocab-sized df table and the 1-row N both broadcast
+            lambda p: contains(p, "HashAggregate", 2),
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: never_reads(p, "lang"),
+            lambda p: never_reads(p, "n_chars"),
+        ],
+        False,
+    ),
+    (
+        "length_tiers",
+        _query_df,
+        [
+            # NTILE window partitions on source (never a global sort);
+            # the fat text column never leaves disk
+            lambda p: contains(p, "Window"),
+            lambda p: never_reads(p, "text"),
+            lambda p: never_reads(p, "lang"),
+        ],
+        False,
+    ),
+    (
         "cube_revenue",
         _query_df,
         [
