@@ -696,8 +696,146 @@ FROM tiers GROUP BY source, tier ORDER BY source, tier
 """
 
 
+# --- cohort retention matrix ----------------------------------------------
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention: users grouped by first-seen date, counted per
+    week-offset they remain active.
+
+    The classic formulation self-joins events against a per-user first-seen
+    table — two shuffles of the full fact table. This plan does ONE shuffle
+    of (user_id) with map-side partial collect_set(date): the per-user state
+    is bounded by the corpus's day span (not event count), then the
+    exploded (cohort, offset) pairs aggregate in a second, cohort-sized
+    shuffle. countDistinct dedups users active on several days of the same
+    week.
+    """
+    ev = _read(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort"),
+        F.collect_set(F.to_date("ts")).alias("days"),
+    )
+    exploded = per_user.select(
+        "user_id", "cohort", F.explode("days").alias("d")
+    )
+    return (
+        exploded.groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_date"),
+            F.floor(F.datediff("d", "cohort") / 7).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_date", "week_offset")
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+coh AS (
+  SELECT user_id, min(d) AS cohort FROM days GROUP BY user_id)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_date,
+       CAST(floor((d - cohort) / 7) AS BIGINT) AS week_offset,
+       count(DISTINCT days.user_id) AS n_users
+FROM days JOIN coh USING (user_id)
+GROUP BY 1, 2 ORDER BY cohort_date, week_offset
+"""
+
+
+# --- ordered funnel conversion ---------------------------------------------
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel signup → view → purchase, one shuffle total.
+
+    Step k counts a user only if an event of step k's type occurs at-or-
+    after the first *qualified* step k-1 event — the sequential dependency
+    that a flat conditional aggregation cannot express. Instead of per-step
+    self-joins (k shuffles of the fact table), one window pass carries the
+    first-signup and first-qualified-view marks forward over (user, ts,
+    event_id) order; the per-user flags then reduce in the same partitioning.
+    Equal-timestamp events tie-break on event_id identically in both
+    engines, so the boundary semantics are deterministic.
+    """
+    ev = _read(spark, sf_dir, "events")
+    es = epoch_s("ts")
+    base = ev.where(
+        F.col("event_type").isin("signup", "view", "purchase")
+    ).select("user_id", "event_id", "event_type", es.alias("es"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_s = base.withColumn(
+        "s_seen",
+        F.min(F.when(F.col("event_type") == "signup", F.col("es"))).over(w),
+    )
+    with_v = with_s.withColumn(
+        "v_seen",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view") & F.col("s_seen").isNotNull(),
+                F.col("es"),
+            )
+        ).over(w),
+    )
+    flags = with_v.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("r1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "view") & F.col("s_seen").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("r2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & F.col("v_seen").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("r3"),
+    )
+    return flags.agg(
+        F.count("*").alias("n_users"),
+        F.sum("r1").alias("n_signup"),
+        F.sum("r2").alias("n_signup_view"),
+        F.sum("r3").alias("n_full_funnel"),
+    )
+
+
+FUNNEL_CONVERSION_SQL = """
+WITH base AS (
+  SELECT user_id, event_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events WHERE event_type IN ('signup', 'view', 'purchase')),
+with_s AS (
+  SELECT *, min(CASE WHEN event_type = 'signup' THEN es END)
+              OVER w AS s_seen
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
+               ROWS UNBOUNDED PRECEDING)),
+with_v AS (
+  SELECT *, min(CASE WHEN event_type = 'view' AND s_seen IS NOT NULL
+                     THEN es END) OVER w AS v_seen
+  FROM with_s
+  WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id
+               ROWS UNBOUNDED PRECEDING)),
+flags AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r1,
+         max(CASE WHEN event_type = 'view' AND s_seen IS NOT NULL
+                  THEN 1 ELSE 0 END) AS r2,
+         max(CASE WHEN event_type = 'purchase' AND v_seen IS NOT NULL
+                  THEN 1 ELSE 0 END) AS r3
+  FROM with_v GROUP BY user_id)
+SELECT count(*) AS n_users,
+       CAST(sum(r1) AS BIGINT) AS n_signup,
+       CAST(sum(r2) AS BIGINT) AS n_signup_view,
+       CAST(sum(r3) AS BIGINT) AS n_full_funnel
+FROM flags
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "rollup_revenue": (q_rollup_revenue, ROLLUP_REVENUE_SQL),
+    "retention_cohorts": (q_retention_cohorts, RETENTION_COHORTS_SQL),
+    "funnel_conversion": (q_funnel_conversion, FUNNEL_CONVERSION_SQL),
     "cube_revenue": (q_cube_revenue, CUBE_REVENUE_SQL),
     "moving_window_7d": (q_moving_window_7d, MOVING_WINDOW_7D_SQL),
     "length_tiers": (q_length_tiers, LENGTH_TIERS_SQL),

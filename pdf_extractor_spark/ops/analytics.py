@@ -586,6 +586,139 @@ SELECT segment, n_users FROM sized ORDER BY segment
 """
 
 
+# --- semi-join existence filter (TPC-H Q4 shape) ---------------------------
+
+def q_priority_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with ≥1 returned lineitem, counted by priority (EXISTS shape).
+
+    The existence probe is a LeftSemi hash join: the fact side projects to
+    l_orderkey only before the shuffle (column pruning does the heavy
+    lifting — the semi join's build side carries one bigint per returned
+    lineitem, never the row), and the semi join emits each order at most
+    once, so no post-join distinct is needed. At 100 TB both sides bucket
+    on orderkey and the exchange disappears.
+    """
+    orders = _read(spark, sf_dir, "orders")
+    returned = (
+        _read(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+PRIORITY_WAITING_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --- argmax over an aggregate (TPC-H Q15 shape) ----------------------------
+
+TOP_SUPPLIER_FROM = "1995-01-01"
+TOP_SUPPLIER_TO = "1996-01-01"
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum revenue in a shipdate year (Q15 shape).
+
+    The global max is computed by aggregating the already-aggregated
+    per-supplier revenue table (|suppliers| rows) and broadcast back as a
+    one-row cross join — never a single-partition window over the fact
+    table, which would serialize the whole agg output through one task.
+    Ties all surface (= on the max), matching the SQL HAVING = (SELECT
+    max(..)) semantics.
+    """
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(TOP_SUPPLIER_FROM))
+        & (F.col("l_shipdate") < F.lit(TOP_SUPPLIER_TO))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100)
+            .cast("bigint")
+        ).alias("total_rev_cents")
+    )
+    mx = rev.agg(F.max("total_rev_cents").alias("_mx"))
+    supplier = _read(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev_cents") == F.col("_mx"))
+        .join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_SUPPLIER_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+           AS BIGINT) AS total_rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{TOP_SUPPLIER_FROM}'
+    AND l_shipdate < TIMESTAMP '{TOP_SUPPLIER_TO}'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev_cents
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev_cents = (SELECT max(total_rev_cents) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# --- returned-items customer ranking (TPC-H Q10 shape) ---------------------
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by revenue lost to returns (Q10 shape).
+
+    One real shuffle (lineitem⨝orders on orderkey); customer and nation are
+    broadcast dims. The returnflag filter pushes to the lineitem scan, so
+    the shuffle carries only returned rows. Top-k via orderBy+limit —
+    Spark's TakeOrderedAndProject keeps k rows per partition, never a
+    global sort.
+    """
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    nation = _read(spark, sf_dir, "nation")
+    rev = F.sum(
+        F.floor(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100)
+        .cast("bigint")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(rev.alias("lost_rev_cents"), F.count("*").alias("n_returned"))
+        .orderBy(F.desc("lost_rev_cents"), "c_custkey")
+        .limit(20)
+    )
+
+
+RETURNED_ITEMS_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+         AS BIGINT) AS lost_rev_cents,
+       count(*) AS n_returned
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY lost_rev_cents DESC, c_custkey LIMIT 20
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "status_rollup": (q_status_rollup, STATUS_ROLLUP_SQL),
     "user_segments": (q_user_segments, USER_SEGMENTS_SQL),
@@ -603,4 +736,7 @@ QUERIES: dict[str, tuple] = {
     "json_props": (q_json_props, JSON_PROPS_SQL),
     "event_pivot": (q_event_pivot, EVENT_PIVOT_SQL),
     "resample_daily": (q_resample_daily, RESAMPLE_DAILY_SQL),
+    "priority_waiting": (q_priority_waiting, PRIORITY_WAITING_SQL),
+    "top_supplier": (q_top_supplier, TOP_SUPPLIER_SQL),
+    "returned_items": (q_returned_items, RETURNED_ITEMS_SQL),
 }

@@ -598,8 +598,95 @@ WHERE rank <= {TFIDF_TOPK} ORDER BY doc_id, rank
 """
 
 
+# --- BM25 keyword retrieval ------------------------------------------------
+
+BM25_QUERY_TERMS = ("window", "hash", "vector")
+BM25_TOPK = 10
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a fixed keyword query under BM25 scoring
+    (k1=1.2, b=0.75) with the log-free rational idf.
+
+    Cross-engine exactness: ln() is libm-dependent (the lm_score /
+    tfidf_keywords trap), so idf uses the rational core of the BM25 idf,
+    (N - df + 0.5)/(df + 0.5) — scaled by 2 to stay integral — which
+    preserves the per-term ordering. All arithmetic is integer with
+    explicit floor division, staged so no intermediate exceeds ~2^50
+    (DuckDB errors on BIGINT overflow; Spark ANSI too):
+
+        idf_milli  = (2N - 2df + 1) * 1000          DIV (2df + 1)
+        tfs_micros = 22*T*tf * 1_000_000            DIV (10*T*tf + 3*T + 9*dl*N)
+        score      = idf_milli * tfs_micros         DIV 1000
+
+    where tfs is tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) multiplied through
+    by 10*T (avgdl = T/N). Scale shape: doc length rides THROUGH the token
+    explode as a group key (dl is functional on doc_id), so no
+    docs⨝term-stats join is ever needed; the term filter collapses the
+    explode to query-term rows before the shuffle; df (|query| rows) and
+    the corpus totals (1 row) join back broadcast. Final top-k is
+    TakeOrderedAndProject, never a global sort.
+    """
+    docs = _docs(spark, sf_dir)
+    dl = F.size(tokens("text")).cast("bigint")
+    tf = (
+        docs.select("doc_id", dl.alias("dl"), F.explode(tokens("text")).alias("term"))
+        .where(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.select(dl.alias("dl")).agg(
+        F.sum("dl").alias("t_tokens"), F.count("*").alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "(((2*n_docs - 2*df + 1) * 1000) DIV (2*df + 1))"
+                " * ((22*t_tokens*tf*1000000) DIV (10*t_tokens*tf + 3*t_tokens + 9*dl*n_docs))"
+                " DIV 1000"
+            ).alias("contrib_micros"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("contrib_micros").alias("score_micros"))
+        .orderBy(F.desc("score_micros"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+BM25_SEARCH_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, len({tokens_sql("text")}) AS dl,
+         unnest({tokens_sql("text")}) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM tok
+  WHERE term IN {BM25_QUERY_TERMS!r}
+  GROUP BY 1, 2, 3),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+stats AS (SELECT CAST(sum(len({tokens_sql("text")})) AS BIGINT) AS t_tokens,
+                 count(*) AS n_docs
+          FROM documents),
+scored AS (
+  SELECT t.doc_id,
+         (((2*n_docs - 2*df + 1) * 1000) // (2*df + 1))
+           * ((22*t_tokens*tf*1000000) // (10*t_tokens*tf + 3*t_tokens + 9*dl*n_docs))
+           // 1000 AS contrib_micros
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN stats)
+SELECT doc_id, CAST(sum(contrib_micros) AS BIGINT) AS score_micros
+FROM scored GROUP BY doc_id
+ORDER BY score_micros DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "tfidf_keywords": (q_tfidf_keywords, TFIDF_KEYWORDS_SQL),
+    "bm25_search": (q_bm25_search, BM25_SEARCH_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
     "boilerplate_ngrams": (q_boilerplate_ngrams, BOILERPLATE_NGRAMS_SQL),
     "pii_scrub": (q_pii_scrub, PII_SCRUB_SQL),

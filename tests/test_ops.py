@@ -35,6 +35,12 @@ SPOT_CHECK = [
     "kmeans_step",
     "approx_distinct_kmv",
     "heavy_hitters_cms",
+    "priority_waiting",
+    "top_supplier",
+    "returned_items",
+    "retention_cohorts",
+    "funnel_conversion",
+    "bm25_search",
 ]
 
 
@@ -110,7 +116,8 @@ def _signature(df):
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in ("events", "documents", "embeddings", "lineitem", "orders", "customer"):
+    for t in ("events", "documents", "embeddings", "lineitem", "orders",
+              "customer", "supplier", "nation"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return con
 
@@ -192,7 +199,8 @@ def test_timestamp_queries_timezone_independent(spark):
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
         for name in ("bucket_concat", "hourly_windows", "sessionize",
-                     "asof_join", "transcript_buckets"):
+                     "asof_join", "transcript_buckets",
+                     "retention_cohorts", "funnel_conversion"):
             fn, sql = REGISTRY[name]
             sdf = fn(spark, SF_DIR).toPandas()
             ddf = con.sql(sql).df()
