@@ -610,6 +610,97 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "priority_waiting",
+        _query_df,
+        [
+            # EXISTS lowers to LeftSemi: each order emitted at most once, no
+            # post-join distinct; the returnflag predicate reaches the scan
+            # and the lineitem side projects to l_orderkey alone
+            lambda p: contains(p, "LeftSemi"),
+            lambda p: pushed(p, "EqualTo(l_returnflag,R)"),
+            lambda p: never_reads(p, "l_extendedprice"),
+            lambda p: never_reads(p, "l_quantity"),
+        ],
+        False,
+    ),
+    (
+        "top_supplier",
+        _query_df,
+        [
+            # argmax over an aggregate: the 1-row max broadcasts back (BNLJ
+            # on a single row, never a cartesian materialization); the
+            # supplier dim broadcasts; shipdate range reaches the scan
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: pushed(p, "GreaterThanOrEqual(l_shipdate"),
+            lambda p: contains(p, "HashAggregate", 2),
+        ],
+        False,
+    ),
+    (
+        "returned_items",
+        _query_df,
+        [
+            # Q10 shape: customer+nation broadcast, returnflag pushed, and
+            # the top-20 is TakeOrderedAndProject (k rows per partition,
+            # never a global sort)
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: pushed(p, "EqualTo(l_returnflag,R)"),
+            lambda p: contains(p, "TakeOrderedAndProject"),
+            lambda p: never_reads(p, "l_tax"),
+        ],
+        False,
+    ),
+    (
+        "retention_cohorts",
+        _query_df,
+        [
+            # one user_id shuffle with partial collect_set (state bounded by
+            # day span, not event count); no self-join of the fact table
+            lambda p: contains(p, "hashpartitioning(user_id", 1),
+            lambda p: contains(p, "Generate"),  # the days explode
+            lambda p: absent(p, "Join"),
+            lambda p: never_reads(p, "props"),
+            lambda p: never_reads(p, "value"),
+        ],
+        False,
+    ),
+    (
+        "funnel_conversion",
+        _query_df,
+        [
+            # single window pass carries the step marks: no per-step
+            # self-joins, one user_id exchange reused by the flag agg;
+            # the type filter reaches the scan
+            lambda p: contains(p, "Window"),
+            lambda p: absent(p, "Join"),
+            lambda p: contains(p, "hashpartitioning(user_id", 1),
+            lambda p: pushed(p, "In(event_type"),
+            lambda p: never_reads(p, "props"),
+            lambda p: never_reads(p, "value"),
+        ],
+        False,
+    ),
+    (
+        "bm25_search",
+        _query_df,
+        [
+            # dl rides through the explode as a group key (no docs⨝stats
+            # join); df + corpus totals broadcast; top-k is
+            # TakeOrderedAndProject, never a global sort
+            lambda p: contains(p, "HashAggregate", 2),
+            lambda p: contains(p, "Generate"),
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: contains(p, "TakeOrderedAndProject"),
+            lambda p: never_reads(p, "lang"),
+            lambda p: never_reads(p, "source"),
+        ],
+        False,
+    ),
+    (
         "extract_stage",
         _extract_stage_df,
         [
