@@ -437,8 +437,101 @@ def q_staged_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- snapshot time travel over the commit log ------------------------------
+
+_SNAPFIX_CHUNKS = 3  # committed snapshots 0..2; chunk 3 is left uncommitted
+
+
+def _snapshot_fixture_root() -> str:
+    """Deterministic CommitLog directory for the time-travel oracle, built
+    with pure pyarrow (no Spark) so BOTH the query and the lazily-resolved
+    DuckDB oracle can ensure it idempotently in either order.
+
+    Layout: chunks 0..2 committed (3 part_id partitions each, 4 rows per
+    part), plus a chunk-3 data directory with NO commit marker — present on
+    disk, invisible to every read, which is the uncommitted-work contract
+    a crashed writer leaves behind.
+    """
+    import json
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = os.path.join(tempfile.gettempdir(), "pes-snapshot-fixture-v1")
+    done = os.path.join(root, ".complete")
+    if os.path.exists(done):
+        return root
+    for chunk in range(_SNAPFIX_CHUNKS + 1):  # +1: the uncommitted chunk
+        for part in range(3):
+            pdir = os.path.join(
+                root, "data", f"chunk-{chunk:06d}", f"part_id={part}"
+            )
+            os.makedirs(pdir, exist_ok=True)
+            rows = {
+                "doc_id": [f"d{chunk}_{part}_{i}" for i in range(4)],
+                "spans_emitted": pa.array(
+                    [chunk * 100 + part * 10 + i for i in range(4)],
+                    type=pa.int64(),
+                ),
+            }
+            pq.write_table(pa.table(rows), os.path.join(pdir, "part-0.parquet"))
+    os.makedirs(os.path.join(root, "commits"), exist_ok=True)
+    for chunk in range(_SNAPFIX_CHUNKS):  # chunk 3 gets NO marker
+        marker = {
+            "chunk_id": chunk,
+            "part_ids": [0, 1, 2],
+            "n_parts": 3,
+            "metrics": {"docs": 12},
+            "committed_at": 1700000000.0 + chunk,
+        }
+        path = os.path.join(root, "commits", f"commit-{chunk:06d}.json")
+        with open(path + ".tmp", "w") as f:
+            json.dump(marker, f)
+        os.rename(path + ".tmp", path)
+    with open(done, "w") as f:
+        f.write("ok")
+    return root
+
+
+SNAPSHOT_AS_OF = 1
+
+
+def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel read at snapshot 1 (``VERSION AS OF`` emulation):
+    chunk 2 is committed and chunk 3's data exists on disk, but neither is
+    visible — the reader sees exactly the table state the snapshot-1 commit
+    published. At scale this is the Iceberg snapshot list; here it is the
+    CommitLog marker scan (spark/lineage.py:committed_chunks), and the
+    pinned property is that visibility is decided ONLY by markers, never
+    by directory listing."""
+    from ..spark.lineage import CommitLog
+
+    log = CommitLog(_snapshot_fixture_root())
+    df = log.read_extracted(spark, as_of=SNAPSHOT_AS_OF)
+    return df.select(
+        "doc_id",
+        F.col("spans_emitted").cast("bigint").alias("spans_emitted"),
+        F.col("part_id").cast("bigint").alias("part_id"),
+    ).orderBy("doc_id")
+
+
+def _snapshot_read_oracle_sql() -> str:
+    root = _snapshot_fixture_root()
+    paths = ", ".join(
+        f"'{root}/data/chunk-{c:06d}/part_id=*/*.parquet'"
+        for c in range(SNAPSHOT_AS_OF + 1)
+    )
+    return (
+        "SELECT doc_id, spans_emitted, CAST(part_id AS BIGINT) AS part_id "
+        f"FROM read_parquet([{paths}], hive_partitioning=1) ORDER BY doc_id"
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "extract_clean": (q_extract_clean, EXTRACT_CLEAN_SQL),
+    "snapshot_read": (q_snapshot_read, _snapshot_read_oracle_sql),
     "extract_staged": (q_extract_staged, EXTRACT_CLEAN_SQL),
     "staged_pdf_corpus": (q_staged_pdf_corpus, _pdf_corpus_oracle_sql),
     "extract_metrics": (q_extract_metrics, EXTRACT_METRICS_SQL),

@@ -63,13 +63,33 @@ class CommitLog:
 
     # ------------------------------------------------------------- commit side
 
-    def committed_chunks(self) -> list[dict]:
+    def committed_chunks(self, as_of: int | None = None) -> list[dict]:
+        """Commit markers in chunk order; ``as_of`` caps the snapshot id
+        (inclusive) — the Iceberg time-travel analogue
+        (``VERSION AS OF``): every read method below accepts it, so a
+        reader can pin the exact table state any earlier job saw."""
         out = []
         for name in sorted(os.listdir(self.commits_dir)):
             if name.startswith("commit-") and name.endswith(".json"):
                 with open(os.path.join(self.commits_dir, name)) as f:
-                    out.append(json.load(f))
+                    marker = json.load(f)
+                if as_of is None or marker["chunk_id"] <= as_of:
+                    out.append(marker)
         return out
+
+    def snapshots(self) -> list[dict]:
+        """Snapshot metadata rows (the ``table.snapshots()`` analogue):
+        one dict per commit with id, wall-clock time, part count and the
+        writer's metrics — enough for a monitor to pick an ``as_of``."""
+        return [
+            {
+                "snapshot_id": c["chunk_id"],
+                "committed_at": c["committed_at"],
+                "n_part_ids": len(c["part_ids"]),
+                "metrics": c.get("metrics", {}),
+            }
+            for c in self.committed_chunks()
+        ]
 
     def committed_part_ids(self) -> set[int]:
         ids: set[int] = set()
@@ -116,8 +136,11 @@ class CommitLog:
 
     # --------------------------------------------------------------- read side
 
-    def read_extracted(self, spark: SparkSession) -> DataFrame:
-        """Union of committed chunks only (uncommitted dirs are invisible).
+    def read_extracted(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
+        """Union of committed chunks only (uncommitted dirs are invisible);
+        ``as_of`` time-travels to snapshot N — chunks committed later exist
+        on disk but stay invisible, exactly like reading an older Iceberg
+        snapshot.
 
         Chunks are part_id-partitioned directories, so each chunk is read on
         its own (multi-root partition discovery would see conflicting
@@ -125,7 +148,7 @@ class CommitLog:
         one partitioned Iceberg table."""
         from functools import reduce
 
-        chunks = self.committed_chunks()
+        chunks = self.committed_chunks(as_of)
         paths = [
             os.path.join(self.data_dir, f"chunk-{c['chunk_id']:06d}")
             for c in chunks
@@ -137,8 +160,8 @@ class CommitLog:
             return spark.createDataFrame([], EXTRACTED_SCHEMA)
         return reduce(DataFrame.unionByName, (spark.read.parquet(p) for p in paths))
 
-    def read_lineage(self, spark: SparkSession) -> DataFrame:
-        chunks = self.committed_chunks()
+    def read_lineage(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
+        chunks = self.committed_chunks(as_of)
         paths = [
             os.path.join(self.lineage_dir, f"chunk-{c['chunk_id']:06d}")
             for c in chunks

@@ -1,6 +1,9 @@
 """Spark layer: span-sequence equality vs the local oracle (the north_rule
 correctness contract), skew-aware partition balance, and kill-and-resume."""
 
+import os
+import shutil
+
 import pytest
 
 from pdf_extractor_spark.core.extractor import extract_document
@@ -120,6 +123,50 @@ def test_kill_and_resume(spark, tmp_path):
     lin = log.read_lineage(spark)
     total = lin.groupBy().sum("docs_done").collect()[0][0]
     assert total == 120
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """as_of reads pin the Iceberg VERSION AS OF contract against the REAL
+    writer: snapshot N sees exactly chunks 0..N, later commits and
+    uncommitted data dirs stay invisible, and the snapshot list exposes one
+    metadata row per commit."""
+    root = str(tmp_path / "ttlog")
+    docs = corpus_df(spark, 60, seed=11)
+    log = L.CommitLog(root)
+    L.run_extraction(spark, docs, log, n_parts=8, parts_per_chunk=3)
+    snaps = log.snapshots()
+    assert [s["snapshot_id"] for s in snaps] == [0, 1, 2]
+    assert all(s["n_part_ids"] == 3 or s["n_part_ids"] == 2 for s in snaps)
+
+    full = log.read_extracted(spark).count()
+    seen = [log.read_extracted(spark, as_of=n).count() for n in range(3)]
+    # monotone growth to the full table; snapshot 0 is a strict subset
+    assert seen[2] == full and seen[0] < seen[1] < seen[2]
+    # as_of past the newest snapshot == current table
+    assert log.read_extracted(spark, as_of=99).count() == full
+
+    # doc sets nest: every doc visible at N is visible at N+1
+    ids = [
+        {r["doc_id"] for r in log.read_extracted(spark, as_of=n).collect()}
+        for n in range(3)
+    ]
+    assert ids[0] < ids[1] < ids[2]
+
+    # an uncommitted data dir (crashed writer) is invisible at EVERY snapshot
+    rogue = os.path.join(root, "data", "chunk-000099", "part_id=7")
+    os.makedirs(rogue)
+    shutil.copy(
+        next(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(os.path.join(root, "data", "chunk-000000"))
+            for f in fs
+            if f.endswith(".parquet")
+        ),
+        os.path.join(rogue, "part-0.parquet"),
+    )
+    assert log.read_extracted(spark).count() == full
+    # lineage time travel follows the same markers
+    assert log.read_lineage(spark, as_of=0).count() == 3
 
 
 def test_lineage_schema(spark, tmp_path):
