@@ -87,9 +87,34 @@ class CommitLog:
                 "committed_at": c["committed_at"],
                 "n_part_ids": len(c["part_ids"]),
                 "metrics": c.get("metrics", {}),
+                "replaces": c.get("replaces"),
             }
             for c in self.committed_chunks()
         ]
+
+    def expire_replaced(self) -> list[int]:
+        """Physically delete the data + lineage directories of chunks that a
+        committed compaction marker has replaced — the
+        ``expire_snapshots`` + delete-orphan-files maintenance analogue.
+        Current reads are untouched (they already resolve to the
+        replacement); time travel to snapshots BEFORE the compaction stops
+        resolving, exactly as in Iceberg once old snapshots are expired.
+        Markers are kept (history stays auditable); only data is reclaimed.
+        Returns the chunk ids whose files were removed."""
+        import shutil
+
+        visible = {c["chunk_id"] for c in self.visible_chunks()}
+        gone: list[int] = []
+        for c in self.committed_chunks():
+            cid = c["chunk_id"]
+            if cid in visible:
+                continue
+            for base in (self.data_dir, self.lineage_dir):
+                d = os.path.join(base, f"chunk-{cid:06d}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+            gone.append(cid)
+        return gone
 
     def committed_part_ids(self) -> set[int]:
         ids: set[int] = set()
@@ -111,12 +136,25 @@ class CommitLog:
                 return c["n_parts"]
         return None
 
+    def visible_chunks(self, as_of: int | None = None) -> list[dict]:
+        """Markers whose data a reader at this snapshot should scan: committed,
+        and not replaced by a LATER committed marker within the same snapshot
+        horizon. Replacement markers (compaction) carry ``replaces``; a
+        time-travel read before the compaction still resolves to the original
+        chunks, because only markers <= as_of can shadow."""
+        chunks = self.committed_chunks(as_of)
+        replaced: set[int] = set()
+        for c in chunks:
+            replaced.update(c.get("replaces") or [])
+        return [c for c in chunks if c["chunk_id"] not in replaced]
+
     def commit_chunk(
         self,
         chunk_id: int,
         part_ids: list[int],
         metrics: dict,
         n_parts: int | None = None,
+        replaces: list[int] | None = None,
     ) -> None:
         """Atomic visibility flip: tmp write + rename (POSIX atomic)."""
         marker = {
@@ -124,6 +162,7 @@ class CommitLog:
             "part_ids": sorted(part_ids),
             "n_parts": n_parts,
             "metrics": metrics,
+            "replaces": sorted(replaces) if replaces else None,
             "committed_at": time.time(),
         }
         path = os.path.join(self.commits_dir, f"commit-{chunk_id:06d}.json")
@@ -148,7 +187,7 @@ class CommitLog:
         one partitioned Iceberg table."""
         from functools import reduce
 
-        chunks = self.committed_chunks(as_of)
+        chunks = self.visible_chunks(as_of)
         paths = [
             os.path.join(self.data_dir, f"chunk-{c['chunk_id']:06d}")
             for c in chunks
@@ -161,7 +200,7 @@ class CommitLog:
         return reduce(DataFrame.unionByName, (spark.read.parquet(p) for p in paths))
 
     def read_lineage(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
-        chunks = self.committed_chunks(as_of)
+        chunks = self.visible_chunks(as_of)
         paths = [
             os.path.join(self.lineage_dir, f"chunk-{c['chunk_id']:06d}")
             for c in chunks
@@ -194,6 +233,56 @@ def resume_filter(documents: DataFrame, log: CommitLog, n_parts: int) -> DataFra
         return docs
     done_df = spark.createDataFrame([(p,) for p in done], "part_id int")
     return docs.join(F.broadcast(done_df), "part_id", "left_anti")
+
+
+def compact_chunks(
+    spark: SparkSession, log: CommitLog, min_chunks: int = 2
+) -> int | None:
+    """Rewrite all currently-visible chunks into ONE new chunk that replaces
+    them — the ``rewrite_data_files`` (bin-packing compaction) analogue.
+
+    Long-running ingestion accretes one chunk per incremental run; at scale
+    that is the classic small-file problem (every read opens
+    chunks x parts files, and the scan planner pays per file). Compaction
+    writes the union once, keyed so each part_id lands in exactly one task
+    (``repartition(n, part_id)``) and therefore exactly one file per
+    partition directory, then publishes a marker with ``replaces`` — the
+    same atomic tmp+rename commit as a data chunk, so a crash mid-compaction
+    leaves the original chunks visible and the half-written directory
+    invisible. Time travel to pre-compaction snapshots still resolves (the
+    shadowing marker is > as_of) until ``expire_replaced`` reclaims them.
+
+    Returns the new chunk id, or None if there is nothing to compact.
+    """
+    victims = log.visible_chunks()
+    if len(victims) < min_chunks:
+        return None
+    victim_ids = [c["chunk_id"] for c in victims]
+    part_ids = sorted({p for c in victims for p in c["part_ids"]})
+    new_id = log.next_chunk_id()
+
+    data = log.read_extracted(spark)
+    data_path = os.path.join(log.data_dir, f"chunk-{new_id:06d}")
+    n_tasks = max(1, min(len(part_ids), 32))
+    (
+        data.repartition(n_tasks, "part_id")
+        .write.partitionBy("part_id")
+        .mode("overwrite")
+        .parquet(data_path)
+    )
+    lineage = log.read_lineage(spark)
+    lineage_path = os.path.join(log.lineage_dir, f"chunk-{new_id:06d}")
+    lineage.coalesce(1).write.mode("overwrite").parquet(lineage_path)
+
+    metrics: dict = {"docs": 0, "pages": 0, "failures": 0}
+    for c in victims:
+        for k in metrics:
+            metrics[k] += (c.get("metrics") or {}).get(k, 0) or 0
+    metrics["compacted_from"] = len(victims)
+    log.commit_chunk(
+        new_id, part_ids, metrics, n_parts=log.n_parts(), replaces=victim_ids
+    )
+    return new_id
 
 
 def run_extraction(

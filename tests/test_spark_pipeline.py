@@ -169,6 +169,60 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert log.read_lineage(spark, as_of=0).count() == 3
 
 
+def test_compaction_and_expiry(spark, tmp_path):
+    """rewrite_data_files + expire_snapshots analogues: compaction rewrites
+    the visible chunks into one replacement chunk behind the same atomic
+    marker; the table contents are identical, the file count collapses,
+    pre-compaction time travel still resolves until expiry reclaims it,
+    and resume treats every compacted part as committed."""
+    root = str(tmp_path / "clog")
+    docs = corpus_df(spark, 60, seed=13)
+    log = L.CommitLog(root)
+    L.run_extraction(spark, docs, log, n_parts=8, parts_per_chunk=2)  # 4 chunks
+
+    def span_map():
+        return {
+            r["doc_id"]: [(s["kind"], s["text"], s["offset"]) for s in r["spans"]]
+            for r in log.read_extracted(spark).collect()
+        }
+
+    def n_data_files(chunk_glob="chunk-*"):
+        import glob
+
+        return len(
+            glob.glob(os.path.join(root, "data", chunk_glob, "part_id=*", "*.parquet"))
+        )
+
+    before = span_map()
+    files_before = n_data_files()
+    lineage_docs = log.read_lineage(spark).groupBy().sum("docs_done").collect()[0][0]
+
+    new_id = L.compact_chunks(spark, log)
+    assert new_id == 4
+    # contents identical, one visible chunk, fewer files
+    assert span_map() == before
+    assert [c["chunk_id"] for c in log.visible_chunks()] == [new_id]
+    files_after = n_data_files(f"chunk-{new_id:06d}")
+    assert files_after <= 8 and files_after < files_before
+    # lineage equivalence (per-part totals survive the rewrite)
+    assert log.read_lineage(spark).groupBy().sum("docs_done").collect()[0][0] == lineage_docs
+    # time travel BEFORE the compaction still resolves to the originals
+    assert {
+        r["doc_id"] for r in log.read_extracted(spark, as_of=0).collect()
+    } < set(before)
+    # resume: every part is committed, a rerun does nothing
+    report = L.run_extraction(spark, docs, log, n_parts=8, parts_per_chunk=2)
+    assert report.chunks_committed == 0 and report.parts_skipped == 8
+    # second compaction is a no-op (single visible chunk)
+    assert L.compact_chunks(spark, log) is None
+
+    # expiry physically reclaims the replaced chunks; current reads unchanged
+    gone = log.expire_replaced()
+    assert sorted(gone) == [0, 1, 2, 3]
+    assert not os.path.isdir(os.path.join(root, "data", "chunk-000000"))
+    assert span_map() == before
+
+
 def test_lineage_schema(spark, tmp_path):
     root = str(tmp_path / "cl2")
     log = L.CommitLog(root)
