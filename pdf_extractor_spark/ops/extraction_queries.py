@@ -447,10 +447,12 @@ def _snapshot_fixture_root() -> str:
     with pure pyarrow (no Spark) so BOTH the query and the lazily-resolved
     DuckDB oracle can ensure it idempotently in either order.
 
-    Layout: chunks 0..2 committed (3 part_id partitions each, 4 rows per
-    part), plus a chunk-3 data directory with NO commit marker — present on
-    disk, invisible to every read, which is the uncommitted-work contract
-    a crashed writer leaves behind.
+    Layout: chunks 0..2 committed with DISJOINT part_ids (chunk k owns
+    parts 3k..3k+2, as the append-only writer produces — each part is
+    committed exactly once), 4 rows per part, plus a chunk-3 data
+    directory with NO commit marker — present on disk, invisible to every
+    read, which is the uncommitted-work contract a crashed writer leaves
+    behind.
     """
     import json
     import os
@@ -459,12 +461,12 @@ def _snapshot_fixture_root() -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    root = os.path.join(tempfile.gettempdir(), "pes-snapshot-fixture-v1")
+    root = os.path.join(tempfile.gettempdir(), "pes-snapshot-fixture-v2")
     done = os.path.join(root, ".complete")
     if os.path.exists(done):
         return root
     for chunk in range(_SNAPFIX_CHUNKS + 1):  # +1: the uncommitted chunk
-        for part in range(3):
+        for part in range(chunk * 3, chunk * 3 + 3):
             pdir = os.path.join(
                 root, "data", f"chunk-{chunk:06d}", f"part_id={part}"
             )
@@ -481,8 +483,8 @@ def _snapshot_fixture_root() -> str:
     for chunk in range(_SNAPFIX_CHUNKS):  # chunk 3 gets NO marker
         marker = {
             "chunk_id": chunk,
-            "part_ids": [0, 1, 2],
-            "n_parts": 3,
+            "part_ids": [chunk * 3, chunk * 3 + 1, chunk * 3 + 2],
+            "n_parts": 12,
             "metrics": {"docs": 12},
             "committed_at": 1700000000.0 + chunk,
         }

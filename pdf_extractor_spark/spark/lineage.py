@@ -148,6 +148,21 @@ class CommitLog:
             replaced.update(c.get("replaces") or [])
         return [c for c in chunks if c["chunk_id"] not in replaced]
 
+    def part_owners(self, as_of: int | None = None) -> dict[int, int]:
+        """part_id -> chunk_id whose data is current for that partition.
+
+        In the append-only flow each part is committed exactly once, so the
+        map is trivial. An ``overwrite`` marker (re-extraction of changed
+        documents — the dynamic-partition-overwrite analogue) lists parts
+        that ALREADY belong to earlier chunks: the newest committed marker
+        wins per part, and the shadowed rows become invisible without any
+        rewrite of the old chunk."""
+        owners: dict[int, int] = {}
+        for c in self.visible_chunks(as_of):  # marker order == commit order
+            for p in c["part_ids"]:
+                owners[p] = c["chunk_id"]
+        return owners
+
     def commit_chunk(
         self,
         chunk_id: int,
@@ -155,6 +170,7 @@ class CommitLog:
         metrics: dict,
         n_parts: int | None = None,
         replaces: list[int] | None = None,
+        overwrite: bool = False,
     ) -> None:
         """Atomic visibility flip: tmp write + rename (POSIX atomic)."""
         marker = {
@@ -163,6 +179,7 @@ class CommitLog:
             "n_parts": n_parts,
             "metrics": metrics,
             "replaces": sorted(replaces) if replaces else None,
+            "overwrite": overwrite or None,
             "committed_at": time.time(),
         }
         path = os.path.join(self.commits_dir, f"commit-{chunk_id:06d}.json")
@@ -187,33 +204,52 @@ class CommitLog:
         one partitioned Iceberg table."""
         from functools import reduce
 
-        chunks = self.visible_chunks(as_of)
-        paths = [
-            os.path.join(self.data_dir, f"chunk-{c['chunk_id']:06d}")
-            for c in chunks
-        ]
-        paths = [p for p in paths if os.path.isdir(p)]
-        if not paths:
+        owners = self.part_owners(as_of)
+        frames = []
+        for c in self.visible_chunks(as_of):
+            path = os.path.join(self.data_dir, f"chunk-{c['chunk_id']:06d}")
+            if not os.path.isdir(path):
+                continue
+            owned = [p for p in c["part_ids"] if owners.get(p) == c["chunk_id"]]
+            if not owned:
+                continue
+            df = spark.read.parquet(path)
+            if len(owned) < len(c["part_ids"]):
+                # partially shadowed by a later overwrite: the part_id
+                # predicate is a PartitionFilter — whole shadowed
+                # directories are pruned, nothing is scanned-and-dropped
+                df = df.where(F.col("part_id").isin(owned))
+            frames.append(df)
+        if not frames:
             from .pipeline import EXTRACTED_SCHEMA
 
             return spark.createDataFrame([], EXTRACTED_SCHEMA)
-        return reduce(DataFrame.unionByName, (spark.read.parquet(p) for p in paths))
+        return reduce(DataFrame.unionByName, frames)
 
     def read_lineage(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
-        chunks = self.visible_chunks(as_of)
-        paths = [
-            os.path.join(self.lineage_dir, f"chunk-{c['chunk_id']:06d}")
-            for c in chunks
-        ]
-        paths = [p for p in paths if os.path.isdir(p)]
-        if not paths:
+        from functools import reduce
+
+        owners = self.part_owners(as_of)
+        frames = []
+        for c in self.visible_chunks(as_of):
+            path = os.path.join(self.lineage_dir, f"chunk-{c['chunk_id']:06d}")
+            if not os.path.isdir(path):
+                continue
+            owned = [p for p in c["part_ids"] if owners.get(p) == c["chunk_id"]]
+            if not owned:
+                continue
+            df = spark.read.parquet(path)
+            if len(owned) < len(c["part_ids"]):
+                df = df.where(F.col("part_id").isin(owned))
+            frames.append(df)
+        if not frames:
             return spark.createDataFrame(
                 [],
                 "part_id int, status string, docs_done long, pages_parsed long, "
                 "spans_emitted long, parse_failures long, duration_ms long, "
                 "committed_at timestamp",
             )
-        return spark.read.parquet(*paths)
+        return reduce(DataFrame.unionByName, frames)
 
 
 def resume_filter(documents: DataFrame, log: CommitLog, n_parts: int) -> DataFrame:
@@ -285,6 +321,99 @@ def compact_chunks(
     return new_id
 
 
+def _write_chunk(
+    spark: SparkSession,
+    log: CommitLog,
+    extracted: DataFrame,
+    chunk_id: int,
+    chunk_parts: list[int],
+    n_parts: int,
+    overwrite: bool = False,
+) -> dict:
+    """Write one chunk's data + lineage parquet, then flip the marker.
+    Shared by the append path (run_extraction) and the partition-overwrite
+    path (reextract_parts). Returns the chunk's metrics row."""
+    data_path = os.path.join(log.data_dir, f"chunk-{chunk_id:06d}")
+    lineage_path = os.path.join(log.lineage_dir, f"chunk-{chunk_id:06d}")
+    # partition the committed data by part_id: point lookups and resume
+    # reads prune whole directories (the Iceberg partition-spec analogue;
+    # preview.py's part_id filter becomes a PartitionFilter, not a scan)
+    extracted.write.partitionBy("part_id").mode("overwrite").parquet(data_path)
+
+    # lineage rollup from the just-written data (no recompute of the UDF)
+    written = spark.read.parquet(data_path)
+    lineage = (
+        written.groupBy("part_id")
+        .agg(
+            F.count("*").alias("docs_done"),
+            F.sum("pages_parsed").alias("pages_parsed"),
+            F.sum("spans_emitted").alias("spans_emitted"),
+            F.sum("parse_failures").alias("parse_failures"),
+            F.sum("duration_ms").alias("duration_ms"),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("parse_failures") > 0, F.lit("error")).otherwise(
+                F.lit("success")
+            ),
+        )
+        .withColumn("committed_at", F.current_timestamp())
+        .select(LINEAGE_COLS)
+    )
+    lineage.write.mode("overwrite").parquet(lineage_path)
+
+    agg = written.agg(
+        F.count("*").alias("docs"),
+        F.sum("pages_parsed").alias("pages"),
+        F.sum("parse_failures").alias("failures"),
+    ).collect()[0]
+    metrics = {"docs": agg["docs"], "pages": agg["pages"], "failures": agg["failures"]}
+    log.commit_chunk(
+        chunk_id, chunk_parts, metrics, n_parts=n_parts, overwrite=overwrite
+    )
+    return metrics
+
+
+def reextract_parts(
+    spark: SparkSession,
+    documents: DataFrame,
+    log: CommitLog,
+    parts: list[int],
+    num_partitions: int | None = None,
+) -> RunReport:
+    """Re-extract CHANGED partitions in place — the dynamic-partition-
+    overwrite analogue (Iceberg ``overwritePartitions``).
+
+    When upstream documents change (re-crawl, fixed upstream parser), the
+    affected partitions are re-run through the SAME extraction stage and
+    committed as one chunk with ``overwrite=True``: per-part visibility
+    resolves to the newest marker (``part_owners``), so the stale spans
+    disappear atomically at the commit flip — no rewrite of old chunks, no
+    reader ever sees a mix of old and new rows for one partition, and time
+    travel to a pre-overwrite snapshot still reads the original extraction.
+    Unlisted partitions are untouched.
+    """
+    n_parts = log.n_parts()
+    if n_parts is None:
+        raise ValueError("empty table: nothing to overwrite (run_extraction first)")
+    missing = set(parts) - log.committed_part_ids()
+    if missing:
+        raise ValueError(
+            f"parts never committed: {sorted(missing)} — append them via run_extraction"
+        )
+    from .pipeline import assign_part_id
+
+    docs = assign_part_id(documents.select("doc_id", "spans"), n_parts).filter(
+        F.col("part_id").isin(list(parts))
+    )
+    extracted = extract_documents(docs, n_parts=n_parts, num_partitions=num_partitions)
+    chunk_id = log.next_chunk_id()
+    metrics = _write_chunk(
+        spark, log, extracted, chunk_id, sorted(parts), n_parts, overwrite=True
+    )
+    return RunReport(1, len(parts), metrics["docs"], 0)
+
+
 def run_extraction(
     spark: SparkSession,
     documents: DataFrame,
@@ -323,47 +452,8 @@ def run_extraction(
         extracted = extract_documents(
             chunk_docs, n_parts=n_parts, num_partitions=num_partitions
         )
-        data_path = os.path.join(log.data_dir, f"chunk-{chunk_id:06d}")
-        lineage_path = os.path.join(log.lineage_dir, f"chunk-{chunk_id:06d}")
-        # partition the committed data by part_id: point lookups and resume
-        # reads prune whole directories (the Iceberg partition-spec analogue;
-        # preview.py's part_id filter becomes a PartitionFilter, not a scan)
-        extracted.write.partitionBy("part_id").mode("overwrite").parquet(data_path)
-
-        # lineage rollup from the just-written data (no recompute of the UDF)
-        written = spark.read.parquet(data_path)
-        lineage = (
-            written.groupBy("part_id")
-            .agg(
-                F.count("*").alias("docs_done"),
-                F.sum("pages_parsed").alias("pages_parsed"),
-                F.sum("spans_emitted").alias("spans_emitted"),
-                F.sum("parse_failures").alias("parse_failures"),
-                F.sum("duration_ms").alias("duration_ms"),
-            )
-            .withColumn(
-                "status",
-                F.when(F.col("parse_failures") > 0, F.lit("error")).otherwise(
-                    F.lit("success")
-                ),
-            )
-            .withColumn("committed_at", F.current_timestamp())
-            .select(LINEAGE_COLS)
-        )
-        lineage.write.mode("overwrite").parquet(lineage_path)
-
-        agg = written.agg(
-            F.count("*").alias("docs"),
-            F.sum("pages_parsed").alias("pages"),
-            F.sum("parse_failures").alias("failures"),
-        ).collect()[0]
         # empty part_ids (no docs hashed to them) still count as committed
-        log.commit_chunk(
-            chunk_id,
-            chunk_parts,
-            {"docs": agg["docs"], "pages": agg["pages"], "failures": agg["failures"]},
-            n_parts=n_parts,
-        )
+        agg = _write_chunk(spark, log, extracted, chunk_id, chunk_parts, n_parts)
         report.chunks_committed += 1
         report.parts_processed += len(chunk_parts)
         report.docs_processed += agg["docs"]
