@@ -27,10 +27,21 @@ def main(argv: list[str] | None = None) -> int:
                    help="physical partitions for the parse stage")
     p.add_argument("--master", default=None)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--compact", action="store_true",
+                   help="after the run, rewrite visible chunks into one "
+                        "(rewrite_data_files analogue) and reclaim replaced files")
+    p.add_argument("--refresh-parts", type=str, default=None,
+                   help="comma-separated part_ids to re-extract in place "
+                        "(dynamic-partition overwrite) instead of appending")
     args = p.parse_args(argv)
 
     from pdf_extractor_spark.spark.session import get_spark
-    from pdf_extractor_spark.spark.lineage import CommitLog, run_extraction
+    from pdf_extractor_spark.spark.lineage import (
+        CommitLog,
+        compact_chunks,
+        reextract_parts,
+        run_extraction,
+    )
 
     spark = get_spark(app_name="pdf-extractor-spark-job", master=args.master)
     try:
@@ -43,14 +54,24 @@ def main(argv: list[str] | None = None) -> int:
 
         log = CommitLog(args.output)
         t0 = time.monotonic()
-        report = run_extraction(
-            spark,
-            docs,
-            log,
-            n_parts=args.n_parts,
-            parts_per_chunk=args.parts_per_chunk,
-            num_partitions=args.num_partitions,
-        )
+        if args.refresh_parts:
+            parts = [int(x) for x in args.refresh_parts.split(",") if x != ""]
+            report = reextract_parts(
+                spark, docs, log, parts, num_partitions=args.num_partitions
+            )
+        else:
+            report = run_extraction(
+                spark,
+                docs,
+                log,
+                n_parts=args.n_parts,
+                parts_per_chunk=args.parts_per_chunk,
+                num_partitions=args.num_partitions,
+            )
+        if args.compact:
+            new_id = compact_chunks(spark, log)
+            reclaimed = log.expire_replaced() if new_id is not None else []
+            print(f"COMPACTION_DONE chunk={new_id} reclaimed={len(reclaimed)}")
         dt = time.monotonic() - t0
         docs_s = report.docs_processed / dt if dt > 0 else 0.0
         print(

@@ -519,6 +519,33 @@ def q_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental scan between snapshots (CDC-style): exactly the rows
+    snapshots 1..2 appended — snapshot 0's rows must NOT reappear, and the
+    uncommitted chunk-3 data stays invisible. This is the delta feed a
+    downstream incremental consumer (dedup_incremental) reprocesses."""
+    from ..spark.lineage import CommitLog
+
+    log = CommitLog(_snapshot_fixture_root())
+    df = log.read_incremental(spark, after=0, until=2)
+    return df.select(
+        "doc_id",
+        F.col("spans_emitted").cast("bigint").alias("spans_emitted"),
+        F.col("part_id").cast("bigint").alias("part_id"),
+    ).orderBy("doc_id")
+
+
+def _snapshot_diff_oracle_sql() -> str:
+    root = _snapshot_fixture_root()
+    paths = ", ".join(
+        f"'{root}/data/chunk-{c:06d}/part_id=*/*.parquet'" for c in (1, 2)
+    )
+    return (
+        "SELECT doc_id, spans_emitted, CAST(part_id AS BIGINT) AS part_id "
+        f"FROM read_parquet([{paths}], hive_partitioning=1) ORDER BY doc_id"
+    )
+
+
 def _snapshot_read_oracle_sql() -> str:
     root = _snapshot_fixture_root()
     paths = ", ".join(
@@ -534,6 +561,7 @@ def _snapshot_read_oracle_sql() -> str:
 QUERIES: dict[str, tuple] = {
     "extract_clean": (q_extract_clean, EXTRACT_CLEAN_SQL),
     "snapshot_read": (q_snapshot_read, _snapshot_read_oracle_sql),
+    "snapshot_diff": (q_snapshot_diff, _snapshot_diff_oracle_sql),
     "extract_staged": (q_extract_staged, EXTRACT_CLEAN_SQL),
     "staged_pdf_corpus": (q_staged_pdf_corpus, _pdf_corpus_oracle_sql),
     "extract_metrics": (q_extract_metrics, EXTRACT_METRICS_SQL),

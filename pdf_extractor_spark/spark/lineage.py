@@ -226,6 +226,35 @@ class CommitLog:
             return spark.createDataFrame([], EXTRACTED_SCHEMA)
         return reduce(DataFrame.unionByName, frames)
 
+    def read_incremental(
+        self, spark: SparkSession, after: int, until: int | None = None
+    ) -> DataFrame:
+        """Rows appended or overwritten by snapshots in (after, until] — the
+        Iceberg incremental-scan analogue, the feed for downstream
+        incremental consumers (e.g. ops/dedup.q_dedup_incremental takes
+        exactly this delta as its "new batch" side).
+
+        Each marker's data is read whole: an append contributes its new
+        parts, an overwrite contributes the refreshed rows (its parts'
+        current content). Chunk-level ``replaces`` markers (compaction) are
+        EXCLUDED — compaction rewrites bytes, not table content, so a
+        consumer that already processed (0, after] must not see those rows
+        again."""
+        from functools import reduce
+
+        frames = []
+        for c in self.committed_chunks(until):
+            if c["chunk_id"] <= after or c.get("replaces"):
+                continue
+            path = os.path.join(self.data_dir, f"chunk-{c['chunk_id']:06d}")
+            if os.path.isdir(path):
+                frames.append(spark.read.parquet(path))
+        if not frames:
+            from .pipeline import EXTRACTED_SCHEMA
+
+            return spark.createDataFrame([], EXTRACTED_SCHEMA)
+        return reduce(DataFrame.unionByName, frames)
+
     def read_lineage(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
         from functools import reduce
 

@@ -168,6 +168,11 @@ def test_snapshot_time_travel(spark, tmp_path):
     # lineage time travel follows the same markers
     assert log.read_lineage(spark, as_of=0).count() == 3
 
+    # incremental scan: (0, 2] is exactly the rows snapshots 1..2 added
+    inc = {r["doc_id"] for r in log.read_incremental(spark, after=0).collect()}
+    assert inc == ids[2] - ids[0]
+    assert log.read_incremental(spark, after=2).count() == 0
+
 
 def test_compaction_and_expiry(spark, tmp_path):
     """rewrite_data_files + expire_snapshots analogues: compaction rewrites
@@ -215,6 +220,10 @@ def test_compaction_and_expiry(spark, tmp_path):
     assert report.chunks_committed == 0 and report.parts_skipped == 8
     # second compaction is a no-op (single visible chunk)
     assert L.compact_chunks(spark, log) is None
+
+    # compaction is invisible to incremental consumers: a reader current
+    # through snapshot 3 sees NO new rows from the compaction commit
+    assert log.read_incremental(spark, after=3).count() == 0
 
     # expiry physically reclaims the replaced chunks; current reads unchanged
     gone = log.expire_replaced()
