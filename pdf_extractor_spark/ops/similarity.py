@@ -463,7 +463,107 @@ FROM qd ORDER BY vec_id
 """
 
 
+# --- hybrid retrieval: reciprocal-rank fusion ------------------------------
+
+RRF_K = 60  # the standard RRF damping constant
+HYBRID_CAND_K = 20  # per-modality candidate depth
+HYBRID_TOPK = 10
+HYBRID_QUERY_VEC = 0  # the embedding query; doc linkage is vec_id == doc_id
+
+
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval: BM25 ranks and embedding-cosine
+    ranks fused by reciprocal-rank fusion,
+    ``score = Σ 1/(60 + rank)`` in exact integer micros
+    (``1_000_000 DIV (60 + rank)`` — rank is a small int, so both engines
+    agree bit-for-bit; no floats anywhere in the fusion).
+
+    Scale shape: each modality independently reduces to a top-k candidate
+    list (BM25 via the bm25_search plan, cosine via a per-query window) —
+    the fusion join touches 2k rows total regardless of corpus size, so it
+    is driver-trivial at 100 TB; the expensive parts inherit the audited
+    plans of their base operators. Linkage is vec_id == doc_id (the
+    embeddings table is the documents' embedding column, as in
+    semantic_dedup)."""
+    from .textstats import q_bm25_search
+
+    text = q_bm25_search(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_micros"), "doc_id"))
+        .alias("text_rank"),
+    )
+    emb = _embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") == HYBRID_QUERY_VEC).alias("q")
+    c = emb.where(F.col("vec_id") != HYBRID_QUERY_VEC).alias("c")
+    # top-k FIRST (TakeOrderedAndProject: k rows per partition, no global
+    # sort), THEN the rank window over the k survivors — a global
+    # row_number over all candidates would serialize the corpus through
+    # one task
+    vec_top = (
+        c.crossJoin(F.broadcast(q))
+        .select(F.col("c.vec_id").alias("id"), _cosine("q", "c").alias("cos"))
+        .orderBy(F.desc("cos"), "id")
+        .limit(HYBRID_CAND_K)
+    )
+    vec = vec_top.select(
+        "id",
+        F.row_number().over(Window.orderBy(F.desc("cos"), "id")).alias("vec_rank"),
+    )
+    fused = (
+        text.join(vec, "id", "full_outer")
+        .select(
+            "id",
+            "text_rank",
+            F.col("vec_rank").cast("int").alias("vec_rank"),
+            (
+                F.coalesce(
+                    F.expr(f"1000000 DIV ({RRF_K} + text_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 DIV ({RRF_K} + vec_rank)"), F.lit(0)
+                )
+            ).alias("rrf_micros"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_micros"), "id").limit(HYBRID_TOPK)
+
+
+def _hybrid_search_sql() -> str:
+    from .textstats import BM25_SEARCH_SQL
+
+    return f"""
+WITH text_ranks AS (
+  SELECT doc_id AS id,
+         CAST(row_number() OVER (ORDER BY score_micros DESC, doc_id) AS INT)
+           AS text_rank
+  FROM ({BM25_SEARCH_SQL})),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, {_norm_sql('v')} AS nrm FROM e),
+vec_scored AS (
+  SELECT c.vec_id AS id,
+         ({_dot_sql('q.v', 'c.v')}) / (q.nrm * c.nrm) AS cos
+  FROM n c CROSS JOIN (SELECT * FROM n WHERE vec_id = {HYBRID_QUERY_VEC}) q
+  WHERE c.vec_id != {HYBRID_QUERY_VEC}),
+vec_ranks AS (
+  SELECT id, vec_rank FROM (
+    SELECT id, CAST(row_number() OVER (ORDER BY cos DESC, id) AS INT)
+             AS vec_rank
+    FROM vec_scored)
+  WHERE vec_rank <= {HYBRID_CAND_K})
+SELECT coalesce(t.id, v.id) AS id,
+       t.text_rank AS text_rank,
+       v.vec_rank AS vec_rank,
+       CAST(coalesce(1000000 // ({RRF_K} + t.text_rank), 0)
+            + coalesce(1000000 // ({RRF_K} + v.vec_rank), 0) AS BIGINT)
+         AS rrf_micros
+FROM text_ranks t FULL OUTER JOIN vec_ranks v ON t.id = v.id
+ORDER BY rrf_micros DESC, id LIMIT {HYBRID_TOPK}
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "hybrid_search": (q_hybrid_search, _hybrid_search_sql),
     "ann_bruteforce": (q_ann_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),
     "ann_ivf": (q_ann_ivf, ANN_IVF_SQL),

@@ -148,20 +148,20 @@ class CommitLog:
             replaced.update(c.get("replaces") or [])
         return [c for c in chunks if c["chunk_id"] not in replaced]
 
-    def part_owners(self, as_of: int | None = None) -> dict[int, int]:
-        """part_id -> chunk_id whose data is current for that partition.
+    def _owned_parts(self, chunk: dict, as_of: int | None = None) -> list[int]:
+        """The subset of ``chunk``'s part_ids whose rows are current.
 
-        In the append-only flow each part is committed exactly once, so the
-        map is trivial. An ``overwrite`` marker (re-extraction of changed
-        documents — the dynamic-partition-overwrite analogue) lists parts
-        that ALREADY belong to earlier chunks: the newest committed marker
-        wins per part, and the shadowed rows become invisible without any
-        rewrite of the old chunk."""
-        owners: dict[int, int] = {}
-        for c in self.visible_chunks(as_of):  # marker order == commit order
-            for p in c["part_ids"]:
-                owners[p] = c["chunk_id"]
-        return owners
+        Append markers ACCUMULATE — the streaming ingest commits one marker
+        per micro-batch and a part legitimately spans many of them, so an
+        append never shadows anything. Only an ``overwrite`` marker
+        (dynamic-partition re-extraction) shadows: its parts' rows in every
+        EARLIER chunk become invisible at the commit flip, without any
+        rewrite of the old chunks."""
+        shadowed: set[int] = set()
+        for c in self.visible_chunks(as_of):
+            if c.get("overwrite") and c["chunk_id"] > chunk["chunk_id"]:
+                shadowed.update(c["part_ids"])
+        return [p for p in chunk["part_ids"] if p not in shadowed]
 
     def commit_chunk(
         self,
@@ -204,13 +204,12 @@ class CommitLog:
         one partitioned Iceberg table."""
         from functools import reduce
 
-        owners = self.part_owners(as_of)
         frames = []
         for c in self.visible_chunks(as_of):
             path = os.path.join(self.data_dir, f"chunk-{c['chunk_id']:06d}")
             if not os.path.isdir(path):
                 continue
-            owned = [p for p in c["part_ids"] if owners.get(p) == c["chunk_id"]]
+            owned = self._owned_parts(c, as_of)
             if not owned:
                 continue
             df = spark.read.parquet(path)
@@ -258,13 +257,12 @@ class CommitLog:
     def read_lineage(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
         from functools import reduce
 
-        owners = self.part_owners(as_of)
         frames = []
         for c in self.visible_chunks(as_of):
             path = os.path.join(self.lineage_dir, f"chunk-{c['chunk_id']:06d}")
             if not os.path.isdir(path):
                 continue
-            owned = [p for p in c["part_ids"] if owners.get(p) == c["chunk_id"]]
+            owned = self._owned_parts(c, as_of)
             if not owned:
                 continue
             df = spark.read.parquet(path)

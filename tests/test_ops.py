@@ -41,6 +41,9 @@ SPOT_CHECK = [
     "retention_cohorts",
     "funnel_conversion",
     "bm25_search",
+    "hybrid_search",
+    "snapshot_read",
+    "snapshot_diff",
 ]
 
 
@@ -129,7 +132,7 @@ def test_query_matches_oracle(spark, duck, name):
     fn, sql = REGISTRY[name]
     assert sql is not None
     sdf = fn(spark, SF_DIR).toPandas()
-    ddf = duck.execute(sql).df()
+    ddf = duck.execute(sql() if callable(sql) else sql).df()
     assert _signature(sdf) == _signature(ddf)
 
 

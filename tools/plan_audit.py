@@ -701,6 +701,22 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "hybrid_search",
+        _query_df,
+        [
+            # each modality reduces to a top-k candidate list BEFORE fusion:
+            # the vec side is TakeOrderedAndProject then a k-row rank window
+            # (a global row_number over all candidates would serialize the
+            # corpus through one task); the fusion join sees 2k rows total
+            lambda p: contains(p, "TakeOrderedAndProject", 2),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: never_reads(p, "label"),
+            lambda p: never_reads(p, "lang"),
+        ],
+        False,
+    ),
+    (
         "extract_stage",
         _extract_stage_df,
         [
