@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--refresh-parts", type=str, default=None,
                    help="comma-separated part_ids to re-extract in place "
                         "(dynamic-partition overwrite) instead of appending")
+    p.add_argument("--expire-older-than", type=float, default=None, metavar="SECS",
+                   help="after the run, reclaim history unreachable from the "
+                        "current view and older than SECS seconds "
+                        "(expire_snapshots TTL retention, S10 analogue)")
     args = p.parse_args(argv)
 
     from pdf_extractor_spark.spark.session import get_spark
@@ -72,6 +76,9 @@ def main(argv: list[str] | None = None) -> int:
             new_id = compact_chunks(spark, log)
             reclaimed = log.expire_replaced() if new_id is not None else []
             print(f"COMPACTION_DONE chunk={new_id} reclaimed={len(reclaimed)}")
+        if args.expire_older_than is not None:
+            gone = log.expire_snapshots(older_than=time.time() - args.expire_older_than)
+            print(f"SNAPSHOTS_EXPIRED chunks={gone}")
         dt = time.monotonic() - t0
         docs_s = report.docs_processed / dt if dt > 0 else 0.0
         print(

@@ -101,19 +101,46 @@ class CommitLog:
         resolving, exactly as in Iceberg once old snapshots are expired.
         Markers are kept (history stays auditable); only data is reclaimed.
         Returns the chunk ids whose files were removed."""
+        return self.expire_snapshots(older_than=float("inf"), shadowed=False)
+
+    def expire_snapshots(
+        self, older_than: float, shadowed: bool = True
+    ) -> list[int]:
+        """Age-based retention — the TTL-cleanup analogue (SURVEY §2.1-S10:
+        the reference deletes temp files older than 30 minutes,
+        ``dashboard.py:777-829``; §2.1 maps that to ``expire_snapshots``
+        retention on staging tables).
+
+        Reclaims the data + lineage directories of chunks that are BOTH
+        (a) unreachable from the *current* view — compaction-replaced, or
+        (with ``shadowed=True``) appends whose every part_id is shadowed by
+        a later overwrite marker — and (b) committed before ``older_than``
+        (epoch seconds). Data reachable from the current view is never
+        touched regardless of age: retention trims *history*, not state,
+        exactly like Iceberg's ``expire_snapshots(older_than=...)``. Markers
+        are kept for audit; time travel and incremental scans over reclaimed
+        history stop resolving. Returns the reclaimed chunk ids.
+        """
         import shutil
 
-        visible = {c["chunk_id"] for c in self.visible_chunks()}
+        visible = self.visible_chunks()
+        visible_ids = {c["chunk_id"] for c in visible}
         gone: list[int] = []
         for c in self.committed_chunks():
             cid = c["chunk_id"]
-            if cid in visible:
+            reachable = cid in visible_ids and (
+                not shadowed or bool(self._owned_parts(c))
+            )
+            if reachable or c["committed_at"] >= older_than:
                 continue
+            removed = False
             for base in (self.data_dir, self.lineage_dir):
                 d = os.path.join(base, f"chunk-{cid:06d}")
                 if os.path.isdir(d):
                     shutil.rmtree(d)
-            gone.append(cid)
+                    removed = True
+            if removed:
+                gone.append(cid)
         return gone
 
     def committed_part_ids(self) -> set[int]:

@@ -232,6 +232,47 @@ def test_compaction_and_expiry(spark, tmp_path):
     assert span_map() == before
 
 
+def test_expire_snapshots_ttl(spark, tmp_path):
+    """S10 TTL-retention analogue (SURVEY §2.1: the reference deletes temp
+    files older than 30 min -> `expire_snapshots` on staging tables):
+    age-gated reclamation of history that the current view no longer
+    reaches — a fully-overwritten append chunk is reclaimed once old
+    enough, fresh history is kept, current-view data is never touched
+    regardless of age, and markers survive for audit."""
+    import time
+
+    root = str(tmp_path / "ttllog")
+    docs = corpus_df(spark, 40, seed=31)
+    log = L.CommitLog(root)
+    # chunks 0 (parts 0,1) + 1 (parts 2,3), then chunk 2 overwrites parts
+    # 0,1 -> chunk 0 is fully shadowed: unreachable from the current view
+    L.run_extraction(spark, docs, log, n_parts=4, parts_per_chunk=2)
+    L.reextract_parts(spark, docs, log, parts=[0, 1])
+
+    def span_map():
+        return {
+            r["doc_id"]: [(s["kind"], s["text"], s["offset"]) for s in r["spans"]]
+            for r in log.read_extracted(spark).collect()
+        }
+
+    before = span_map()
+    # compaction-only expiry never touches overwrite-shadowed appends
+    assert log.expire_replaced() == []
+    # nothing is old enough at cutoff 0 -> nothing reclaimed
+    assert log.expire_snapshots(older_than=0.0) == []
+    # cutoff beyond every commit: the shadowed chunk is reclaimed; the
+    # reachable chunks (1: untouched parts, 2: the overwrite) are kept
+    gone = log.expire_snapshots(older_than=time.time() + 60)
+    assert gone == [0]
+    assert not os.path.isdir(os.path.join(root, "data", "chunk-000000"))
+    assert os.path.isdir(os.path.join(root, "data", "chunk-000001"))
+    # current reads are byte-identical; markers remain auditable
+    assert span_map() == before
+    assert [s["snapshot_id"] for s in log.snapshots()] == [0, 1, 2]
+    # idempotent: a second sweep finds nothing to do
+    assert log.expire_snapshots(older_than=time.time() + 60) == []
+
+
 def test_reextract_parts_overwrite(spark, tmp_path):
     """Dynamic-partition overwrite: re-extracting changed partitions
     replaces exactly those partitions' rows at the commit flip; untouched
