@@ -644,34 +644,56 @@ def build_pdf(
 
     enc_extra = ""  # trailer / xref-dict additions
     if encrypt is not None:
-        from .pdf_crypt import MODES, StandardCrypt, compute_o, compute_u, file_key
+        from .pdf_crypt import (
+            MODES,
+            StandardCrypt,
+            compute_o,
+            compute_u,
+            compute_v5_entries,
+            file_key,
+        )
 
         v, r, bits, aes = MODES[encrypt]
         n = bits // 8
         fid = hashlib.md5(
             b"pes-id" + owner_pw + user_pw + bytes([len(pages) & 0xFF])
         ).digest()
-        o = compute_o(owner_pw, user_pw, r, n)
         p = -44
-        key = file_key(user_pw, o, p, fid, r, n)
-        u = compute_u(key, fid, r)
-        crypt = StandardCrypt(key, aes)
+        if v == 5:
+            # AES-256: the file key is chosen, not derived; deterministic
+            # for fixture reproducibility (never do this for real secrecy)
+            key = hashlib.sha256(b"pes-v5-key" + fid).digest()
+            ent = compute_v5_entries(user_pw, owner_pw, key, p, r)
+            crypt = StandardCrypt(key, aes=True, per_object=False)
+            enc_body = (
+                f"<< /Filter /Standard /V 5 /R {r} /Length 256 /P {p} "
+                f"/O <{ent['O'].hex()}> /U <{ent['U'].hex()}> "
+                f"/OE <{ent['OE'].hex()}> /UE <{ent['UE'].hex()}> "
+                f"/Perms <{ent['Perms'].hex()}> "
+                "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                "/StmF /StdCF /StrF /StdCF >>"
+            )
+        else:
+            o = compute_o(owner_pw, user_pw, r, n)
+            key = file_key(user_pw, o, p, fid, r, n)
+            u = compute_u(key, fid, r)
+            crypt = StandardCrypt(key, aes)
+            enc_body = (
+                f"<< /Filter /Standard /V {v} /R {r} /Length {bits} /P {p} "
+                f"/O <{o.hex()}> /U <{u.hex()}>"
+            )
+            if v == 4:
+                enc_body += (
+                    " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                    "/StmF /StdCF /StrF /StdCF"
+                )
+            enc_body += " >>"
         objs = [
             (num, _encrypt_stream_body(body, num, crypt) if is_s else body, is_s)
             for num, body, is_s in objs
         ]
         enc_num = size
         size += 1
-        enc_body = (
-            f"<< /Filter /Standard /V {v} /R {r} /Length {bits} /P {p} "
-            f"/O <{o.hex()}> /U <{u.hex()}>"
-        )
-        if v == 4:
-            enc_body += (
-                " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
-                "/StmF /StdCF /StrF /StdCF"
-            )
-        enc_body += " >>"
         # the /Encrypt dict itself is never encrypted and (by spec) must not
         # live in an object stream: mark is_stream so the objstm path writes
         # it directly

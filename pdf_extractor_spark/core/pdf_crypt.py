@@ -1,27 +1,30 @@
 """PDF standard security handler (ISO 32000-1 §7.6) — pure Python.
 
 Decrypts the empty-user-password case that dominates real-world "encrypted"
-PDFs (owner-password-only documents): RC4 40/128-bit (/V 1-2, /R 2-3) and
-AES-128-CBC (/V 4 /R 4 /CFM AESV2). The reference opens these transparently
-(``pymupdf.open``, pymu_tesseract_processor.py:84); documents that need a
-real user password still quarantine as parse failures (helper.py:213-225).
+PDFs (owner-password-only documents): RC4 40/128-bit (/V 1-2, /R 2-3),
+AES-128-CBC (/V 4 /R 4 /CFM AESV2), and AES-256-CBC (/V 5 /R 5-6 /CFM
+AESV3, the PDF 2.0 / Acrobat X+ default). The reference opens all of these
+transparently (``pymupdf.open``, pymu_tesseract_processor.py:84); documents
+that need a real user password still quarantine as parse failures
+(helper.py:213-225).
 
 Also provides the ENcryption direction so ``pdf_build`` can emit encrypted
 fixtures deterministically. Implementation is from the published spec only:
-Algorithm 2 (file key), 3 (/O), 4/5 (/U), 1 (per-object key), plus textbook
-RC4 and AES-128 (FIPS-197) in pure Python — fixture-scale streams are tiny,
-so table-driven AES is plenty.
+ISO 32000-1 Algorithm 2 (file key), 3 (/O), 4/5 (/U), 1 (per-object key);
+ISO 32000-2 Algorithm 2.A (V5 file key from /UE) and 2.B (R6 hardened
+hash); plus textbook RC4 and AES-128/256 (FIPS-197) in pure Python —
+fixture-scale streams are tiny, so table-driven AES is plenty.
 
 Scope notes (documented limitations, both irrelevant to text extraction):
 - STRING decryption is not implemented — content comes from streams, which
   are decrypted wholesale (string objects inside a decrypted content stream
   or object stream need no second pass). Document-info strings would stay
   ciphertext; the engine never reads them.
-- /V 5 (AES-256, PDF 2.0) is unsupported and fails cleanly.
 """
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import struct
 
@@ -64,8 +67,8 @@ def rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-# -------------------------------------------------------------------- AES-128
-# FIPS-197 table-driven implementation (128-bit key, CBC mode).
+# ---------------------------------------------------------------- AES-128/256
+# FIPS-197 table-driven implementation (128- and 256-bit keys, CBC mode).
 
 _SBOX = [
     0x63, 0x7C, 0x77, 0x7B, 0xF2, 0x6B, 0x6F, 0xC5, 0x30, 0x01, 0x67, 0x2B,
@@ -113,114 +116,268 @@ def _gmul(a: int, b: int) -> int:
     return p
 
 
+# T-tables: one 32-bit word lookup folds SubBytes + ShiftRows + MixColumns
+# (encrypt) / InvMixColumns (decrypt) — the classic software-AES layout.
+# Algorithm 2.B below encrypts hundreds of KB through this cipher per
+# encrypted document, so the naive per-byte _gmul form (kept above for the
+# table builders) is ~20x too slow in pure Python.
+def _build_te() -> list[list[int]]:
+    te = [[0] * 256 for _ in range(4)]
+    for x in range(256):
+        s = _SBOX[x]
+        w = (_gmul(s, 2) << 24) | (s << 16) | (s << 8) | _gmul(s, 3)
+        for t in range(4):
+            te[t][x] = ((w >> (8 * t)) | (w << (32 - 8 * t))) & 0xFFFFFFFF
+    return te
+
+
+def _build_td() -> list[list[int]]:
+    td = [[0] * 256 for _ in range(4)]
+    for b in range(256):
+        w = (
+            (_gmul(b, 14) << 24)
+            | (_gmul(b, 9) << 16)
+            | (_gmul(b, 13) << 8)
+            | _gmul(b, 11)
+        )
+        for t in range(4):
+            td[t][b] = ((w >> (8 * t)) | (w << (32 - 8 * t))) & 0xFFFFFFFF
+    return td
+
+
+_TE0, _TE1, _TE2, _TE3 = _build_te()
+_TD0, _TD1, _TD2, _TD3 = _build_td()
+
+
 def _expand_key(key: bytes) -> list[list[int]]:
-    """11 round keys of 16 bytes each (AES-128)."""
-    w = [list(key[i : i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
-        t = list(w[i - 1])
-        if i % 4 == 0:
-            t = t[1:] + t[:1]
-            t = [_SBOX[b] for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        w.append([w[i - 4][k] ^ t[k] for k in range(4)])
-    return [sum((w[4 * r + c] for c in range(4)), []) for r in range(11)]
-
-
-def _add_rk(state: list[int], rk: list[int]) -> None:
-    for i in range(16):
-        state[i] ^= rk[i]
-
-
-def _shift_rows(s: list[int], inv: bool) -> list[int]:
-    out = [0] * 16
-    for c in range(4):
-        for r in range(4):
-            # column-major state: byte (r, c) at index 4*c + r
-            src_c = (c + r) % 4 if not inv else (c - r) % 4
-            out[4 * c + r] = s[4 * src_c + r]
-    return out
+    """Round keys as four 32-bit big-endian words per round: 11 rounds for
+    AES-128 (Nk=4, Nr=10), 15 for AES-256 (Nk=8, Nr=14) — FIPS-197 §5.2."""
+    nk = len(key) // 4
+    if nk not in (4, 8) or len(key) % 4:
+        raise PdfCryptError(f"bad AES key length {len(key)}")
+    nr = nk + 6
+    w = list(struct.unpack(f">{nk}I", key))
+    for i in range(nk, 4 * (nr + 1)):
+        t = w[i - 1]
+        if i % nk == 0:
+            t = ((t << 8) | (t >> 24)) & 0xFFFFFFFF  # RotWord
+            t = (
+                (_SBOX[(t >> 24) & 0xFF] << 24)
+                | (_SBOX[(t >> 16) & 0xFF] << 16)
+                | (_SBOX[(t >> 8) & 0xFF] << 8)
+                | _SBOX[t & 0xFF]
+            )
+            t ^= _RCON[i // nk - 1] << 24
+        elif nk == 8 and i % nk == 4:
+            t = (
+                (_SBOX[(t >> 24) & 0xFF] << 24)
+                | (_SBOX[(t >> 16) & 0xFF] << 16)
+                | (_SBOX[(t >> 8) & 0xFF] << 8)
+                | _SBOX[t & 0xFF]
+            )
+        w.append(w[i - nk] ^ t)
+    return [w[4 * r : 4 * r + 4] for r in range(nr + 1)]
 
 
 def _aes_encrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
-    s = list(block)
-    _add_rk(s, rks[0])
-    for rnd in range(1, 10):
-        s = [_SBOX[b] for b in s]
-        s = _shift_rows(s, inv=False)
-        ns = [0] * 16
-        for c in range(4):
-            col = s[4 * c : 4 * c + 4]
-            ns[4 * c + 0] = _gmul(col[0], 2) ^ _gmul(col[1], 3) ^ col[2] ^ col[3]
-            ns[4 * c + 1] = col[0] ^ _gmul(col[1], 2) ^ _gmul(col[2], 3) ^ col[3]
-            ns[4 * c + 2] = col[0] ^ col[1] ^ _gmul(col[2], 2) ^ _gmul(col[3], 3)
-            ns[4 * c + 3] = _gmul(col[0], 3) ^ col[1] ^ col[2] ^ _gmul(col[3], 2)
-        s = ns
-        _add_rk(s, rks[rnd])
-    s = [_SBOX[b] for b in s]
-    s = _shift_rows(s, inv=False)
-    _add_rk(s, rks[10])
-    return bytes(s)
+    nr = len(rks) - 1
+    rk = rks[0]
+    w0, w1, w2, w3 = struct.unpack(">4I", block)
+    w0 ^= rk[0]
+    w1 ^= rk[1]
+    w2 ^= rk[2]
+    w3 ^= rk[3]
+    for rnd in range(1, nr):
+        rk = rks[rnd]
+        n0 = (
+            _TE0[(w0 >> 24) & 0xFF]
+            ^ _TE1[(w1 >> 16) & 0xFF]
+            ^ _TE2[(w2 >> 8) & 0xFF]
+            ^ _TE3[w3 & 0xFF]
+            ^ rk[0]
+        )
+        n1 = (
+            _TE0[(w1 >> 24) & 0xFF]
+            ^ _TE1[(w2 >> 16) & 0xFF]
+            ^ _TE2[(w3 >> 8) & 0xFF]
+            ^ _TE3[w0 & 0xFF]
+            ^ rk[1]
+        )
+        n2 = (
+            _TE0[(w2 >> 24) & 0xFF]
+            ^ _TE1[(w3 >> 16) & 0xFF]
+            ^ _TE2[(w0 >> 8) & 0xFF]
+            ^ _TE3[w1 & 0xFF]
+            ^ rk[2]
+        )
+        n3 = (
+            _TE0[(w3 >> 24) & 0xFF]
+            ^ _TE1[(w0 >> 16) & 0xFF]
+            ^ _TE2[(w1 >> 8) & 0xFF]
+            ^ _TE3[w2 & 0xFF]
+            ^ rk[3]
+        )
+        w0, w1, w2, w3 = n0, n1, n2, n3
+    rk = rks[nr]
+    sb = _SBOX
+    n0 = (
+        (sb[(w0 >> 24) & 0xFF] << 24)
+        | (sb[(w1 >> 16) & 0xFF] << 16)
+        | (sb[(w2 >> 8) & 0xFF] << 8)
+        | sb[w3 & 0xFF]
+    ) ^ rk[0]
+    n1 = (
+        (sb[(w1 >> 24) & 0xFF] << 24)
+        | (sb[(w2 >> 16) & 0xFF] << 16)
+        | (sb[(w3 >> 8) & 0xFF] << 8)
+        | sb[w0 & 0xFF]
+    ) ^ rk[1]
+    n2 = (
+        (sb[(w2 >> 24) & 0xFF] << 24)
+        | (sb[(w3 >> 16) & 0xFF] << 16)
+        | (sb[(w0 >> 8) & 0xFF] << 8)
+        | sb[w1 & 0xFF]
+    ) ^ rk[2]
+    n3 = (
+        (sb[(w3 >> 24) & 0xFF] << 24)
+        | (sb[(w0 >> 16) & 0xFF] << 16)
+        | (sb[(w1 >> 8) & 0xFF] << 8)
+        | sb[w2 & 0xFF]
+    ) ^ rk[3]
+    return struct.pack(">4I", n0, n1, n2, n3)
 
 
 def _aes_decrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
-    s = list(block)
-    _add_rk(s, rks[10])
-    for rnd in range(9, 0, -1):
-        s = _shift_rows(s, inv=True)
-        s = [_INV_SBOX[b] for b in s]
-        _add_rk(s, rks[rnd])
-        ns = [0] * 16
-        for c in range(4):
-            col = s[4 * c : 4 * c + 4]
-            ns[4 * c + 0] = (
-                _gmul(col[0], 14) ^ _gmul(col[1], 11) ^ _gmul(col[2], 13) ^ _gmul(col[3], 9)
-            )
-            ns[4 * c + 1] = (
-                _gmul(col[0], 9) ^ _gmul(col[1], 14) ^ _gmul(col[2], 11) ^ _gmul(col[3], 13)
-            )
-            ns[4 * c + 2] = (
-                _gmul(col[0], 13) ^ _gmul(col[1], 9) ^ _gmul(col[2], 14) ^ _gmul(col[3], 11)
-            )
-            ns[4 * c + 3] = (
-                _gmul(col[0], 11) ^ _gmul(col[1], 13) ^ _gmul(col[2], 9) ^ _gmul(col[3], 14)
-            )
-        s = ns
-    s = _shift_rows(s, inv=True)
-    s = [_INV_SBOX[b] for b in s]
-    _add_rk(s, rks[0])
-    return bytes(s)
+    nr = len(rks) - 1
+    rk = rks[nr]
+    w0, w1, w2, w3 = struct.unpack(">4I", block)
+    w0 ^= rk[0]
+    w1 ^= rk[1]
+    w2 ^= rk[2]
+    w3 ^= rk[3]
+    isb = _INV_SBOX
+    for rnd in range(nr - 1, 0, -1):
+        rk = rks[rnd]
+        # InvShiftRows + InvSubBytes + AddRoundKey on words...
+        n0 = (
+            (isb[(w0 >> 24) & 0xFF] << 24)
+            | (isb[(w3 >> 16) & 0xFF] << 16)
+            | (isb[(w2 >> 8) & 0xFF] << 8)
+            | isb[w1 & 0xFF]
+        ) ^ rk[0]
+        n1 = (
+            (isb[(w1 >> 24) & 0xFF] << 24)
+            | (isb[(w0 >> 16) & 0xFF] << 16)
+            | (isb[(w3 >> 8) & 0xFF] << 8)
+            | isb[w2 & 0xFF]
+        ) ^ rk[1]
+        n2 = (
+            (isb[(w2 >> 24) & 0xFF] << 24)
+            | (isb[(w1 >> 16) & 0xFF] << 16)
+            | (isb[(w0 >> 8) & 0xFF] << 8)
+            | isb[w3 & 0xFF]
+        ) ^ rk[2]
+        n3 = (
+            (isb[(w3 >> 24) & 0xFF] << 24)
+            | (isb[(w2 >> 16) & 0xFF] << 16)
+            | (isb[(w1 >> 8) & 0xFF] << 8)
+            | isb[w0 & 0xFF]
+        ) ^ rk[3]
+        # ...then InvMixColumns via the TD tables
+        w0 = (
+            _TD0[(n0 >> 24) & 0xFF]
+            ^ _TD1[(n0 >> 16) & 0xFF]
+            ^ _TD2[(n0 >> 8) & 0xFF]
+            ^ _TD3[n0 & 0xFF]
+        )
+        w1 = (
+            _TD0[(n1 >> 24) & 0xFF]
+            ^ _TD1[(n1 >> 16) & 0xFF]
+            ^ _TD2[(n1 >> 8) & 0xFF]
+            ^ _TD3[n1 & 0xFF]
+        )
+        w2 = (
+            _TD0[(n2 >> 24) & 0xFF]
+            ^ _TD1[(n2 >> 16) & 0xFF]
+            ^ _TD2[(n2 >> 8) & 0xFF]
+            ^ _TD3[n2 & 0xFF]
+        )
+        w3 = (
+            _TD0[(n3 >> 24) & 0xFF]
+            ^ _TD1[(n3 >> 16) & 0xFF]
+            ^ _TD2[(n3 >> 8) & 0xFF]
+            ^ _TD3[n3 & 0xFF]
+        )
+    rk = rks[0]
+    n0 = (
+        (isb[(w0 >> 24) & 0xFF] << 24)
+        | (isb[(w3 >> 16) & 0xFF] << 16)
+        | (isb[(w2 >> 8) & 0xFF] << 8)
+        | isb[w1 & 0xFF]
+    ) ^ rk[0]
+    n1 = (
+        (isb[(w1 >> 24) & 0xFF] << 24)
+        | (isb[(w0 >> 16) & 0xFF] << 16)
+        | (isb[(w3 >> 8) & 0xFF] << 8)
+        | isb[w2 & 0xFF]
+    ) ^ rk[1]
+    n2 = (
+        (isb[(w2 >> 24) & 0xFF] << 24)
+        | (isb[(w1 >> 16) & 0xFF] << 16)
+        | (isb[(w0 >> 8) & 0xFF] << 8)
+        | isb[w3 & 0xFF]
+    ) ^ rk[2]
+    n3 = (
+        (isb[(w3 >> 24) & 0xFF] << 24)
+        | (isb[(w2 >> 16) & 0xFF] << 16)
+        | (isb[(w1 >> 8) & 0xFF] << 8)
+        | isb[w0 & 0xFF]
+    ) ^ rk[3]
+    return struct.pack(">4I", n0, n1, n2, n3)
 
 
-def aes128_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """PDF AESV2 stream layout: 16-byte IV prefix, PKCS#7-padded CBC body."""
-    if len(data) < 32 or len(data) % 16:
-        raise PdfCryptError("bad AES stream length")
+def _cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC encrypt with NO padding and NO IV prefix (len(data) % 16 == 0)."""
     rks = _expand_key(key)
-    iv = data[:16]
     out = bytearray()
-    prev = iv
-    for i in range(16, len(data), 16):
-        blk = data[i : i + 16]
-        dec = _aes_decrypt_block(blk, rks)
-        out += bytes(a ^ b for a, b in zip(dec, prev))
-        prev = blk
-    padlen = out[-1]
-    if not 1 <= padlen <= 16:
-        raise PdfCryptError("bad AES padding")
-    return bytes(out[:-padlen])
-
-
-def aes128_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    rks = _expand_key(key)
-    padlen = 16 - len(data) % 16
-    data = data + bytes([padlen]) * padlen
-    out = bytearray(iv)
     prev = iv
     for i in range(0, len(data), 16):
         blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
         prev = _aes_encrypt_block(blk, rks)
         out += prev
     return bytes(out)
+
+
+def _cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC decrypt with NO padding and NO IV prefix (len(data) % 16 == 0)."""
+    if len(data) % 16:
+        raise PdfCryptError("bad AES block length")
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        dec = _aes_decrypt_block(blk, rks)
+        out += bytes(a ^ b for a, b in zip(dec, prev))
+        prev = blk
+    return bytes(out)
+
+
+def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """PDF AESV2/AESV3 stream layout: 16-byte IV prefix, PKCS#7-padded CBC
+    body. Key length selects AES-128 vs AES-256."""
+    if len(data) < 32 or len(data) % 16:
+        raise PdfCryptError("bad AES stream length")
+    out = _cbc_decrypt_raw(key, data[:16], data[16:])
+    padlen = out[-1]
+    if not 1 <= padlen <= 16:
+        raise PdfCryptError("bad AES padding")
+    return out[:-padlen]
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    padlen = 16 - len(data) % 16
+    return iv + _cbc_encrypt_raw(key, iv, data + bytes([padlen]) * padlen)
 
 
 # ------------------------------------------------------- standard handler core
@@ -286,26 +443,97 @@ def object_key(key: bytes, num: int, gen: int, aes: bool) -> bytes:
     return h.digest()[: min(len(key) + 5, 16)]
 
 
-class StandardCrypt:
-    """Both directions of the standard security handler for one file key."""
+# ----------------------------------------------- V5 (AES-256) key derivation
 
-    def __init__(self, key: bytes, aes: bool):
+
+@functools.lru_cache(maxsize=256)
+def hash_2b(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R6 hardened hash); plain SHA-256 for the
+    deprecated R5 (Adobe Extension Level 3 AESV3).
+
+    2.B is a deliberate work factor (>= 64 chained AES-CBC passes over a
+    multi-KB buffer) costing ~0.3 s here even with the T-table cipher; the
+    lru_cache makes repeated derivations (deterministic fixtures sharing a
+    file key, one worker parsing many same-key docs) free while real corpora
+    with distinct salts simply miss it."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    if r == 5:
+        return k
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _cbc_encrypt_raw(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](
+            e
+        ).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def v5_file_key(u_entry: bytes, ue_entry: bytes, r: int) -> bytes:
+    """Algorithm 2.A for the EMPTY user password: authenticate against /U
+    (hash + validation salt + key salt), then unwrap the file key from /UE."""
+    if len(u_entry) < 48 or len(ue_entry) < 32:
+        raise PdfCryptError("bad /U or /UE entry")
+    vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+    if hash_2b(b"", vsalt, b"", r) != u_entry[:32]:
+        raise PdfCryptError("password required (empty user password rejected)")
+    ikey = hash_2b(b"", ksalt, b"", r)
+    return _cbc_decrypt_raw(ikey, b"\x00" * 16, ue_entry[:32])
+
+
+def compute_v5_entries(
+    user_pw: bytes, owner_pw: bytes, file_key: bytes, p: int, r: int = 6
+) -> dict[str, bytes]:
+    """ENcryption direction: /U /UE /O /OE /Perms for a chosen 32-byte file
+    key (ISO 32000-2 7.6.4.4.6-8). Salts are derived deterministically from
+    the passwords + key so fixtures are byte-reproducible (never do this for
+    real secrecy)."""
+    salt = hashlib.sha256(b"pes-v5" + user_pw + owner_pw + file_key).digest()
+    u_vs, u_ks, o_vs, o_ks = (salt[i : i + 8] for i in range(0, 32, 8))
+    u = hash_2b(user_pw, u_vs, b"", r) + u_vs + u_ks
+    ue = _cbc_encrypt_raw(hash_2b(user_pw, u_ks, b"", r), b"\x00" * 16, file_key)
+    o = hash_2b(owner_pw, o_vs, u, r) + o_vs + o_ks
+    oe = _cbc_encrypt_raw(hash_2b(owner_pw, o_ks, u, r), b"\x00" * 16, file_key)
+    perms_clear = (
+        struct.pack("<i", p) + b"\xff\xff\xff\xff" + b"Tadb" + salt[:4]
+    )
+    # /Perms is a single AES-256-ECB block == raw CBC with a zero IV
+    perms = _cbc_encrypt_raw(file_key, b"\x00" * 16, perms_clear)
+    return {"U": u, "UE": ue, "O": o, "OE": oe, "Perms": perms}
+
+
+class StandardCrypt:
+    """Both directions of the standard security handler for one file key.
+
+    ``per_object=False`` is the V5/AESV3 mode: every object is encrypted
+    with the FILE key directly (ISO 32000-2 7.6.3.3 drops Algorithm 1's
+    per-object rekeying for AES-256)."""
+
+    def __init__(self, key: bytes, aes: bool, per_object: bool = True):
         self.key = key
         self.aes = aes
+        self.per_object = per_object
+
+    def _obj_key(self, num: int, gen: int) -> bytes:
+        if not self.per_object:
+            return self.key
+        return object_key(self.key, num, gen, self.aes)
 
     def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
-        k = object_key(self.key, num, gen, self.aes)
+        k = self._obj_key(num, gen)
         if self.aes:
-            return aes128_cbc_decrypt(k, data)
+            return aes_cbc_decrypt(k, data)
         return rc4(k, data)
 
     def encrypt(self, num: int, gen: int, data: bytes) -> bytes:
-        k = object_key(self.key, num, gen, self.aes)
+        k = self._obj_key(num, gen)
         if self.aes:
             # deterministic IV derived from the object id: fixtures must be
             # byte-reproducible (never do this for real secrecy)
             iv = hashlib.md5(b"pes-iv" + struct.pack("<ii", num, gen)).digest()
-            return aes128_cbc_encrypt(k, iv, data)
+            return aes_cbc_encrypt(k, iv, data)
         return rc4(k, data)
 
 
@@ -314,6 +542,8 @@ MODES = {
     "rc4-40": (1, 2, 40, False),
     "rc4-128": (2, 3, 128, False),
     "aes-128": (4, 4, 128, True),
+    "aes-256": (5, 6, 256, True),
+    "aes-256-r5": (5, 5, 256, True),  # deprecated Adobe ext. level 3 AESV3
 }
 
 
@@ -326,8 +556,28 @@ def make_decryptor(enc: dict, file_id: bytes, resolve) -> StandardCrypt:
         raise PdfCryptError(f"unsupported security handler {filt!r}")
     v = int(resolve(enc.get("V", 0)) or 0)
     r = int(resolve(enc.get("R", 0)) or 0)
-    if v not in (1, 2, 4) or r not in (2, 3, 4):
+    if v not in (1, 2, 4, 5) or r not in (2, 3, 4, 5, 6):
         raise PdfCryptError(f"unsupported /V {v} /R {r}")
+    if v == 5:
+        if r not in (5, 6):
+            raise PdfCryptError(f"unsupported /V 5 /R {r}")
+        stmf = str(resolve(enc.get("StmF")) or "Identity")
+        if stmf != "StdCF":
+            raise PdfCryptError(f"unsupported /StmF {stmf!r}")
+        cf = resolve(enc.get("CF")) or {}
+        stdcf = resolve(cf.get("StdCF")) or {}
+        cfm = str(resolve(stdcf.get("CFM")) or "")
+        if cfm != "AESV3":
+            raise PdfCryptError(f"unsupported /CFM {cfm!r} for /V 5")
+        u_entry = str(resolve(enc.get("U")) or "").encode("latin-1")
+        ue_entry = str(resolve(enc.get("UE")) or "").encode("latin-1")
+        key = v5_file_key(u_entry, ue_entry, r)
+        perms = str(resolve(enc.get("Perms")) or "").encode("latin-1")
+        if len(perms) >= 16:
+            clear = _cbc_decrypt_raw(key, b"\x00" * 16, perms[:16])
+            if clear[9:12] != b"adb":
+                raise PdfCryptError("bad /Perms (wrong file key)")
+        return StandardCrypt(key, aes=True, per_object=False)
     n = 5 if v == 1 else int(resolve(enc.get("Length", 40)) or 40) // 8
     if not 5 <= n <= 16:
         raise PdfCryptError(f"bad key length {n * 8}")

@@ -433,7 +433,7 @@ class PdfDoc:
 
     def _setup_encryption(self) -> None:
         """Standard security handler for the EMPTY-user-password case
-        (RC4-40/128, AES-128) — the owner-password-only files pymupdf opens
+        (RC4-40/128, AES-128/256) — the owner-password-only files pymupdf opens
         transparently (pymu_tesseract_processor.py:84). Files that need a
         real user password, or use an unsupported handler, fail as
         PdfParseError -> the parse_failures quarantine (helper.py:213-225)."""
@@ -1731,7 +1731,7 @@ def parse_pdf(data: bytes) -> list[PageOut]:
         raise PdfParseError("not a PDF (bad header)")
     try:
         # encrypted files: PdfDoc transparently decrypts the empty-user-
-        # password case (RC4-40/128, AES-128); password-protected or
+        # password case (RC4-40/128, AES-128/256); password-protected or
         # unsupported handlers raise PdfParseError -> parse_failures
         doc = PdfDoc(data)
         page_nodes = _page_list(doc)

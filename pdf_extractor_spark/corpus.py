@@ -17,7 +17,7 @@ import random
 
 # bump when gen_documents/make_pdf_bytes output changes: the parquet cache
 # in tempdir is keyed by it, so stale corpora are never reused across edits
-_GEN_VERSION = 7
+_GEN_VERSION = 8
 
 from .core.pdf_build import (
     ImageBox,
@@ -274,9 +274,10 @@ def gen_documents(n_docs: int, seed: int = 42, profile: str = "mixed") -> list[d
     used by the scaling benchmark so parse compute dominates fixed
     overhead and the N-vs-4N efficiency measurement is meaningful.
     profile="encrypted": every doc is one standard-security PDF cycling
-    rc4-40 / rc4-128 / aes-128 with an EMPTY user password (must decrypt
-    transparently); every 7th doc instead carries a REAL user password and
-    must quarantine as a parse failure.
+    rc4-40 / rc4-128 / aes-128 / aes-256 (/V 5 /R 6, the PDF 2.0 default)
+    with an EMPTY user password (must decrypt transparently); every 7th doc
+    instead carries a REAL user password and must quarantine as a parse
+    failure.
     """
     rng = random.Random(seed)
     rows: list[dict] = []
@@ -284,7 +285,7 @@ def gen_documents(n_docs: int, seed: int = 42, profile: str = "mixed") -> list[d
         doc_id = f"doc-{seed}-{d:08d}"
         spans: list[dict] = []
         if profile == "encrypted":
-            mode = ("rc4-40", "rc4-128", "aes-128")[d % 3]
+            mode = ("rc4-40", "rc4-128", "aes-128", "aes-256")[d % 4]
             pw = b"real-password" if d % 7 == 0 else b""
             pdf, specs = make_pdf(
                 rng, rng.randint(1, 4), encrypt=mode, user_pw=pw

@@ -340,7 +340,7 @@ def _pdf_corpus_oracle_sql() -> str:
 
 def q_extract_encrypted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standard-security PDFs through the REAL kernel, value-hash checked:
-    the corpus cycles RC4-40 / RC4-128 / AES-128 with an empty user password
+    the corpus cycles RC4-40 / RC4-128 / AES-128 / AES-256 with an empty user password
     (must decrypt transparently — the pymupdf.open behavior the reference
     relies on, pymu_tesseract_processor.py:84) and every 7th doc carries a
     real user password (must quarantine as a parse failure, never garble).
