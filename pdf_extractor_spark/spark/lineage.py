@@ -18,10 +18,34 @@ ignores and reprocesses — zero reprocessing of *committed* partitions, the
 north_rule resumability contract. This is the scalable replacement for the
 reference's rewrite-the-whole-JSON-after-every-page checkpoint
 (pymu_tesseract_processor.py:111-112, O(pages^2) bytes per doc).
+
+Concurrent writers (the Iceberg optimistic-concurrency analogue): two
+drivers appending to the same table root must not duplicate rows or clobber
+each other's chunks. Three mechanisms, all filesystem-atomic:
+
+  1. chunk-id reservation — ``reserve_chunk_id`` claims the chunk's data
+     directory with ``os.mkdir`` (atomic, fails on EEXIST), so no two
+     writers ever stage into the same chunk id;
+  2. no-clobber marker publish — ``commit_chunk`` links the marker into
+     place with ``os.link`` (fails on EEXIST) instead of a clobbering
+     rename;
+  3. append validation — under a commit-side flock, an ``exclusive_parts``
+     publish re-reads the committed set and raises ``CommitConflict`` if
+     another writer already committed any of its part_ids; the loser's
+     staged directory is simply never marked (``gc_orphans`` reclaims it).
+
+On a real cluster all three collapse into the Iceberg catalog's atomic
+snapshot swap + retry; the flock is the sandbox stand-in for that CAS.
+The streaming writer keeps its own idempotency scheme (deterministic
+epoch-derived chunk ids + marker-exists short-circuit) and publishes with
+``if_absent=True``: losing a replay race means identical data was already
+committed, so the loss is benign.
 """
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import time
@@ -50,6 +74,14 @@ class RunReport:
     parts_processed: int
     docs_processed: int
     parts_skipped: int
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed first: a marker with this chunk id already
+    exists, or (``exclusive_parts``) one of this chunk's part_ids was
+    committed by a concurrent append. The caller's staged data directory is
+    left unmarked — invisible to every reader — and is reclaimed by
+    ``gc_orphans``."""
 
 
 class CommitLog:
@@ -153,6 +185,59 @@ class CommitLog:
         chunks = self.committed_chunks()
         return (max((c["chunk_id"] for c in chunks), default=-1)) + 1
 
+    def reserve_chunk_id(self) -> int:
+        """Atomically claim the next free chunk id by creating its data
+        directory (``os.mkdir`` fails on EEXIST, so two racing writers can
+        never stage into the same chunk). A directory without a marker —
+        an in-flight writer or a crashed run's orphan — blocks its id;
+        orphans are reclaimed by ``gc_orphans``, never reused, exactly like
+        Iceberg's never-reused snapshot ids."""
+        cid = self.next_chunk_id()
+        while True:
+            try:
+                os.mkdir(os.path.join(self.data_dir, f"chunk-{cid:06d}"))
+                return cid
+            except FileExistsError:
+                cid += 1
+
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        """Serializes marker publish + append validation (the sandbox
+        stand-in for the Iceberg catalog's compare-and-swap)."""
+        lock_path = os.path.join(self.commits_dir, ".commit.lock")
+        with open(lock_path, "w") as lf:
+            fcntl.flock(lf.fileno(), fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lf.fileno(), fcntl.LOCK_UN)
+
+    def gc_orphans(self, grace_s: float = 3600.0) -> list[str]:
+        """Delete data/lineage chunk directories that have NO commit marker
+        and were last modified more than ``grace_s`` ago — crashed or
+        conflict-losing writers' staged output (the
+        ``remove_orphan_files`` analogue, including its grace period: a
+        LIVE writer's reserved directory must never be swept, which is why
+        the default grace is generous)."""
+        import shutil
+
+        marked = {c["chunk_id"] for c in self.committed_chunks()}
+        removed: list[str] = []
+        cutoff = time.time() - grace_s
+        for base in (self.data_dir, self.lineage_dir):
+            for name in sorted(os.listdir(base)):
+                if not name.startswith("chunk-"):
+                    continue
+                try:
+                    cid = int(name.split("-")[1])
+                except (IndexError, ValueError):
+                    continue
+                path = os.path.join(base, name)
+                if cid not in marked and os.path.getmtime(path) < cutoff:
+                    shutil.rmtree(path)
+                    removed.append(path)
+        return removed
+
     def n_parts(self) -> int | None:
         """The n_parts the writer used, from the newest marker recording it
         (ADVICE r01: the reader must not have to guess the writer's value —
@@ -198,8 +283,18 @@ class CommitLog:
         n_parts: int | None = None,
         replaces: list[int] | None = None,
         overwrite: bool = False,
-    ) -> None:
-        """Atomic visibility flip: tmp write + rename (POSIX atomic)."""
+        exclusive_parts: bool = False,
+        if_absent: bool = False,
+    ) -> bool:
+        """Atomic visibility flip: tmp write + no-clobber ``os.link``.
+
+        ``exclusive_parts``: validate under the commit lock that none of
+        this chunk's part_ids was committed by a concurrent append —
+        the optimistic-concurrency check for exactly-once batch appends
+        (streaming appends legitimately spread one part across markers and
+        skip it). ``if_absent``: an existing marker is a benign lost
+        replay race (identical data already committed) — return False
+        instead of raising. Returns True iff this call published."""
         marker = {
             "chunk_id": chunk_id,
             "part_ids": sorted(part_ids),
@@ -210,12 +305,31 @@ class CommitLog:
             "committed_at": time.time(),
         }
         path = os.path.join(self.commits_dir, f"commit-{chunk_id:06d}.json")
-        tmp = path + ".tmp"
+        tmp = path + f".tmp-{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(marker, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, path)
+        try:
+            with self._commit_lock():
+                if exclusive_parts:
+                    taken = set(part_ids) & self.committed_part_ids()
+                    if taken:
+                        raise CommitConflict(
+                            f"parts {sorted(taken)} were committed by a "
+                            f"concurrent writer; chunk {chunk_id} not published"
+                        )
+                try:
+                    os.link(tmp, path)  # atomic, fails if the marker exists
+                except FileExistsError:
+                    if if_absent:
+                        return False
+                    raise CommitConflict(
+                        f"commit marker for chunk {chunk_id} already exists"
+                    )
+        finally:
+            os.unlink(tmp)
+        return True
 
     # --------------------------------------------------------------- read side
 
@@ -349,7 +463,7 @@ def compact_chunks(
         return None
     victim_ids = [c["chunk_id"] for c in victims]
     part_ids = sorted({p for c in victims for p in c["part_ids"]})
-    new_id = log.next_chunk_id()
+    new_id = log.reserve_chunk_id()
 
     data = log.read_extracted(spark)
     data_path = os.path.join(log.data_dir, f"chunk-{new_id:06d}")
@@ -357,7 +471,7 @@ def compact_chunks(
     (
         data.repartition(n_tasks, "part_id")
         .write.partitionBy("part_id")
-        .mode("overwrite")
+        .mode("append")  # reserved empty dir; see _write_chunk note
         .parquet(data_path)
     )
     lineage = log.read_lineage(spark)
@@ -383,6 +497,7 @@ def _write_chunk(
     chunk_parts: list[int],
     n_parts: int,
     overwrite: bool = False,
+    exclusive_parts: bool = False,
 ) -> dict:
     """Write one chunk's data + lineage parquet, then flip the marker.
     Shared by the append path (run_extraction) and the partition-overwrite
@@ -391,8 +506,11 @@ def _write_chunk(
     lineage_path = os.path.join(log.lineage_dir, f"chunk-{chunk_id:06d}")
     # partition the committed data by part_id: point lookups and resume
     # reads prune whole directories (the Iceberg partition-spec analogue;
-    # preview.py's part_id filter becomes a PartitionFilter, not a scan)
-    extracted.write.partitionBy("part_id").mode("overwrite").parquet(data_path)
+    # preview.py's part_id filter becomes a PartitionFilter, not a scan).
+    # mode=append, NOT overwrite: the chunk directory was mkdir-RESERVED
+    # (empty, owned by this writer) and overwrite would delete it first,
+    # momentarily releasing the reservation to a racing writer.
+    extracted.write.partitionBy("part_id").mode("append").parquet(data_path)
 
     # lineage rollup from the just-written data (no recompute of the UDF)
     written = spark.read.parquet(data_path)
@@ -423,7 +541,12 @@ def _write_chunk(
     ).collect()[0]
     metrics = {"docs": agg["docs"], "pages": agg["pages"], "failures": agg["failures"]}
     log.commit_chunk(
-        chunk_id, chunk_parts, metrics, n_parts=n_parts, overwrite=overwrite
+        chunk_id,
+        chunk_parts,
+        metrics,
+        n_parts=n_parts,
+        overwrite=overwrite,
+        exclusive_parts=exclusive_parts,
     )
     return metrics
 
@@ -461,7 +584,7 @@ def reextract_parts(
         F.col("part_id").isin(list(parts))
     )
     extracted = extract_documents(docs, n_parts=n_parts, num_partitions=num_partitions)
-    chunk_id = log.next_chunk_id()
+    chunk_id = log.reserve_chunk_id()
     metrics = _write_chunk(
         spark, log, extracted, chunk_id, sorted(parts), n_parts, overwrite=True
     )
@@ -482,6 +605,17 @@ def run_extraction(
     Each chunk = one Spark job writing spans + lineage parquet, then an atomic
     commit marker. ``fail_after_chunks`` injects a crash for the
     kill-and-resume test.
+
+    Safe under CONCURRENT writers on the same table root: chunk ids are
+    mkdir-reserved (never shared), the committed set is re-read before each
+    chunk so parts another writer finished are skipped instead of re-run,
+    and the marker publish itself validates part exclusivity under the
+    commit lock — if a rival lands a part between our re-read and our
+    publish, ``CommitConflict`` makes THIS chunk the loser: its staged data
+    stays unmarked (invisible; ``gc_orphans`` reclaims it) and its parts
+    are retried against the refreshed committed set, converging with zero
+    duplicate rows. Two drivers pointed at the same root therefore split
+    the partition space dynamically instead of corrupting the table.
     """
     done = log.committed_part_ids()
     todo = [p for p in range(n_parts) if p not in done]
@@ -499,23 +633,44 @@ def run_extraction(
         # by storing part_id as a partition column, so nothing is cached —
         # parts_per_chunk then only bounds the work at risk between commits.
         docs = docs.persist()
-    chunk_id = log.next_chunk_id()
-    for start in range(0, len(todo), parts_per_chunk):
-        chunk_parts = todo[start : start + parts_per_chunk]
-        chunk_docs = docs.filter(F.col("part_id").isin(chunk_parts))
-        extracted = extract_documents(
-            chunk_docs, n_parts=n_parts, num_partitions=num_partitions
-        )
-        # empty part_ids (no docs hashed to them) still count as committed
-        agg = _write_chunk(spark, log, extracted, chunk_id, chunk_parts, n_parts)
-        report.chunks_committed += 1
-        report.parts_processed += len(chunk_parts)
-        report.docs_processed += agg["docs"]
-        chunk_id += 1
-        if fail_after_chunks is not None and report.chunks_committed >= fail_after_chunks:
-            if multi_chunk:
-                docs.unpersist()
-            raise RuntimeError("injected failure for kill-and-resume test")
-    if multi_chunk:
-        docs.unpersist()
+    try:
+        pending = list(todo)
+        while pending:
+            # re-read the committed set: a concurrent writer may have
+            # finished some of our pending parts since the last chunk
+            done_now = log.committed_part_ids()
+            fresh = [p for p in pending if p not in done_now]
+            report.parts_skipped += len(pending) - len(fresh)
+            pending = fresh
+            if not pending:
+                break
+            chunk_parts = pending[:parts_per_chunk]
+            pending = pending[parts_per_chunk:]
+            chunk_docs = docs.filter(F.col("part_id").isin(chunk_parts))
+            extracted = extract_documents(
+                chunk_docs, n_parts=n_parts, num_partitions=num_partitions
+            )
+            chunk_id = log.reserve_chunk_id()
+            try:
+                # empty part_ids (no docs hashed to them) still count as committed
+                agg = _write_chunk(
+                    spark, log, extracted, chunk_id, chunk_parts, n_parts,
+                    exclusive_parts=True,
+                )
+            except CommitConflict:
+                # rival writer landed one of these parts mid-chunk: our data
+                # stays unmarked; retry the parts against the refreshed set
+                pending = chunk_parts + pending
+                continue
+            report.chunks_committed += 1
+            report.parts_processed += len(chunk_parts)
+            report.docs_processed += agg["docs"]
+            if (
+                fail_after_chunks is not None
+                and report.chunks_committed >= fail_after_chunks
+            ):
+                raise RuntimeError("injected failure for kill-and-resume test")
+    finally:
+        if multi_chunk:
+            docs.unpersist()
     return report

@@ -129,10 +129,14 @@ def make_batch_processor(
             F.count("*").alias("docs"), F.sum("parse_failures").alias("failures")
         ).collect()[0]
         part_ids = [r["part_id"] for r in written.select("part_id").distinct().collect()]
+        # if_absent: chunk ids are epoch-derived, so a marker that appeared
+        # since the top-of-batch check is a replay that already committed
+        # identical data — losing that race is benign, not a conflict
         log.commit_chunk(
             chunk_id,
             part_ids,
             {"docs": agg["docs"], "failures": agg["failures"], "epoch": int(epoch_id)},
+            if_absent=True,
         )
 
     return process_batch
