@@ -319,6 +319,21 @@ class CommitLog:
                             f"parts {sorted(taken)} were committed by a "
                             f"concurrent writer; chunk {chunk_id} not published"
                         )
+                if replaces:
+                    # two concurrent compactions replacing the same victims
+                    # would BOTH stay visible -> duplicated rows; only the
+                    # first replacement of any chunk may commit
+                    already = {
+                        r
+                        for c in self.committed_chunks()
+                        for r in (c.get("replaces") or [])
+                    }
+                    twice = set(replaces) & already
+                    if twice:
+                        raise CommitConflict(
+                            f"chunks {sorted(twice)} were already replaced by "
+                            f"a concurrent compaction; chunk {chunk_id} not published"
+                        )
                 try:
                     os.link(tmp, path)  # atomic, fails if the marker exists
                 except FileExistsError:

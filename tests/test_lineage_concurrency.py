@@ -39,6 +39,19 @@ def test_exclusive_parts_conflict(tmp_path):
     assert log.commit_chunk(1, [1, 2], {"docs": 2}) is True
 
 
+def test_double_compaction_conflict(tmp_path):
+    """Two compactions replacing the same victims must not both publish —
+    both staying visible would duplicate every row of the victims."""
+    log = L.CommitLog(str(tmp_path / "t"))
+    log.commit_chunk(0, [0], {"docs": 1})
+    log.commit_chunk(1, [1], {"docs": 1})
+    log.commit_chunk(2, [0, 1], {"docs": 2}, replaces=[0, 1])
+    with pytest.raises(L.CommitConflict, match="already replaced"):
+        log.commit_chunk(3, [0, 1], {"docs": 2}, replaces=[0, 1])
+    visible = {c["chunk_id"] for c in log.visible_chunks()}
+    assert visible == {2}
+
+
 def test_reserve_chunk_id_skips_claimed_dirs(tmp_path):
     log = L.CommitLog(str(tmp_path / "t"))
     assert log.reserve_chunk_id() == 0
