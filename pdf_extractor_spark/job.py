@@ -37,6 +37,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="after the run, reclaim history unreachable from the "
                         "current view and older than SECS seconds "
                         "(expire_snapshots TTL retention, S10 analogue)")
+    p.add_argument("--gc-orphans-older-than", type=float, default=None,
+                   metavar="SECS",
+                   help="after the run, delete unmarked chunk directories "
+                        "older than SECS seconds — staged output of crashed "
+                        "or conflict-losing writers (remove_orphan_files "
+                        "analogue; keep SECS above any live writer's chunk "
+                        "write time)")
     args = p.parse_args(argv)
 
     from pdf_extractor_spark.spark.session import get_spark
@@ -79,6 +86,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.expire_older_than is not None:
             gone = log.expire_snapshots(older_than=time.time() - args.expire_older_than)
             print(f"SNAPSHOTS_EXPIRED chunks={gone}")
+        if args.gc_orphans_older_than is not None:
+            swept = log.gc_orphans(grace_s=args.gc_orphans_older_than)
+            print(f"ORPHANS_REMOVED dirs={len(swept)}")
         dt = time.monotonic() - t0
         docs_s = report.docs_processed / dt if dt > 0 else 0.0
         print(
