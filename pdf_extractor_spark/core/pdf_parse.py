@@ -650,10 +650,13 @@ class PdfDoc:
                 raise PdfParseError(f"missing object {num}")
             entry = ("n", off)
         if entry[0] == "f":
-            # freed in the newest revision that mentions it: a reference to
-            # it is dangling — never fall back to a brute scan, which would
-            # resurrect a deleted revision's bytes
-            raise PdfParseError(f"object {num} is free (deleted)")
+            # freed in the newest revision that mentions it: ISO 32000-1
+            # §7.3.10 says a reference to a free object IS null — resolve to
+            # None (a real-world PDF with a deleted /Annots must not lose
+            # its whole text to quarantine), but never fall back to a brute
+            # scan, which would resurrect the deleted revision's bytes
+            self._cache[num] = None
+            return None
         if entry[0] == "n":
             try:
                 val = self._parse_indirect_at(entry[1], expect_num=num)
@@ -1672,6 +1675,10 @@ def _page_list(doc: PdfDoc) -> list[tuple[dict, dict]]:
 
         def walk(node, inherited: dict) -> None:
             node_res = doc.resolve(node)
+            if node_res is None:
+                # a freed kid is null (§7.3.10): the page was deleted in a
+                # newer revision but a stale /Kids entry survives — skip it
+                return
             if not isinstance(node_res, dict):
                 raise PdfParseError("page-tree node is not a dict")
             if isinstance(node, Ref):
@@ -1719,6 +1726,8 @@ def _page_content(doc: PdfDoc, page: dict) -> bytes:
     parts: list[bytes] = []
     for s in streams:
         s = doc.resolve(s)
+        if s is None:  # freed array element resolves to null (§7.3.10)
+            continue
         if not isinstance(s, Stream):
             raise PdfParseError("page /Contents is not a stream")
         parts.append(_apply_filters(s.raw, s.dict, doc.resolve))

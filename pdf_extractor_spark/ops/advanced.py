@@ -483,7 +483,6 @@ def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
     counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
     total = counts.agg(F.sum("n_docs").alias("n_total"))
-    share = F.lit(None).cast("bigint")
     expr = None
     for lang, ppm in MIX_TARGET_PPM.items():
         cond = F.when(F.col("lang") == lang, F.lit(ppm).cast("bigint"))

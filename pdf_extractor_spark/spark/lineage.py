@@ -155,13 +155,14 @@ class CommitLog:
         """
         import shutil
 
-        visible = self.visible_chunks()
+        committed = self.committed_chunks()
+        visible = self.visible_chunks(chunks=committed)
         visible_ids = {c["chunk_id"] for c in visible}
         gone: list[int] = []
-        for c in self.committed_chunks():
+        for c in committed:
             cid = c["chunk_id"]
             reachable = cid in visible_ids and (
-                not shadowed or bool(self._owned_parts(c))
+                not shadowed or bool(self._owned_parts(c, visible))
             )
             if reachable or c["committed_at"] >= older_than:
                 continue
@@ -248,30 +249,49 @@ class CommitLog:
                 return c["n_parts"]
         return None
 
-    def visible_chunks(self, as_of: int | None = None) -> list[dict]:
+    def visible_chunks(
+        self, as_of: int | None = None, chunks: list[dict] | None = None
+    ) -> list[dict]:
         """Markers whose data a reader at this snapshot should scan: committed,
         and not replaced by a LATER committed marker within the same snapshot
         horizon. Replacement markers (compaction) carry ``replaces``; a
         time-travel read before the compaction still resolves to the original
-        chunks, because only markers <= as_of can shadow."""
-        chunks = self.committed_chunks(as_of)
+        chunks, because only markers <= as_of can shadow.
+
+        ``chunks`` lets a read operation list + parse the marker files ONCE
+        and reuse them here and in ``_owned_parts`` — without it a C-chunk
+        read pays O(C^2) marker opens."""
+        if chunks is None:
+            chunks = self.committed_chunks(as_of)
         replaced: set[int] = set()
         for c in chunks:
             replaced.update(c.get("replaces") or [])
         return [c for c in chunks if c["chunk_id"] not in replaced]
 
-    def _owned_parts(self, chunk: dict, as_of: int | None = None) -> list[int]:
-        """The subset of ``chunk``'s part_ids whose rows are current.
+    @staticmethod
+    def _commit_order(marker: dict) -> tuple[float, int]:
+        """Total order of marker publishes. ``committed_at`` is stamped
+        INSIDE the commit lock, so it strictly orders publishes to one table
+        root; the chunk id (reserve order, which can differ from commit
+        order under concurrent writers) is only a tiebreak for
+        equal-resolution timestamps."""
+        return (marker["committed_at"], marker["chunk_id"])
+
+    def _owned_parts(self, chunk: dict, visible: list[dict]) -> list[int]:
+        """The subset of ``chunk``'s part_ids whose rows are current, given
+        the pre-computed ``visible`` marker list for the read's snapshot.
 
         Append markers ACCUMULATE — the streaming ingest commits one marker
         per micro-batch and a part legitimately spans many of them, so an
         append never shadows anything. Only an ``overwrite`` marker
         (dynamic-partition re-extraction) shadows: its parts' rows in every
-        EARLIER chunk become invisible at the commit flip, without any
-        rewrite of the old chunks."""
+        chunk committed EARLIER (commit order, not chunk-id order — ids are
+        assigned at reserve time and a slow writer can commit a low id
+        late) become invisible at the commit flip, without any rewrite of
+        the old chunks."""
         shadowed: set[int] = set()
-        for c in self.visible_chunks(as_of):
-            if c.get("overwrite") and c["chunk_id"] > chunk["chunk_id"]:
+        for c in visible:
+            if c.get("overwrite") and self._commit_order(c) > self._commit_order(chunk):
                 shadowed.update(c["part_ids"])
         return [p for p in chunk["part_ids"] if p not in shadowed]
 
@@ -285,8 +305,11 @@ class CommitLog:
         overwrite: bool = False,
         exclusive_parts: bool = False,
         if_absent: bool = False,
+        no_new_overwrites_since: set[int] | None = None,
     ) -> bool:
-        """Atomic visibility flip: tmp write + no-clobber ``os.link``.
+        """Atomic visibility flip: tmp write + no-clobber ``os.link``, all
+        inside the commit lock so ``committed_at`` strictly orders
+        publishes (overwrite shadowing follows commit order).
 
         ``exclusive_parts``: validate under the commit lock that none of
         this chunk's part_ids was committed by a concurrent append —
@@ -294,7 +317,11 @@ class CommitLog:
         (streaming appends legitimately spread one part across markers and
         skip it). ``if_absent``: an existing marker is a benign lost
         replay race (identical data already committed) — return False
-        instead of raising. Returns True iff this call published."""
+        instead of raising. ``no_new_overwrites_since``: the marker-id set
+        the caller's data snapshot saw — a compaction must abort if any
+        overwrite marker landed since, because its rewritten rows would
+        resurrect the pre-overwrite content. Returns True iff this call
+        published."""
         marker = {
             "chunk_id": chunk_id,
             "part_ids": sorted(part_ids),
@@ -302,18 +329,16 @@ class CommitLog:
             "metrics": metrics,
             "replaces": sorted(replaces) if replaces else None,
             "overwrite": overwrite or None,
-            "committed_at": time.time(),
         }
         path = os.path.join(self.commits_dir, f"commit-{chunk_id:06d}.json")
         tmp = path + f".tmp-{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(marker, f)
-            f.flush()
-            os.fsync(f.fileno())
         try:
             with self._commit_lock():
+                committed = self.committed_chunks()
                 if exclusive_parts:
-                    taken = set(part_ids) & self.committed_part_ids()
+                    taken = set(part_ids) & {
+                        p for c in committed for p in c["part_ids"]
+                    }
                     if taken:
                         raise CommitConflict(
                             f"parts {sorted(taken)} were committed by a "
@@ -324,9 +349,7 @@ class CommitLog:
                     # would BOTH stay visible -> duplicated rows; only the
                     # first replacement of any chunk may commit
                     already = {
-                        r
-                        for c in self.committed_chunks()
-                        for r in (c.get("replaces") or [])
+                        r for c in committed for r in (c.get("replaces") or [])
                     }
                     twice = set(replaces) & already
                     if twice:
@@ -334,6 +357,25 @@ class CommitLog:
                             f"chunks {sorted(twice)} were already replaced by "
                             f"a concurrent compaction; chunk {chunk_id} not published"
                         )
+                if no_new_overwrites_since is not None:
+                    fresh_ow = [
+                        c["chunk_id"]
+                        for c in committed
+                        if c.get("overwrite")
+                        and c["chunk_id"] not in no_new_overwrites_since
+                    ]
+                    if fresh_ow:
+                        raise CommitConflict(
+                            f"overwrite chunks {sorted(fresh_ow)} committed "
+                            f"since this compaction's snapshot; chunk "
+                            f"{chunk_id} not published"
+                        )
+                # stamp inside the lock: publish order == committed_at order
+                marker["committed_at"] = time.time()
+                with open(tmp, "w") as f:
+                    json.dump(marker, f)
+                    f.flush()
+                    os.fsync(f.fileno())
                 try:
                     os.link(tmp, path)  # atomic, fails if the marker exists
                 except FileExistsError:
@@ -343,16 +385,26 @@ class CommitLog:
                         f"commit marker for chunk {chunk_id} already exists"
                     )
         finally:
-            os.unlink(tmp)
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         return True
 
     # --------------------------------------------------------------- read side
 
-    def read_extracted(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
+    def read_extracted(
+        self,
+        spark: SparkSession,
+        as_of: int | None = None,
+        markers: list[dict] | None = None,
+    ) -> DataFrame:
         """Union of committed chunks only (uncommitted dirs are invisible);
         ``as_of`` time-travels to snapshot N — chunks committed later exist
         on disk but stay invisible, exactly like reading an older Iceberg
-        snapshot.
+        snapshot. ``markers`` pins the committed-marker set to a list the
+        caller already captured — compaction MUST read exactly its victim
+        snapshot, not whatever has committed since (a marker re-list here
+        would fold a concurrent append into the compaction output without
+        putting it in ``replaces``, duplicating its rows forever).
 
         Chunks are part_id-partitioned directories, so each chunk is read on
         its own (multi-root partition discovery would see conflicting
@@ -361,11 +413,12 @@ class CommitLog:
         from functools import reduce
 
         frames = []
-        for c in self.visible_chunks(as_of):
+        visible = self.visible_chunks(as_of, chunks=markers)  # parsed once
+        for c in visible:
             path = os.path.join(self.data_dir, f"chunk-{c['chunk_id']:06d}")
             if not os.path.isdir(path):
                 continue
-            owned = self._owned_parts(c, as_of)
+            owned = self._owned_parts(c, visible)
             if not owned:
                 continue
             df = spark.read.parquet(path)
@@ -410,15 +463,21 @@ class CommitLog:
             return spark.createDataFrame([], EXTRACTED_SCHEMA)
         return reduce(DataFrame.unionByName, frames)
 
-    def read_lineage(self, spark: SparkSession, as_of: int | None = None) -> DataFrame:
+    def read_lineage(
+        self,
+        spark: SparkSession,
+        as_of: int | None = None,
+        markers: list[dict] | None = None,
+    ) -> DataFrame:
         from functools import reduce
 
         frames = []
-        for c in self.visible_chunks(as_of):
+        visible = self.visible_chunks(as_of, chunks=markers)
+        for c in visible:
             path = os.path.join(self.lineage_dir, f"chunk-{c['chunk_id']:06d}")
             if not os.path.isdir(path):
                 continue
-            owned = self._owned_parts(c, as_of)
+            owned = self._owned_parts(c, visible)
             if not owned:
                 continue
             df = spark.read.parquet(path)
@@ -473,14 +532,20 @@ def compact_chunks(
 
     Returns the new chunk id, or None if there is nothing to compact.
     """
-    victims = log.visible_chunks()
+    # pin the snapshot ONCE: data/lineage reads and the commit's conflict
+    # window all reference this exact marker list — a re-list between here
+    # and the commit would fold concurrently-appended chunks into the
+    # compaction output without replacing them (permanent duplicates)
+    snapshot = log.committed_chunks()
+    snapshot_ids = {c["chunk_id"] for c in snapshot}
+    victims = log.visible_chunks(chunks=snapshot)
     if len(victims) < min_chunks:
         return None
     victim_ids = [c["chunk_id"] for c in victims]
     part_ids = sorted({p for c in victims for p in c["part_ids"]})
     new_id = log.reserve_chunk_id()
 
-    data = log.read_extracted(spark)
+    data = log.read_extracted(spark, markers=snapshot)
     data_path = os.path.join(log.data_dir, f"chunk-{new_id:06d}")
     n_tasks = max(1, min(len(part_ids), 32))
     (
@@ -489,7 +554,7 @@ def compact_chunks(
         .mode("append")  # reserved empty dir; see _write_chunk note
         .parquet(data_path)
     )
-    lineage = log.read_lineage(spark)
+    lineage = log.read_lineage(spark, markers=snapshot)
     lineage_path = os.path.join(log.lineage_dir, f"chunk-{new_id:06d}")
     lineage.coalesce(1).write.mode("overwrite").parquet(lineage_path)
 
@@ -498,8 +563,15 @@ def compact_chunks(
         for k in metrics:
             metrics[k] += (c.get("metrics") or {}).get(k, 0) or 0
     metrics["compacted_from"] = len(victims)
+    # no_new_overwrites_since: an overwrite landing after the snapshot would
+    # be silently undone by our rewritten pre-overwrite rows — abort instead
     log.commit_chunk(
-        new_id, part_ids, metrics, n_parts=log.n_parts(), replaces=victim_ids
+        new_id,
+        part_ids,
+        metrics,
+        n_parts=log.n_parts(),
+        replaces=victim_ids,
+        no_new_overwrites_since=snapshot_ids,
     )
     return new_id
 
@@ -509,14 +581,20 @@ def _write_chunk(
     log: CommitLog,
     extracted: DataFrame,
     chunk_id: int,
-    chunk_parts: list[int],
+    chunk_parts: list[int] | None,
     n_parts: int,
     overwrite: bool = False,
     exclusive_parts: bool = False,
+    extra_metrics: dict | None = None,
+    side_output=None,
 ) -> dict:
     """Write one chunk's data + lineage parquet, then flip the marker.
-    Shared by the append path (run_extraction) and the partition-overwrite
-    path (reextract_parts). Returns the chunk's metrics row."""
+    Shared by the append path (run_extraction), the partition-overwrite
+    path (reextract_parts) and the streaming micro-batch path (which passes
+    ``extra_metrics={'epoch': ...}`` and an optional ``side_output``
+    callback, invoked on the written-back chunk BEFORE the marker flips so
+    the side output is covered by the same atomic commit). Returns the
+    chunk's metrics row."""
     data_path = os.path.join(log.data_dir, f"chunk-{chunk_id:06d}")
     lineage_path = os.path.join(log.lineage_dir, f"chunk-{chunk_id:06d}")
     # partition the committed data by part_id: point lookups and resume
@@ -529,6 +607,8 @@ def _write_chunk(
 
     # lineage rollup from the just-written data (no recompute of the UDF)
     written = spark.read.parquet(data_path)
+    if side_output is not None:
+        side_output(written)
     lineage = (
         written.groupBy("part_id")
         .agg(
@@ -555,6 +635,14 @@ def _write_chunk(
         F.sum("parse_failures").alias("failures"),
     ).collect()[0]
     metrics = {"docs": agg["docs"], "pages": agg["pages"], "failures": agg["failures"]}
+    if extra_metrics:
+        metrics.update(extra_metrics)
+    if chunk_parts is None:
+        # streaming micro-batches don't know their parts a priori — the
+        # marker records the parts the batch actually touched
+        chunk_parts = sorted(
+            r["part_id"] for r in written.select("part_id").distinct().collect()
+        )
     log.commit_chunk(
         chunk_id,
         chunk_parts,

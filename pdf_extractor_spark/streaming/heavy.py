@@ -74,7 +74,10 @@ def heavy_hitters_stream(
         else:
             counters = {}
         if len(batch) == 0:
-            state.update((list(counters), [counters[i] for i in counters]))
+            # same sorted layout as the main path: replayed state must be
+            # byte-identical regardless of which path produced it
+            keys0 = sorted(counters)
+            state.update((keys0, [counters[i] for i in keys0]))
             return
         ordered = batch.sort_values(order_col, kind="mergesort")[item_col]
         counters = _mg_fold(counters, [str(x) for x in ordered], k)

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..spark.lineage import LINEAGE_COLS, CommitLog
+from ..spark.lineage import CommitLog, _write_chunk
 from ..spark.pipeline import DOCUMENTS_SCHEMA, extract_documents
 
 
@@ -45,99 +45,93 @@ def stream_documents(
     )
 
 
+def _ocr_queue_router(log: CommitLog, chunk_id: int):
+    """Side-output callback for _write_chunk: scanned documents (text-free
+    pages with images) land in ``ocr_queue/chunk-*`` with their pdf:// refs,
+    so a downstream OCR stage consumes the queue without rescanning the
+    corpus (the reference's P6 force-OCR retry, docling_processor.py:235-239,
+    as a routed pipeline stage). Runs on the written-back chunk BEFORE the
+    marker flips — covered by the same atomic commit."""
+
+    def side(written: DataFrame) -> None:
+        queue_path = os.path.join(
+            os.path.dirname(log.data_dir.rstrip("/")),
+            "ocr_queue",
+            f"chunk-{chunk_id:06d}",
+        )
+        needs = F.coalesce(
+            F.element_at("scores", "pages_empty_with_images"), F.lit(0.0)
+        )
+        (
+            written.where(needs > 0)
+            .select(
+                "doc_id",
+                needs.cast("int").alias("pages_needing_ocr"),
+                F.filter(
+                    F.transform("spans", lambda s: s["media_ref"]),
+                    lambda r: r.startswith("pdf://"),
+                ).alias("media_refs"),
+            )
+            .write.mode("overwrite")
+            .parquet(queue_path)
+        )
+
+    return side
+
+
 def make_batch_processor(
     spark: SparkSession,
     log: CommitLog,
-    base: int,
     n_parts: int = 64,
     num_partitions: int = 32,
     route_needs_ocr: bool = False,
+    stream_ns: str = "stream",
 ):
     """foreachBatch callable: (batch_df, epoch_id) -> one committed chunk.
 
-    chunk_id = base + epoch_id; if the chunk's commit marker already exists
-    the epoch is a replay (same checkpoint, post-crash) and is skipped —
-    the marker, not the Spark checkpoint, is the source of truth for what
-    reached the table.
+    Replay idempotency is keyed on (stream_ns, epoch_id) recorded in the
+    marker metrics, NOT on the chunk id: epoch ids are stable across
+    restarts of the same checkpoint, while chunk ids are mkdir-reserved at
+    write time (restart-dependent, and shared with concurrent batch
+    writers). The old base+epoch scheme broke both ways — a restart
+    recomputed base, so a committed-but-uncheckpointed epoch recommitted
+    under a new id, and the fixed-id overwrite write could clobber a batch
+    writer's reserved directory. ``stream_ns`` (the checkpoint path)
+    namespaces epochs so a FRESH checkpoint restarting at epoch 0 is not
+    confused with an old stream's epoch 0. One active query per checkpoint
+    (Spark enforces this via the checkpoint lock) keeps the epoch check
+    race-free.
 
-    ``route_needs_ocr``: documents whose extraction found text-free pages
-    with images (the ``pages_empty_with_images`` score — scanned documents)
-    are ALSO written to an ``ocr_queue/chunk-*`` side output with their
-    pdf:// media refs, so a downstream OCR stage consumes the queue without
-    rescanning the corpus (the reference's P6 force-OCR retry,
-    docling_processor.py:235-239, as a routed pipeline stage). Derived from
-    the just-written chunk — no recompute — and covered by the same atomic
-    chunk marker, so replays stay idempotent for the queue too.
+    The marker, not the Spark checkpoint, is the source of truth for what
+    reached the table. ``route_needs_ocr``: see ``_ocr_queue_router``.
     """
+    done_epochs = {
+        m["epoch"]
+        for c in log.committed_chunks()
+        for m in [c.get("metrics") or {}]
+        if m.get("stream") == stream_ns and m.get("epoch") is not None
+    }
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        chunk_id = base + int(epoch_id)
-        marker = os.path.join(log.commits_dir, f"commit-{chunk_id:06d}.json")
-        if os.path.exists(marker):  # replayed epoch after restart
+        eid = int(epoch_id)
+        if eid in done_epochs:  # replayed epoch after restart
             return
         extracted = extract_documents(
             batch_df, n_parts=n_parts, num_partitions=num_partitions
         )
-        data_path = os.path.join(log.data_dir, f"chunk-{chunk_id:06d}")
-        lineage_path = os.path.join(log.lineage_dir, f"chunk-{chunk_id:06d}")
-        # same part_id-partitioned layout as the batch writer (lineage.py)
-        extracted.write.partitionBy("part_id").mode("overwrite").parquet(data_path)
-
-        written = spark.read.parquet(data_path)
-        if route_needs_ocr:
-            queue_path = os.path.join(
-                os.path.dirname(log.data_dir.rstrip("/")),
-                "ocr_queue",
-                f"chunk-{chunk_id:06d}",
-            )
-            needs = F.coalesce(
-                F.element_at("scores", "pages_empty_with_images"), F.lit(0.0)
-            )
-            (
-                written.where(needs > 0)
-                .select(
-                    "doc_id",
-                    needs.cast("int").alias("pages_needing_ocr"),
-                    F.filter(
-                        F.transform("spans", lambda s: s["media_ref"]),
-                        lambda r: r.startswith("pdf://"),
-                    ).alias("media_refs"),
-                )
-                .write.mode("overwrite")
-                .parquet(queue_path)
-            )
-        lineage = (
-            written.groupBy("part_id")
-            .agg(
-                F.count("*").alias("docs_done"),
-                F.sum("pages_parsed").alias("pages_parsed"),
-                F.sum("spans_emitted").alias("spans_emitted"),
-                F.sum("parse_failures").alias("parse_failures"),
-                F.sum("duration_ms").alias("duration_ms"),
-            )
-            .withColumn(
-                "status",
-                F.when(F.col("parse_failures") > 0, F.lit("error")).otherwise(
-                    F.lit("success")
-                ),
-            )
-            .withColumn("committed_at", F.current_timestamp())
-            .select(LINEAGE_COLS)
-        )
-        lineage.write.mode("overwrite").parquet(lineage_path)
-        agg = written.agg(
-            F.count("*").alias("docs"), F.sum("parse_failures").alias("failures")
-        ).collect()[0]
-        part_ids = [r["part_id"] for r in written.select("part_id").distinct().collect()]
-        # if_absent: chunk ids are epoch-derived, so a marker that appeared
-        # since the top-of-batch check is a replay that already committed
-        # identical data — losing that race is benign, not a conflict
-        log.commit_chunk(
+        chunk_id = log.reserve_chunk_id()
+        side = _ocr_queue_router(log, chunk_id) if route_needs_ocr else None
+        _write_chunk(
+            spark,
+            log,
+            extracted,
             chunk_id,
-            part_ids,
-            {"docs": agg["docs"], "failures": agg["failures"], "epoch": int(epoch_id)},
-            if_absent=True,
+            chunk_parts=None,  # derived from the written data
+            n_parts=n_parts,
+            extra_metrics={"epoch": eid, "stream": stream_ns},
+            side_output=side,
         )
+        done_epochs.add(eid)
 
     return process_batch
 
@@ -154,13 +148,14 @@ def start_extraction_stream(
 ) -> StreamingQuery:
     """Incremental extraction: each micro-batch becomes one committed chunk.
 
-    Chunk ids are derived from the epoch id (offset by any batch-mode chunks
-    already present); an epoch whose marker already exists is skipped, which
-    makes foreachBatch replays after a crash idempotent.
+    Replays after a crash are idempotent: each marker records its
+    (checkpoint, epoch) and an epoch already present in the log is skipped
+    (see make_batch_processor).
     """
     process_batch = make_batch_processor(
-        spark, log, base=log.next_chunk_id(), n_parts=n_parts,
+        spark, log, n_parts=n_parts,
         num_partitions=num_partitions, route_needs_ocr=route_needs_ocr,
+        stream_ns=os.path.realpath(checkpoint_dir),
     )
     return (
         stream_documents(spark, input_dir, max_files_per_trigger)

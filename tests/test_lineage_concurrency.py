@@ -52,6 +52,42 @@ def test_double_compaction_conflict(tmp_path):
     assert visible == {2}
 
 
+def test_overwrite_shadowing_follows_commit_order(tmp_path):
+    """Chunk ids are assigned at reserve time: a slow writer can commit a
+    LOW id after a rival committed a higher one. Overwrite shadowing must
+    follow commit order, not id order, or the late overwrite fails to
+    shadow the earlier-committed append."""
+    log = L.CommitLog(str(tmp_path / "t"))
+    # append with id 2 commits FIRST; overwrite with id 1 commits LATER
+    log.commit_chunk(2, [0, 1], {"docs": 2})
+    log.commit_chunk(1, [0], {"docs": 1}, overwrite=True)
+    visible = log.visible_chunks()
+    by_id = {c["chunk_id"]: c for c in visible}
+    assert log._owned_parts(by_id[2], visible) == [1]  # part 0 shadowed
+    assert log._owned_parts(by_id[1], visible) == [0]
+
+
+def test_compaction_rejected_after_concurrent_overwrite(tmp_path):
+    """An overwrite landing between a compaction's snapshot and its commit
+    would be silently undone by the compaction's rewritten pre-overwrite
+    rows — the compaction must lose."""
+    log = L.CommitLog(str(tmp_path / "t"))
+    log.commit_chunk(0, [0], {"docs": 1})
+    log.commit_chunk(1, [1], {"docs": 1})
+    snapshot_ids = {0, 1}  # compaction plans against this view
+    log.commit_chunk(2, [0], {"docs": 1}, overwrite=True)  # rival overwrite
+    with pytest.raises(L.CommitConflict, match="overwrite chunks \\[2\\]"):
+        log.commit_chunk(
+            3, [0, 1], {"docs": 2},
+            replaces=[0, 1], no_new_overwrites_since=snapshot_ids,
+        )
+    # without a mid-flight overwrite the same commit succeeds
+    assert log.commit_chunk(
+        3, [0, 1], {"docs": 2},
+        replaces=[0, 1], no_new_overwrites_since={0, 1, 2},
+    )
+
+
 def test_reserve_chunk_id_skips_claimed_dirs(tmp_path):
     log = L.CommitLog(str(tmp_path / "t"))
     assert log.reserve_chunk_id() == 0

@@ -107,7 +107,7 @@ def test_streaming_idempotent_epoch_replay(spark, tmp_path):
     batch_df = spark.read.parquet(drop)
     log = CommitLog(str(tmp_path / "log"))
 
-    process = make_batch_processor(spark, log, base=0, n_parts=8, num_partitions=2)
+    process = make_batch_processor(spark, log, n_parts=8, num_partitions=2)
     process(batch_df, 0)
     chunks = log.committed_chunks()
     assert len(chunks) == 1
@@ -118,6 +118,21 @@ def test_streaming_idempotent_epoch_replay(spark, tmp_path):
     assert len(chunks2) == 1
     assert chunks2[0]["committed_at"] == committed_at
     assert log.read_extracted(spark).count() == 12
+
+    # RESTART replay: a fresh processor (post-crash, epoch committed but not
+    # yet checkpointed) must also skip — the epoch key is read back from the
+    # markers, not from restart-dependent in-memory state
+    process_restarted = make_batch_processor(spark, log, n_parts=8, num_partitions=2)
+    process_restarted(batch_df, 0)
+    assert len(log.committed_chunks()) == 1
+    assert log.read_extracted(spark).count() == 12
+
+    # a DIFFERENT stream namespace legitimately starts at epoch 0 again
+    other = make_batch_processor(
+        spark, log, n_parts=8, num_partitions=2, stream_ns="other-ckpt"
+    )
+    other(batch_df, 0)
+    assert len(log.committed_chunks()) == 2
 
 
 def test_windowed_lineage_counts_streaming_mode(spark, tmp_path):
