@@ -396,7 +396,11 @@ def file_key(
     h = hashlib.md5()
     h.update(_pad(user_pw))
     h.update(o_entry[:32])
-    h.update(struct.pack("<i", p))
+    # /P is a signed 32-bit value, but several real-world writers store the
+    # unsigned form (4294963392 instead of -4004) — mask to the low 32 bits
+    # so the hash sees identical bytes either way; struct.pack('<i') on the
+    # unsigned form would raise struct.error and abort the whole task
+    h.update(struct.pack("<I", p & 0xFFFFFFFF))
     h.update(file_id)
     if r >= 4 and not encrypt_metadata:
         h.update(b"\xff\xff\xff\xff")
@@ -496,8 +500,8 @@ def compute_v5_entries(
     ue = _cbc_encrypt_raw(hash_2b(user_pw, u_ks, b"", r), b"\x00" * 16, file_key)
     o = hash_2b(owner_pw, o_vs, u, r) + o_vs + o_ks
     oe = _cbc_encrypt_raw(hash_2b(owner_pw, o_ks, u, r), b"\x00" * 16, file_key)
-    perms_clear = (
-        struct.pack("<i", p) + b"\xff\xff\xff\xff" + b"Tadb" + salt[:4]
+    perms_clear = (  # low 32 bits: tolerate unsigned-form /P (see file_key)
+        struct.pack("<I", p & 0xFFFFFFFF) + b"\xff\xff\xff\xff" + b"Tadb" + salt[:4]
     )
     # /Perms is a single AES-256-ECB block == raw CBC with a zero IV
     perms = _cbc_encrypt_raw(file_key, b"\x00" * 16, perms_clear)

@@ -476,25 +476,37 @@ class PdfDoc:
             sections += 1
             if sections > _MAX_XREF_SECTIONS:
                 raise PdfParseError("xref /Prev chain too long")
-            trailer = self._load_xref_section(pos)
+            section: dict = {}
+            trailer = self._load_xref_section(pos, section)
             # keep the FIRST (newest) trailer's keys; older revisions fill gaps
             for k, v in trailer.items():
                 self.trailer.setdefault(k, v)
-            # hybrid-reference file: classic table + /XRefStm pointer
+            # hybrid-reference file (ISO 32000-1 §7.5.8.4): the classic table
+            # marks object-stream-resident objects FREE and the /XRefStm
+            # stream supplies their real entries — within one revision the
+            # stream takes PRECEDENCE over the classic section, or the
+            # tombstones would null out the whole page tree
             xstm = trailer.get("XRefStm")
             if isinstance(xstm, (int, float)) and int(xstm) not in seen:
                 seen.add(int(xstm))
-                self._load_xref_section(int(xstm))
+                stream_section: dict = {}
+                self._load_xref_section(int(xstm), stream_section)
+                stream_section.update(
+                    {k: v for k, v in section.items() if k not in stream_section}
+                )
+                section = stream_section
+            for k, v in section.items():
+                self.xref.setdefault(k, v)  # newer revisions always win
             prev = trailer.get("Prev")
             pos = int(prev) if isinstance(prev, (int, float)) else None
 
-    def _load_xref_section(self, pos: int) -> dict:
+    def _load_xref_section(self, pos: int, target: dict) -> dict:
         i = _skip_ws(self.data, pos)
         if self.data[i : i + 4] == b"xref":
-            return self._load_xref_table(i + 4)
-        return self._load_xref_stream(i)
+            return self._load_xref_table(i + 4, target)
+        return self._load_xref_stream(i, target)
 
-    def _load_xref_table(self, i: int) -> dict:
+    def _load_xref_table(self, i: int, target: dict) -> dict:
         data = self.data
         while True:
             i = _skip_ws(data, i)
@@ -513,16 +525,17 @@ class PdfDoc:
                 if em is None:
                     raise PdfParseError("malformed xref entry")
                 if em.group(3) == b"n":
-                    self.xref.setdefault(start + k, ("n", int(em.group(1))))
+                    target.setdefault(start + k, ("n", int(em.group(1))))
                 else:
                     # free entry: record a tombstone so an object deleted in
                     # a NEWER incremental revision shadows older revisions'
                     # in-use entries (setdefault fallthrough would otherwise
-                    # resurrect it — ADVICE r02)
-                    self.xref.setdefault(start + k, ("f",))
+                    # resurrect it — ADVICE r02). Within the SAME revision a
+                    # hybrid /XRefStm overrides these (see _load_xref_chain).
+                    target.setdefault(start + k, ("f",))
                 i = em.end()
 
-    def _load_xref_stream(self, i: int) -> dict:
+    def _load_xref_stream(self, i: int, target: dict) -> dict:
         obj = self._parse_indirect_at(i, expect_stream=True)
         if not isinstance(obj, Stream) or str(obj.dict.get("Type")) != "XRef":
             raise PdfParseError("startxref does not point at an xref section")
@@ -551,11 +564,11 @@ class PdfDoc:
                 ftype = fields[0] if w[0] else 1  # default type 1 per spec
                 num = start + k
                 if ftype == 1:
-                    self.xref.setdefault(num, ("n", fields[1]))
+                    target.setdefault(num, ("n", fields[1]))
                 elif ftype == 2:
-                    self.xref.setdefault(num, ("s", fields[1], fields[2]))
+                    target.setdefault(num, ("s", fields[1], fields[2]))
                 elif ftype == 0:  # free: tombstone shadows older revisions
-                    self.xref.setdefault(num, ("f",))
+                    target.setdefault(num, ("f",))
         return sd
 
     def _scan_fallback(self) -> None:
@@ -793,6 +806,9 @@ class _Font:
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
 _HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+# bfchar dst may be EMPTY (<>): a legal mapping meaning "no text content"
+# (suppressed glyph) — distinct from an unmapped code, which renders U+FFFD
+_BFCHAR_PAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]*)>")
 _HEXTRIPLE_RE = re.compile(
     rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[[^\]]*\])"
 )
@@ -830,7 +846,7 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
                         f"{base + k:0{len(base_hex)}x}".encode()
                     )
     for m in _BFCHAR_RE.finditer(data):
-        for p in _HEXPAIR_RE.finditer(m.group(1)):
+        for p in _BFCHAR_PAIR_RE.finditer(m.group(1)):
             cmap[int(p.group(1), 16)] = _utf16be_hex_to_str(p.group(2))
     return cmap
 
@@ -875,10 +891,20 @@ def _parse_cid_cmap(data: bytes):
 def _split_codes(raw: bytes, ranges: list[tuple[int, int, int]]) -> list[int]:
     """Split show-string bytes into character codes by codespacerange:
     shortest matching width wins; an unmatchable byte advances by one and
-    yields -1 (rendered U+FFFD) so hostile input never hangs."""
-    by_len: dict[int, list[tuple[int, int]]] = {}
+    yields -1 (rendered U+FFFD) so hostile input never hangs.
+
+    Matching is PER BYTE (ISO 32000-1 §9.7.6.2): a code is in a range only
+    if each byte lies within the corresponding byte of the bounds. For
+    <8140> <FCFC>, bytes 82 20 are NOT a match (20 < 40 in the low byte)
+    even though 0x8220 is between the endpoints as an integer — the integer
+    comparison would consume two bytes and desynchronize every following
+    code in the show string."""
+    by_len: dict[int, list[tuple[bytes, bytes]]] = {}
     for lo, hi, nb in ranges:
-        by_len.setdefault(nb, []).append((lo, hi))
+        mask = (1 << (8 * nb)) - 1
+        by_len.setdefault(nb, []).append(
+            ((lo & mask).to_bytes(nb, "big"), (hi & mask).to_bytes(nb, "big"))
+        )
     max_len = max(by_len)
     out: list[int] = []
     i, n = 0, len(raw)
@@ -887,9 +913,12 @@ def _split_codes(raw: bytes, ranges: list[tuple[int, int, int]]) -> list[int]:
             spans = by_len.get(ln)
             if spans is None or i + ln > n:
                 continue
-            code = int.from_bytes(raw[i : i + ln], "big")
-            if any(lo <= code <= hi for lo, hi in spans):
-                out.append(code)
+            chunk = raw[i : i + ln]
+            if any(
+                all(lo[j] <= chunk[j] <= hi[j] for j in range(ln))
+                for lo, hi in spans
+            ):
+                out.append(int.from_bytes(chunk, "big"))
                 i += ln
                 break
         else:
@@ -1286,7 +1315,13 @@ def _interpret(
                         if font.ucs2_codes
                         else (lambda c: "�")
                     )
-                    s = "".join(cm.get(c) or fallback(c) for c in codes)
+                    # `is None`, not `or`: a bfchar may legally map a code to
+                    # the EMPTY string (suppressed glyph) — that is a mapping,
+                    # not a miss, and must not fall through to U+FFFD
+                    s = "".join(
+                        v if (v := cm.get(c)) is not None else fallback(c)
+                        for c in codes
+                    )
             elif font.decode_map is not None:
                 s = s.translate(font.decode_map)
         # device position of the text origin: (tm.e, tm.f) through the CTM;

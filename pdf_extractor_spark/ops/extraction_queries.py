@@ -306,6 +306,14 @@ def q_extract_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = corpus_df(spark, n_docs=40, seed=42)
     ext = extract_documents(docs, n_parts=16, num_partitions=8)
+    return _corpus_projection(ext)
+
+
+def _corpus_projection(ext):
+    """Shared kinds/media_refs/empty_pages projection for the three corpus
+    queries (plain, encrypted, staged): the span-kind CSV, non-empty
+    pdf:// refs, and the needs-OCR page count — one definition so the
+    media-ref synthesis and score key can never diverge between them."""
     kinds = F.array_join(F.transform("spans", lambda s: s["kind"]), ",")
     refs = F.array_join(
         F.filter(F.transform("spans", lambda s: s["media_ref"]), lambda r: r != ""),
@@ -350,22 +358,7 @@ def q_extract_encrypted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = corpus_df(spark, n_docs=24, seed=7, profile="encrypted")
     ext = extract_documents(docs, n_parts=8, num_partitions=8)
-    kinds = F.array_join(F.transform("spans", lambda s: s["kind"]), ",")
-    refs = F.array_join(
-        F.filter(F.transform("spans", lambda s: s["media_ref"]), lambda r: r != ""),
-        ",",
-    )
-    return ext.select(
-        "doc_id",
-        F.col("pages_parsed").cast("bigint").alias("pages_parsed"),
-        F.col("spans_emitted").cast("bigint").alias("spans_emitted"),
-        F.col("parse_failures").cast("bigint").alias("parse_failures"),
-        kinds.alias("kinds"),
-        refs.alias("media_refs"),
-        F.element_at("scores", "pages_empty_with_images")
-        .cast("bigint")
-        .alias("empty_pages"),
-    ).orderBy("doc_id")
+    return _corpus_projection(ext)
 
 
 def _encrypted_corpus_oracle_sql() -> str:
@@ -419,22 +412,7 @@ def q_staged_pdf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = corpus_df(spark, n_docs=40, seed=42)
     ext = extract_documents_staged(stage_documents(docs), n_parts=16, num_partitions=8)
-    kinds = F.array_join(F.transform("spans", lambda s: s["kind"]), ",")
-    refs = F.array_join(
-        F.filter(F.transform("spans", lambda s: s["media_ref"]), lambda r: r != ""),
-        ",",
-    )
-    return ext.select(
-        "doc_id",
-        F.col("pages_parsed").cast("bigint").alias("pages_parsed"),
-        F.col("spans_emitted").cast("bigint").alias("spans_emitted"),
-        F.col("parse_failures").cast("bigint").alias("parse_failures"),
-        kinds.alias("kinds"),
-        refs.alias("media_refs"),
-        F.element_at("scores", "pages_empty_with_images")
-        .cast("bigint")
-        .alias("empty_pages"),
-    ).orderBy("doc_id")
+    return _corpus_projection(ext)
 
 
 # --- snapshot time travel over the commit log ------------------------------
