@@ -48,7 +48,7 @@ class TextBox:
     # which operator family the builder uses to place the box — exercises
     # different parser paths while producing identical layout
     style: str = "td"  # td | tm | quote | tj_array | hex
-    font: str = "F1"  # F2 = the /Differences-encoded font
+    font: str = "F1"  # F2 = /Differences remap; F4 = named base encoding
     # optional CTM (a, b, c, d, e, f) applied via "q ... cm ... Q"; the
     # builder emits pre-transformed coordinates so the DEVICE-space layout
     # (and therefore the extracted text) is unchanged. b = c = 0 required.
@@ -123,6 +123,28 @@ def _hex_str(s: str, inv_diff: dict[str, int] | None = None) -> str:
     return "<" + "".join(f"{c:02x}" for c in codes) + ">"
 
 
+# simple-font base encodings the builder (and parser) support by name:
+# /Encoding /WinAnsiEncoding | /MacRomanEncoding on the font dict. The
+# inverse maps cover the full high range 0x80-0xFF so any line char outside
+# ASCII is written as the CODEC's byte (octal/hex), not its latin-1 value —
+# for MacRoman the two disagree on every high byte.
+_BASE_CODECS = {
+    "WinAnsiEncoding": "cp1252",
+    "MacRomanEncoding": "mac_roman",
+}
+
+
+def _base_inverse(enc_name: str) -> dict[str, int]:
+    codec = _BASE_CODECS[enc_name]
+    inv: dict[str, int] = {}
+    for c in range(0x80, 0x100):
+        try:
+            inv[bytes([c]).decode(codec)] = c
+        except UnicodeDecodeError:
+            pass  # cp1252 leaves 0x81/0x8D/0x8F/0x90/0x9D undefined
+    return inv
+
+
 # CID codes the synthetic Type0 font maps beyond the identity-ASCII range
 CID_EACUTE = 0x0100  # -> "é" (bfchar)
 CID_FFL = 0x0101  # -> "ffl" (bfchar, multi-char ligature target)
@@ -191,9 +213,12 @@ _CID_TOKS = {
 
 
 def _textbox_ops(
-    box: TextBox, inv_diff: dict[str, int] | None = None, cid_tok=_cid_hex
+    box: TextBox,
+    inv_diff: dict[str, int] | None = None,
+    cid_tok=_cid_hex,
+    inv_base: dict[str, int] | None = None,
 ) -> str:
-    inv = inv_diff if box.font == "F2" else None
+    inv = inv_diff if box.font == "F2" else inv_base if box.font == "F4" else None
     # with a CTM, coordinates/leading are emitted in user space so that the
     # device-space result is identical to the untransformed box
     if box.ctm is not None:
@@ -268,11 +293,12 @@ def _rotated_textbox_ops(
     rotate: int,
     inv_diff: dict[str, int] | None = None,
     cid_tok=_cid_hex,
+    inv_base: dict[str, int] | None = None,
 ) -> str:
     """Per-line absolute Tm placement for a /Rotate'd page: each DISPLAY
     position (x, y_top + i*leading) is inverse-rotated into PDF top-down
     coords (the exact inverse of the parser's _apply_rotation maps)."""
-    inv = inv_diff if box.font == "F2" else None
+    inv = inv_diff if box.font == "F2" else inv_base if box.font == "F4" else None
     if rotate == 90:
         back = lambda X, Yt: (Yt, PAGE_H - X)
     elif rotate == 180:
@@ -345,15 +371,17 @@ def _page_objects(
     differences: list[tuple[int, str, str]] | None,
     cid: bool = False,
     cid_encoding: str = "identity",
+    base_encoding: str | None = None,
 ) -> tuple[list[tuple[int, bytes, bool]], int]:
     """Assemble numbered object bodies.
 
     Returns ([(num, body, is_stream)], size). Numbering: 1 catalog, 2 pages
     node, then per page i: page 3+2i / contents 4+2i, then fonts (F1; F2 if
-    differences; the F3 Type0 family if cid — see _CID_N_OBJS), then image
-    XObjects.
+    differences; the F3 Type0 family if cid — see _CID_N_OBJS; F4 if
+    base_encoding), then image XObjects.
     """
     inv_diff = {ch: code for code, _name, ch in (differences or [])}
+    inv_base = _base_inverse(base_encoding) if base_encoding else None
     cid_tok = _CID_TOKS[cid_encoding]
     n_pages = len(pages)
     f1_num = 3 + 2 * n_pages
@@ -370,13 +398,16 @@ def _page_objects(
     f3_num = f2_num + 1 if differences else f1_num + 1
     if cid:
         font_res += f" /F3 {f3_num} 0 R"
-    # image XObjects are numbered after every font object
-    img_base = (
+    f4_num = (
         f1_num
         + 1
         + (1 if differences else 0)
         + (_CID_N_OBJS[cid_encoding] if cid else 0)
     )
+    if base_encoding:
+        font_res += f" /F4 {f4_num} 0 R"
+    # image XObjects are numbered after every font object
+    img_base = f4_num + (1 if base_encoding else 0)
     img_objs: list[tuple[int, bytes, bool]] = []
     for i, page in enumerate(pages):
         page_num = 3 + 2 * i
@@ -425,12 +456,17 @@ def _page_objects(
             if page.tables or page.images:
                 raise ValueError("tables/images on rotated pages are unsupported")
             parts = [
-                _rotated_textbox_ops(b, page.rotate, inv_diff, cid_tok=cid_tok)
+                _rotated_textbox_ops(
+                    b, page.rotate, inv_diff, cid_tok=cid_tok, inv_base=inv_base
+                )
                 for b in page.boxes
             ]
         else:
             parts = [_table_ops(t) for t in page.tables]
-            parts += [_textbox_ops(b, inv_diff, cid_tok=cid_tok) for b in page.boxes]
+            parts += [
+                _textbox_ops(b, inv_diff, cid_tok=cid_tok, inv_base=inv_base)
+                for b in page.boxes
+            ]
             parts += img_parts
         content = "\n".join(parts).encode("latin-1", errors="replace")
         if compress:
@@ -566,6 +602,18 @@ def _page_objects(
                 )
             )
             size = tu_num + 1
+    if base_encoding:
+        objs.append(
+            (
+                f4_num,
+                (
+                    "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                    f"/Encoding /{base_encoding} >>"
+                ).encode(),
+                False,
+            )
+        )
+        size = f4_num + 1
     assert size == img_base
     objs.extend(img_objs)
     return objs, img_base + len(img_objs)
@@ -609,6 +657,7 @@ def build_pdf(
     order_rng: random.Random | None = None,
     cid: bool = False,
     cid_encoding: str = "identity",
+    base_encoding: str | None = None,
     encrypt: str | None = None,
     owner_pw: bytes = b"owner",
     user_pw: bytes = b"",
@@ -625,6 +674,11 @@ def build_pdf(
     non-stream objects are packed into one compressed object stream
     (/Type /ObjStm) referenced by type-2 xref entries.
 
+    base_encoding="WinAnsiEncoding" | "MacRomanEncoding": adds a fourth
+    simple font (``font="F4"`` boxes) whose /Encoding is the NAMED base
+    encoding — text bytes are written through that codec's high range, so
+    the parser must decode through the encoding table, not latin-1.
+
     encrypt="rc4-40" | "rc4-128" | "aes-128": standard security handler
     with the given ``user_pw`` (default empty — the owner-password-only
     files the parser must open transparently). Every stream payload is
@@ -636,7 +690,12 @@ def build_pdf(
     import hashlib
 
     objs, size = _page_objects(
-        pages, compress, differences, cid=cid, cid_encoding=cid_encoding
+        pages,
+        compress,
+        differences,
+        cid=cid,
+        cid_encoding=cid_encoding,
+        base_encoding=base_encoding,
     )
     if order_rng is not None:
         objs = list(objs)

@@ -768,6 +768,29 @@ def _glyph_to_char(name: str) -> str:
     return "�"
 
 
+def _codec_map(codec: str) -> dict[int, str]:
+    out: dict[int, str] = {}
+    for c in range(0x80, 0x100):
+        try:
+            out[c] = bytes([c]).decode(codec)
+        except UnicodeDecodeError:
+            out[c] = "�"  # cp1252 leaves 0x81/0x8D/0x8F/0x90/0x9D undefined
+    return out
+
+
+# Named simple-font base encodings (ISO 32000-1 Annex D). Codes below 0x80
+# match ASCII in all of them, so the tables carry only the high range —
+# applied via str.translate, unmapped codes fall through to latin-1 (the
+# StandardEncoding approximation this parser has always used). WinAnsi is
+# Windows cp1252; MacRoman is mac_roman. Reference behavior: pymupdf decodes
+# through the font's encoding table transparently
+# (app/processor/pymu_tesseract_processor.py get_text path).
+_BASE_ENC_MAPS: dict[str, dict[int, str]] = {
+    "WinAnsiEncoding": _codec_map("cp1252"),
+    "MacRomanEncoding": _codec_map("mac_roman"),
+}
+
+
 @dataclass(slots=True)
 class _Font:
     """Per-font text decoding state.
@@ -964,14 +987,26 @@ def _build_font(doc: PdfDoc, font_obj) -> _Font:
             return _Font(is_cid=True, cid_map=cid_map, ucs2_codes=True)
         raise PdfParseError(f"unsupported Type0 encoding {enc!r}")
     enc = doc.resolve(fd.get("Encoding"))
-    if not isinstance(enc, dict):
-        return _Font()
-    diffs = doc.resolve(enc.get("Differences"))
+    base_map: dict[int, str] | None = None
+    diffs = None
+    if isinstance(enc, Name):
+        # name-form /Encoding (/WinAnsiEncoding, /MacRomanEncoding): a named
+        # base encoding table. Unknown names (e.g. /MacExpertEncoding) keep
+        # the latin-1 default rather than failing the document.
+        base_map = _BASE_ENC_MAPS.get(str(enc))
+    elif isinstance(enc, dict):
+        base = doc.resolve(enc.get("BaseEncoding"))
+        if base is not None:
+            base_map = _BASE_ENC_MAPS.get(str(base))
+        diffs = doc.resolve(enc.get("Differences"))
     if not isinstance(diffs, list):
+        diffs = None
+    if base_map is None and diffs is None:
         return _Font()
-    dmap: dict[int, str] = {}
+    # /Differences layer ON TOP of the base encoding (ISO 32000 9.6.5.1)
+    dmap: dict[int, str] = dict(base_map or {})
     code = 0
-    for item in diffs:
+    for item in diffs or ():
         item = doc.resolve(item)
         if isinstance(item, (int, float)):
             code = int(item)

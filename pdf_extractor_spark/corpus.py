@@ -17,7 +17,7 @@ import random
 
 # bump when gen_documents/make_pdf_bytes output changes: the parquet cache
 # in tempdir is keyed by it, so stale corpora are never reused across edits
-_GEN_VERSION = 8
+_GEN_VERSION = 9
 
 from .core.pdf_build import (
     ImageBox,
@@ -51,6 +51,23 @@ def _sentence(rng: random.Random, n_words: int) -> str:
 
 def _paragraph(rng: random.Random) -> str:
     return " ".join(_sentence(rng, rng.randint(4, 12)) for _ in range(rng.randint(1, 4)))
+
+
+def _spice_high_range(rng: random.Random, line: str) -> str:
+    """Inject non-ASCII chars an F4 (named base encoding) box must decode.
+    Every char here exists in BOTH WinAnsi (cp1252) and MacRoman, so a line
+    stays encodable whichever encoding the document drew."""
+    r = rng.random()
+    if r < 0.35:
+        words = line.split(" ")
+        i = rng.randrange(len(words))
+        words[i] = "“" + words[i] + "”"
+        return " ".join(words)
+    if r < 0.60:
+        return line.replace("a", "é", 1)
+    if r < 0.80:
+        return line.replace(" ", " — ", 1)
+    return line + " •"
 
 
 def _messy_text(rng: random.Random) -> str:
@@ -168,7 +185,9 @@ def make_pdf(
     cm translates, classic xref (optionally physically shuffled), PDF 1.5
     xref streams / object streams / PNG predictor, incremental updates, and
     (features >= 6) embedded Image XObjects / inline images incl. text-free
-    "scanned" pages — all deterministic from the rng stream.
+    "scanned" pages, non-Identity CID encodings (v7), and named
+    WinAnsi/MacRoman base encodings (v9, F4 boxes) — all deterministic from
+    the rng stream.
 
     Returns (bytes, effective page specs) — the specs are the
     parser-independent ground truth ``expected_extraction_rows`` derives the
@@ -200,6 +219,12 @@ def make_pdf(
         # v7: non-Identity CID encodings — an embedded CMap stream with
         # mixed 1/2-byte codes, and the predefined UniGB-UCS2-H family
         cid_encoding = rng.choice(["identity", "embedded", "ucs2"])
+    base_encoding = None
+    if features >= 6 and not use_diff and not use_cid and rng.random() < 0.25:
+        # v9: named base encodings (F4 boxes) — WinAnsi curly quotes and
+        # dashes are ubiquitous in real-world PDFs, and MacRoman disagrees
+        # with latin-1 on every high byte
+        base_encoding = rng.choice(["WinAnsiEncoding", "MacRomanEncoding"])
     for page in pages:
         if not page.tables and not page.images and rng.random() < 0.15:
             page.rotate = rng.choice([90, 180, 270])
@@ -218,6 +243,9 @@ def make_pdf(
                     line.replace("a", "é", 1) if rng.random() < 0.3 else line
                     for line in box.lines
                 ]
+            elif base_encoding is not None and rng.random() < 0.5:
+                box.font = "F4"
+                box.lines = [_spice_high_range(rng, line) for line in box.lines]
             if rng.random() < 0.2:
                 box.ctm = (
                     1.0, 0.0, 0.0, 1.0,
@@ -248,6 +276,7 @@ def make_pdf(
         differences=CORPUS_DIFFS if use_diff else None,
         cid=use_cid,
         cid_encoding=cid_encoding,
+        base_encoding=base_encoding,
         **kwargs,
     )
     if incremental:
