@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> int:
                         "or conflict-losing writers (remove_orphan_files "
                         "analogue; keep SECS above any live writer's chunk "
                         "write time)")
+    p.add_argument("--export-zip", type=str, default=None, metavar="PATH",
+                   help="after the run, export every committed document as "
+                        "<doc_id>.md in one deterministic zip archive "
+                        "(download-artifact sink; committed data is never "
+                        "deleted by exporting)")
     args = p.parse_args(argv)
 
     from pdf_extractor_spark.spark.session import get_spark
@@ -89,6 +94,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.gc_orphans_older_than is not None:
             swept = log.gc_orphans(grace_s=args.gc_orphans_older_than)
             print(f"ORPHANS_REMOVED dirs={len(swept)}")
+        if args.export_zip:
+            from pdf_extractor_spark.spark.export import export_markdown_zip
+
+            n_exported = export_markdown_zip(spark, args.output, args.export_zip)
+            print(f"EXPORT_DONE zip={args.export_zip} docs={n_exported}")
         dt = time.monotonic() - t0
         docs_s = report.docs_processed / dt if dt > 0 else 0.0
         print(

@@ -153,24 +153,10 @@ def q_render_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     become '## Span N' sections, media spans become image links. The sink
     itself is then just `df.write.text` / a second output table; rendering
     is JVM-side, no Python."""
+    from ..spark.export import markdown_expr
+
     ext = extract_wrapped(spark, sf_dir)
-    md = F.array_join(
-        F.transform(
-            "spans",
-            lambda s: F.when(
-                s["kind"] == "media",
-                F.concat(F.lit("!["), s["kind"], F.lit("]("), s["media_ref"], F.lit(")")),
-            ).otherwise(
-                F.concat(
-                    F.lit("## Span "),
-                    (s["offset"] + 1).cast("string"),
-                    F.lit("\n\n"),
-                    s["text"],
-                )
-            ),
-        ),
-        "\n\n",
-    )
+    md = markdown_expr("spans")
     return ext.select(
         F.col("doc_id").cast("bigint").alias("doc_id"), md.alias("markdown")
     ).orderBy("doc_id")

@@ -231,8 +231,53 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_polygon_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-geometry normalization: an 8-number polygon
+    (x0,y0,...,x3,y3) collapses to its axis-aligned bbox
+    (min x, min y, max x, max y) — the reference's F7
+    (azure_ai_processor.py:111-116, stride slices poly[0::2]/poly[1::2]).
+    Polygons are synthesized from the first 8 embedding components so the
+    op runs on driver testdata without external geometry.
+
+    Scale shape: map-only JVM expressions (element_at + least/greatest),
+    pipelines into the scan, zero shuffles before the output sort.
+    Exactness: float -> double widening is exact; both engines floor the
+    identical IEEE product (floor-micros rule)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = F.col("embedding")
+    xs = [e[i].cast("double") for i in (0, 2, 4, 6)]
+    ys = [e[i].cast("double") for i in (1, 3, 5, 7)]
+    m = lambda c: F.floor(c * 1_000_000.0).cast("bigint")
+    return emb.select(
+        "vec_id",
+        m(F.least(*xs)).alias("x_min_micros"),
+        m(F.least(*ys)).alias("y_min_micros"),
+        m(F.greatest(*xs)).alias("x_max_micros"),
+        m(F.greatest(*ys)).alias("y_max_micros"),
+    ).orderBy("vec_id")
+
+
+POLYGON_BBOX_SQL = """
+SELECT vec_id,
+       CAST(floor(least(CAST(embedding[1] AS DOUBLE), CAST(embedding[3] AS DOUBLE),
+                        CAST(embedding[5] AS DOUBLE), CAST(embedding[7] AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS x_min_micros,
+       CAST(floor(least(CAST(embedding[2] AS DOUBLE), CAST(embedding[4] AS DOUBLE),
+                        CAST(embedding[6] AS DOUBLE), CAST(embedding[8] AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS y_min_micros,
+       CAST(floor(greatest(CAST(embedding[1] AS DOUBLE), CAST(embedding[3] AS DOUBLE),
+                           CAST(embedding[5] AS DOUBLE), CAST(embedding[7] AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS x_max_micros,
+       CAST(floor(greatest(CAST(embedding[2] AS DOUBLE), CAST(embedding[4] AS DOUBLE),
+                           CAST(embedding[6] AS DOUBLE), CAST(embedding[8] AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS y_max_micros
+FROM embeddings ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "media_features": (q_media_features, MEDIA_FEATURES_SQL),
     "frame_sample": (q_frame_sample, FRAME_SAMPLE_SQL),
     "media_resize": (q_media_resize, MEDIA_RESIZE_SQL),
+    "polygon_bbox": (q_polygon_bbox, POLYGON_BBOX_SQL),
 }

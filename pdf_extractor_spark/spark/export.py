@@ -1,0 +1,91 @@
+"""Terminal export sinks for committed extraction output.
+
+Reference S8 (``zip_for_download``, dashboard.py:79-96): the Streamlit app
+zips the results directory for a browser download, then DELETES results +
+temp. Re-expressed for a pipeline engine: render the committed output to
+per-document markdown and pack one deterministic zip archive — the
+download artifact a user hands off, not a data-plane sink. The reference's
+destructive cleanup is deliberately NOT mirrored here: deleting committed
+data is the retention job's decision (``CommitLog.expire_snapshots``, the
+S10 analogue), never a side effect of exporting.
+
+Scale shape: markdown rendering is a JVM-side column expression evaluated
+distributed (same expression as the ``render_markdown`` query); only the
+final byte packing runs on the driver via ``toLocalIterator`` — one
+partition in memory at a time — because the zip FORMAT is a single
+sequential file. At 100 TB nobody zips the corpus; this sink is for
+human-sized result sets (a filtered report, one tenant's documents), and
+the data-plane export path remains the parquet/markdown table writers.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .lineage import CommitLog
+
+# fixed timestamp so export bytes depend only on the data (zip stores no
+# tz; 1980-01-01 is the format's epoch)
+_ZIP_EPOCH = (1980, 1, 1, 0, 0, 0)
+
+
+def markdown_expr(spans: Column | str) -> Column:
+    """Markdown rendering of an extracted ``spans`` array as a pure column
+    expression (reference S7 export path, docling_processor.py:241-246):
+    text spans become '## Span N' sections, media spans become image
+    links. JVM-side, no Python."""
+    return F.array_join(
+        F.transform(
+            spans,
+            lambda s: F.when(
+                s["kind"] == "media",
+                F.concat(
+                    F.lit("!["), s["kind"], F.lit("]("), s["media_ref"], F.lit(")")
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("## Span "),
+                    (s["offset"] + 1).cast("string"),
+                    F.lit("\n\n"),
+                    s["text"],
+                )
+            ),
+        ),
+        "\n\n",
+    )
+
+
+def export_markdown_zip(
+    spark: SparkSession,
+    root: str,
+    zip_path: str,
+    as_of: int | None = None,
+) -> int:
+    """Export every committed document as ``<doc_id>.md`` inside one zip.
+
+    Entries are sorted by doc_id and carry a fixed timestamp, so the
+    archive bytes are a pure function of the committed snapshot (``as_of``
+    time-travels like every other read). Returns the number of documents
+    written. Streams partition-by-partition; never collects the table.
+    """
+    log = CommitLog(root)
+    df: DataFrame = log.read_extracted(spark, as_of=as_of)
+    md = df.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        markdown_expr("spans").alias("markdown"),
+    ).orderBy("doc_id")
+    tmp = zip_path + ".inprogress"
+    n = 0
+    os.makedirs(os.path.dirname(os.path.abspath(zip_path)), exist_ok=True)
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for row in md.toLocalIterator():
+            info = zipfile.ZipInfo(f"{row['doc_id']}.md", date_time=_ZIP_EPOCH)
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, (row["markdown"] or "").encode("utf-8"))
+            n += 1
+    os.replace(tmp, zip_path)  # atomic: readers never see a partial archive
+    return n

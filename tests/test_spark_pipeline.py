@@ -441,3 +441,63 @@ def test_preview_n_parts_recorded_and_validated(spark, tmp_path):
         doc_spans(spark, log, target["doc_id"], n_parts=8)
     with pytest.raises(ValueError, match="does not match the writer"):
         read_page(spark, log, target["doc_id"], 1, n_parts=64)
+
+
+def test_export_markdown_zip(spark, tmp_path):
+    """S8 analogue: committed output exports to one deterministic zip of
+    per-doc markdown; committed data survives the export (the reference's
+    destructive cleanup is NOT mirrored)."""
+    import zipfile
+
+    from pdf_extractor_spark.spark.export import export_markdown_zip, markdown_expr
+
+    root = str(tmp_path / "commitlog")
+    docs = corpus_df(spark, 40)
+    log = L.CommitLog(root)
+    L.run_extraction(spark, docs, log, n_parts=8, parts_per_chunk=4)
+
+    zip1 = str(tmp_path / "export1.zip")
+    zip2 = str(tmp_path / "export2.zip")
+    n1 = export_markdown_zip(spark, root, zip1)
+    n2 = export_markdown_zip(spark, root, zip2)
+    assert n1 == n2 == 40
+    with open(zip1, "rb") as a, open(zip2, "rb") as b:
+        assert a.read() == b.read()  # byte-deterministic archive
+
+    from pyspark.sql import functions as F
+
+    want = {
+        r["doc_id"]: r["md"]
+        for r in log.read_extracted(spark)
+        .select("doc_id", markdown_expr("spans").alias("md"))
+        .collect()
+    }
+    with zipfile.ZipFile(zip1) as zf:
+        names = zf.namelist()
+        assert names == sorted(names) and len(names) == 40
+        for name in names:
+            doc_id = name[: -len(".md")]
+            assert zf.read(name).decode("utf-8") == want[doc_id]
+    # committed data untouched by the export
+    assert log.read_extracted(spark).count() == 40
+
+
+def test_export_zip_time_travel(spark, tmp_path):
+    """as_of exports exactly the pinned snapshot's documents."""
+    import zipfile
+
+    from pdf_extractor_spark.spark.export import export_markdown_zip
+
+    root = str(tmp_path / "commitlog")
+    log = L.CommitLog(root)
+    L.run_extraction(spark, corpus_df(spark, 30), log, n_parts=4, parts_per_chunk=2)
+    snap1 = log.committed_chunks()[-1]["chunk_id"]
+    L.run_extraction(
+        spark, corpus_df(spark, 50, seed=7), log, n_parts=4, parts_per_chunk=2
+    )
+
+    zpath = str(tmp_path / "old.zip")
+    n = export_markdown_zip(spark, root, zpath, as_of=snap1)
+    assert n == 30
+    with zipfile.ZipFile(zpath) as zf:
+        assert all("doc-42-" in name for name in zf.namelist())
