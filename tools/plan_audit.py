@@ -255,6 +255,18 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "polygon_bbox",
+        _query_df,
+        [
+            # map-only geometry: least/greatest pipeline into the scan; the
+            # single range exchange is the deterministic output sort
+            lambda p: absent(p, "hashpartitioning"),
+            lambda p: exchange_count(p, 1),
+            lambda p: never_reads(p, "label"),
+        ],
+        False,
+    ),
+    (
         "length_quantiles",
         _query_df,
         [
