@@ -95,9 +95,13 @@ class PageSpec:
     rotate: int = 0
 
 
-def _esc(s: str, inv_diff: dict[str, int] | None = None) -> str:
+def _esc(s: str, inv_diff: dict[str, int] | None = None, strict_high: bool = False) -> str:
     """Escape a literal string body; chars in the /Differences inverse map
-    are emitted as their remapped code (octal escape)."""
+    are emitted as their remapped code (octal escape). ``strict_high``
+    (base-encoded F4 boxes): a non-ASCII char missing from the encoding
+    raises instead of silently falling through as its latin-1 byte — the
+    returned PageSpec is the test oracle, so a silent fallthrough would
+    corrupt the ground truth, not just the PDF."""
     out = []
     for ch in s:
         if inv_diff and ch in inv_diff:
@@ -109,40 +113,40 @@ def _esc(s: str, inv_diff: dict[str, int] | None = None) -> str:
         elif ch == ")":
             out.append(r"\)")
         else:
+            if strict_high and ord(ch) > 0x7F:
+                raise ValueError(f"char {ch!r} not in the base encoding")
             out.append(ch)
     return "".join(out)
 
 
-def _hex_str(s: str, inv_diff: dict[str, int] | None = None) -> str:
+def _hex_str(
+    s: str, inv_diff: dict[str, int] | None = None, strict_high: bool = False
+) -> str:
     """<hex> form of a string (codes through the /Differences inverse map)."""
-    codes = [
-        inv_diff[ch] if inv_diff and ch in inv_diff else ord(ch) for ch in s
-    ]
+    codes = []
+    for ch in s:
+        if inv_diff and ch in inv_diff:
+            codes.append(inv_diff[ch])
+        else:
+            if strict_high and ord(ch) > 0x7F:
+                raise ValueError(f"char {ch!r} not in the base encoding")
+            codes.append(ord(ch))
     if any(c > 255 for c in codes):
         raise ValueError("non-latin-1 char outside the differences map")
     return "<" + "".join(f"{c:02x}" for c in codes) + ">"
 
 
 # simple-font base encodings the builder (and parser) support by name:
-# /Encoding /WinAnsiEncoding | /MacRomanEncoding on the font dict. The
-# inverse maps cover the full high range 0x80-0xFF so any line char outside
-# ASCII is written as the CODEC's byte (octal/hex), not its latin-1 value —
-# for MacRoman the two disagree on every high byte.
-_BASE_CODECS = {
-    "WinAnsiEncoding": "cp1252",
-    "MacRomanEncoding": "mac_roman",
-}
+# /Encoding /WinAnsiEncoding | /MacRomanEncoding on the font dict. Encode
+# tables are the inverses of the parser's Annex D decode tables (one
+# authoritative source, core/encodings.py), so any non-ASCII line char is
+# written as the ENCODING's byte, not its latin-1 value — for MacRoman the
+# two disagree on every high byte.
+from .encodings import BASE_ENC_INVERSE
 
 
 def _base_inverse(enc_name: str) -> dict[str, int]:
-    codec = _BASE_CODECS[enc_name]
-    inv: dict[str, int] = {}
-    for c in range(0x80, 0x100):
-        try:
-            inv[bytes([c]).decode(codec)] = c
-        except UnicodeDecodeError:
-            pass  # cp1252 leaves 0x81/0x8D/0x8F/0x90/0x9D undefined
-    return inv
+    return BASE_ENC_INVERSE[enc_name]
 
 
 # CID codes the synthetic Type0 font maps beyond the identity-ASCII range
@@ -240,12 +244,13 @@ def _textbox_ops(
         ops.append(f"1 0 0 1 {x_u:g} {y0_u:g} Tm")
     else:
         ops.append(f"{x_u:g} {y0_u:g} Td")
+    strict = box.font == "F4"
     if box.font == "F3":
         tok = cid_tok  # Type0: every show string is CID hex (per encoding)
     elif box.style == "hex":
-        tok = lambda s: _hex_str(s, inv)
+        tok = lambda s: _hex_str(s, inv, strict_high=strict)
     else:
-        tok = lambda s: f"({_esc(s, inv)})"
+        tok = lambda s: f"({_esc(s, inv, strict_high=strict)})"
     if box.style == "words":
         # one show-op per positioned word (how real writers emit text):
         # advances follow the same 0.5 em/char + 0.3 em gap width model the
@@ -307,12 +312,13 @@ def _rotated_textbox_ops(
         back = lambda X, Yt: (PAGE_W - Yt, X)
     else:
         raise ValueError(f"unsupported rotate {rotate}")
+    strict = box.font == "F4"
     if box.font == "F3":
         tok = cid_tok
     elif box.style == "hex":
-        tok = lambda s: _hex_str(s, inv)
+        tok = lambda s: _hex_str(s, inv, strict_high=strict)
     else:
-        tok = lambda s: f"({_esc(s, inv)})"
+        tok = lambda s: f"({_esc(s, inv, strict_high=strict)})"
     ops = [f"BT /{box.font} {box.font_size:g} Tf"]
     for i, line in enumerate(box.lines):
         x_pdf, ytop_pdf = back(box.x, box.y_top + i * box.leading)

@@ -768,27 +768,14 @@ def _glyph_to_char(name: str) -> str:
     return "�"
 
 
-def _codec_map(codec: str) -> dict[int, str]:
-    out: dict[int, str] = {}
-    for c in range(0x80, 0x100):
-        try:
-            out[c] = bytes([c]).decode(codec)
-        except UnicodeDecodeError:
-            out[c] = "�"  # cp1252 leaves 0x81/0x8D/0x8F/0x90/0x9D undefined
-    return out
-
-
-# Named simple-font base encodings (ISO 32000-1 Annex D). Codes below 0x80
-# match ASCII in all of them, so the tables carry only the high range —
-# applied via str.translate, unmapped codes fall through to latin-1 (the
-# StandardEncoding approximation this parser has always used). WinAnsi is
-# Windows cp1252; MacRoman is mac_roman. Reference behavior: pymupdf decodes
-# through the font's encoding table transparently
+# Named simple-font base encodings (ISO 32000-1 Annex D tables, shared
+# with the builder so decode/encode can never drift — see encodings.py for
+# the codec-vs-Annex deltas). Applied via str.translate; unmapped codes
+# fall through to latin-1 (the StandardEncoding approximation this parser
+# has always used). Reference behavior: pymupdf decodes through the font's
+# encoding table transparently
 # (app/processor/pymu_tesseract_processor.py get_text path).
-_BASE_ENC_MAPS: dict[str, dict[int, str]] = {
-    "WinAnsiEncoding": _codec_map("cp1252"),
-    "MacRomanEncoding": _codec_map("mac_roman"),
-}
+from .encodings import BASE_ENC_MAPS as _BASE_ENC_MAPS
 
 
 @dataclass(slots=True)

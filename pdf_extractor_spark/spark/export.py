@@ -21,6 +21,8 @@ the data-plane export path remains the parquet/markdown table writers.
 from __future__ import annotations
 
 import os
+import re
+import uuid
 import zipfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -78,14 +80,44 @@ def export_markdown_zip(
         F.col("doc_id").cast("string").alias("doc_id"),
         markdown_expr("spans").alias("markdown"),
     ).orderBy("doc_id")
-    tmp = zip_path + ".inprogress"
+    # unique temp name: two concurrent exports to the same path must each
+    # build their own archive and race only on the final atomic rename
+    # (last-publish-wins), never interleave writes into one file
+    tmp = f"{zip_path}.inprogress-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     n = 0
+    seen: set[str] = set()
     os.makedirs(os.path.dirname(os.path.abspath(zip_path)), exist_ok=True)
-    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-        for row in md.toLocalIterator():
-            info = zipfile.ZipInfo(f"{row['doc_id']}.md", date_time=_ZIP_EPOCH)
-            info.compress_type = zipfile.ZIP_DEFLATED
-            zf.writestr(info, (row["markdown"] or "").encode("utf-8"))
-            n += 1
-    os.replace(tmp, zip_path)  # atomic: readers never see a partial archive
+    try:
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for row in md.toLocalIterator():
+                name = _entry_name(row["doc_id"], seen)
+                info = zipfile.ZipInfo(name, date_time=_ZIP_EPOCH)
+                info.compress_type = zipfile.ZIP_DEFLATED
+                zf.writestr(info, (row["markdown"] or "").encode("utf-8"))
+                n += 1
+        os.replace(tmp, zip_path)  # atomic: readers never see a partial file
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return n
+
+
+_UNSAFE_RE = re.compile(r"[^A-Za-z0-9._-]")
+
+
+def _entry_name(doc_id: str, seen: set[str]) -> str:
+    """Archive-safe entry name for arbitrary doc_ids: path separators and
+    other unsafe chars become '_' (no zip-slip / surprise subdirectories),
+    leading dots are stripped, and a collision after sanitization gets a
+    stable ~N suffix so no document silently shadows another."""
+    base = _UNSAFE_RE.sub("_", doc_id).lstrip(".") or "doc"
+    name = f"{base}.md"
+    k = 1
+    while name in seen:
+        name = f"{base}~{k}.md"
+        k += 1
+    seen.add(name)
+    return name

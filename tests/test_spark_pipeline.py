@@ -501,3 +501,16 @@ def test_export_zip_time_travel(spark, tmp_path):
     assert n == 30
     with zipfile.ZipFile(zpath) as zf:
         assert all("doc-42-" in name for name in zf.namelist())
+
+
+def test_export_entry_name_sanitization():
+    """Arbitrary doc_ids can't produce zip-slip paths, subdirectories, or
+    silently-shadowed duplicate entries."""
+    from pdf_extractor_spark.spark.export import _entry_name
+
+    seen = set()
+    assert _entry_name("../../etc/passwd", seen) == "_.._etc_passwd.md"
+    assert _entry_name("a/b", seen) == "a_b.md"
+    assert _entry_name("a_b", seen) == "a_b~1.md"  # collision gets a suffix
+    assert _entry_name("...", seen) == "doc.md"
+    assert len(seen) == 4
