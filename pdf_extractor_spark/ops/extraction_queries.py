@@ -425,7 +425,7 @@ def _snapshot_fixture_root() -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    root = os.path.join(tempfile.gettempdir(), "pes-snapshot-fixture-v2")
+    root = os.path.join(tempfile.gettempdir(), "pes-snapshot-fixture-v3")
     done = os.path.join(root, ".complete")
     if os.path.exists(done):
         return root
@@ -437,9 +437,12 @@ def _snapshot_fixture_root() -> str:
             os.makedirs(pdir, exist_ok=True)
             rows = {
                 "doc_id": [f"d{chunk}_{part}_{i}" for i in range(4)],
+                # int32, matching EXTRACTED_SCHEMA: reads enforce the
+                # table schema explicitly (empty chunks carry no footer to
+                # infer from), so fixture files must type-match it
                 "spans_emitted": pa.array(
                     [chunk * 100 + part * 10 + i for i in range(4)],
-                    type=pa.int64(),
+                    type=pa.int32(),
                 ),
             }
             pq.write_table(pa.table(rows), os.path.join(pdir, "part-0.parquet"))

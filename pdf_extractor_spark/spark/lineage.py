@@ -36,10 +36,11 @@ each other's chunks. Three mechanisms, all filesystem-atomic:
 
 On a real cluster all three collapse into the Iceberg catalog's atomic
 snapshot swap + retry; the flock is the sandbox stand-in for that CAS.
-The streaming writer keeps its own idempotency scheme (deterministic
-epoch-derived chunk ids + marker-exists short-circuit) and publishes with
-``if_absent=True``: losing a replay race means identical data was already
-committed, so the loss is benign.
+The streaming writer reserves chunk ids like any other writer and gets
+replay idempotency from the (stream_ns, epoch) record each marker carries:
+a restarted query consults the committed epochs and skips micro-batches
+that already landed (see streaming/ingest.py). ``commit_chunk``'s
+``if_absent`` flag survives for tests exercising the no-clobber publish.
 """
 
 from __future__ import annotations
@@ -66,6 +67,12 @@ LINEAGE_COLS = [
     "duration_ms",
     "committed_at",
 ]
+
+LINEAGE_SCHEMA = (
+    "part_id int, status string, docs_done bigint, pages_parsed bigint, "
+    "spans_emitted bigint, parse_failures bigint, duration_ms bigint, "
+    "committed_at timestamp"
+)
 
 
 @dataclass
@@ -96,17 +103,29 @@ class CommitLog:
     # ------------------------------------------------------------- commit side
 
     def committed_chunks(self, as_of: int | None = None) -> list[dict]:
-        """Commit markers in chunk order; ``as_of`` caps the snapshot id
-        (inclusive) — the Iceberg time-travel analogue
-        (``VERSION AS OF``): every read method below accepts it, so a
-        reader can pin the exact table state any earlier job saw."""
+        """Commit markers in COMMIT order (``committed_at`` stamped under
+        the commit lock; chunk ids are reserve-ordered and a slow writer
+        can commit a low id late). ``as_of`` pins the snapshot
+        (inclusive) — the Iceberg time-travel analogue (``VERSION AS
+        OF``): when ``as_of`` names a committed snapshot, the horizon is
+        everything committed up to and including IT in commit order — a
+        table state that actually existed — never an id-prefix that mixes
+        in later-committed lower ids. An ``as_of`` that is not a committed
+        snapshot falls back to the id cap (so a value past the newest id
+        means "current table", the documented convention)."""
         out = []
         for name in sorted(os.listdir(self.commits_dir)):
             if name.startswith("commit-") and name.endswith(".json"):
                 with open(os.path.join(self.commits_dir, name)) as f:
-                    marker = json.load(f)
-                if as_of is None or marker["chunk_id"] <= as_of:
-                    out.append(marker)
+                    out.append(json.load(f))
+        out.sort(key=self._commit_order)
+        if as_of is not None:
+            cap = next((m for m in out if m["chunk_id"] == as_of), None)
+            if cap is not None:
+                horizon = self._commit_order(cap)
+                out = [m for m in out if self._commit_order(m) <= horizon]
+            else:
+                out = [m for m in out if m["chunk_id"] <= as_of]
         return out
 
     def snapshots(self) -> list[dict]:
@@ -412,6 +431,8 @@ class CommitLog:
         one partitioned Iceberg table."""
         from functools import reduce
 
+        from .pipeline import EXTRACTED_SCHEMA
+
         frames = []
         visible = self.visible_chunks(as_of, chunks=markers)  # parsed once
         for c in visible:
@@ -421,7 +442,9 @@ class CommitLog:
             owned = self._owned_parts(c, visible)
             if not owned:
                 continue
-            df = spark.read.parquet(path)
+            # explicit schema: a committed chunk whose parts got zero
+            # docs holds only _SUCCESS, and schema inference would raise
+            df = spark.read.schema(EXTRACTED_SCHEMA).parquet(path)
             if len(owned) < len(c["part_ids"]):
                 # partially shadowed by a later overwrite: the part_id
                 # predicate is a PartitionFilter — whole shadowed
@@ -429,8 +452,6 @@ class CommitLog:
                 df = df.where(F.col("part_id").isin(owned))
             frames.append(df)
         if not frames:
-            from .pipeline import EXTRACTED_SCHEMA
-
             return spark.createDataFrame([], EXTRACTED_SCHEMA)
         return reduce(DataFrame.unionByName, frames)
 
@@ -447,19 +468,34 @@ class CommitLog:
         current content). Chunk-level ``replaces`` markers (compaction) are
         EXCLUDED — compaction rewrites bytes, not table content, so a
         consumer that already processed (0, after] must not see those rows
-        again."""
+        again.
+
+        The horizon is COMMIT order, not chunk-id order: under concurrent
+        writers a low chunk id can commit late, and an id-cursor would skip
+        it forever (the consumer's cursor had already advanced past the
+        id). ``after``/``until`` name committed snapshots; everything that
+        COMMITTED after ``after`` did is in scope, exactly like an Iceberg
+        incremental scan walking snapshot history."""
         from functools import reduce
 
+        from .pipeline import EXTRACTED_SCHEMA
+
+        chunks = self.committed_chunks(until)  # commit order
+        lo = next((c for c in chunks if c["chunk_id"] == after), None)
+        lo_key = self._commit_order(lo) if lo is not None else None
         frames = []
-        for c in self.committed_chunks(until):
-            if c["chunk_id"] <= after or c.get("replaces"):
+        for c in chunks:
+            if c.get("replaces"):
+                continue
+            if lo_key is not None:
+                if self._commit_order(c) <= lo_key:
+                    continue
+            elif c["chunk_id"] <= after:  # id fallback (e.g. after=-1/0 start)
                 continue
             path = os.path.join(self.data_dir, f"chunk-{c['chunk_id']:06d}")
             if os.path.isdir(path):
-                frames.append(spark.read.parquet(path))
+                frames.append(spark.read.schema(EXTRACTED_SCHEMA).parquet(path))
         if not frames:
-            from .pipeline import EXTRACTED_SCHEMA
-
             return spark.createDataFrame([], EXTRACTED_SCHEMA)
         return reduce(DataFrame.unionByName, frames)
 
@@ -480,17 +516,12 @@ class CommitLog:
             owned = self._owned_parts(c, visible)
             if not owned:
                 continue
-            df = spark.read.parquet(path)
+            df = spark.read.schema(LINEAGE_SCHEMA).parquet(path)
             if len(owned) < len(c["part_ids"]):
                 df = df.where(F.col("part_id").isin(owned))
             frames.append(df)
         if not frames:
-            return spark.createDataFrame(
-                [],
-                "part_id int, status string, docs_done long, pages_parsed long, "
-                "spans_emitted long, parse_failures long, duration_ms long, "
-                "committed_at timestamp",
-            )
+            return spark.createDataFrame([], LINEAGE_SCHEMA)
         return reduce(DataFrame.unionByName, frames)
 
 
@@ -605,8 +636,14 @@ def _write_chunk(
     # momentarily releasing the reservation to a racing writer.
     extracted.write.partitionBy("part_id").mode("append").parquet(data_path)
 
-    # lineage rollup from the just-written data (no recompute of the UDF)
-    written = spark.read.parquet(data_path)
+    # lineage rollup from the just-written data (no recompute of the UDF).
+    # Explicit schema: a chunk whose parts received zero docs writes only
+    # _SUCCESS, and a schema-inferring read would raise UNABLE_TO_INFER_
+    # SCHEMA — unresumably, since the rerun rebuilds the same empty chunk
+    # (empty part_ids must still commit; see run_extraction).
+    from .pipeline import EXTRACTED_SCHEMA
+
+    written = spark.read.schema(EXTRACTED_SCHEMA).parquet(data_path)
     if side_output is not None:
         side_output(written)
     lineage = (
@@ -629,20 +666,22 @@ def _write_chunk(
     )
     lineage.write.mode("overwrite").parquet(lineage_path)
 
-    agg = written.agg(
-        F.count("*").alias("docs"),
-        F.sum("pages_parsed").alias("pages"),
-        F.sum("parse_failures").alias("failures"),
-    ).collect()[0]
-    metrics = {"docs": agg["docs"], "pages": agg["pages"], "failures": agg["failures"]}
+    # chunk metrics + touched-part list are pure rollups of the per-part
+    # lineage rows just written — read those few rows back instead of
+    # re-scanning the full chunk data two more times (one extra full scan
+    # per committed chunk for the agg, another for streaming's distinct)
+    lin_rows = spark.read.schema(LINEAGE_SCHEMA).parquet(lineage_path).collect()
+    metrics = {
+        "docs": sum(r["docs_done"] for r in lin_rows),
+        "pages": sum(r["pages_parsed"] or 0 for r in lin_rows),
+        "failures": sum(r["parse_failures"] or 0 for r in lin_rows),
+    }
     if extra_metrics:
         metrics.update(extra_metrics)
     if chunk_parts is None:
         # streaming micro-batches don't know their parts a priori — the
         # marker records the parts the batch actually touched
-        chunk_parts = sorted(
-            r["part_id"] for r in written.select("part_id").distinct().collect()
-        )
+        chunk_parts = sorted(r["part_id"] for r in lin_rows)
     log.commit_chunk(
         chunk_id,
         chunk_parts,
@@ -720,6 +759,15 @@ def run_extraction(
     duplicate rows. Two drivers pointed at the same root therefore split
     the partition space dynamically instead of corrupting the table.
     """
+    existing = log.n_parts()
+    if existing is not None and existing != n_parts:
+        # resuming with a different n_parts re-hashes every doc to a new
+        # part_id, so "uncommitted" parts would re-extract docs that are
+        # already in the table — refuse instead of silently duplicating
+        raise ValueError(
+            f"table at {log.root} was written with n_parts={existing}; "
+            f"refusing to append with n_parts={n_parts}"
+        )
     done = log.committed_part_ids()
     todo = [p for p in range(n_parts) if p not in done]
     report = RunReport(0, 0, 0, len(done))

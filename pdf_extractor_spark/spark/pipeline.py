@@ -137,8 +137,16 @@ def balance_partitions(
     )
 
 
-def _extract_batches_arrow(batches):
-    """Columnar Arrow kernel wrapper (mapInArrow).
+def _make_extract_batches_arrow(kernel_name: str):
+    """Columnar Arrow kernel wrapper factory (mapInArrow).
+
+    One builder serves both input encodings — ``kernel_name`` selects the
+    per-document kernel: ``"extract_document"`` (ingest spans, string
+    payload) or ``"extract_document_staged"`` (staging-table spans, binary
+    payload; see spark/staging.py). The entire input/output plumbing is
+    shared so a schema or metrics change can never silently diverge
+    between the two paths (the byte-identical differential contract in
+    tests/test_staging.py).
 
     Never materializes a Python dict per span: input spans are read as four
     flat primitive lists via ``ListArray.flatten()`` + field extraction, and
@@ -150,19 +158,29 @@ def _extract_batches_arrow(batches):
     no pandas frames, which matters for worker memory at 50-page-PDF batch
     sizes. Both paths produce byte-identical output (differentially tested).
     """
-    import pyarrow as pa
 
-    from pdf_extractor_spark.core.extractor import extract_document
+    def _gen(batches):
+        import pyarrow as pa
 
-    span_type = pa.struct(
-        [
-            ("kind", pa.string()),
-            ("text", pa.string()),
-            ("media_ref", pa.string()),
-            ("offset", pa.int32()),
-        ]
-    )
+        from pdf_extractor_spark.core import extractor
 
+        extract_fn = getattr(extractor, kernel_name)
+
+        span_type = pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+
+        yield from _extract_record_batches(pa, extract_fn, span_type, batches)
+
+    return _gen
+
+
+def _extract_record_batches(pa, extract_fn, span_type, batches):
     for rb in batches:
         names = rb.schema.names
         doc_ids = rb.column(names.index("doc_id")).to_pylist()
@@ -203,7 +221,7 @@ def _extract_batches_arrow(batches):
                 )
             )
             pos += ln
-            res = extract_document(spans)
+            res = extract_fn(spans)
             for k, t, m, o in res.spans:
                 out_kind.append(k)
                 out_text.append(t)
@@ -256,6 +274,9 @@ def _extract_batches_arrow(batches):
                 "part_id",
             ],
         )
+
+
+_extract_batches_arrow = _make_extract_batches_arrow("extract_document")
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -48,6 +48,7 @@ from pyspark.sql.types import (
 
 from .pipeline import (
     EXTRACTED_SCHEMA,
+    _make_extract_batches_arrow,
     assign_part_id,
     balance_partitions,
 )
@@ -77,6 +78,7 @@ def _stage_batches_arrow(batches):
     only the payload encoding changes. No per-span dicts, no pandas.
     """
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from pdf_extractor_spark.core.extractor import stage_span
 
@@ -96,17 +98,42 @@ def _stage_batches_arrow(batches):
 
         lengths = spans_col.value_lengths().to_pylist()
         flat = spans_col.flatten()
-        in_kind = flat.field(0).to_pylist()
-        in_text = flat.field(1).to_pylist()
+        kinds = flat.field(0)
+        texts = flat.field(1)
         in_ref = flat.field(2)
         in_off = flat.field(3)
 
-        payloads = [stage_span(k or "", t) for k, t in zip(in_kind, in_text)]
+        # text/html payloads really are free: string -> binary is a
+        # zero-copy cast of the existing UTF-8 buffers. Only pdf slots
+        # round-trip through Python (the strict base64 decode), scattered
+        # back via if_else — no full-column to_pylist on non-pdf corpora.
+        # Measured on this box (3000 mixed docs): 105 -> 79 ms vs the
+        # all-Python span loop; the all-pdf branch keeps the direct decode
+        # because cast + if_else only adds copies when every slot decodes
+        # anyway (600 heavy docs: 38 ms direct vs 50 ms scattered).
+        pdf_mask = pc.fill_null(pc.equal(kinds, "pdf"), False)
+        n_pdf = pc.sum(pdf_mask).as_py() or 0
+        if n_pdf == 0:
+            payloads = pc.fill_null(texts, "").cast(pa.binary())
+        elif n_pdf == len(kinds):
+            payloads = pa.array(
+                [stage_span("pdf", t) for t in texts.to_pylist()], pa.binary()
+            )
+        else:
+            utf8_payload = pc.fill_null(texts, "").cast(pa.binary())
+            idx = pc.indices_nonzero(pdf_mask).to_pylist()
+            pdf_texts = texts.take(pa.array(idx, pa.int64())).to_pylist()
+            repl: list[bytes | None] = [None] * len(kinds)
+            for j, t in zip(idx, pdf_texts):
+                repl[j] = stage_span("pdf", t)
+            payloads = pc.if_else(
+                pdf_mask, pa.array(repl, pa.binary()), utf8_payload
+            )
 
         struct = pa.StructArray.from_arrays(
             [
-                flat.field(0),
-                pa.array(payloads, pa.binary()),
+                kinds,
+                payloads,
                 in_ref,
                 in_off,
             ],
@@ -129,116 +156,13 @@ def stage_documents(df: DataFrame) -> DataFrame:
     )
 
 
-def _extract_staged_batches_arrow(batches):
-    """Binary twin of ``pipeline._extract_batches_arrow``: same columnar
-    span plumbing, but the payload field is raw bytes — no base64 in the
-    kernel, ~25% fewer bytes through the Arrow boundary on PDF spans."""
-    import pyarrow as pa
-
-    from pdf_extractor_spark.core.extractor import extract_document_staged
-
-    span_type = pa.struct(
-        [
-            ("kind", pa.string()),
-            ("text", pa.string()),
-            ("media_ref", pa.string()),
-            ("offset", pa.int32()),
-        ]
-    )
-
-    for rb in batches:
-        names = rb.schema.names
-        doc_ids = rb.column(names.index("doc_id")).to_pylist()
-        spans_col = rb.column(names.index("spans"))
-        has_part = "part_id" in names
-        parts = rb.column(names.index("part_id")).to_pylist() if has_part else None
-        n = len(doc_ids)
-
-        lengths = spans_col.value_lengths().to_pylist()
-        flat = spans_col.flatten()
-        in_kind = flat.field(0).to_pylist()
-        in_payload = flat.field(1).to_pylist()
-        in_ref = flat.field(2).to_pylist()
-        in_off = flat.field(3).to_pylist()
-
-        out_kind: list[str] = []
-        out_text: list[str] = []
-        out_ref: list[str] = []
-        out_off: list[int] = []
-        list_offsets = [0]
-        pages_l: list[int] = []
-        emitted_l: list[int] = []
-        failures_l: list[int] = []
-        duration_l: list[int] = []
-        score_keys: list[str] = []
-        score_vals: list[float] = []
-        score_offsets = [0]
-
-        pos = 0
-        for i in range(n):
-            ln = lengths[i] or 0
-            spans = list(
-                zip(
-                    in_kind[pos : pos + ln],
-                    in_payload[pos : pos + ln],
-                    in_ref[pos : pos + ln],
-                    in_off[pos : pos + ln],
-                )
-            )
-            pos += ln
-            res = extract_document_staged(spans)
-            for k, t, m, o in res.spans:
-                out_kind.append(k)
-                out_text.append(t)
-                out_ref.append(m)
-                out_off.append(o)
-            list_offsets.append(len(out_kind))
-            pages_l.append(res.pages_parsed)
-            emitted_l.append(res.spans_emitted)
-            failures_l.append(res.parse_failures)
-            duration_l.append(res.duration_ms)
-            for k, v in res.scores.items():
-                score_keys.append(k)
-                score_vals.append(v)
-            score_offsets.append(len(score_keys))
-
-        struct = pa.StructArray.from_arrays(
-            [
-                pa.array(out_kind, pa.string()),
-                pa.array(out_text, pa.string()),
-                pa.array(out_ref, pa.string()),
-                pa.array(out_off, pa.int32()),
-            ],
-            fields=list(span_type),
-        )
-        spans_out = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()), struct)
-        scores_out = pa.MapArray.from_arrays(
-            pa.array(score_offsets, pa.int32()),
-            pa.array(score_keys, pa.string()),
-            pa.array(score_vals, pa.float64()),
-        )
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(doc_ids, pa.string()),
-                spans_out,
-                pa.array(pages_l, pa.int32()),
-                pa.array(emitted_l, pa.int32()),
-                pa.array(failures_l, pa.int32()),
-                pa.array(duration_l, pa.int64()),
-                scores_out,
-                pa.array(parts if has_part else [-1] * n, pa.int32()),
-            ],
-            names=[
-                "doc_id",
-                "spans",
-                "pages_parsed",
-                "spans_emitted",
-                "parse_failures",
-                "duration_ms",
-                "scores",
-                "part_id",
-            ],
-        )
+# Binary twin of ``pipeline._extract_batches_arrow``: identical columnar
+# span plumbing from the shared factory, but the payload field is raw bytes
+# through ``extract_document_staged`` — no base64 in the kernel, ~25% fewer
+# bytes through the Arrow boundary on PDF spans.
+_extract_staged_batches_arrow = _make_extract_batches_arrow(
+    "extract_document_staged"
+)
 
 
 def extract_documents_staged(

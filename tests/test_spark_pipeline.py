@@ -514,3 +514,65 @@ def test_export_entry_name_sanitization():
     assert _entry_name("a_b", seen) == "a_b~1.md"  # collision gets a suffix
     assert _entry_name("...", seen) == "doc.md"
     assert len(seen) == 4
+
+
+def test_empty_chunk_commits_without_crash(spark, tmp_path):
+    """A chunk whose parts received zero docs must still commit (and count
+    as done on resume) instead of dying in schema inference on a directory
+    holding only _SUCCESS."""
+    root = str(tmp_path / "commitlog")
+    docs = corpus_df(spark, 1)  # one doc -> most parts empty
+    log = L.CommitLog(root)
+    report = L.run_extraction(spark, docs, log, n_parts=8, parts_per_chunk=4)
+    assert report.parts_processed == 8  # both chunks committed
+    assert log.committed_part_ids() == set(range(8))
+    # resume is a no-op, not a re-crash
+    again = L.run_extraction(spark, docs, log, n_parts=8, parts_per_chunk=4)
+    assert again.parts_processed == 0 and again.parts_skipped == 8
+    assert log.read_extracted(spark).count() == 1
+
+
+def test_resume_with_different_n_parts_refuses(spark, tmp_path):
+    """Re-running with a different n_parts would re-hash docs into 'new'
+    parts and duplicate rows — the append path must refuse."""
+    root = str(tmp_path / "commitlog")
+    docs = corpus_df(spark, 20)
+    log = L.CommitLog(root)
+    L.run_extraction(spark, docs, log, n_parts=8, parts_per_chunk=8)
+    with pytest.raises(ValueError, match="n_parts=8"):
+        L.run_extraction(spark, docs, log, n_parts=16, parts_per_chunk=8)
+    assert log.read_extracted(spark).count() == 20  # nothing duplicated
+
+
+def test_out_of_order_commit_visible_to_incremental_and_as_of(spark, tmp_path):
+    """Chunk ids are reserve-ordered; a slow writer can commit a LOW id
+    late. Incremental cursors and as_of horizons follow COMMIT order, so
+    the late chunk is neither skipped by consumers nor folded into a
+    snapshot that predates its commit."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "commitlog")
+    log = L.CommitLog(root)
+    # slow writer reserves chunk 0 but doesn't commit yet
+    slow_id = log.reserve_chunk_id()
+    assert slow_id == 0
+    # fast writer commits chunk 1 meanwhile
+    fast = extract_documents(corpus_df(spark, 10), n_parts=4, num_partitions=2)
+    fast_id = log.reserve_chunk_id()
+    L._write_chunk(spark, log, fast, fast_id, [0, 1, 2, 3], 4)
+    # slow writer finally lands chunk 0 (disjoint parts, append semantics)
+    slow = extract_documents(
+        corpus_df(spark, 30, seed=7), n_parts=8, num_partitions=2
+    ).where(F.col("part_id") >= 4)
+    n_slow = slow.count()
+    assert n_slow > 0
+    L._write_chunk(spark, log, slow, slow_id, [4, 5, 6, 7], 8)
+
+    # commit order: chunk 1 first, chunk 0 second
+    assert [c["chunk_id"] for c in log.committed_chunks()] == [1, 0]
+    # a consumer whose cursor reached snapshot 1 must still see chunk 0
+    inc = log.read_incremental(spark, after=fast_id)
+    assert inc.count() == n_slow
+    # time travel to snapshot 1 excludes the later-committed chunk 0
+    assert log.read_extracted(spark, as_of=fast_id).count() == 10
+    assert log.read_extracted(spark).count() == 10 + n_slow
