@@ -28,7 +28,7 @@ only). For extreme-cardinality groups, prefix the window with the same
 of k*R is known) so the sort sees a 1/R sample; the threshold estimator
 columns in the same output are the sort-free fallback. The CMS build is
 one map-side-combined groupBy over *per-key counts* (not raw events), and
-the point-query join broadcasts the 512-row sketch.
+the point-query join broadcasts the <= d*w = 4096-row sketch.
 
 Reference parity: the reference's only cardinality op is an exact
 ``len(set(...))`` on the driver (see S-P8, `app/utils/metrics.py` — exact
@@ -40,6 +40,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from .dedup import _persisted
 
 KMV_K = 128  # k smallest hashes kept per group; SE ~ 1/sqrt(k-2) ~= 8.9%
 THRESH_R = 8  # proportional sampling rate 1/R
@@ -78,7 +80,12 @@ def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ``n_kept * R``, so both engines agree bit-for-bit.
     """
     ev = _read(spark, sf_dir, "events")
-    hashed = (
+    # staged (CLAUDE.md): hashed feeds the KMV and threshold branches —
+    # un-staged, the md5+distinct shuffle ran twice and events.parquet was
+    # scanned 3x (kmv/thresh/exact branches). Measured at sf0.1: staged
+    # 0.9s vs unstaged 0.6s — barrier overhead at toy scale; the stage
+    # exists for the regime where the distinct shuffle dominates.
+    hashed = _persisted(
         ev.select("event_type", _h52(F.col("user_id").cast("string")).alias("h"))
         .distinct()
     )
@@ -155,7 +162,10 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     two, which is honest sketch behavior, not a bug.
     """
     ev = _read(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    # staged: counts feeds the sketch build AND the top-k probe side
+    counts = _persisted(
+        ev.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    )
     cells = counts.select(
         "true_n",
         F.explode(

@@ -50,7 +50,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .dedup import _persisted
 from .portable import h64, h64_sql, tokens, tokens_sql
+from .similarity import DIM as K_DIM
 
 CTX_TOKENS = 512  # context length in tokens
 PACK_SHARDS_DIV = 1 << 48  # h64 in [0, 2^60) -> 4096 hash-range shards
@@ -164,14 +166,24 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     is AQE skew-join territory. Documents with fewer than two tokens
     have no bigrams and drop out, as in the oracle.
     """
-    toks = _docs(spark, sf_dir).select("doc_id", tokens("text").alias("t"))
+    # staged intermediates (CLAUDE.md): toks feeds the unigram AND bigram
+    # branches, bp feeds counts AND per-doc occurrences — un-staged, the
+    # plan re-scanned documents.parquet (and re-tokenized + re-zipped
+    # bigrams) 4x. Measured at sf0.1: staged 1.5s vs unstaged 1.1s — the
+    # barrier costs at toy scale and pays where tokenization is the
+    # dominant cost (the 100 TB regime this exists for).
+    toks = _persisted(
+        _docs(spark, sf_dir).select("doc_id", tokens("text").alias("t"))
+    )
     pairs = F.zip_with(
         F.expr("slice(t, 1, size(t) - 1)"),
         F.expr("slice(t, 2, size(t) - 1)"),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    bp = toks.select("doc_id", F.explode(pairs).alias("p")).select(
-        "doc_id", "p.w1", "p.w2"
+    bp = _persisted(
+        toks.select("doc_id", F.explode(pairs).alias("p")).select(
+            "doc_id", "p.w1", "p.w2"
+        )
     )
     uni = (
         toks.select(F.explode("t").alias("w1"))
@@ -227,8 +239,8 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 
 
 # --- k-means Lloyd step -----------------------------------------------------
-
-K_DIM = 64
+# (K_DIM is similarity.DIM — one authoritative copy of the corpus embedding
+# dimension; a drift here would silently truncate the oracle's distance.)
 
 
 def _floordiv(a: str, b: str) -> str:
@@ -351,7 +363,8 @@ def _points(e: DataFrame) -> DataFrame:
     iterative trainer the relational long form beats the array-HOF form of
     q_kmeans_step: distances become a broadcast join on `dim` + partial
     agg (all whole-stage codegen), and the SAME pts table feeds every
-    iteration's assignment and update without re-exploding."""
+    iteration's assignment and update without re-exploding (the caller
+    stages it via _persisted — Catalyst does no cross-branch CSE)."""
     return e.select("vec_id", F.posexplode("vm").alias("dim", "val"))
 
 
@@ -392,17 +405,32 @@ def kmeans_loop(spark: SparkSession, sf_dir: str, n_iters: int):
         "embedding", lambda x: F.floor(x.cast("double") * 1000000.0).cast("bigint")
     )
     e = emb.select("vec_id", "label", vm.alias("vm"))
-    pts = _points(e)
+    # staged (CLAUDE.md; same choice MLlib's KMeans makes by persisting its
+    # input): pts feeds every iteration's assignment AND centroid update
+    # across join branches — un-staged, the 3-iteration plan re-scans
+    # embeddings.parquet per reference and replays ALL prior iterations for
+    # every final consumer branch (stats / WCSS / trained-IVF probe).
+    # Measured at sf0.1 local[16]: staged 4.4s vs unstaged 2.7s — the cache
+    # barriers COST ~1.7s at toy scale, where a scan is ~ms; the staging is
+    # for the regime the op exists for (10^9-row points tables, where one
+    # iteration's scan dwarfs every barrier). Harness releases via
+    # release_caches().
+    pts = _persisted(_points(e))
     seed_ids = emb.groupBy("label").agg(F.min("vec_id").alias("vec_id"))
     cent = (
         e.join(F.broadcast(seed_ids), ["label", "vec_id"])
         .select(F.col("label").alias("cell"), "vm")
         .select("cell", F.posexplode("vm").alias("dim", "c"))
     )
+    if n_iters < 1:
+        raise ValueError(f"kmeans_loop needs n_iters >= 1, got {n_iters}")
     members = None
     for _ in range(n_iters):
-        members = _assign_relational(pts, cent)
-        cent = _update_centroids(pts, members)
+        # persist each iteration's outputs: members/cent are referenced by
+        # the NEXT iteration and by multiple final branches (stats, WCSS,
+        # the trained-IVF probe) — caching truncates the recursive lineage
+        members = _persisted(_assign_relational(pts, cent))
+        cent = _persisted(_update_centroids(pts, members))
     return pts, members, cent
 
 

@@ -623,9 +623,12 @@ def _write_chunk(
     Shared by the append path (run_extraction), the partition-overwrite
     path (reextract_parts) and the streaming micro-batch path (which passes
     ``extra_metrics={'epoch': ...}`` and an optional ``side_output``
-    callback, invoked on the written-back chunk BEFORE the marker flips so
-    the side output is covered by the same atomic commit). Returns the
-    chunk's metrics row."""
+    callback). ``side_output`` runs on the written-back chunk BEFORE the
+    marker flips (its work is staged alongside the chunk data); if it
+    returns a callable, that publish step runs AFTER the marker commits —
+    the two-phase contract side outputs need so their visible artifacts
+    imply a committed chunk (see streaming/ingest._ocr_queue_router).
+    Returns the chunk's metrics row."""
     data_path = os.path.join(log.data_dir, f"chunk-{chunk_id:06d}")
     lineage_path = os.path.join(log.lineage_dir, f"chunk-{chunk_id:06d}")
     # partition the committed data by part_id: point lookups and resume
@@ -644,8 +647,7 @@ def _write_chunk(
     from .pipeline import EXTRACTED_SCHEMA
 
     written = spark.read.schema(EXTRACTED_SCHEMA).parquet(data_path)
-    if side_output is not None:
-        side_output(written)
+    side_publish = side_output(written) if side_output is not None else None
     lineage = (
         written.groupBy("part_id")
         .agg(
@@ -690,6 +692,8 @@ def _write_chunk(
         overwrite=overwrite,
         exclusive_parts=exclusive_parts,
     )
+    if callable(side_publish):
+        side_publish()  # two-phase side output: visible only once committed
     return metrics
 
 

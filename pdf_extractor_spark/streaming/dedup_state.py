@@ -37,16 +37,24 @@ _STATE_SCHEMA = "n_seen long"
 def _first_seen_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    batch = pd.concat(list(pdfs), ignore_index=True)
+    # stream the per-key chunks: first-seen needs only the min doc_id and a
+    # row count, so a hot key (boilerplate re-crawled millions of times in
+    # one batch) never materializes its whole duplicate group in memory
+    n_batch = 0
+    keep_id: str | None = None
+    for pdf in pdfs:
+        n_batch += len(pdf)
+        for d in pdf["doc_id"].astype(str):
+            if keep_id is None or d < keep_id:
+                keep_id = d
     n_prior = state.get[0] if state.exists else 0
-    state.update((n_prior + len(batch),))
-    if n_prior == 0 and len(batch) > 0:
-        keep = batch.loc[batch["doc_id"].astype(str).sort_values().index[0]]
+    state.update((n_prior + n_batch,))
+    if n_prior == 0 and n_batch > 0:
         yield pd.DataFrame(
             {
                 "content_key": [key[0]],
-                "doc_id": [str(keep["doc_id"])],
-                "n_batch_dups": [len(batch) - 1],
+                "doc_id": [keep_id],
+                "n_batch_dups": [n_batch - 1],
             }
         )
 

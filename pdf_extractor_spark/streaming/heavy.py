@@ -79,7 +79,10 @@ def heavy_hitters_stream(
             keys0 = sorted(counters)
             state.update((keys0, [counters[i] for i in keys0]))
             return
-        ordered = batch.sort_values(order_col, kind="mergesort")[item_col]
+        # tiebreak on item too: one order_col value (e.g. a doc contributing
+        # several items) would otherwise keep shuffle-arrival order, and a
+        # replayed batch could fold in a different order -> different state
+        ordered = batch.sort_values([order_col, item_col], kind="mergesort")[item_col]
         counters = _mg_fold(counters, [str(x) for x in ordered], k)
         keys = sorted(counters)  # stable state layout for replay equality
         state.update((keys, [counters[i] for i in keys]))

@@ -45,20 +45,30 @@ def stream_documents(
     )
 
 
+def ocr_queue_root(log: CommitLog) -> str:
+    return os.path.join(os.path.dirname(log.data_dir.rstrip("/")), "ocr_queue")
+
+
 def _ocr_queue_router(log: CommitLog, chunk_id: int):
     """Side-output callback for _write_chunk: scanned documents (text-free
     pages with images) land in ``ocr_queue/chunk-*`` with their pdf:// refs,
     so a downstream OCR stage consumes the queue without rescanning the
     corpus (the reference's P6 force-OCR retry, docling_processor.py:235-239,
-    as a routed pipeline stage). Runs on the written-back chunk BEFORE the
-    marker flips — covered by the same atomic commit."""
+    as a routed pipeline stage).
 
-    def side(written: DataFrame) -> None:
-        queue_path = os.path.join(
-            os.path.dirname(log.data_dir.rstrip("/")),
-            "ocr_queue",
-            f"chunk-{chunk_id:06d}",
-        )
+    Two-phase so a visible queue directory always implies a COMMITTED
+    chunk: the parquet is staged at ``.staging-chunk-N`` (hidden from
+    consumers globbing ``chunk-*``) before the marker, then atomically
+    renamed after the commit flips. A crash before the marker leaves only
+    the hidden staging dir (its epoch replays under a NEW chunk id, so the
+    stale dir can never shadow real output; ``maintain_ocr_queue`` sweeps
+    it); a crash between marker and rename is healed by
+    ``maintain_ocr_queue``'s promotion at the next stream start."""
+
+    def side(written: DataFrame):
+        queue_root = ocr_queue_root(log)
+        staging = os.path.join(queue_root, f".staging-chunk-{chunk_id:06d}")
+        final = os.path.join(queue_root, f"chunk-{chunk_id:06d}")
         needs = F.coalesce(
             F.element_at("scores", "pages_empty_with_images"), F.lit(0.0)
         )
@@ -73,10 +83,60 @@ def _ocr_queue_router(log: CommitLog, chunk_id: int):
                 ).alias("media_refs"),
             )
             .write.mode("overwrite")
-            .parquet(queue_path)
+            .parquet(staging)
         )
 
+        def publish() -> None:
+            os.rename(staging, final)
+
+        return publish
+
     return side
+
+
+def maintain_ocr_queue(log: CommitLog, grace_s: float = 3600.0) -> dict:
+    """Self-heal the OCR side-output queue against crash windows:
+
+    - a ``.staging-chunk-N`` whose marker EXISTS is promoted (the writer
+      died between commit and publish — the chunk is committed, so its
+      queue entry must become visible);
+    - a ``.staging-chunk-N`` with NO marker and older than ``grace_s`` is
+      deleted (crashed before commit; its epoch replayed under a new
+      chunk id, so the content is duplicated elsewhere);
+    - a visible ``chunk-N`` with NO marker (legacy pre-two-phase leftover)
+      is likewise deleted after the grace period.
+
+    Called at stream start (make_batch_processor) and safe to run from any
+    maintenance job alongside ``CommitLog.gc_orphans``."""
+    import shutil
+    import time as _time
+
+    queue_root = ocr_queue_root(log)
+    out = {"promoted": [], "removed": []}
+    if not os.path.isdir(queue_root):
+        return out
+    marked = {c["chunk_id"] for c in log.committed_chunks()}
+    cutoff = _time.time() - grace_s
+    for name in sorted(os.listdir(queue_root)):
+        path = os.path.join(queue_root, name)
+        if name.startswith(".staging-chunk-"):
+            cid = int(name.rsplit("-", 1)[1])
+            if cid in marked:
+                final = os.path.join(queue_root, f"chunk-{cid:06d}")
+                if not os.path.exists(final):
+                    os.rename(path, final)
+                    out["promoted"].append(cid)
+                else:  # already published by a racing maintainer
+                    shutil.rmtree(path)
+            elif os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path)
+                out["removed"].append(path)
+        elif name.startswith("chunk-"):
+            cid = int(name.rsplit("-", 1)[1])
+            if cid not in marked and os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path)
+                out["removed"].append(path)
+    return out
 
 
 def make_batch_processor(
@@ -105,6 +165,9 @@ def make_batch_processor(
     The marker, not the Spark checkpoint, is the source of truth for what
     reached the table. ``route_needs_ocr``: see ``_ocr_queue_router``.
     """
+    if route_needs_ocr:
+        # heal the commit->publish crash window before processing anything
+        maintain_ocr_queue(log)
     done_epochs = {
         m["epoch"]
         for c in log.committed_chunks()

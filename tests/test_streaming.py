@@ -250,3 +250,42 @@ def test_streaming_needs_ocr_routing(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert len(spark.read.parquet(str(tmp_path / "log" / "ocr_queue" / "chunk-*")).collect()) == 1
+
+
+def test_ocr_queue_two_phase_crash_windows(spark, tmp_path):
+    """A visible ocr_queue/chunk-* dir must imply a COMMITTED chunk.
+    maintain_ocr_queue heals both crash windows: commit-then-crash staging
+    dirs are promoted; crash-before-commit staging dirs (their epoch
+    replays under a new chunk id) are swept after the grace period."""
+    import json
+    import os
+
+    from pdf_extractor_spark.streaming.ingest import (
+        maintain_ocr_queue,
+        ocr_queue_root,
+    )
+
+    log = CommitLog(str(tmp_path / "log"))
+    qroot = ocr_queue_root(log)
+
+    # window A: marker exists, publish rename never ran
+    os.makedirs(os.path.join(qroot, ".staging-chunk-000007"))
+    with open(
+        os.path.join(str(tmp_path / "log"), "commits", "commit-000007.json"), "w"
+    ) as f:
+        json.dump(
+            {"chunk_id": 7, "part_ids": [0], "metrics": {}, "committed_at": 1.0}, f
+        )
+    # window B: no marker (writer died pre-commit), old enough to sweep
+    stale = os.path.join(qroot, ".staging-chunk-000009")
+    os.makedirs(stale)
+    os.utime(stale, (0, 0))
+    # window B': fresh unmarked staging dir — inside grace, must survive
+    live = os.path.join(qroot, ".staging-chunk-000011")
+    os.makedirs(live)
+
+    out = maintain_ocr_queue(log, grace_s=3600.0)
+    assert out["promoted"] == [7]
+    assert os.path.isdir(os.path.join(qroot, "chunk-000007"))
+    assert not os.path.exists(stale)
+    assert os.path.isdir(live)  # a LIVE writer's staging is never swept

@@ -429,6 +429,7 @@ AUDITS: list[tuple] = [
             lambda p: contains(p, "HashAggregate", 4),
             lambda p: contains(p, "Generate"),  # the bigram explode
             lambda p: absent(p, "CartesianProduct"),
+            lambda p: contains(p, "InMemoryTableScan"),  # staged intermediate reused across branches
             lambda p: never_reads(p, "lang"),
             lambda p: never_reads(p, "source"),
         ],
@@ -461,6 +462,10 @@ AUDITS: list[tuple] = [
             lambda p: absent(p, "CartesianProduct"),
             lambda p: absent(p, "BroadcastNestedLoopJoin"),
             lambda p: contains(p, "HashAggregate", 4),
+            # pts + per-iteration members/cent are persisted (the MLlib
+            # KMeans shape): final branches reuse caches, never replay
+            # the iteration chain from parquet
+            lambda p: contains(p, "InMemoryTableScan"),
         ],
         False,
     ),
@@ -575,6 +580,7 @@ AUDITS: list[tuple] = [
             lambda p: contains(p, "Window"),
             lambda p: contains(p, "BroadcastHashJoin"),
             lambda p: absent(p, "SortMergeJoin"),
+            lambda p: contains(p, "InMemoryTableScan"),  # hashed staged once
             lambda p: never_reads(p, "props"),
             lambda p: never_reads(p, "value"),
             lambda p: never_reads(p, "ts"),
@@ -588,6 +594,7 @@ AUDITS: list[tuple] = [
             # the <=4096-row sketch broadcasts onto the probe keys;
             # sketch build is a map-side-combined agg over per-key counts
             lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: contains(p, "InMemoryTableScan"),  # counts staged once
             lambda p: absent(p, "SortMergeJoin"),
             lambda p: absent(p, "CartesianProduct"),
             lambda p: never_reads(p, "props"),
