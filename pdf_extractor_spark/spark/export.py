@@ -79,7 +79,11 @@ def export_markdown_zip(
     md = df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         markdown_expr("spans").alias("markdown"),
-    ).orderBy("doc_id")
+    ).orderBy("doc_id", "markdown")
+    # the secondary key keeps the archive deterministic even when the table
+    # holds duplicate doc_ids (streaming appends can legitimately deliver a
+    # doc in two epochs): which duplicate gets 'X.md' vs 'X~1.md' must not
+    # depend on partition arrival order
     # unique temp name: two concurrent exports to the same path must each
     # build their own archive and race only on the final atomic rename
     # (last-publish-wins), never interleave writes into one file

@@ -205,20 +205,41 @@ class CommitLog:
         chunks = self.committed_chunks()
         return (max((c["chunk_id"] for c in chunks), default=-1)) + 1
 
+    def _highwater_path(self) -> str:
+        return os.path.join(self.commits_dir, "chunk-id-highwater")
+
+    def _read_highwater(self) -> int:
+        try:
+            with open(self._highwater_path()) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
     def reserve_chunk_id(self) -> int:
         """Atomically claim the next free chunk id by creating its data
         directory (``os.mkdir`` fails on EEXIST, so two racing writers can
         never stage into the same chunk). A directory without a marker —
-        an in-flight writer or a crashed run's orphan — blocks its id;
-        orphans are reclaimed by ``gc_orphans``, never reused, exactly like
-        Iceberg's never-reused snapshot ids."""
-        cid = self.next_chunk_id()
-        while True:
-            try:
-                os.mkdir(os.path.join(self.data_dir, f"chunk-{cid:06d}"))
-                return cid
-            except FileExistsError:
-                cid += 1
+        an in-flight writer or a crashed run's orphan — blocks its id
+        until ``gc_orphans`` reclaims it; the highwater file (bumped under
+        the commit lock at every reservation) then keeps the reclaimed id
+        from ever being handed out again — ids are never reused even after
+        GC, exactly like Iceberg's never-reused snapshot ids, so a stale
+        artifact stamped with a dead chunk's id (a crashed side-output
+        staging dir, an orphaned lineage dir) can never be adopted by a
+        later unrelated chunk."""
+        with self._commit_lock():
+            cid = max(self.next_chunk_id(), self._read_highwater() + 1)
+            while True:
+                try:
+                    os.mkdir(os.path.join(self.data_dir, f"chunk-{cid:06d}"))
+                    break
+                except FileExistsError:
+                    cid += 1
+            tmp = self._highwater_path() + f".tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                f.write(str(cid))
+            os.replace(tmp, self._highwater_path())
+            return cid
 
     @contextlib.contextmanager
     def _commit_lock(self):
@@ -354,6 +375,26 @@ class CommitLog:
         try:
             with self._commit_lock():
                 committed = self.committed_chunks()
+                if n_parts is not None:
+                    # enforced at the commit layer, not just run_extraction:
+                    # ANY writer (streaming appends included) publishing a
+                    # marker with a different n_parts would flip the value
+                    # n_parts() reports and silently break part-pruned
+                    # point lookups for every doc hashed under the old one
+                    existing = next(
+                        (
+                            c["n_parts"]
+                            for c in reversed(committed)
+                            if c.get("n_parts") is not None
+                        ),
+                        None,
+                    )
+                    if existing is not None and existing != n_parts:
+                        raise CommitConflict(
+                            f"table at {self.root} was written with "
+                            f"n_parts={existing}; refusing to commit chunk "
+                            f"{chunk_id} with n_parts={n_parts}"
+                        )
                 if exclusive_parts:
                     taken = set(part_ids) & {
                         p for c in committed for p in c["part_ids"]

@@ -87,7 +87,15 @@ def _ocr_queue_router(log: CommitLog, chunk_id: int):
         )
 
         def publish() -> None:
-            os.rename(staging, final)
+            try:
+                os.rename(staging, final)
+            except OSError:
+                # a racing maintain_ocr_queue saw the committed marker and
+                # promoted our staging dir between commit and this rename —
+                # the publish's effect is already in place, not an error
+                if os.path.isdir(final) and not os.path.exists(staging):
+                    return
+                raise
 
         return publish
 
@@ -106,8 +114,14 @@ def maintain_ocr_queue(log: CommitLog, grace_s: float = 3600.0) -> dict:
     - a visible ``chunk-N`` with NO marker (legacy pre-two-phase leftover)
       is likewise deleted after the grace period.
 
-    Called at stream start (make_batch_processor) and safe to run from any
-    maintenance job alongside ``CommitLog.gc_orphans``."""
+    Promotion on marker existence alone is sound because chunk ids are
+    never reused (``reserve_chunk_id``'s highwater survives
+    ``gc_orphans``): marker N and ``.staging-chunk-N`` can only come from
+    the same reservation, never from an unrelated later writer adopting a
+    dead chunk's id. Called at stream start (make_batch_processor) and safe
+    to run from any maintenance job alongside ``CommitLog.gc_orphans`` —
+    promotion races with the live writer's publish() are benign (both
+    sides tolerate already-published)."""
     import shutil
     import time as _time
 
@@ -123,11 +137,17 @@ def maintain_ocr_queue(log: CommitLog, grace_s: float = 3600.0) -> dict:
             cid = int(name.rsplit("-", 1)[1])
             if cid in marked:
                 final = os.path.join(queue_root, f"chunk-{cid:06d}")
-                if not os.path.exists(final):
+                try:
                     os.rename(path, final)
                     out["promoted"].append(cid)
-                else:  # already published by a racing maintainer
-                    shutil.rmtree(path)
+                except OSError:
+                    # already published — by the live writer's publish() or
+                    # a racing maintainer (either racing past our listdir
+                    # snapshot); sweep any leftover staging dir
+                    if not os.path.exists(final):
+                        raise
+                    if os.path.exists(path):
+                        shutil.rmtree(path)
             elif os.path.getmtime(path) < cutoff:
                 shutil.rmtree(path)
                 out["removed"].append(path)
@@ -165,6 +185,16 @@ def make_batch_processor(
     The marker, not the Spark checkpoint, is the source of truth for what
     reached the table. ``route_needs_ocr``: see ``_ocr_queue_router``.
     """
+    existing = log.n_parts()
+    if existing is not None and existing != n_parts:
+        # same refusal as run_extraction, surfaced at stream START with the
+        # remedy, instead of as a CommitConflict after the first micro-batch
+        # (commit_chunk enforces it too — the commit layer is the backstop)
+        raise ValueError(
+            f"table at {log.root} was written with n_parts={existing}; "
+            f"refusing to stream-append with n_parts={n_parts} — pass "
+            f"n_parts={existing} or target a fresh table root"
+        )
     if route_needs_ocr:
         # heal the commit->publish crash window before processing anything
         maintain_ocr_queue(log)

@@ -164,3 +164,34 @@ def test_two_concurrent_writers_exactly_once(spark, tmp_path):
     removed = log_a.gc_orphans(grace_s=0)
     assert len(removed) >= len(orphans)
     assert log_a.read_extracted(spark).count() == 96  # GC never touches data
+
+def test_chunk_ids_never_reused_after_gc(tmp_path):
+    """gc_orphans reclaiming an orphan dir must NOT free its id: a stale
+    artifact stamped with the dead chunk's id (e.g. a crashed OCR-queue
+    staging dir) could otherwise be adopted by an unrelated later chunk
+    committing under the recycled id."""
+    log = L.CommitLog(str(tmp_path / "t"))
+    assert log.reserve_chunk_id() == 0
+    orphan = log.reserve_chunk_id()
+    assert orphan == 1
+    old = time.time() - 7200
+    path = os.path.join(log.data_dir, "chunk-000001")
+    os.utime(path, (old, old))
+    assert log.gc_orphans(grace_s=3600) == [path]
+    # the dir is gone but the highwater keeps the id retired forever
+    assert log.reserve_chunk_id() == 2
+
+
+def test_commit_chunk_rejects_mismatched_n_parts(tmp_path):
+    """The n_parts guard lives at the COMMIT layer, not just run_extraction:
+    a streaming append with a different n_parts would flip log.n_parts()
+    and silently break part-pruned point lookups."""
+    import pytest
+
+    log = L.CommitLog(str(tmp_path / "t"))
+    log.commit_chunk(0, [0], {"docs": 1}, n_parts=8)
+    with pytest.raises(L.CommitConflict, match="n_parts=8"):
+        log.commit_chunk(1, [1], {"docs": 1}, n_parts=64)
+    # same value (or a marker that doesn't record one) still commits
+    assert log.commit_chunk(1, [1], {"docs": 1}, n_parts=8)
+    assert log.commit_chunk(2, [2], {"docs": 1})

@@ -556,10 +556,16 @@ def test_out_of_order_commit_visible_to_incremental_and_as_of(spark, tmp_path):
     # slow writer reserves chunk 0 but doesn't commit yet
     slow_id = log.reserve_chunk_id()
     assert slow_id == 0
-    # fast writer commits chunk 1 meanwhile
-    fast = extract_documents(corpus_df(spark, 10), n_parts=4, num_partitions=2)
+    # fast writer commits chunk 1 meanwhile (same n_parts as every writer
+    # to this table — the commit layer rejects a mismatch — with part
+    # ranges kept disjoint by filtering)
+    fast = extract_documents(
+        corpus_df(spark, 10), n_parts=8, num_partitions=2
+    ).where(F.col("part_id") < 4)
+    n_fast = fast.count()
+    assert n_fast > 0
     fast_id = log.reserve_chunk_id()
-    L._write_chunk(spark, log, fast, fast_id, [0, 1, 2, 3], 4)
+    L._write_chunk(spark, log, fast, fast_id, [0, 1, 2, 3], 8)
     # slow writer finally lands chunk 0 (disjoint parts, append semantics)
     slow = extract_documents(
         corpus_df(spark, 30, seed=7), n_parts=8, num_partitions=2
@@ -574,5 +580,5 @@ def test_out_of_order_commit_visible_to_incremental_and_as_of(spark, tmp_path):
     inc = log.read_incremental(spark, after=fast_id)
     assert inc.count() == n_slow
     # time travel to snapshot 1 excludes the later-committed chunk 0
-    assert log.read_extracted(spark, as_of=fast_id).count() == 10
-    assert log.read_extracted(spark).count() == 10 + n_slow
+    assert log.read_extracted(spark, as_of=fast_id).count() == n_fast
+    assert log.read_extracted(spark).count() == n_fast + n_slow

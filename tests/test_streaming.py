@@ -289,3 +289,44 @@ def test_ocr_queue_two_phase_crash_windows(spark, tmp_path):
     assert os.path.isdir(os.path.join(qroot, "chunk-000007"))
     assert not os.path.exists(stale)
     assert os.path.isdir(live)  # a LIVE writer's staging is never swept
+
+
+def test_maintain_ocr_queue_tolerates_already_published(tmp_path):
+    """Promotion must be a no-op (staging swept, final kept, no raise) when
+    the live writer's publish() or a racing maintainer already renamed —
+    the check-then-rename race both directions."""
+    import json
+    import os
+
+    from pdf_extractor_spark.streaming.ingest import (
+        maintain_ocr_queue,
+        ocr_queue_root,
+    )
+
+    log = CommitLog(str(tmp_path / "log"))
+    qroot = ocr_queue_root(log)
+    os.makedirs(os.path.join(qroot, ".staging-chunk-000003"))
+    os.makedirs(os.path.join(qroot, "chunk-000003"))
+    with open(os.path.join(qroot, "chunk-000003", "x.parquet"), "w") as f:
+        f.write("d")  # non-empty: rename-over must fail, not clobber
+    with open(
+        os.path.join(str(tmp_path / "log"), "commits", "commit-000003.json"), "w"
+    ) as f:
+        json.dump(
+            {"chunk_id": 3, "part_ids": [0], "metrics": {}, "committed_at": 1.0}, f
+        )
+    out = maintain_ocr_queue(log, grace_s=3600.0)
+    assert out["promoted"] == []
+    assert not os.path.exists(os.path.join(qroot, ".staging-chunk-000003"))
+    assert os.path.isfile(os.path.join(qroot, "chunk-000003", "x.parquet"))
+
+
+def test_stream_start_rejects_mismatched_n_parts(spark, tmp_path):
+    import pytest
+
+    from pdf_extractor_spark.streaming.ingest import make_batch_processor
+
+    log = CommitLog(str(tmp_path / "log"))
+    log.commit_chunk(0, [0], {"docs": 1}, n_parts=8)
+    with pytest.raises(ValueError, match="n_parts=8"):
+        make_batch_processor(spark, log, n_parts=64)

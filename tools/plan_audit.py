@@ -430,6 +430,10 @@ AUDITS: list[tuple] = [
             lambda p: contains(p, "Generate"),  # the bigram explode
             lambda p: absent(p, "CartesianProduct"),
             lambda p: contains(p, "InMemoryTableScan"),  # staged intermediate reused across branches
+            # CLAUDE.md staged-intermediates rule: pin the SCAN BUDGET, not
+            # just cache presence — toks is the only documents read; the
+            # un-staged plan re-scanned (and re-tokenized) 4x
+            lambda p: occurs_at_most(p, "documents.parquet", 1),
             lambda p: never_reads(p, "lang"),
             lambda p: never_reads(p, "source"),
         ],
@@ -464,8 +468,11 @@ AUDITS: list[tuple] = [
             lambda p: contains(p, "HashAggregate", 4),
             # pts + per-iteration members/cent are persisted (the MLlib
             # KMeans shape): final branches reuse caches, never replay
-            # the iteration chain from parquet
+            # the iteration chain from parquet; scan budget (CLAUDE.md):
+            # embeddings is read only to build pts + the broadcast seeds,
+            # never once-per-iteration-per-branch
             lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: occurs_at_most(p, "embeddings.parquet", 3),
         ],
         False,
     ),
@@ -581,6 +588,9 @@ AUDITS: list[tuple] = [
             lambda p: contains(p, "BroadcastHashJoin"),
             lambda p: absent(p, "SortMergeJoin"),
             lambda p: contains(p, "InMemoryTableScan"),  # hashed staged once
+            # scan budget (CLAUDE.md): staged hashed + the exact branch =
+            # exactly 2 events reads; un-staged the plan scanned 3x
+            lambda p: occurs_at_most(p, "events.parquet", 2),
             lambda p: never_reads(p, "props"),
             lambda p: never_reads(p, "value"),
             lambda p: never_reads(p, "ts"),
@@ -595,6 +605,9 @@ AUDITS: list[tuple] = [
             # sketch build is a map-side-combined agg over per-key counts
             lambda p: contains(p, "BroadcastHashJoin"),
             lambda p: contains(p, "InMemoryTableScan"),  # counts staged once
+            # scan budget (CLAUDE.md): the staged per-key counts are the
+            # ONLY events read — sketch build and probe both reuse the cache
+            lambda p: occurs_at_most(p, "events.parquet", 1),
             lambda p: absent(p, "SortMergeJoin"),
             lambda p: absent(p, "CartesianProduct"),
             lambda p: never_reads(p, "props"),
