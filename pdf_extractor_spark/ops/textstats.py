@@ -684,7 +684,77 @@ ORDER BY score_micros DESC, doc_id LIMIT {BM25_TOPK}
 """
 
 
+# --- transcript/OCR normalization -------------------------------------------
+
+# ASR filler tokens dropped by the normalizer (the deterministic subset of
+# the reference's LLM transcript cleanup; absent from the synthetic corpus,
+# so their count is honestly zero here — the rule is exercised by pytest)
+FILLER_TOKENS = ("uh", "um", "erm", "hmm")
+
+
+def q_transcript_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcript/OCR-output normalization — the rule-based
+    subset of the reference's K9 LLM post-process (Gemini transcript
+    cleanup, whisper_processor.py:198-209), re-expressed as a pure map-only
+    pass so it needs no external service:
+
+    - collapse consecutive repeated tokens (the classic ASR stutter
+      artifact: "the the model" -> "the model");
+    - drop filler tokens (``FILLER_TOKENS``);
+    - whitespace-squeeze + lowercase + trim (via ``tokens``'s split).
+
+    Scale: zero shuffle besides the output sort — tokenize, two indexed
+    ``filter`` HOF passes (comparisons only; the interpreted-HOF trap is
+    hashing inside the lambda, see ops/dedup.py), re-join. Pipelines into
+    the parquet scan reading only (doc_id, text)."""
+    fillers = ", ".join(f"'{w}'" for w in FILLER_TOKENS)
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", tokens("text").alias("t")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("n_tokens_in"),
+            # Spark lambda index i is 0-based; t[i-1] ([] is 0-based) is the
+            # previous token
+            F.expr(
+                "filter(filter(t, (w, i) -> i = 0 OR w != t[i-1]), "
+                f"w -> w NOT IN ({fillers}))"
+            ).alias("kept"),
+        )
+        .select(
+            "doc_id",
+            F.array_join("kept", " ").alias("clean_text"),
+            "n_tokens_in",
+            F.size("kept").cast("bigint").alias("n_tokens_out"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _transcript_normalize_sql() -> str:
+    fillers = ", ".join(f"'{w}'" for w in FILLER_TOKENS)
+    return f"""
+WITH toks AS (SELECT doc_id, {tokens_sql("text")} AS t FROM documents),
+kept AS (
+  SELECT doc_id, t,
+         list_filter(
+           list_filter(t, (w, i) -> i = 1 OR w <> t[i-1]),
+           w -> w NOT IN ({fillers})) AS k
+  FROM toks)
+SELECT doc_id,
+       array_to_string(k, ' ') AS clean_text,
+       CAST(len(t) AS BIGINT) AS n_tokens_in,
+       CAST(len(k) AS BIGINT) AS n_tokens_out
+FROM kept ORDER BY doc_id
+"""
+
+
+TRANSCRIPT_NORMALIZE_SQL = _transcript_normalize_sql()
+
+
 QUERIES: dict[str, tuple] = {
+    "transcript_normalize": (q_transcript_normalize, TRANSCRIPT_NORMALIZE_SQL),
     "tfidf_keywords": (q_tfidf_keywords, TFIDF_KEYWORDS_SQL),
     "bm25_search": (q_bm25_search, BM25_SEARCH_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),

@@ -256,3 +256,33 @@ def test_lang_deviation_grouped_matches_scale_plan(spark):
     a = [tuple(r) for r in q_lang_deviation(spark, SF_DIR).collect()]
     b = [tuple(r) for r in lang_deviation_grouped(spark, SF_DIR).collect()]
     assert a == b
+
+
+def test_transcript_normalize_rules(spark, tmp_path):
+    """Filler-token drop + consecutive-repeat collapse on a corpus that
+    actually contains fillers (the synthetic testdata has none, so the
+    oracle run exercises only the stutter rule)."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "the the the model um works uh uh fine",
+                "Um  spaced   out out",
+            ],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [38, 20],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    from pdf_extractor_spark.ops.textstats import q_transcript_normalize
+
+    out = {
+        r["doc_id"]: r
+        for r in q_transcript_normalize(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["clean_text"] == "the model works fine"
+    assert (out[1]["n_tokens_in"], out[1]["n_tokens_out"]) == (9, 4)
+    assert out[2]["clean_text"] == "spaced out"
+    assert (out[2]["n_tokens_in"], out[2]["n_tokens_out"]) == (4, 2)

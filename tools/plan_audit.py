@@ -255,6 +255,21 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "transcript_normalize",
+        _query_df,
+        [
+            # map-only normalization: tokenize + two filter HOFs pipeline
+            # into the scan; no explode, no shuffle but the output sort
+            lambda p: absent(p, "hashpartitioning"),
+            lambda p: absent(p, "Generate"),
+            lambda p: exchange_count(p, 1),
+            lambda p: never_reads(p, "lang"),
+            lambda p: never_reads(p, "source"),
+            lambda p: never_reads(p, "n_chars"),
+        ],
+        False,
+    ),
+    (
         "polygon_bbox",
         _query_df,
         [
