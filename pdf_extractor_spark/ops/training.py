@@ -539,7 +539,83 @@ FROM stats_m JOIN stats_c USING (cell) ORDER BY cell
     )
 
 
+# --- RAG chunking -----------------------------------------------------------
+
+# production RAG chunking runs 128-512-token windows; 32/8 here so the
+# synthetic corpus (docs <= ~100 tokens) actually yields MULTIPLE
+# overlapping chunks per doc and the oracle exercises the overlap/clip
+# logic, not just the single-chunk degenerate case
+CHUNK_SIZE = 32  # tokens per retrieval chunk
+CHUNK_OVERLAP = 8  # tokens shared between neighboring chunks
+CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping retrieval chunks per document — the ingestion-side
+    sibling of ``pack_contexts`` (training packs contexts back-to-back;
+    retrieval wants windows that overlap so no answer span straddles a
+    boundary unseen). Each document yields chunks of ``CHUNK_SIZE`` tokens
+    every ``CHUNK_STRIDE``, the last chunk clipped to the document end, plus
+    a 60-bit content fingerprint per chunk for downstream chunk-level dedup
+    and index keys.
+
+    Scale: map-only — chunk starts come from a per-row ``sequence`` (no
+    self-join, no window over token position), chunk text assembly
+    (slice + array_join) runs in the interpreted ``transform``, and the
+    md5 fingerprint runs codegen-side AFTER the explode (hashing inside
+    the HOF is the measured trap — ops/dedup.py MinHash docstring). The
+    only exchange is the output sort. 1-to-many explode fan-out is bounded
+    by n_tokens/STRIDE, so executor memory per row stays O(doc)."""
+    sz, ov, st = CHUNK_SIZE, CHUNK_OVERLAP, CHUNK_STRIDE
+    chunks = (
+        f"transform(sequence(1, greatest(size(t) - {ov}, 1), {st}), "
+        f"s -> struct(s as start_tok, "
+        f"least(s + {sz - 1}, size(t)) as end_tok, "
+        f"array_join(slice(t, s, {sz}), ' ') as chunk_text))"
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", tokens("text").alias("t"))
+        .where(F.size("t") >= 1)
+        .select("doc_id", F.explode(F.expr(chunks)).alias("c"))
+        .select(
+            "doc_id",
+            F.expr(f"(c.start_tok - 1) div {st}").cast("bigint").alias("chunk_idx"),
+            F.col("c.start_tok").cast("bigint").alias("start_tok"),
+            F.col("c.end_tok").cast("bigint").alias("end_tok"),
+            (F.col("c.end_tok") - F.col("c.start_tok") + 1)
+            .cast("bigint")
+            .alias("n_tokens"),
+            h64(F.col("c.chunk_text")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+CHUNK_WINDOWS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {tokens_sql("text")} AS t FROM documents),
+sized AS (
+  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n
+  FROM toks WHERE len(t) >= 1),
+st AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(1, greatest(n - {CHUNK_OVERLAP}, 1),
+                                {CHUNK_STRIDE})) AS s
+  FROM sized)
+SELECT doc_id,
+       (s - 1) // {CHUNK_STRIDE} AS chunk_idx,
+       CAST(s AS BIGINT) AS start_tok,
+       CAST(least(s + {CHUNK_SIZE - 1}, n) AS BIGINT) AS end_tok,
+       CAST(least(s + {CHUNK_SIZE - 1}, n) - s + 1 AS BIGINT) AS n_tokens,
+       {h64_sql(f"array_to_string(t[s:least(s + {CHUNK_SIZE - 1}, n)], ' ')")}
+         AS chunk_hash
+FROM st ORDER BY doc_id, chunk_idx
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "chunk_windows": (q_chunk_windows, CHUNK_WINDOWS_SQL),
     "pack_contexts": (q_pack_contexts, PACK_CONTEXTS_SQL),
     "lm_score": (q_lm_score, LM_SCORE_SQL),
     "kmeans_step": (q_kmeans_step, _kmeans_step_sql()),

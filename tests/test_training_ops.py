@@ -106,3 +106,43 @@ def test_kmeans_step_partitions_corpus(spark):
         vals = r["centroid_micros"].split(",")
         assert len(vals) == K_DIM
         assert all(v.lstrip("-").isdigit() for v in vals)
+
+
+def test_chunk_windows_overlap_invariants(spark, tmp_path):
+    """Every position covered, consecutive chunks share exactly
+    CHUNK_OVERLAP tokens, last chunk clipped to the doc end."""
+    import pandas as pd
+
+    from pdf_extractor_spark.ops.training import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        q_chunk_windows,
+    )
+
+    n_tok = 70
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                " ".join(f"w{i}" for i in range(n_tok)),
+                "short doc",
+            ],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [100, 9],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    rows = q_chunk_windows(spark, str(tmp_path)).collect()
+    long = [r for r in rows if r["doc_id"] == 1]
+    assert [r["start_tok"] for r in long] == [1, 25, 49]
+    assert [r["end_tok"] for r in long] == [32, 56, 70]
+    assert [r["chunk_idx"] for r in long] == [0, 1, 2]
+    for a, b in zip(long, long[1:]):
+        assert a["end_tok"] - b["start_tok"] + 1 == CHUNK_OVERLAP
+        assert b["start_tok"] - a["start_tok"] == CHUNK_STRIDE
+    assert long[0]["n_tokens"] == CHUNK_SIZE
+    assert long[-1]["end_tok"] == n_tok  # clipped, full coverage
+    short = [r for r in rows if r["doc_id"] == 2]
+    assert len(short) == 1
+    assert (short[0]["start_tok"], short[0]["end_tok"]) == (1, 2)

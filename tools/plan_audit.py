@@ -255,6 +255,22 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "chunk_windows",
+        _query_df,
+        [
+            # map-only 1-to-many chunking: per-row sequence + explode, no
+            # window over token position, no self-join; single sort exchange
+            lambda p: absent(p, "hashpartitioning"),
+            lambda p: contains(p, "Generate"),  # the chunk explode
+            lambda p: exchange_count(p, 1),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: never_reads(p, "lang"),
+            lambda p: never_reads(p, "source"),
+            lambda p: never_reads(p, "n_chars"),
+        ],
+        False,
+    ),
+    (
         "transcript_normalize",
         _query_df,
         [
