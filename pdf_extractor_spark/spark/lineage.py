@@ -88,7 +88,17 @@ class CommitConflict(RuntimeError):
     exists, or (``exclusive_parts``) one of this chunk's part_ids was
     committed by a concurrent append. The caller's staged data directory is
     left unmarked — invisible to every reader — and is reclaimed by
-    ``gc_orphans``."""
+    ``gc_orphans``. RETRYABLE: losing a race is normal under concurrent
+    writers, and run_extraction re-queues the parts."""
+
+
+class TableContractError(ValueError):
+    """The write violates the table's standing contract (today: an n_parts
+    that disagrees with what the table was created with). NOT retryable —
+    unlike :class:`CommitConflict`, retrying can never succeed, so this
+    deliberately does not subclass it (a guard raising CommitConflict here
+    would spin run_extraction's retry loop forever, leaking one orphan
+    chunk directory per attempt)."""
 
 
 class CommitLog:
@@ -227,8 +237,14 @@ class CommitLog:
         artifact stamped with a dead chunk's id (a crashed side-output
         staging dir, an orphaned lineage dir) can never be adopted by a
         later unrelated chunk."""
+        # the marker scan runs OUTSIDE the lock (streaming reserves once
+        # per micro-batch; holding the global commit lock across O(chunks)
+        # JSON parses would serialize every concurrent writer on it) — a
+        # stale floor is harmless because the mkdir EEXIST loop and the
+        # monotonic highwater both only ever push cid FORWARD
+        floor = self.next_chunk_id()
         with self._commit_lock():
-            cid = max(self.next_chunk_id(), self._read_highwater() + 1)
+            cid = max(floor, self._read_highwater() + 1)
             while True:
                 try:
                     os.mkdir(os.path.join(self.data_dir, f"chunk-{cid:06d}"))
@@ -238,6 +254,11 @@ class CommitLog:
             tmp = self._highwater_path() + f".tmp-{os.getpid()}"
             with open(tmp, "w") as f:
                 f.write(str(cid))
+                f.flush()
+                # fsync like the marker path: the never-reuse invariant
+                # (which OCR-queue promotion soundness leans on) must
+                # survive power loss, not just process crash
+                os.fsync(f.fileno())
             os.replace(tmp, self._highwater_path())
             return cid
 
@@ -279,12 +300,17 @@ class CommitLog:
                     removed.append(path)
         return removed
 
-    def n_parts(self) -> int | None:
+    def n_parts(self, chunks: list[dict] | None = None) -> int | None:
         """The n_parts the writer used, from the newest marker recording it
         (ADVICE r01: the reader must not have to guess the writer's value —
         a mismatched guess recomputes a different part_id and silently
-        returns nothing)."""
-        for c in reversed(self.committed_chunks()):
+        returns nothing). ``chunks`` reuses an already-parsed marker list
+        (the ``visible_chunks(chunks=...)`` pattern) — commit_chunk's guard
+        resolves through THIS method so guard and readers can never
+        diverge."""
+        if chunks is None:
+            chunks = self.committed_chunks()
+        for c in reversed(chunks):
             if c.get("n_parts") is not None:
                 return c["n_parts"]
         return None
@@ -381,16 +407,9 @@ class CommitLog:
                     # marker with a different n_parts would flip the value
                     # n_parts() reports and silently break part-pruned
                     # point lookups for every doc hashed under the old one
-                    existing = next(
-                        (
-                            c["n_parts"]
-                            for c in reversed(committed)
-                            if c.get("n_parts") is not None
-                        ),
-                        None,
-                    )
+                    existing = self.n_parts(chunks=committed)
                     if existing is not None and existing != n_parts:
-                        raise CommitConflict(
+                        raise TableContractError(
                             f"table at {self.root} was written with "
                             f"n_parts={existing}; refusing to commit chunk "
                             f"{chunk_id} with n_parts={n_parts}"
@@ -809,7 +828,7 @@ def run_extraction(
         # resuming with a different n_parts re-hashes every doc to a new
         # part_id, so "uncommitted" parts would re-extract docs that are
         # already in the table — refuse instead of silently duplicating
-        raise ValueError(
+        raise TableContractError(
             f"table at {log.root} was written with n_parts={existing}; "
             f"refusing to append with n_parts={n_parts}"
         )

@@ -133,8 +133,13 @@ def maintain_ocr_queue(log: CommitLog, grace_s: float = 3600.0) -> dict:
     cutoff = _time.time() - grace_s
     for name in sorted(os.listdir(queue_root)):
         path = os.path.join(queue_root, name)
-        if name.startswith(".staging-chunk-"):
+        try:
             cid = int(name.rsplit("-", 1)[1])
+        except (IndexError, ValueError):
+            # stray entry (editor backup, manual copy) — not ours to manage,
+            # and it must not abort stream start (same guard as gc_orphans)
+            continue
+        if name.startswith(".staging-chunk-"):
             if cid in marked:
                 final = os.path.join(queue_root, f"chunk-{cid:06d}")
                 try:
@@ -152,7 +157,6 @@ def maintain_ocr_queue(log: CommitLog, grace_s: float = 3600.0) -> dict:
                 shutil.rmtree(path)
                 out["removed"].append(path)
         elif name.startswith("chunk-"):
-            cid = int(name.rsplit("-", 1)[1])
             if cid not in marked and os.path.getmtime(path) < cutoff:
                 shutil.rmtree(path)
                 out["removed"].append(path)

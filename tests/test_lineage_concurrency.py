@@ -190,8 +190,13 @@ def test_commit_chunk_rejects_mismatched_n_parts(tmp_path):
 
     log = L.CommitLog(str(tmp_path / "t"))
     log.commit_chunk(0, [0], {"docs": 1}, n_parts=8)
-    with pytest.raises(L.CommitConflict, match="n_parts=8"):
+    # NOT CommitConflict: run_extraction retries CommitConflict, and a
+    # contract violation retried forever would livelock + leak orphans
+    with pytest.raises(L.TableContractError, match="n_parts=8"):
         log.commit_chunk(1, [1], {"docs": 1}, n_parts=64)
+    assert not isinstance(
+        L.TableContractError("x"), L.CommitConflict
+    )
     # same value (or a marker that doesn't record one) still commits
     assert log.commit_chunk(1, [1], {"docs": 1}, n_parts=8)
     assert log.commit_chunk(2, [2], {"docs": 1})

@@ -330,3 +330,24 @@ def test_stream_start_rejects_mismatched_n_parts(spark, tmp_path):
     log.commit_chunk(0, [0], {"docs": 1}, n_parts=8)
     with pytest.raises(ValueError, match="n_parts=8"):
         make_batch_processor(spark, log, n_parts=64)
+
+
+def test_maintain_ocr_queue_ignores_stray_entries(tmp_path):
+    """A stray non-chunk entry (editor backup, manual copy) in ocr_queue/
+    must not abort stream start."""
+    import os
+
+    from pdf_extractor_spark.streaming.ingest import (
+        maintain_ocr_queue,
+        ocr_queue_root,
+    )
+
+    log = CommitLog(str(tmp_path / "log"))
+    qroot = ocr_queue_root(log)
+    os.makedirs(os.path.join(qroot, ".staging-chunk-000003.bak"))
+    os.makedirs(os.path.join(qroot, "chunk-old"))
+    with open(os.path.join(qroot, "notes.txt"), "w") as f:
+        f.write("x")
+    out = maintain_ocr_queue(log, grace_s=0.0)
+    assert out == {"promoted": [], "removed": []}
+    assert os.path.isdir(os.path.join(qroot, "chunk-old"))
