@@ -6,7 +6,9 @@
 
 Ships the package to executors via --py-files (north_rule packaging
 contract); resumable — rerunning with the same --output continues from the
-last committed chunk.
+last committed chunk. ``--watch`` switches to incremental drain of a drop
+directory (the reference's watch-uploads loop as a CLI): each micro-batch
+commits one chunk, and re-running picks up only new files/epochs.
 """
 
 from __future__ import annotations
@@ -49,6 +51,21 @@ def main(argv: list[str] | None = None) -> int:
                         "<doc_id>.md in one deterministic zip archive "
                         "(download-artifact sink; committed data is never "
                         "deleted by exporting)")
+    p.add_argument("--watch", action="store_true",
+                   help="treat --input as a drop directory of documents "
+                        "parquet files and drain it incrementally "
+                        "(availableNow trigger): each micro-batch commits "
+                        "one chunk; re-running resumes from the stream "
+                        "checkpoint and skips already-committed epochs — "
+                        "the CLI analogue of the reference's watch-uploads "
+                        "loop (dashboard.py), minus the UI")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="stream checkpoint dir for --watch "
+                        "(default: <output>/_checkpoint)")
+    p.add_argument("--route-needs-ocr", action="store_true",
+                   help="with --watch: route scanned docs (text-free pages "
+                        "with images) into a crash-safe ocr_queue/ side "
+                        "output for a downstream OCR stage")
     args = p.parse_args(argv)
 
     from pdf_extractor_spark.spark.session import get_spark
@@ -61,6 +78,40 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="pdf-extractor-spark-job", master=args.master)
     try:
+        if args.watch:
+            import os as _os
+
+            from pdf_extractor_spark.streaming.ingest import (
+                start_extraction_stream,
+            )
+
+            if args.input.startswith("synthetic:"):
+                p.error("--watch needs a drop directory, not synthetic: input")
+            log = CommitLog(args.output)
+            ckpt = args.checkpoint or _os.path.join(args.output, "_checkpoint")
+            before = {c["chunk_id"] for c in log.committed_chunks()}
+            t0 = time.monotonic()
+            q = start_extraction_stream(
+                spark,
+                args.input,
+                log,
+                checkpoint_dir=ckpt,
+                n_parts=args.n_parts,
+                num_partitions=args.num_partitions or 32,
+                route_needs_ocr=args.route_needs_ocr,
+            )
+            q.awaitTermination()
+            dt = time.monotonic() - t0
+            new = [
+                c for c in log.committed_chunks() if c["chunk_id"] not in before
+            ]
+            n_docs = sum((c.get("metrics") or {}).get("docs", 0) for c in new)
+            print(
+                f"STREAM_DONE chunks={len(new)} docs={n_docs} "
+                f"wall_s={dt:.2f}"
+            )
+            log.read_lineage(spark).groupBy("status").count().show()
+            return 0
         if args.input.startswith("synthetic:"):
             from pdf_extractor_spark.corpus import corpus_df
 
