@@ -71,6 +71,7 @@ def main(argv: list[str] | None = None) -> int:
     from pdf_extractor_spark.spark.session import get_spark
     from pdf_extractor_spark.spark.lineage import (
         CommitLog,
+        RunReport,
         compact_chunks,
         reextract_parts,
         run_extraction,
@@ -101,40 +102,42 @@ def main(argv: list[str] | None = None) -> int:
                 route_needs_ocr=args.route_needs_ocr,
             )
             q.awaitTermination()
-            dt = time.monotonic() - t0
             new = [
                 c for c in log.committed_chunks() if c["chunk_id"] not in before
             ]
             n_docs = sum((c.get("metrics") or {}).get("docs", 0) for c in new)
-            print(
-                f"STREAM_DONE chunks={len(new)} docs={n_docs} "
-                f"wall_s={dt:.2f}"
-            )
-            log.read_lineage(spark).groupBy("status").count().show()
-            return 0
-        if args.input.startswith("synthetic:"):
-            from pdf_extractor_spark.corpus import corpus_df
-
-            docs = corpus_df(spark, int(args.input.split(":", 1)[1]), seed=args.seed)
-        else:
-            docs = spark.read.parquet(args.input).select("doc_id", "spans")
-
-        log = CommitLog(args.output)
-        t0 = time.monotonic()
-        if args.refresh_parts:
-            parts = [int(x) for x in args.refresh_parts.split(",") if x != ""]
-            report = reextract_parts(
-                spark, docs, log, parts, num_partitions=args.num_partitions
+            report = RunReport(
+                chunks_committed=len(new),
+                parts_processed=sum(len(c["part_ids"]) for c in new),
+                docs_processed=int(n_docs),
+                parts_skipped=0,
             )
         else:
-            report = run_extraction(
-                spark,
-                docs,
-                log,
-                n_parts=args.n_parts,
-                parts_per_chunk=args.parts_per_chunk,
-                num_partitions=args.num_partitions,
-            )
+            if args.input.startswith("synthetic:"):
+                from pdf_extractor_spark.corpus import corpus_df
+
+                docs = corpus_df(
+                    spark, int(args.input.split(":", 1)[1]), seed=args.seed
+                )
+            else:
+                docs = spark.read.parquet(args.input).select("doc_id", "spans")
+
+            log = CommitLog(args.output)
+            t0 = time.monotonic()
+            if args.refresh_parts:
+                parts = [int(x) for x in args.refresh_parts.split(",") if x != ""]
+                report = reextract_parts(
+                    spark, docs, log, parts, num_partitions=args.num_partitions
+                )
+            else:
+                report = run_extraction(
+                    spark,
+                    docs,
+                    log,
+                    n_parts=args.n_parts,
+                    parts_per_chunk=args.parts_per_chunk,
+                    num_partitions=args.num_partitions,
+                )
         if args.compact:
             new_id = compact_chunks(spark, log)
             reclaimed = log.expire_replaced() if new_id is not None else []
@@ -152,8 +155,9 @@ def main(argv: list[str] | None = None) -> int:
             print(f"EXPORT_DONE zip={args.export_zip} docs={n_exported}")
         dt = time.monotonic() - t0
         docs_s = report.docs_processed / dt if dt > 0 else 0.0
+        verb = "STREAM_DONE" if args.watch else "EXTRACTION_DONE"
         print(
-            f"EXTRACTION_DONE chunks={report.chunks_committed} "
+            f"{verb} chunks={report.chunks_committed} "
             f"parts={report.parts_processed} parts_skipped={report.parts_skipped} "
             f"docs={report.docs_processed} wall_s={dt:.2f} docs_per_s={docs_s:.1f}"
         )
