@@ -66,6 +66,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --watch: route scanned docs (text-free pages "
                         "with images) into a crash-safe ocr_queue/ side "
                         "output for a downstream OCR stage")
+    p.add_argument("--ocr-stage", action="store_true",
+                   help="run the stage-2 OCR consumer instead of extraction: "
+                        "--input is a stage-1 table root (its ocr_queue/ is "
+                        "the source), --output receives the ocr_text table; "
+                        "incremental + exactly-once like --watch (the OCR "
+                        "engine itself is a declared deterministic stub in "
+                        "this container)")
     args = p.parse_args(argv)
 
     from pdf_extractor_spark.spark.session import get_spark
@@ -79,6 +86,33 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="pdf-extractor-spark-job", master=args.master)
     try:
+        if args.ocr_stage:
+            import os as _os
+
+            from pdf_extractor_spark.streaming.ocr_stage import start_ocr_stage
+
+            queue_root = _os.path.join(args.input, "ocr_queue")
+            out_dir = _os.path.join(args.output, "ocr_text")
+            ckpt = args.checkpoint or _os.path.join(args.output, "_checkpoint")
+            if not any(
+                n.startswith("chunk-")
+                for n in (
+                    _os.listdir(queue_root)
+                    if _os.path.isdir(queue_root)
+                    else []
+                )
+            ):
+                print(f"OCR_STAGE_DONE table={out_dir} total_refs=0 wall_s=0.00")
+                return 0
+            t0 = time.monotonic()
+            q = start_ocr_stage(spark, queue_root, out_dir, ckpt)
+            q.awaitTermination()
+            n = spark.read.parquet(out_dir).count() if _os.path.isdir(out_dir) else 0
+            print(
+                f"OCR_STAGE_DONE table={out_dir} total_refs={n} "
+                f"wall_s={time.monotonic() - t0:.2f}"
+            )
+            return 0
         if args.watch:
             import os as _os
 

@@ -1,0 +1,120 @@
+"""Downstream OCR stage: consume the routed ``ocr_queue/`` incrementally.
+
+Completes the reference's P6 loop (empty text -> force-OCR retry,
+docling_processor.py:235-239, dashboard orchestration) as a two-stage
+pipeline instead of an in-process retry: stage 1 (streaming ingest with
+``route_needs_ocr=True``) commits extraction chunks and publishes scanned
+documents' ``pdf://`` refs into ``ocr_queue/chunk-*`` under the same atomic
+commit; THIS stage is the consumer — a second Structured Streaming query
+that treats the queue directory itself as its source, so the corpus is
+never rescanned to find OCR work and each stage scales (and fails)
+independently, the standard queue-decoupled shape for a 100 TB pipeline
+where the OCR fleet is provisioned separately from the parse fleet.
+
+The OCR ENGINE is a deterministic declared STUB (no OCR runtime in this
+container, and the north_star contract is digital parse — same precedent as
+the multimodal codecs, ops/multimodal.py): the recovered text is a pure
+function of the media ref. The stage plumbing — streaming source over the
+queue, per-ref explode, Arrow-batched ``mapInPandas`` engine call, Spark's
+transactional file sink for exactly-once output — is real and tested.
+
+Exactly-once: the file sink's ``_spark_metadata`` transaction log plus the
+stream checkpoint make replays idempotent (a re-run after a crash neither
+drops nor duplicates refs); the queue side is append-only (chunk dirs are
+published atomically and never mutated), so no consumer offset tracking
+beyond the checkpoint is needed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# what the router writes into ocr_queue/chunk-* (streaming/ingest.py)
+QUEUE_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("pages_needing_ocr", IntegerType()),
+        StructField("media_refs", ArrayType(StringType())),
+    ]
+)
+
+OCR_TEXT_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("ocr_text", StringType()),
+    ]
+)
+
+
+def stub_ocr(media_ref: str) -> str:
+    """OCR engine STUB — deterministic recovered text from the ref alone.
+
+    A real deployment swaps this for the OCR engine call (tesseract/
+    paddleocr worker, initialized once per executor via the module-level
+    lazy-init pattern in spark/pipeline.py); everything around it is the
+    real contract: batch-vectorized input, one output row per ref."""
+    h = hashlib.md5(media_ref.encode("utf-8")).hexdigest()[:12]
+    return f"[ocr-stub {h}]"
+
+
+def _ocr_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_ref": pdf["media_ref"],
+                "ocr_text": [stub_ocr(r) for r in pdf["media_ref"].astype(str)],
+            }
+        )
+
+
+def ocr_results_stream(spark: SparkSession, queue_root: str) -> DataFrame:
+    """Streaming DataFrame of recovered text, one row per queued media ref.
+
+    The source is the queue directory's published ``chunk-*`` dirs (the
+    hidden ``.staging-*`` dirs are dot-prefixed, which Spark's file listing
+    already ignores — the two-phase publish contract means a listed file is
+    always part of a committed chunk)."""
+    q = (
+        spark.readStream.schema(QUEUE_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(f"{queue_root}/chunk-*")
+    )
+    refs = q.select(
+        "doc_id", F.explode("media_refs").alias("media_ref")
+    )
+    return refs.mapInPandas(_ocr_batches, schema=OCR_TEXT_SCHEMA)
+
+
+def start_ocr_stage(
+    spark: SparkSession,
+    queue_root: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Drain the OCR queue into the ``ocr_text`` table (availableNow), with
+    exactly-once output via the parquet sink's transaction log."""
+    return (
+        ocr_results_stream(spark, queue_root)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

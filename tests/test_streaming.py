@@ -351,3 +351,55 @@ def test_maintain_ocr_queue_ignores_stray_entries(tmp_path):
     out = maintain_ocr_queue(log, grace_s=0.0)
     assert out == {"promoted": [], "removed": []}
     assert os.path.isdir(os.path.join(qroot, "chunk-old"))
+
+
+def test_ocr_stage_consumes_queue_exactly_once(spark, tmp_path):
+    """Stage-2 consumer: drains ocr_queue/chunk-* into the ocr_text table,
+    one row per queued media ref, deterministic stub text, and a re-run
+    (no new queue chunks) adds nothing — the file sink + checkpoint give
+    exactly-once."""
+    import pandas as pd
+
+    from pdf_extractor_spark.streaming.ocr_stage import (
+        start_ocr_stage,
+        stub_ocr,
+    )
+
+    qroot = tmp_path / "ocr_queue"
+    for cid, refs in [(0, ["pdf://a/0/im1", "pdf://a/1/im2"]), (1, ["pdf://b/0/im1"])]:
+        d = qroot / f"chunk-{cid:06d}"
+        d.mkdir(parents=True)
+        pd.DataFrame(
+            {
+                "doc_id": [f"doc{cid}"],
+                "pages_needing_ocr": [len(refs)],
+                "media_refs": [refs],
+            }
+        ).to_parquet(d / "part-0.parquet")
+    out = tmp_path / "ocr_text"
+    ckpt = tmp_path / "ckpt"
+    q = start_ocr_stage(spark, str(qroot), str(out), str(ckpt))
+    q.awaitTermination(120)
+    rows = {
+        (r["doc_id"], r["media_ref"]): r["ocr_text"]
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert len(rows) == 3
+    assert rows[("doc0", "pdf://a/0/im1")] == stub_ocr("pdf://a/0/im1")
+    # idempotent re-run: nothing new in the queue -> nothing new in the table
+    q2 = start_ocr_stage(spark, str(qroot), str(out), str(ckpt))
+    q2.awaitTermination(120)
+    assert len(spark.read.parquet(str(out)).collect()) == 3
+    # a NEW queue chunk is picked up incrementally
+    d = qroot / "chunk-000002"
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": ["doc2"],
+            "pages_needing_ocr": [1],
+            "media_refs": [["pdf://c/0/im9"]],
+        }
+    ).to_parquet(d / "part-0.parquet")
+    q3 = start_ocr_stage(spark, str(qroot), str(out), str(ckpt))
+    q3.awaitTermination(120)
+    assert len(spark.read.parquet(str(out)).collect()) == 4
