@@ -75,6 +75,25 @@ def main(argv: list[str] | None = None) -> int:
                         "this container)")
     args = p.parse_args(argv)
 
+    # modes and flags that would otherwise be silent no-ops fail loudly
+    if args.ocr_stage and (
+        args.watch
+        or args.compact
+        or args.refresh_parts
+        or args.route_needs_ocr
+        or args.export_zip
+        or args.expire_older_than is not None
+        or args.gc_orphans_older_than is not None
+    ):
+        p.error("--ocr-stage runs alone; maintenance/extraction flags "
+                "apply to stage-1 runs against the stage-1 --output")
+    if args.route_needs_ocr and not args.watch:
+        p.error("--route-needs-ocr requires --watch (the batch path has no "
+                "side-output router)")
+    if args.watch and args.refresh_parts:
+        p.error("--refresh-parts is a batch partition overwrite; "
+                "not valid with --watch")
+
     from pdf_extractor_spark.spark.session import get_spark
     from pdf_extractor_spark.spark.lineage import (
         CommitLog,
@@ -89,25 +108,41 @@ def main(argv: list[str] | None = None) -> int:
         if args.ocr_stage:
             import os as _os
 
-            from pdf_extractor_spark.streaming.ocr_stage import start_ocr_stage
+            from pdf_extractor_spark.streaming.ingest import (
+                maintain_ocr_queue,
+                queue_root_for,
+            )
+            from pdf_extractor_spark.streaming.ocr_stage import (
+                OCR_TEXT_DIRNAME,
+                start_ocr_stage,
+            )
 
-            queue_root = _os.path.join(args.input, "ocr_queue")
-            out_dir = _os.path.join(args.output, "ocr_text")
+            queue_root = queue_root_for(args.input)
+            out_dir = _os.path.join(args.output, OCR_TEXT_DIRNAME)
             ckpt = args.checkpoint or _os.path.join(args.output, "_checkpoint")
-            if not any(
-                n.startswith("chunk-")
-                for n in (
-                    _os.listdir(queue_root)
-                    if _os.path.isdir(queue_root)
-                    else []
-                )
-            ):
-                print(f"OCR_STAGE_DONE table={out_dir} total_refs=0 wall_s=0.00")
-                return 0
+            if not _os.path.isdir(_os.path.join(args.input, "commits")):
+                p.error(f"--ocr-stage --input {args.input} is not a stage-1 "
+                        "table root (no commits/ directory)")
+            # heal the commit->publish crash window BEFORE consuming: a
+            # stage-1 writer killed between marker and publish may never
+            # restart, and its committed chunk's queue entry must not stay
+            # hidden as .staging-* while this run reports the queue drained
+            healed = maintain_ocr_queue(CommitLog(args.input))
+            if healed["promoted"]:
+                print(f"OCR_QUEUE_HEALED promoted={healed['promoted']}")
             t0 = time.monotonic()
-            q = start_ocr_stage(spark, queue_root, out_dir, ckpt)
-            q.awaitTermination()
-            n = spark.read.parquet(out_dir).count() if _os.path.isdir(out_dir) else 0
+            n = 0
+            has_chunks = _os.path.isdir(queue_root) and any(
+                name.startswith("chunk-") for name in _os.listdir(queue_root)
+            )
+            if has_chunks:
+                q = start_ocr_stage(spark, queue_root, out_dir, ckpt)
+                q.awaitTermination()
+            if _os.path.isdir(out_dir):
+                # always report the TABLE total (not this run's delta): a
+                # wrong --input or empty queue is then visibly different
+                # from a drained pipeline with prior output
+                n = spark.read.parquet(out_dir).count()
             print(
                 f"OCR_STAGE_DONE table={out_dir} total_refs={n} "
                 f"wall_s={time.monotonic() - t0:.2f}"
@@ -142,7 +177,10 @@ def main(argv: list[str] | None = None) -> int:
             n_docs = sum((c.get("metrics") or {}).get("docs", 0) for c in new)
             report = RunReport(
                 chunks_committed=len(new),
-                parts_processed=sum(len(c["part_ids"]) for c in new),
+                # DISTINCT parts: one part legitimately spans many
+                # micro-batch chunks, and scripts compare this to the batch
+                # path's EXTRACTION_DONE semantics
+                parts_processed=len({p for c in new for p in c["part_ids"]}),
                 docs_processed=int(n_docs),
                 parts_skipped=0,
             )

@@ -45,8 +45,16 @@ def stream_documents(
     )
 
 
+def queue_root_for(table_root: str) -> str:
+    """Where a stage-1 table's OCR queue lives — the ONE definition shared
+    by the producer (the router below) and the stage-2 consumer
+    (streaming/ocr_stage.py, ``job.py --ocr-stage``), so the two can never
+    silently point at different directories."""
+    return os.path.join(table_root.rstrip("/"), "ocr_queue")
+
+
 def ocr_queue_root(log: CommitLog) -> str:
-    return os.path.join(os.path.dirname(log.data_dir.rstrip("/")), "ocr_queue")
+    return queue_root_for(os.path.dirname(log.data_dir.rstrip("/")))
 
 
 def _ocr_queue_router(log: CommitLog, chunk_id: int):

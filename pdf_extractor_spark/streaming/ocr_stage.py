@@ -51,6 +51,9 @@ QUEUE_SCHEMA = StructType(
     ]
 )
 
+# output-table directory name under the stage-2 root (shared with the CLI)
+OCR_TEXT_DIRNAME = "ocr_text"
+
 OCR_TEXT_SCHEMA = StructType(
     [
         StructField("doc_id", StringType()),
@@ -94,6 +97,13 @@ def ocr_results_stream(spark: SparkSession, queue_root: str) -> DataFrame:
     q = (
         spark.readStream.schema(QUEUE_SCHEMA)
         .option("maxFilesPerTrigger", 8)
+        # default maxFileAge=7d silently DROPS files whose mtime is >7 days
+        # older than the newest file seen (verified empirically) — and queue
+        # entries legitimately arrive with old mtimes: maintain_ocr_queue
+        # promotes a crashed writer's staging dir with its original file
+        # mtimes, possibly long after newer chunks were published. The
+        # checkpoint's seen-files map, not file age, is the dedup authority.
+        .option("maxFileAge", "36500d")
         .parquet(f"{queue_root}/chunk-*")
     )
     refs = q.select(

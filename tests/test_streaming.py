@@ -403,3 +403,26 @@ def test_ocr_stage_consumes_queue_exactly_once(spark, tmp_path):
     q3 = start_ocr_stage(spark, str(qroot), str(out), str(ckpt))
     q3.awaitTermination(120)
     assert len(spark.read.parquet(str(out)).collect()) == 4
+    # a chunk arriving with ANCIENT file mtimes (a healed staging dir keeps
+    # its original timestamps) must still be consumed: the default
+    # maxFileAge=7d would silently drop it relative to the newer files the
+    # checkpoint has seen (regression for the explicit maxFileAge option)
+    import os as _os
+    import time as _time
+
+    d = qroot / "chunk-000004"
+    d.mkdir()
+    f = d / "part-0.parquet"
+    pd.DataFrame(
+        {
+            "doc_id": ["doc4"],
+            "pages_needing_ocr": [1],
+            "media_refs": [["pdf://d/0/im1"]],
+        }
+    ).to_parquet(f)
+    old = _time.time() - 10 * 86400
+    _os.utime(f, (old, old))
+    _os.utime(d, (old, old))
+    q4 = start_ocr_stage(spark, str(qroot), str(out), str(ckpt))
+    q4.awaitTermination(120)
+    assert len(spark.read.parquet(str(out)).collect()) == 5
