@@ -146,3 +146,80 @@ def test_chunk_windows_overlap_invariants(spark, tmp_path):
     short = [r for r in rows if r["doc_id"] == 2]
     assert len(short) == 1
     assert (short[0]["start_tok"], short[0]["end_tok"]) == (1, 2)
+
+
+def test_chunk_windows_and_normalize_match_python_reference(spark, tmp_path):
+    """Randomized (seeded) docs: both new map-only ops must match a
+    brute-force Python reference on every row — sliding-window arithmetic
+    and stutter/filler folding are exactly the kind of off-by-one surface
+    a fixed example can miss."""
+    import random
+
+    import pandas as pd
+
+    from pdf_extractor_spark.ops.textstats import (
+        FILLER_TOKENS,
+        q_transcript_normalize,
+    )
+    from pdf_extractor_spark.ops.training import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        q_chunk_windows,
+    )
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "uh", "um"]
+    docs = []
+    for i in range(60):
+        n = rng.randrange(1, 140)
+        toks = []
+        while len(toks) < n:
+            w = rng.choice(vocab)
+            toks.extend([w] * rng.choice([1, 1, 1, 2, 3]))
+        docs.append((i, " ".join(toks[:n])))
+    pd.DataFrame(
+        {
+            "doc_id": [d[0] for d in docs],
+            "text": [d[1] for d in docs],
+            "lang": ["en"] * len(docs),
+            "source": ["s"] * len(docs),
+            "n_chars": [len(d[1]) for d in docs],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    # chunk_windows reference
+    expect = {}
+    for i, text in docs:
+        t = text.split()
+        n = len(t)
+        starts = list(range(1, max(n - CHUNK_OVERLAP, 1) + 1, CHUNK_STRIDE))
+        expect[i] = [
+            (s, min(s + CHUNK_SIZE - 1, n)) for s in starts
+        ]
+    got = {}
+    for r in q_chunk_windows(spark, str(tmp_path)).collect():
+        got.setdefault(r["doc_id"], []).append((r["start_tok"], r["end_tok"]))
+    assert got == expect
+    # coverage + overlap invariants on every doc
+    for i, spans in expect.items():
+        n = len(docs[i][1].split())
+        assert spans[0][0] == 1 and spans[-1][1] == n
+        for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+            assert s2 == s1 + CHUNK_STRIDE and s2 <= e1 + 1
+
+    # transcript_normalize reference
+    def norm(text: str) -> list[str]:
+        out = []
+        for w in text.lower().split():
+            if out and out[-1] == w:
+                continue
+            out.append(w)
+        return [w for w in out if w not in FILLER_TOKENS]
+
+    rows = {r["doc_id"]: r for r in q_transcript_normalize(spark, str(tmp_path)).collect()}
+    for i, text in docs:
+        ref = norm(text)
+        assert rows[i]["clean_text"] == " ".join(ref)
+        assert rows[i]["n_tokens_out"] == len(ref)
+        assert rows[i]["n_tokens_in"] == len(text.split())
