@@ -24,7 +24,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="parquet path of documents(doc_id, spans), or synthetic:<n_docs>")
     p.add_argument("--output", required=True, help="commit-log root directory")
     p.add_argument("--n-parts", type=int, default=256)
-    p.add_argument("--parts-per-chunk", type=int, default=64)
+    p.add_argument("--parts-per-chunk", type=int, default=None,
+                   help="part_ids per committed chunk in batch mode (default 64)")
     p.add_argument("--num-partitions", type=int, default=None,
                    help="physical partitions for the parse stage")
     p.add_argument("--master", default=None)
@@ -93,6 +94,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.watch and args.refresh_parts:
         p.error("--refresh-parts is a batch partition overwrite; "
                 "not valid with --watch")
+    if args.checkpoint and not (args.watch or args.ocr_stage):
+        p.error("--checkpoint only applies to --watch / --ocr-stage "
+                "(batch resume state lives in the commit log, not a "
+                "stream checkpoint)")
+    if args.ocr_stage and args.num_partitions is not None:
+        p.error("--num-partitions applies to the extraction parse stage, "
+                "not --ocr-stage")
+    if args.watch and args.parts_per_chunk is not None:
+        p.error("--parts-per-chunk is batch chunking; micro-batches define "
+                "chunks under --watch")
 
     from pdf_extractor_spark.spark.session import get_spark
     from pdf_extractor_spark.spark.lineage import (
@@ -103,33 +114,42 @@ def main(argv: list[str] | None = None) -> int:
         run_extraction,
     )
 
+    if args.ocr_stage:
+        # everything up to the stream itself is Spark-free: validate the
+        # typo'd-path case and heal the queue BEFORE paying JVM startup
+        import os as _os
+
+        from pdf_extractor_spark.streaming.ingest import (
+            maintain_ocr_queue,
+            queue_root_for,
+        )
+        from pdf_extractor_spark.streaming.ocr_stage import (
+            OCR_TEXT_DIRNAME,
+            start_ocr_stage,
+        )
+
+        queue_root = queue_root_for(args.input)
+        out_dir = _os.path.join(args.output, OCR_TEXT_DIRNAME)
+        ckpt = args.checkpoint or _os.path.join(args.output, "_checkpoint")
+        if not _os.path.isdir(_os.path.join(args.input, "commits")):
+            p.error(f"--ocr-stage --input {args.input} is not a stage-1 "
+                    "table root (no commits/ directory)")
+        # heal the commit->publish crash window BEFORE consuming: a stage-1
+        # writer killed between marker and publish may never restart, and
+        # its committed chunk's queue entry must not stay hidden as
+        # .staging-* while this run reports the queue drained. PROMOTION
+        # ONLY (grace_s=inf): a live stage-1 writer may be mid-window right
+        # now, and only the stream's own start — which Spark's checkpoint
+        # lock serializes against other writers of that stream — may delete
+        # stale staging dirs
+        healed = maintain_ocr_queue(CommitLog(args.input), grace_s=float("inf"))
+        if healed["promoted"]:
+            ids = ",".join(str(c) for c in healed["promoted"])
+            print(f"OCR_QUEUE_HEALED promoted={ids}")
+
     spark = get_spark(app_name="pdf-extractor-spark-job", master=args.master)
     try:
         if args.ocr_stage:
-            import os as _os
-
-            from pdf_extractor_spark.streaming.ingest import (
-                maintain_ocr_queue,
-                queue_root_for,
-            )
-            from pdf_extractor_spark.streaming.ocr_stage import (
-                OCR_TEXT_DIRNAME,
-                start_ocr_stage,
-            )
-
-            queue_root = queue_root_for(args.input)
-            out_dir = _os.path.join(args.output, OCR_TEXT_DIRNAME)
-            ckpt = args.checkpoint or _os.path.join(args.output, "_checkpoint")
-            if not _os.path.isdir(_os.path.join(args.input, "commits")):
-                p.error(f"--ocr-stage --input {args.input} is not a stage-1 "
-                        "table root (no commits/ directory)")
-            # heal the commit->publish crash window BEFORE consuming: a
-            # stage-1 writer killed between marker and publish may never
-            # restart, and its committed chunk's queue entry must not stay
-            # hidden as .staging-* while this run reports the queue drained
-            healed = maintain_ocr_queue(CommitLog(args.input))
-            if healed["promoted"]:
-                print(f"OCR_QUEUE_HEALED promoted={healed['promoted']}")
             t0 = time.monotonic()
             n = 0
             has_chunks = _os.path.isdir(queue_root) and any(
@@ -207,7 +227,10 @@ def main(argv: list[str] | None = None) -> int:
                     docs,
                     log,
                     n_parts=args.n_parts,
-                    parts_per_chunk=args.parts_per_chunk,
+                    parts_per_chunk=(
+                        64 if args.parts_per_chunk is None
+                        else args.parts_per_chunk
+                    ),
                     num_partitions=args.num_partitions,
                 )
         if args.compact:
