@@ -525,7 +525,93 @@ def _snapshot_read_oracle_sql() -> str:
     )
 
 
+def q_ocr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full P6 force-OCR loop, value-hash gated end-to-end: extract the
+    PDF corpus -> select the ROUTED refs (the exact predicate of
+    streaming/ingest._ocr_queue_router: docs with text-free-but-imaged
+    pages, pdf:// refs) -> stage-2 stub OCR (same deterministic formula as
+    streaming/ocr_stage.stub_ocr, here as a JVM expression) -> stage-3
+    ``merge_ocr_text`` back into the span sequence. Output: every media
+    span with its post-merge text — routed refs must carry recovered text
+    at the RIGHT span positions, all other media spans must stay empty.
+    The oracle derives entirely from generator structure (expected kinds /
+    media_refs / empty_pages), so a merge that drops, duplicates, or
+    misplaces a span flips the hash."""
+    from ..corpus import corpus_df
+    from ..streaming.ocr_stage import merge_ocr_text
+
+    docs = corpus_df(spark, n_docs=40, seed=42)
+    ext = extract_documents(docs, n_parts=8, num_partitions=8)
+    needs = F.coalesce(
+        F.element_at("scores", "pages_empty_with_images"), F.lit(0.0)
+    )
+    refs = (
+        ext.where(needs > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "filter(transform(spans, s -> s.media_ref), "
+                    "r -> r like 'pdf://%')"
+                )
+            ).alias("media_ref"),
+        )
+        .withColumn(
+            "ocr_text",
+            F.concat(
+                F.lit("[ocr-stub "),
+                F.substring(F.md5("media_ref"), 1, 12),
+                F.lit("]"),
+            ),
+        )
+    )
+    merged = merge_ocr_text(ext, refs)
+    return (
+        merged.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select(
+            "doc_id",
+            F.col("s.offset").cast("bigint").alias("span_idx"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.text").alias("text"),
+        )
+        .orderBy("doc_id", "span_idx")
+    )
+
+
+def _ocr_roundtrip_oracle_sql() -> str:
+    from ..corpus import expected_corpus_parquet
+
+    path = expected_corpus_parquet(40, seed=42)
+    return f"""
+WITH e AS (SELECT * FROM read_parquet('{path}')),
+k AS (
+  SELECT doc_id, empty_pages,
+         unnest(string_split(kinds, ',')) AS kind,
+         generate_subscripts(string_split(kinds, ','), 1) AS idx
+  FROM e WHERE kinds <> ''),
+m AS (
+  SELECT doc_id, empty_pages, idx,
+         row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS mseq
+  FROM k WHERE kind = 'media'),
+r AS (
+  SELECT doc_id,
+         unnest(string_split(media_refs, ',')) AS media_ref,
+         generate_subscripts(string_split(media_refs, ','), 1) AS mseq
+  FROM e WHERE media_refs <> '')
+SELECT m.doc_id,
+       CAST(m.idx - 1 AS BIGINT) AS span_idx,
+       r.media_ref,
+       CASE WHEN m.empty_pages > 0 AND r.media_ref LIKE 'pdf://%'
+            THEN '[ocr-stub ' || substr(md5(r.media_ref), 1, 12) || ']'
+            ELSE '' END AS text
+FROM m JOIN r ON m.doc_id = r.doc_id AND m.mseq = r.mseq
+ORDER BY m.doc_id, span_idx
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "ocr_roundtrip": (q_ocr_roundtrip, _ocr_roundtrip_oracle_sql),
     "extract_clean": (q_extract_clean, EXTRACT_CLEAN_SQL),
     "snapshot_read": (q_snapshot_read, _snapshot_read_oracle_sql),
     "snapshot_diff": (q_snapshot_diff, _snapshot_diff_oracle_sql),

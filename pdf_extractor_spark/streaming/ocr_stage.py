@@ -128,3 +128,51 @@ def start_ocr_stage(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_ocr_text(extracted: DataFrame, ocr_text: DataFrame) -> DataFrame:
+    """Stage-3 of the P6 loop: fold recovered text back into the span
+    sequence. Media spans whose ``media_ref`` has a row in the ``ocr_text``
+    table get their empty ``text`` replaced by the recovered text; every
+    other span — and every document with no OCR rows — passes through
+    byte-identical, so the span-sequence contract (kinds, refs, offsets,
+    reading order) is preserved exactly.
+
+    Scale shape: the OCR results are rolled up to ONE map per document
+    (``map_from_entries``) before joining, so the join key is doc_id — no
+    explode/regroup of the 100 TB spans column, no shuffle keyed on
+    media_ref (skewed: boilerplate images repeat), and the per-row merge is
+    a single ``transform`` over the array. OCR output is tiny relative to
+    the corpus (only scanned docs), so the grouped map side broadcasts."""
+    # dropDuplicates first: the same image placed twice on a page yields two
+    # spans with one media_ref, and duplicate map keys are an ANSI-mode error
+    per_doc = (
+        ocr_text.dropDuplicates(["doc_id", "media_ref"])
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("media_ref", "ocr_text"))
+            ).alias("_ocr")
+        )
+    )
+    merged = F.transform(
+        "spans",
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            F.when(
+                (s["kind"] == "media")
+                & F.element_at("_ocr", s["media_ref"]).isNotNull(),
+                F.element_at("_ocr", s["media_ref"]),
+            )
+            .otherwise(s["text"])
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    cols = [c for c in extracted.columns if c != "spans"]
+    return (
+        extracted.join(F.broadcast(per_doc), "doc_id", "left")
+        .withColumn("spans", merged)
+        .select("doc_id", "spans", *[c for c in cols if c != "doc_id"])
+    )

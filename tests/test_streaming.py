@@ -426,3 +426,45 @@ def test_ocr_stage_consumes_queue_exactly_once(spark, tmp_path):
     q4 = start_ocr_stage(spark, str(qroot), str(out), str(ckpt))
     q4.awaitTermination(120)
     assert len(spark.read.parquet(str(out)).collect()) == 5
+
+
+def test_merge_ocr_text_folds_recovered_text_into_spans(spark):
+    """Stage-3: media spans with OCR rows gain the recovered text; all
+    other spans — and docs with no OCR rows — pass through byte-identical
+    (the span-sequence contract survives the merge)."""
+    from pdf_extractor_spark.streaming.ocr_stage import merge_ocr_text
+
+    span = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    ext = spark.createDataFrame(
+        [
+            (
+                "a",
+                [
+                    ("text", "hello", None, 0),
+                    ("media", "", "pdf://a/0/im1", 5),
+                    ("media", "", "pdf://a/0/im2", 6),
+                ],
+                2,
+            ),
+            ("b", [("text", "plain", None, 0)], 1),
+        ],
+        f"doc_id string, spans {span}, pages_parsed int",
+    )
+    ocr = spark.createDataFrame(
+        [
+            ("a", "pdf://a/0/im1", "[ocr-stub x]"),
+            # duplicate row (replayed ref) must not break the map build
+            ("a", "pdf://a/0/im1", "[ocr-stub x]"),
+        ],
+        "doc_id string, media_ref string, ocr_text string",
+    )
+    out = {r["doc_id"]: r for r in merge_ocr_text(ext, ocr).collect()}
+    a = [tuple(s) for s in out["a"]["spans"]]
+    assert a == [
+        ("text", "hello", None, 0),
+        ("media", "[ocr-stub x]", "pdf://a/0/im1", 5),
+        ("media", "", "pdf://a/0/im2", 6),  # no OCR row -> untouched
+    ]
+    assert [tuple(s) for s in out["b"]["spans"]] == [("text", "plain", None, 0)]
+    assert out["a"]["pages_parsed"] == 2  # non-span columns preserved
+    assert "_ocr" not in merge_ocr_text(ext, ocr).columns

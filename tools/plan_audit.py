@@ -208,6 +208,20 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "ocr_roundtrip",
+        _query_df,
+        [
+            # the route->OCR->merge loop: the OCR side rolls up to one map
+            # per doc and BROADCASTS onto the doc_id join; never a shuffle
+            # keyed on media_ref (skewed) and never a pairwise product
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: absent(p, "BroadcastNestedLoopJoin"),
+        ],
+        False,
+    ),
+    (
         "lang_deviation",
         _query_df,
         [
