@@ -101,6 +101,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.ocr_stage and args.num_partitions is not None:
         p.error("--num-partitions applies to the extraction parse stage, "
                 "not --ocr-stage")
+    if args.ocr_stage and args.parts_per_chunk is not None:
+        p.error("--parts-per-chunk is batch chunking; not valid with "
+                "--ocr-stage")
     if args.watch and args.parts_per_chunk is not None:
         p.error("--parts-per-chunk is batch chunking; micro-batches define "
                 "chunks under --watch")
@@ -137,15 +140,19 @@ def main(argv: list[str] | None = None) -> int:
         # heal the commit->publish crash window BEFORE consuming: a stage-1
         # writer killed between marker and publish may never restart, and
         # its committed chunk's queue entry must not stay hidden as
-        # .staging-* while this run reports the queue drained. PROMOTION
-        # ONLY (grace_s=inf): a live stage-1 writer may be mid-window right
-        # now, and only the stream's own start — which Spark's checkpoint
-        # lock serializes against other writers of that stream — may delete
-        # stale staging dirs
-        healed = maintain_ocr_queue(CommitLog(args.input), grace_s=float("inf"))
-        if healed["promoted"]:
+        # .staging-* while this run reports the queue drained.
+        # sweep_staging=False: a live stage-1 writer may be mid-window
+        # right now, and only the stream's own start (serialized by the
+        # checkpoint lock) may delete staging dirs; legacy VISIBLE unmarked
+        # dirs are still swept — they can never be a live writer's, and
+        # leaving them would feed this consumer duplicate refs
+        healed = maintain_ocr_queue(CommitLog(args.input), sweep_staging=False)
+        if healed["promoted"] or healed["removed"]:
             ids = ",".join(str(c) for c in healed["promoted"])
-            print(f"OCR_QUEUE_HEALED promoted={ids}")
+            print(
+                f"OCR_QUEUE_HEALED promoted={ids or '-'} "
+                f"removed={len(healed['removed'])}"
+            )
 
     spark = get_spark(app_name="pdf-extractor-spark-job", master=args.master)
     try:

@@ -538,34 +538,27 @@ def q_ocr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     media_refs / empty_pages), so a merge that drops, duplicates, or
     misplaces a span flips the hash."""
     from ..corpus import corpus_df
-    from ..streaming.ocr_stage import merge_ocr_text
+    from ..streaming.ingest import needs_ocr_pred, ocr_candidate_refs
+    from ..streaming.ocr_stage import (
+        OCR_TEXT_SCHEMA,
+        _ocr_batches,
+        merge_ocr_text,
+    )
+    from .dedup import _persisted
 
     docs = corpus_df(spark, n_docs=40, seed=42)
-    ext = extract_documents(docs, n_parts=8, num_partitions=8)
-    needs = F.coalesce(
-        F.element_at("scores", "pages_empty_with_images"), F.lit(0.0)
+    # staged (CLAUDE.md): ext feeds the routed-refs branch AND the merge —
+    # un-staged, the PDF parse kernel ran twice per oracle check
+    ext = _persisted(extract_documents(docs, n_parts=8, num_partitions=8))
+    # the routing predicate and ref projection are the router's OWN
+    # definitions (streaming/ingest.py), and the recovered text comes from
+    # the REAL stage-2 engine function — a format drift in stub_ocr (or a
+    # routing change) flips this oracle's hash, which is the point
+    refs = ext.where(needs_ocr_pred()).select(
+        "doc_id", F.explode(ocr_candidate_refs()).alias("media_ref")
     )
-    refs = (
-        ext.where(needs > 0)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "filter(transform(spans, s -> s.media_ref), "
-                    "r -> r like 'pdf://%')"
-                )
-            ).alias("media_ref"),
-        )
-        .withColumn(
-            "ocr_text",
-            F.concat(
-                F.lit("[ocr-stub "),
-                F.substring(F.md5("media_ref"), 1, 12),
-                F.lit("]"),
-            ),
-        )
-    )
-    merged = merge_ocr_text(ext, refs)
+    ocr_rows = refs.mapInPandas(_ocr_batches, schema=OCR_TEXT_SCHEMA)
+    merged = merge_ocr_text(ext, ocr_rows)
     return (
         merged.select("doc_id", F.explode("spans").alias("s"))
         .where(F.col("s.kind") == "media")

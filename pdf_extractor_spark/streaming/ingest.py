@@ -57,6 +57,29 @@ def ocr_queue_root(log: CommitLog) -> str:
     return queue_root_for(os.path.dirname(log.data_dir.rstrip("/")))
 
 
+def needs_ocr_pred() -> "F.Column":
+    """THE routing signal: does this extracted row have text-free pages
+    that carry images? One definition shared by the router below and the
+    ``ocr_roundtrip`` oracle query — a drift between the two would let the
+    oracle silently keep testing stale routing behavior."""
+    return (
+        F.coalesce(
+            F.element_at("scores", "pages_empty_with_images"), F.lit(0.0)
+        )
+        > 0
+    )
+
+
+def ocr_candidate_refs() -> "F.Column":
+    """THE ref projection routed to OCR: the row's pdf:// media refs
+    (synthesized by the parser for embedded/inline images). Shared with
+    the oracle query like ``needs_ocr_pred``."""
+    return F.filter(
+        F.transform("spans", lambda s: s["media_ref"]),
+        lambda r: r.startswith("pdf://"),
+    )
+
+
 def _ocr_queue_router(log: CommitLog, chunk_id: int):
     """Side-output callback for _write_chunk: scanned documents (text-free
     pages with images) land in ``ocr_queue/chunk-*`` with their pdf:// refs,
@@ -77,18 +100,17 @@ def _ocr_queue_router(log: CommitLog, chunk_id: int):
         queue_root = ocr_queue_root(log)
         staging = os.path.join(queue_root, f".staging-chunk-{chunk_id:06d}")
         final = os.path.join(queue_root, f"chunk-{chunk_id:06d}")
-        needs = F.coalesce(
-            F.element_at("scores", "pages_empty_with_images"), F.lit(0.0)
-        )
         (
-            written.where(needs > 0)
+            written.where(needs_ocr_pred())
             .select(
                 "doc_id",
-                needs.cast("int").alias("pages_needing_ocr"),
-                F.filter(
-                    F.transform("spans", lambda s: s["media_ref"]),
-                    lambda r: r.startswith("pdf://"),
-                ).alias("media_refs"),
+                F.coalesce(
+                    F.element_at("scores", "pages_empty_with_images"),
+                    F.lit(0.0),
+                )
+                .cast("int")
+                .alias("pages_needing_ocr"),
+                ocr_candidate_refs().alias("media_refs"),
             )
             .write.mode("overwrite")
             .parquet(staging)
@@ -110,7 +132,9 @@ def _ocr_queue_router(log: CommitLog, chunk_id: int):
     return side
 
 
-def maintain_ocr_queue(log: CommitLog, grace_s: float = 3600.0) -> dict:
+def maintain_ocr_queue(
+    log: CommitLog, grace_s: float = 3600.0, sweep_staging: bool = True
+) -> dict:
     """Self-heal the OCR side-output queue against crash windows:
 
     - a ``.staging-chunk-N`` whose marker EXISTS is promoted (the writer
@@ -118,9 +142,17 @@ def maintain_ocr_queue(log: CommitLog, grace_s: float = 3600.0) -> dict:
       queue entry must become visible);
     - a ``.staging-chunk-N`` with NO marker and older than ``grace_s`` is
       deleted (crashed before commit; its epoch replayed under a new
-      chunk id, so the content is duplicated elsewhere);
+      chunk id, so the content is duplicated elsewhere) — ONLY when
+      ``sweep_staging`` is true: an unmarked staging dir can belong to a
+      LIVE stage-1 writer mid-commit, so only the stream's own start
+      (serialized against other writers of that stream by Spark's
+      checkpoint lock) may delete them; the stage-2 consumer passes
+      ``sweep_staging=False``;
     - a visible ``chunk-N`` with NO marker (legacy pre-two-phase leftover)
-      is likewise deleted after the grace period.
+      is deleted after the grace period regardless — the current producer
+      only ever makes a dir visible AFTER its marker commits, so a visible
+      unmarked dir can never be a live writer's, and leaving it would feed
+      the consumer duplicate refs forever.
 
     Promotion on marker existence alone is sound because chunk ids are
     never reused (``reserve_chunk_id``'s highwater survives
@@ -161,7 +193,7 @@ def maintain_ocr_queue(log: CommitLog, grace_s: float = 3600.0) -> dict:
                         raise
                     if os.path.exists(path):
                         shutil.rmtree(path)
-            elif os.path.getmtime(path) < cutoff:
+            elif sweep_staging and os.path.getmtime(path) < cutoff:
                 shutil.rmtree(path)
                 out["removed"].append(path)
         elif name.startswith("chunk-"):

@@ -142,8 +142,12 @@ def merge_ocr_text(extracted: DataFrame, ocr_text: DataFrame) -> DataFrame:
     (``map_from_entries``) before joining, so the join key is doc_id — no
     explode/regroup of the 100 TB spans column, no shuffle keyed on
     media_ref (skewed: boilerplate images repeat), and the per-row merge is
-    a single ``transform`` over the array. OCR output is tiny relative to
-    the corpus (only scanned docs), so the grouped map side broadcasts."""
+    a single ``transform`` over the array. The join strategy is left to
+    the optimizer deliberately: on digitally-born corpora the per-doc map
+    side is tiny and AQE picks a broadcast join, but a scanned-heavy
+    archive can route MOST docs to OCR, and a forced ``F.broadcast`` hint
+    there would bypass autoBroadcastJoinThreshold and OOM the driver
+    collecting the whole recovered-text corpus."""
     # dropDuplicates first: the same image placed twice on a page yields two
     # spans with one media_ref, and duplicate map keys are an ANSI-mode error
     per_doc = (
@@ -172,7 +176,7 @@ def merge_ocr_text(extracted: DataFrame, ocr_text: DataFrame) -> DataFrame:
     )
     cols = [c for c in extracted.columns if c != "spans"]
     return (
-        extracted.join(F.broadcast(per_doc), "doc_id", "left")
+        extracted.join(per_doc, "doc_id", "left")
         .withColumn("spans", merged)
         .select("doc_id", "spans", *[c for c in cols if c != "doc_id"])
     )

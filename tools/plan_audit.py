@@ -211,11 +211,16 @@ AUDITS: list[tuple] = [
         "ocr_roundtrip",
         _query_df,
         [
-            # the route->OCR->merge loop: the OCR side rolls up to one map
-            # per doc and BROADCASTS onto the doc_id join; never a shuffle
-            # keyed on media_ref (skewed) and never a pairwise product
+            # the route->OCR->merge loop: extraction is STAGED (CLAUDE.md —
+            # the refs branch and the merge both read the cache, the PDF
+            # parse kernel runs once), the recovered text flows through the
+            # REAL stage-2 mapInPandas engine, and the per-doc OCR map side
+            # joins by statistics-chosen broadcast (no forced hint — a
+            # scanned-heavy corpus must be free to shuffle instead); never
+            # a shuffle keyed on media_ref, never a pairwise product
+            lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: contains(p, "MapInPandas"),
             lambda p: contains(p, "BroadcastHashJoin"),
-            lambda p: absent(p, "SortMergeJoin"),
             lambda p: absent(p, "CartesianProduct"),
             lambda p: absent(p, "BroadcastNestedLoopJoin"),
         ],
