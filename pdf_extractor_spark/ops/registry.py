@@ -48,7 +48,14 @@ for _m in _MODULES:
 def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..shipping import ensure_shipped
+        from .dedup import release_caches
 
+        # the DRIVER harness never calls release_caches() itself, so free
+        # the PREVIOUS query's staged intermediates here — by the time the
+        # next query builds, the prior one's result was already collected,
+        # and an unpersist is never a correctness event (worst case the
+        # plan recomputes)
+        release_caches()
         ensure_shipped(spark)  # executors must import this package (kernels)
         return fn(spark, sf_dir)
 
