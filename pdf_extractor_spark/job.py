@@ -67,6 +67,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --watch: route scanned docs (text-free pages "
                         "with images) into a crash-safe ocr_queue/ side "
                         "output for a downstream OCR stage")
+    p.add_argument("--with-ocr-text", type=str, default=None, metavar="DIR",
+                   help="with --export-zip: fold this stage-2 ocr_text "
+                        "table's recovered text into the spans before "
+                        "rendering, so scanned documents export with their "
+                        "recovered content")
     p.add_argument("--ocr-stage", action="store_true",
                    help="run the stage-2 OCR consumer instead of extraction: "
                         "--input is a stage-1 table root (its ocr_queue/ is "
@@ -104,6 +109,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.ocr_stage and args.parts_per_chunk is not None:
         p.error("--parts-per-chunk is batch chunking; not valid with "
                 "--ocr-stage")
+    if args.with_ocr_text and not args.export_zip:
+        p.error("--with-ocr-text only applies to --export-zip")
     if args.watch and args.parts_per_chunk is not None:
         p.error("--parts-per-chunk is batch chunking; micro-batches define "
                 "chunks under --watch")
@@ -253,7 +260,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.export_zip:
             from pdf_extractor_spark.spark.export import export_markdown_zip
 
-            n_exported = export_markdown_zip(spark, args.output, args.export_zip)
+            n_exported = export_markdown_zip(
+                spark, args.output, args.export_zip,
+                ocr_text_dir=args.with_ocr_text,
+            )
             print(f"EXPORT_DONE zip={args.export_zip} docs={n_exported}")
         dt = time.monotonic() - t0
         docs_s = report.docs_processed / dt if dt > 0 else 0.0

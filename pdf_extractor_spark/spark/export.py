@@ -39,14 +39,25 @@ def markdown_expr(spans: Column | str) -> Column:
     """Markdown rendering of an extracted ``spans`` array as a pure column
     expression (reference S7 export path, docling_processor.py:241-246):
     text spans become '## Span N' sections, media spans become image
-    links. JVM-side, no Python."""
+    links — followed by a blockquote of the span's text when one exists
+    (recovered OCR text folded in by ``merge_ocr_text``; extraction itself
+    always leaves media text empty, so plain pipelines render
+    byte-identically to before). JVM-side, no Python."""
     return F.array_join(
         F.transform(
             spans,
             lambda s: F.when(
                 s["kind"] == "media",
                 F.concat(
-                    F.lit("!["), s["kind"], F.lit("]("), s["media_ref"], F.lit(")")
+                    F.lit("!["),
+                    s["kind"],
+                    F.lit("]("),
+                    s["media_ref"],
+                    F.lit(")"),
+                    F.when(
+                        s["text"].isNotNull() & (s["text"] != ""),
+                        F.concat(F.lit("\n\n> "), s["text"]),
+                    ).otherwise(F.lit("")),
                 ),
             ).otherwise(
                 F.concat(
@@ -66,16 +77,26 @@ def export_markdown_zip(
     root: str,
     zip_path: str,
     as_of: int | None = None,
+    ocr_text_dir: str | None = None,
 ) -> int:
     """Export every committed document as ``<doc_id>.md`` inside one zip.
 
     Entries are sorted by doc_id and carry a fixed timestamp, so the
     archive bytes are a pure function of the committed snapshot (``as_of``
-    time-travels like every other read). Returns the number of documents
-    written. Streams partition-by-partition; never collects the table.
+    time-travels like every other read) — plus, when ``ocr_text_dir``
+    names a stage-2 ``ocr_text`` table, of that table: recovered OCR text
+    is folded into the spans (``merge_ocr_text``) before rendering, so
+    scanned documents export with their recovered content as blockquotes
+    under the media links. Returns the number of documents written.
+    Streams partition-by-partition; never collects the table.
     """
     log = CommitLog(root)
     df: DataFrame = log.read_extracted(spark, as_of=as_of)
+    if ocr_text_dir is not None:
+        from ..streaming.ocr_stage import OCR_TEXT_SCHEMA, merge_ocr_text
+
+        ocr = spark.read.schema(OCR_TEXT_SCHEMA).parquet(ocr_text_dir)
+        df = merge_ocr_text(df, ocr)
     md = df.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         markdown_expr("spans").alias("markdown"),

@@ -468,3 +468,46 @@ def test_merge_ocr_text_folds_recovered_text_into_spans(spark):
     assert [tuple(s) for s in out["b"]["spans"]] == [("text", "plain", None, 0)]
     assert out["a"]["pages_parsed"] == 2  # non-span columns preserved
     assert "_ocr" not in merge_ocr_text(ext, ocr).columns
+
+
+def test_export_zip_with_ocr_text(spark, tmp_path):
+    """--with-ocr-text composition: recovered text exports as a blockquote
+    under the media link; without the OCR table the same snapshot exports
+    with bare links (the unmerged byte contract is unchanged)."""
+    import zipfile
+
+    import pandas as pd
+
+    from pdf_extractor_spark.spark.export import export_markdown_zip
+    from pdf_extractor_spark.spark.lineage import _write_chunk
+    from pdf_extractor_spark.spark.pipeline import extract_documents
+
+    span_t = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    docs = spark.createDataFrame(
+        [("d1", [("text", "hello world", None, 0), ("media", None, "pdf://d1/0/im", 1)])],
+        f"doc_id string, spans {span_t}",
+    )
+    log = CommitLog(str(tmp_path / "t"))
+    ext = extract_documents(docs, n_parts=4, num_partitions=2)
+    cid = log.reserve_chunk_id()
+    _write_chunk(spark, log, ext, cid, [0, 1, 2, 3], 4)
+
+    plain = tmp_path / "plain.zip"
+    export_markdown_zip(spark, str(tmp_path / "t"), str(plain))
+    assert b"> [" not in zipfile.ZipFile(plain).read("d1.md")
+
+    (tmp_path / "ocr").mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": ["d1"],
+            "media_ref": ["pdf://d1/0/im"],
+            "ocr_text": ["[ocr-stub feedface0000]"],
+        }
+    ).to_parquet(tmp_path / "ocr" / "p.parquet", index=False)
+    merged = tmp_path / "merged.zip"
+    export_markdown_zip(
+        spark, str(tmp_path / "t"), str(merged), ocr_text_dir=str(tmp_path / "ocr")
+    )
+    body = zipfile.ZipFile(merged).read("d1.md").decode()
+    assert "![media](pdf://d1/0/im)\n\n> [ocr-stub feedface0000]" in body
+    assert "hello world" in body
