@@ -159,12 +159,19 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over token position); counts are map-side-combined groupBys.
     Skew: the scoring join's keys are tokens, and natural-language token
     frequency is Zipfian — joining the raw per-position stream on w1
-    would send every occurrence of "the" to one reducer. So occurrences
-    are first collapsed to (doc_id, w1, w2, n_occ) — a well-distributed
-    key — and the count join moves one row per distinct bigram per doc
-    (the score is n_occ * m, exactly). Residual skew on the (w1, w2) key
-    is AQE skew-join territory. Documents with fewer than two tokens
-    have no bigrams and drop out, as in the oracle.
+    would send every occurrence of "the" to one reducer. Two defenses:
+    (1) occurrences are first collapsed to (doc_id, w1, w2, n_occ) — a
+    well-distributed key — so the count join moves one row per distinct
+    bigram per doc (the score is n_occ * m, exactly); (2) the smoothed
+    probability m is computed entirely on the COUNT tables first —
+    bigc ⨝ uni is a count-table ⨝ count-table join (one row per
+    distinct bigram / unigram, tiny vs the occurrence stream) — so the
+    occurrence stream joins exactly once, on the composite (w1, w2) key,
+    and is NEVER hash-partitioned on the bare Zipf-hot w1. Pinned in
+    tools/plan_audit.py: no bare-w1 exchange carries doc_id in its Input
+    columns (only count tables shuffle on w1). Residual skew on (w1, w2) is AQE
+    skew-join territory. Documents with fewer than two tokens have no
+    bigrams and drop out, as in the oracle.
     """
     # staged intermediates (CLAUDE.md): toks feeds the unigram AND bigram
     # branches, bp feeds counts AND per-doc occurrences — un-staged, the
@@ -193,16 +200,19 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigc = bp.groupBy("w1", "w2").agg(F.count("*").alias("c_big"))
     vocab = uni.agg(F.count("*").alias("v"))
     occ = bp.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n_occ"))
-    scored = (
-        occ.join(bigc, ["w1", "w2"])
-        .join(uni, "w1")
+    # count-table ⨝ count-table: attach c_uni (and the vocab scalar) to the
+    # distinct-bigram table BEFORE touching the occurrence stream, so the
+    # only join occ participates in is keyed on composite (w1, w2).
+    mtab = (
+        bigc.join(uni, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
-            "doc_id",
-            "n_occ",
+            "w1",
+            "w2",
             F.expr("(1000000 * (c_big + 1)) div (c_uni + v)").alias("m"),
         )
     )
+    scored = occ.join(mtab, ["w1", "w2"]).select("doc_id", "n_occ", "m")
     return (
         scored.groupBy("doc_id")
         .agg(

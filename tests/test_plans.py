@@ -31,3 +31,30 @@ def test_plan_invariants(spark, name, factory, checks, exec_first):
         release_caches()  # builders may stage persisted intermediates
     failures = [detail for ok, detail in (chk(plan) for chk in checks) if not ok]
     assert not failures, f"{name}: {failures}\n--- plan ---\n{plan}"
+
+
+def test_bare_key_exchange_pin_detects_fat_stream():
+    """The Zipf-skew pin (lm_score) must be non-vacuous: it parses the
+    formatted details section (Input line between node header and Arguments)
+    and fails when a bare-hot-key exchange carries the per-document stream."""
+    from plan_audit import bare_key_exchanges_are_count_tables
+
+    count_table = (
+        "(26) Exchange\n"
+        "Input [2]: [w1#71, count#283L]\n"
+        "Arguments: hashpartitioning(w1#71, 8), ENSURE_REQUIREMENTS, [plan_id=1]\n"
+    )
+    fat_stream = (
+        "(30) Exchange\n"
+        "Input [4]: [w1#71, w2#72, doc_id#3L, n_occ#9L]\n"
+        "Arguments: hashpartitioning(w1#71, 8), ENSURE_REQUIREMENTS, [plan_id=2]\n"
+    )
+    composite = (
+        "(34) Exchange\n"
+        "Input [4]: [w1#71, w2#72, doc_id#3L, n_occ#9L]\n"
+        "Arguments: hashpartitioning(w1#71, w2#72, 8), ENSURE_REQUIREMENTS, [plan_id=3]\n"
+    )
+    ok, detail = bare_key_exchanges_are_count_tables(count_table + composite, "w1", "doc_id")
+    assert ok and "(1)" in detail, detail  # composite-key exchange not counted as bare
+    ok, detail = bare_key_exchanges_are_count_tables(count_table + fat_stream, "w1", "doc_id")
+    assert not ok and "doc_id" in detail, detail

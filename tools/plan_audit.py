@@ -70,6 +70,41 @@ def occurs_at_most(plan: str, token: str, n_max: int):
     return found <= n_max, f"<= {n_max} occurrences of {token!r} (found {found})"
 
 
+def _exchanges(plan: str) -> list[tuple[str, str]]:
+    """(input columns, partitioning arguments) for every shuffle Exchange in
+    the formatted plan's details section. Block shape (Spark 3.5/4.x):
+
+        (26) Exchange
+        Input [2]: [w1#71, count#283L]
+        Arguments: hashpartitioning(w1#71, 8), ENSURE_REQUIREMENTS, [plan_id=..]
+    """
+    return re.findall(
+        r"\(\d+\) Exchange\nInput \[\d+\]: \[([^\n]*)\]\nArguments: ([^\n]*)",
+        plan,
+    )
+
+
+def bare_key_exchanges_are_count_tables(plan: str, key: str, fat_col: str):
+    """Every Exchange hash-partitioned on the SINGLE key `key` must be a
+    count-table shuffle: its Input columns must not carry `fat_col` (the
+    per-document stream's identifying column). Catches the Zipf-skew shape
+    where the fat occurrence stream is hash-partitioned on a bare hot token
+    — only tiny aggregate tables may ever shuffle on that key. (Checking
+    Input columns, not the child node name, matters: the fat stream's
+    exchange can ALSO sit directly above a HashAggregate.)"""
+    bad = []
+    pat = re.compile(rf"hashpartitioning\({re.escape(key)}#\d+, \d+\)")
+    for cols, args in _exchanges(plan):
+        if pat.search(args) and re.search(rf"\b{re.escape(fat_col)}#", cols):
+            bad.append(cols)
+    n_bare = sum(1 for cols, args in _exchanges(plan) if pat.search(args))
+    return (
+        not bad,
+        f"bare-{key} exchanges ({n_bare}) never carry {fat_col!r}"
+        + (f" (violators: {bad})" if bad else ""),
+    )
+
+
 # --- the audited queries ----------------------------------------------------
 
 def _query_df(spark, sf_dir: str, name: str):
@@ -484,6 +519,11 @@ AUDITS: list[tuple] = [
             # just cache presence — toks is the only documents read; the
             # un-staged plan re-scanned (and re-tokenized) 4x
             lambda p: occurs_at_most(p, "documents.parquet", 1),
+            # Zipf-skew defense: the doc-occurrence stream joins only on the
+            # composite (w1,w2); the bare-w1 shuffles are confined to the
+            # count-table ⨝ count-table pre-join (no bare-w1 exchange ever
+            # carries doc_id, i.e. the fat per-document stream)
+            lambda p: bare_key_exchanges_are_count_tables(p, "w1", "doc_id"),
             lambda p: never_reads(p, "lang"),
             lambda p: never_reads(p, "source"),
         ],
