@@ -205,8 +205,16 @@ def main(argv: list[str] | None = None) -> int:
                 route_needs_ocr=args.route_needs_ocr,
             )
             q.awaitTermination()
+            # attribute only THIS stream's chunks (metrics.stream carries
+            # the checkpoint realpath): a concurrent writer appending to
+            # the same table root during the drain must not inflate the
+            # report (ADVICE r03)
+            ns = _os.path.realpath(ckpt)
             new = [
-                c for c in log.committed_chunks() if c["chunk_id"] not in before
+                c
+                for c in log.committed_chunks()
+                if c["chunk_id"] not in before
+                and (c.get("metrics") or {}).get("stream") == ns
             ]
             n_docs = sum((c.get("metrics") or {}).get("docs", 0) for c in new)
             report = RunReport(

@@ -50,11 +50,15 @@ def _with_shipping(fn: Callable[[SparkSession, str], DataFrame]):
         from ..shipping import ensure_shipped
         from .dedup import release_caches
 
-        # the DRIVER harness never calls release_caches() itself, so free
-        # the PREVIOUS query's staged intermediates here — by the time the
-        # next query builds, the prior one's result was already collected,
-        # and an unpersist is never a correctness event (worst case the
-        # plan recomputes)
+        # The DRIVER harness never calls release_caches() itself, so free
+        # the PREVIOUS query's staged intermediates here. ORDERING CONTRACT
+        # (ADVICE r03): this assumes build->collect->build->collect — a
+        # caller that builds query B before collecting query A unpersists
+        # A's staged subtrees (still correct, A just recomputes, defeating
+        # the staging the plan audits pin), and the session's LAST query
+        # keeps its caches until the next build or session stop. Callers
+        # that control their own loop (tools/check_oracle.py, bench.py,
+        # tests/conftest.py) release after every action instead.
         release_caches()
         ensure_shipped(spark)  # executors must import this package (kernels)
         return fn(spark, sf_dir)

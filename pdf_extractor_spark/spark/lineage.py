@@ -251,16 +251,23 @@ class CommitLog:
                     break
                 except FileExistsError:
                     cid += 1
-            tmp = self._highwater_path() + f".tmp-{os.getpid()}"
-            with open(tmp, "w") as f:
-                f.write(str(cid))
-                f.flush()
-                # fsync like the marker path: the never-reuse invariant
-                # (which OCR-queue promotion soundness leans on) must
-                # survive power loss, not just process crash
-                os.fsync(f.fileno())
-            os.replace(tmp, self._highwater_path())
+            self._bump_highwater(cid)
             return cid
+
+    def _bump_highwater(self, cid: int) -> None:
+        """Monotonically raise the never-reuse floor to ``cid`` (no-op when
+        already past it). Caller must hold the commit lock. fsync like the
+        marker path: the never-reuse invariant (which OCR-queue promotion
+        soundness leans on) must survive power loss, not just process
+        crash."""
+        if self._read_highwater() >= cid:
+            return
+        tmp = self._highwater_path() + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(cid))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._highwater_path())
 
     @contextlib.contextmanager
     def _commit_lock(self):
@@ -280,11 +287,20 @@ class CommitLog:
         conflict-losing writers' staged output (the
         ``remove_orphan_files`` analogue, including its grace period: a
         LIVE writer's reserved directory must never be swept, which is why
-        the default grace is generous)."""
+        the default grace is generous).
+
+        Before anything is deleted, the chunk-id highwater is bumped past
+        every id about to be reclaimed (ADVICE r03): ids reserved BEFORE the
+        highwater file existed (an upgraded table) are not covered by
+        ``reserve_chunk_id``'s bump, and handing such an id out again would
+        let a legacy visible ``ocr_queue/chunk-N`` be adopted by an
+        unrelated new chunk N — ``maintain_ocr_queue``'s promotion
+        soundness assumes ids are never reused. Bump-then-delete ordering
+        makes a crash mid-GC safe (the id is burned either way)."""
         import shutil
 
         marked = {c["chunk_id"] for c in self.committed_chunks()}
-        removed: list[str] = []
+        doomed: list[tuple[int, str]] = []
         cutoff = time.time() - grace_s
         for base in (self.data_dir, self.lineage_dir):
             for name in sorted(os.listdir(base)):
@@ -296,8 +312,14 @@ class CommitLog:
                     continue
                 path = os.path.join(base, name)
                 if cid not in marked and os.path.getmtime(path) < cutoff:
-                    shutil.rmtree(path)
-                    removed.append(path)
+                    doomed.append((cid, path))
+        if doomed:
+            with self._commit_lock():
+                self._bump_highwater(max(cid for cid, _ in doomed))
+        removed: list[str] = []
+        for _cid, path in doomed:
+            shutil.rmtree(path)
+            removed.append(path)
         return removed
 
     def n_parts(self, chunks: list[dict] | None = None) -> int | None:

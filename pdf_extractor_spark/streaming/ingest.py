@@ -133,7 +133,7 @@ def _ocr_queue_router(log: CommitLog, chunk_id: int):
 
 
 def maintain_ocr_queue(
-    log: CommitLog, grace_s: float = 3600.0, sweep_staging: bool = True
+    log: CommitLog, grace_s: float = 3600.0, sweep_staging: bool = False
 ) -> dict:
     """Self-heal the OCR side-output queue against crash windows:
 
@@ -143,11 +143,15 @@ def maintain_ocr_queue(
     - a ``.staging-chunk-N`` with NO marker and older than ``grace_s`` is
       deleted (crashed before commit; its epoch replayed under a new
       chunk id, so the content is duplicated elsewhere) — ONLY when
-      ``sweep_staging`` is true: an unmarked staging dir can belong to a
-      LIVE stage-1 writer mid-commit, so only the stream's own start
+      ``sweep_staging`` is true (OFF by default): an unmarked staging dir
+      can belong to a LIVE stage-1 writer mid-commit — a micro-batch
+      stalled past ``grace_s`` between staging write and marker commit
+      would have its dir swept, then commit, then fail publish, and on
+      restart the epoch is skipped as done, losing that committed chunk's
+      queue entry permanently. Only the routed stream's own start
       (serialized against other writers of that stream by Spark's
-      checkpoint lock) may delete them; the stage-2 consumer passes
-      ``sweep_staging=False``;
+      checkpoint lock) opts in; maintenance jobs and the stage-2 consumer
+      keep the default;
     - a visible ``chunk-N`` with NO marker (legacy pre-two-phase leftover)
       is deleted after the grace period regardless — the current producer
       only ever makes a dir visible AFTER its marker commits, so a visible
@@ -158,10 +162,12 @@ def maintain_ocr_queue(
     never reused (``reserve_chunk_id``'s highwater survives
     ``gc_orphans``): marker N and ``.staging-chunk-N`` can only come from
     the same reservation, never from an unrelated later writer adopting a
-    dead chunk's id. Called at stream start (make_batch_processor) and safe
-    to run from any maintenance job alongside ``CommitLog.gc_orphans`` —
-    promotion races with the live writer's publish() are benign (both
-    sides tolerate already-published)."""
+    dead chunk's id. Called at stream start (make_batch_processor, the one
+    ``sweep_staging=True`` caller); with the default ``sweep_staging=False``
+    the promote/legacy-sweep parts are additionally safe from any
+    maintenance job alongside ``CommitLog.gc_orphans`` — promotion races
+    with the live writer's publish() are benign (both sides tolerate
+    already-published)."""
     import shutil
     import time as _time
 
@@ -240,8 +246,10 @@ def make_batch_processor(
             f"n_parts={existing} or target a fresh table root"
         )
     if route_needs_ocr:
-        # heal the commit->publish crash window before processing anything
-        maintain_ocr_queue(log)
+        # heal the commit->publish crash window before processing anything;
+        # this is the stream's own start (serialized by the checkpoint
+        # lock), the ONLY place allowed to sweep stale unmarked staging dirs
+        maintain_ocr_queue(log, sweep_staging=True)
     done_epochs = {
         m["epoch"]
         for c in log.committed_chunks()

@@ -136,7 +136,10 @@ def merge_ocr_text(extracted: DataFrame, ocr_text: DataFrame) -> DataFrame:
     table get their empty ``text`` replaced by the recovered text; every
     other span — and every document with no OCR rows — passes through
     byte-identical, so the span-sequence contract (kinds, refs, offsets,
-    reading order) is preserved exactly.
+    reading order) is preserved exactly. Contract: duplicate recoveries
+    for one (doc_id, media_ref) reduce deterministically (lexicographic
+    max), so merged output is a pure function of the ocr_text table's
+    CONTENTS, independent of row order or rerun history.
 
     Scale shape: the OCR results are rolled up to ONE map per document
     (``map_from_entries``) before joining, so the join key is doc_id — no
@@ -148,10 +151,16 @@ def merge_ocr_text(extracted: DataFrame, ocr_text: DataFrame) -> DataFrame:
     archive can route MOST docs to OCR, and a forced ``F.broadcast`` hint
     there would bypass autoBroadcastJoinThreshold and OOM the driver
     collecting the whole recovered-text corpus."""
-    # dropDuplicates first: the same image placed twice on a page yields two
-    # spans with one media_ref, and duplicate map keys are an ANSI-mode error
+    # Collapse to one row per (doc_id, media_ref) first: the same image
+    # placed twice on a page yields two spans with one media_ref, and
+    # duplicate map keys are an ANSI-mode error. Reduce with max(), NOT
+    # dropDuplicates: when reruns of a real OCR engine append DIFFERENT
+    # text for the same ref, dropDuplicates keeps an arbitrary row and the
+    # merged corpus (and any export-zip bytes) becomes nondeterministic —
+    # max() pins the contract to the lexicographically greatest recovery.
     per_doc = (
-        ocr_text.dropDuplicates(["doc_id", "media_ref"])
+        ocr_text.groupBy("doc_id", "media_ref")
+        .agg(F.max("ocr_text").alias("ocr_text"))
         .groupBy("doc_id")
         .agg(
             F.map_from_entries(

@@ -182,6 +182,25 @@ def test_chunk_ids_never_reused_after_gc(tmp_path):
     assert log.reserve_chunk_id() == 2
 
 
+def test_legacy_pre_highwater_orphan_id_never_reused(tmp_path):
+    """ADVICE r03: an orphan whose id was reserved BEFORE the highwater file
+    existed (an upgraded table — the dir is on disk but no reservation ever
+    bumped the floor) must ALSO be retired by gc_orphans, or a legacy
+    visible ocr_queue/chunk-N could be adopted by an unrelated new chunk N."""
+    log = L.CommitLog(str(tmp_path / "t"))
+    # simulate the upgraded table: chunk dirs exist, no highwater file
+    old = time.time() - 7200
+    for cid in (0, 5):
+        path = os.path.join(log.data_dir, f"chunk-{cid:06d}")
+        os.makedirs(path)
+        os.utime(path, (old, old))
+    assert not os.path.exists(os.path.join(log.commits_dir, "chunk-id-highwater"))
+    removed = log.gc_orphans(grace_s=3600)
+    assert len(removed) == 2
+    # ids 0..5 are burned even though no reservation ever recorded them
+    assert log.reserve_chunk_id() == 6
+
+
 def test_commit_chunk_rejects_mismatched_n_parts(tmp_path):
     """The n_parts guard lives at the COMMIT layer, not just run_extraction:
     a streaming append with a different n_parts would flip log.n_parts()

@@ -284,9 +284,14 @@ def test_ocr_queue_two_phase_crash_windows(spark, tmp_path):
     live = os.path.join(qroot, ".staging-chunk-000011")
     os.makedirs(live)
 
+    # default (maintenance-job) mode: promote, but NEVER sweep staging —
+    # an unmarked dir could be a live writer stalled past the grace window
     out = maintain_ocr_queue(log, grace_s=3600.0)
     assert out["promoted"] == [7]
     assert os.path.isdir(os.path.join(qroot, "chunk-000007"))
+    assert os.path.exists(stale)
+    # stream-start mode (the only sweep_staging=True caller): sweep stale
+    out = maintain_ocr_queue(log, grace_s=3600.0, sweep_staging=True)
     assert not os.path.exists(stale)
     assert os.path.isdir(live)  # a LIVE writer's staging is never swept
 
@@ -468,6 +473,26 @@ def test_merge_ocr_text_folds_recovered_text_into_spans(spark):
     assert [tuple(s) for s in out["b"]["spans"]] == [("text", "plain", None, 0)]
     assert out["a"]["pages_parsed"] == 2  # non-span columns preserved
     assert "_ocr" not in merge_ocr_text(ext, ocr).columns
+
+    # ADVICE r03: conflicting recoveries for one (doc_id, media_ref) — a
+    # real engine rerun appending different text — must reduce
+    # DETERMINISTICALLY (lexicographic max), not arbitrary-row-wins
+    ocr_conflict = spark.createDataFrame(
+        [
+            ("a", "pdf://a/0/im1", "[ocr rerun B]"),
+            ("a", "pdf://a/0/im1", "[ocr rerun A]"),
+        ],
+        "doc_id string, media_ref string, ocr_text string",
+    )
+    merged = {
+        r["doc_id"]: r for r in merge_ocr_text(ext, ocr_conflict).collect()
+    }
+    assert [tuple(s) for s in merged["a"]["spans"]][1] == (
+        "media",
+        "[ocr rerun B]",
+        "pdf://a/0/im1",
+        5,
+    )
 
 
 def test_export_zip_with_ocr_text(spark, tmp_path):
