@@ -692,19 +692,137 @@ def propagate_min_labels(edges: DataFrame, max_iters: int = MAX_CC_ITERS):
     return labels, changed
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round over a canonical edge list ``edges(u, v)``
+    (u > v after the first round; the first call symmetrizes regardless).
+
+    For every node ``x`` with neighborhood Γ(x), connect each strictly
+    LARGER neighbor to ``m = min(Γ(x) ∪ {x})``: emit (y, m) for y ∈ Γ(x),
+    y > x. Processing both directions of every edge keeps the graph
+    connected; output edges always point big → small, so the result is
+    canonical. One groupBy(x) + one join — two shuffles on the vertex id.
+    """
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("_mn", F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round over a CANONICAL edge list (u > v required —
+    the large-star output shape).
+
+    For every node ``x`` and its smaller neighbors Γ⁻(x), rewire them all
+    (and x itself) to ``m = min(Γ⁻(x))``: emit (y, m) for y ∈ Γ⁻(x) plus
+    (x, m); self-loops (the cluster root rewired to itself) drop. Output
+    stays canonical because m ≤ every y. One groupBy + one join.
+    """
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    rewired = (
+        edges.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    kept = mins.select("u", F.col("m").alias("v"))
+    return (
+        rewired.union(kept)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def star_contract_components(edges: DataFrame, max_rounds: int = MAX_CC_ITERS):
+    """Connected components via alternating large-star / small-star rewrites
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14): each round halves star heights roughly geometrically, so a
+    diameter-d chain converges in O(log d) rounds where min-label
+    propagation needs d — the difference between ~8 rounds and ~10^6 rounds
+    on an adversarial mirror chain at 10^12-doc scale.
+
+    ``edges(u, v)`` is an undirected edge list in either orientation.
+    Returns ``(labels, rounds, converged)`` where ``labels(doc_id, comp)``
+    is persisted (caller owns release), ``rounds`` counts completed
+    large+small iterations, and ``converged`` reports whether a fixpoint
+    was reached (caller decides whether non-convergence is fatal).
+
+    Convergence test: the canonical edge set is unchanged by a round (two
+    anti-join counts on the already-materialized frames — edge-graph-sized,
+    tiny next to the corpus, and driver-side only as counts). Lineage is
+    truncated with an eager ``localCheckpoint`` EVERY round, not every few
+    rounds like min-label propagation: one star round references its input
+    ~12x (the symmetrizing union, the min-neighbor groupBy, and both join
+    sides, in each of the two half-rounds), so an unpersisted plan grows
+    ~12^rounds and even building the plan STRING OOMs the driver by round
+    four — measured, not hypothetical. The mid-round large-star frame is
+    persisted so small-star's three references don't recompute it.
+    """
+    # vertex inventory up front: star rewiring drops a leaf's OUTGOING rows
+    # once it points at the root, so the final edge set alone can't
+    # enumerate isolated-after-contraction vertices.
+    verts = (
+        edges.select(F.col("u").alias("doc_id"))
+        .union(edges.select(F.col("v").alias("doc_id")))
+        .distinct()
+        .persist()
+    )
+    cur = _large_star(edges).localCheckpoint(eager=True)
+    rounds = 0
+    converged = False
+    for _ in range(max_rounds):
+        big = _large_star(cur).persist()
+        nxt = _small_star(big).localCheckpoint(eager=True)
+        big.unpersist()
+        rounds += 1
+        changed = (
+            nxt.join(cur, ["u", "v"], "left_anti").count()
+            + cur.join(nxt, ["u", "v"], "left_anti").count()
+        )
+        cur.unpersist()
+        cur = nxt
+        if changed == 0:
+            converged = True
+            break
+    # At the fixpoint every edge is (member, root). Roots have no outgoing
+    # edge — they label themselves via the left join's coalesce.
+    labels = (
+        verts.join(
+            cur.select(F.col("u").alias("doc_id"), F.col("v").alias("root")),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("root", "doc_id").alias("comp"))
+        .persist()
+    )
+    labels.count()
+    verts.unpersist()
+    cur.unpersist()
+    return labels, rounds, converged
+
+
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the LSH candidate-pair graph: each doc in a
     candidate pair gets its duplicate-cluster id (= min doc_id reachable).
 
-    Iterative min-label propagation in the DataFrame API: per round, every
-    vertex takes min(own label, neighbors' labels); loop until a fixpoint
-    (converges in graph-diameter rounds — near-dup clusters are shallow).
-    Deterministic under any partitioning; each round is one shuffle on the
-    vertex id, and lineage is truncated by an eager localCheckpoint every
-    few rounds (see ``propagate_min_labels``). At 10^12-doc scale the same
-    loop additionally runs large-star/small-star rewrites to cut round
-    count; the driver-side part is only the convergence test (a count),
-    never data.
+    Alternating large-star/small-star contraction in the DataFrame API
+    (``star_contract_components``): converges in O(log diameter) rounds
+    where plain min-label propagation needs diameter rounds — the
+    adversarial case (a 10^12-doc mirror chain) is exactly where the
+    difference matters, and ``tests/test_ops.py`` pins a 200-link chain to
+    a logarithmic round count. Deterministic under any partitioning; each
+    round is a bounded number of vertex-keyed shuffles, lineage truncated
+    by an eager localCheckpoint every round. The driver-side part is
+    only the convergence test (counts), never data.
+    (``propagate_min_labels`` remains as the shallow-graph reference
+    implementation the tests differential-check against.)
 
     The LSH pair stage is persisted and materialized BEFORE the loop
     (VERDICT r02 #1): ``pairs`` feeds both union branches of ``edges``, so
@@ -720,15 +838,14 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("doc2").alias("u"), F.col("doc1").alias("v")))
         .distinct()
     )
-    labels, changed = propagate_min_labels(edges)
+    labels, rounds, converged = star_contract_components(edges)
     _DF_CACHE.append(labels)  # the returned frame reads it; harness releases
-    if changed != 0:
+    if not converged:
         # a non-fixpoint labeling would silently diverge from the
         # transitive-closure oracle — fail loudly instead (ADVICE r01)
         raise RuntimeError(
             f"dedup_components did not converge in {MAX_CC_ITERS} rounds "
-            f"({changed} labels still changing); raise MAX_CC_ITERS or "
-            "checkpoint + continue"
+            "of star contraction; raise MAX_CC_ITERS or checkpoint + continue"
         )
     return labels.select("doc_id", F.col("comp").alias("component")).orderBy("doc_id")
 
