@@ -307,12 +307,33 @@ def gen_documents(n_docs: int, seed: int = 42, profile: str = "mixed") -> list[d
     with an EMPTY user password (must decrypt transparently); every 7th doc
     instead carries a REAL user password and must quarantine as a parse
     failure.
+    profile="skewed": the adversarial straggler shape (VERDICT r03 #2) —
+    a 1% head of CONTIGUOUS giant PDFs (500-1000 pages each; the realistic
+    crawl-dump layout where one long-document source arrives clustered in
+    input order) followed by 99% single-page PDFs. The giant head holds
+    ~90% of the parse work, so an input-order scan partitioning serializes
+    it onto a handful of tasks; the salted repartition must scatter it.
+    features=5 like "heavy" so the skew A/B measures partitioning, not
+    feature mix.
     """
     rng = random.Random(seed)
     rows: list[dict] = []
+    n_giants = max(1, n_docs // 100) if profile == "skewed" else 0
     for d in range(n_docs):
         doc_id = f"doc-{seed}-{d:08d}"
         spans: list[dict] = []
+        if profile == "skewed":
+            n_pages = rng.randint(500, 1000) if d < n_giants else 1
+            pdf = make_pdf_bytes(rng, n_pages, features=5)
+            spans.append({
+                "kind": "pdf",
+                "text": base64.b64encode(pdf).decode("ascii"),
+                "media_ref": "",
+                "offset": 0,
+                "n_pages": n_pages,  # generator metadata (stripped on write)
+            })
+            rows.append({"doc_id": doc_id, "spans": spans})
+            continue
         if profile == "encrypted":
             mode = ("rc4-40", "rc4-128", "aes-128", "aes-256")[d % 4]
             pw = b"real-password" if d % 7 == 0 else b""
@@ -421,12 +442,26 @@ def corpus_parquet(
             ),
         }
     )
-    # several row groups so Spark can split the scan across tasks
-    pq.write_table(
-        table,
-        os.path.join(out_dir, "part-0.parquet"),
-        row_group_size=max(n_docs // 16, 16),
-    )
+    if profile == "skewed":
+        # one file per input slice IN DOC ORDER: the unbalanced scan then has
+        # plenty of natural splits, and the A/B in tools/bench_skew.py
+        # measures the skew (the giant head clustered into a few files), not
+        # a lack of scan parallelism
+        n_files = 32
+        per = max(1, -(-n_docs // n_files))
+        for f, lo in enumerate(range(0, n_docs, per)):
+            pq.write_table(
+                table.slice(lo, per),
+                os.path.join(out_dir, f"part-{f}.parquet"),
+                row_group_size=max(per // 4, 4),
+            )
+    else:
+        # several row groups so Spark can split the scan across tasks
+        pq.write_table(
+            table,
+            os.path.join(out_dir, "part-0.parquet"),
+            row_group_size=max(n_docs // 16, 16),
+        )
     with open(done, "w"):
         pass
     return out_dir

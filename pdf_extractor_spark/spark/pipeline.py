@@ -3,7 +3,7 @@
 Replaces the reference's sequential driver loop (``dashboard.py:588`` — one
 file at a time, no file-level parallelism) with a declarative plan:
 
-    documents --(size bucketing + salted repartition)--> mapInPandas(extract)
+    documents --(size-annotated per-doc hash scatter)--> mapInPandas(extract)
               --> extracted spans + per-doc metrics --> committed parquet +
               lineage rows (see lineage.py)
 
@@ -14,10 +14,11 @@ Scale notes (100 TB / 1000 executors):
 - ``part_id`` is a *logical* processing-partition id, a pure function of
   doc_id — stable across cluster sizes and reruns, so resume anti-joins are
   meaningful regardless of physical partitioning.
-- Physical balance is separate: docs are bucketed by byte size and salted so
-  the ~1% giant-PDF tail (20-50 pages each) spreads across executors instead
-  of serializing one straggler task (SURVEY.md §4 item 1). There is no join
-  here, so AQE skew-join can't help — explicit salting is the right tool.
+- Physical balance is separate: a uniform per-document hash scatter spreads
+  the ~1% giant-PDF tail across executors instead of serializing one
+  straggler task (SURVEY.md §4 item 1; see ``balance_partitions`` for why
+  the earlier size-salted RANGE repartition was measurably wrong on true
+  byte skew). There is no join here, so AQE skew-join can't help.
 - The extraction stage has NO shuffle other than the single explicit
   repartition; parquet scan prunes to (doc_id, spans, part-key columns) only.
 """
@@ -124,17 +125,32 @@ def with_size_salt(
 def balance_partitions(
     df: DataFrame, num_partitions: int, payload_field: str = "text"
 ) -> DataFrame:
-    """Skew-aware physical repartition before the parse stage.
+    """Skew-aware physical repartition before the parse stage: uniform
+    per-document hash scatter, ``repartition(n, doc_id)``.
 
-    Range-partition on (size_bucket, salt, doc_id): each size class gets a
-    contiguous slice of partitions proportional to its (bucket, salt) key
-    space, so one partition never holds more than ~1/salts of the giant tail.
-    doc_id as the final key spreads ties uniformly.
+    Through round 3 this was ``repartitionByRange(n, size_bucket, salt,
+    doc_id)`` — and the round-4 adversarial A/B (tools/bench_skew.py, the
+    ``skewed`` corpus profile: 1% contiguous 500-1000-page giants carrying
+    ~90% of the parse bytes) proved that shape actively HARMFUL: range
+    boundaries come from row-count-proportional sampling, so a 1%-of-rows
+    giant class occupies <1 partition's worth of key space and the sampler
+    funnels every giant into the SAME partition regardless of salt
+    (measured: balanced 15.6 s vs raw-scan 10.1 s at local[8]; max
+    per-partition parse time 13.5 s — worse than no repartition at all).
+
+    For a map-only parse stage the doc-granularity optimum is uniform
+    per-doc scatter: expected max-giants-per-partition is the balls-in-bins
+    maximum (~3 when giants ≈ partitions), so the straggler is a small
+    constant multiple of one giant's cost, while any row-weighted scheme
+    (range sampling, round-robin over input order) concentrates clustered
+    giants. Salting-by-key remains the right tool for skewed JOIN/AGG keys
+    (see ops/dedup.py, ops/training.py) — but here there is no key, and
+    hash(doc_id) IS the salt. ``with_size_salt`` still annotates sizes: the
+    bucket columns feed the balance diagnostics and the structural tests
+    (no partition > 35% of bytes), and cost nothing next to the parse.
     """
     df = with_size_salt(df, payload_field=payload_field)
-    return df.repartitionByRange(
-        num_partitions, F.col("size_bucket"), F.col("salt"), F.col("doc_id")
-    )
+    return df.repartition(num_partitions, F.col("doc_id"))
 
 
 def _make_extract_batches_arrow(kernel_name: str):

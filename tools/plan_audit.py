@@ -842,10 +842,14 @@ AUDITS: list[tuple] = [
         "extract_stage",
         _extract_stage_df,
         [
-            # ONE exchange: the explicit skew-aware repartitionByRange.
-            # Anything more means the pipeline shuffles data it shouldn't.
+            # ONE exchange: the explicit per-doc hash scatter (never the
+            # r3 rangepartitioning — row-proportional range sampling
+            # funnels a byte-heavy 1% giant tail into one partition; see
+            # balance_partitions + tools/bench_skew.py). Anything more
+            # means the pipeline shuffles data it shouldn't.
             lambda p: exchange_count(p, 1),
-            lambda p: contains(p, "rangepartitioning"),
+            lambda p: contains(p, "hashpartitioning(doc_id"),
+            lambda p: absent(p, "rangepartitioning"),
             lambda p: contains(p, "MapInArrow"),
             lambda p: never_reads(p, "n_chars"),
         ],
@@ -860,7 +864,8 @@ AUDITS: list[tuple] = [
             # moving binary payloads (3/4 the base64 bytes) — then the parse
             # kernel. Still exactly one Exchange; two MapInArrow nodes.
             lambda p: exchange_count(p, 1),
-            lambda p: contains(p, "rangepartitioning"),
+            lambda p: contains(p, "hashpartitioning(doc_id"),
+            lambda p: absent(p, "rangepartitioning"),
             lambda p: contains(p, "MapInArrow", 2),
             lambda p: never_reads(p, "n_chars"),
         ],
