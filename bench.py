@@ -50,6 +50,24 @@ BENCH_QUERIES = [
     "hourly_windows",
 ]
 
+# second headline line (VERDICT r03 #4): the r2/r3 operator families the
+# frozen v1 set can't see. v1 stays untouched as the cross-round diff base
+# for rounds 1-3; v2 is the diff base from round 4 on.
+BENCH_QUERIES_V2 = [
+    "simhash_neardup",
+    "dedup_verified_pairs",
+    "dedup_components",
+    "extract_encrypted_corpus",
+    "extract_staged",
+    "bm25_search",
+    "hybrid_search",
+    "pack_contexts",
+    "lm_score",
+    "kmeans_train",
+    "cube_revenue",
+    "ocr_roundtrip",
+]
+
 
 def _make_spark(cpus: int, app: str):
     from pyspark.sql import SparkSession
@@ -71,16 +89,23 @@ def _make_spark(cpus: int, app: str):
     )
 
 
-def run_queries(spark, sf_dir: str, passes: int = 2) -> dict[str, float]:
+def run_queries(
+    spark, sf_dir: str, passes: int = 2, names: list[str] | None = None,
+    warmup: bool = True,
+) -> dict[str, float]:
     from pdf_extractor_spark.ops.registry import queries
 
+    names = names or BENCH_QUERIES
     qs = queries()
     # unreported warmup: spawn Python workers + compile the Arrow kernel path
     # once, so the first reported query measures the query, not session spinup
-    from pdf_extractor_spark.corpus import corpus_df
-    from pdf_extractor_spark.spark.pipeline import extract_documents
+    if warmup:
+        from pdf_extractor_spark.corpus import corpus_df
+        from pdf_extractor_spark.spark.pipeline import extract_documents
 
-    extract_documents(corpus_df(spark, 32, seed=1), n_parts=8, num_partitions=8).count()
+        extract_documents(
+            corpus_df(spark, 32, seed=1), n_parts=8, num_partitions=8
+        ).count()
 
     from pdf_extractor_spark.ops.dedup import release_caches
 
@@ -90,7 +115,7 @@ def run_queries(spark, sf_dir: str, passes: int = 2) -> dict[str, float]:
     # baseline). Interleaving means a load burst hurts one pass, not one query.
     timings: dict[str, float] = {}
     for _ in range(passes):
-        for name in BENCH_QUERIES:
+        for name in names:
             fn = qs[name]
             t0 = time.monotonic()
             df = fn(spark, sf_dir)
@@ -178,6 +203,8 @@ def main() -> int:
     spark = _make_spark(args.cpus, "pdf-extractor-spark-bench")
     try:
         timings = run_queries(spark, args.sf_dir)
+        timings_v2 = run_queries(spark, args.sf_dir, names=BENCH_QUERIES_V2,
+                                 warmup=False)
     finally:
         spark.stop()
 
@@ -186,6 +213,10 @@ def main() -> int:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "headline_v2": {
+            "value": round(sum(timings_v2.values()), 3),
+            "queries": timings_v2,
+        },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": args.cpus,
         "wall_sec": round(time.monotonic() - t_total0, 3),
