@@ -425,14 +425,14 @@ def _snapshot_fixture_root() -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    root = os.path.join(tempfile.gettempdir(), "pes-snapshot-fixture-v3")
+    root = os.path.join(tempfile.gettempdir(), "pes-snapshot-fixture-v4")
     done = os.path.join(root, ".complete")
     if os.path.exists(done):
         return root
     for chunk in range(_SNAPFIX_CHUNKS + 1):  # +1: the uncommitted chunk
         for part in range(chunk * 3, chunk * 3 + 3):
             pdir = os.path.join(
-                root, "data", f"chunk-{chunk:06d}", f"part_id={part}"
+                root, "data", f"chunk={chunk:06d}", f"part_id={part}"
             )
             os.makedirs(pdir, exist_ok=True)
             rows = {
@@ -505,7 +505,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _snapshot_diff_oracle_sql() -> str:
     root = _snapshot_fixture_root()
     paths = ", ".join(
-        f"'{root}/data/chunk-{c:06d}/part_id=*/*.parquet'" for c in (1, 2)
+        f"'{root}/data/chunk={c:06d}/part_id=*/*.parquet'" for c in (1, 2)
     )
     return (
         "SELECT doc_id, spans_emitted, CAST(part_id AS BIGINT) AS part_id "
@@ -516,7 +516,7 @@ def _snapshot_diff_oracle_sql() -> str:
 def _snapshot_read_oracle_sql() -> str:
     root = _snapshot_fixture_root()
     paths = ", ".join(
-        f"'{root}/data/chunk-{c:06d}/part_id=*/*.parquet'"
+        f"'{root}/data/chunk={c:06d}/part_id=*/*.parquet'"
         for c in range(SNAPSHOT_AS_OF + 1)
     )
     return (

@@ -8,10 +8,24 @@ as scoped in SURVEY.md §7.4. On a real cluster this class is swapped for
 
 Layout of a CommitLog directory:
 
-    <root>/data/chunk-<k>/part-*.parquet    extracted spans for chunk k
-    <root>/lineage/chunk-<k>/*.parquet      per-part_id metrics rows
+    <root>/data/chunk=<k>/part_id=<p>/*.parquet   extracted spans
+    <root>/lineage/chunk=<k>/*.parquet            per-part_id metrics rows
     <root>/commits/commit-<k>.json          atomic marker (tmp + rename):
                                             the chunk is visible iff present
+
+Both path levels are key=value (Hive) form on purpose: ``chunk`` and
+``part_id`` are DISCOVERED PARTITION COLUMNS, so every read is ONE parquet
+scan over the table root with snapshot visibility expressed as a
+PartitionFilter (``chunk IN (<visible ids>)``) — never one DataFrame per
+chunk glued with unionByName, whose plan build is superlinear in chunk
+count (7.5 / 38 / 156 s at 200 / 1000 / 2000 chunks,
+tools/bench_commitlog.py) and would spend hours in Catalyst on the 10^4
+chunks a long-running ingest accretes. This is exactly how an Iceberg
+reader works: the manifest (here: markers) picks files, the scan is one
+logical relation. Invariant the single-root scan leans on: nothing ever
+writes a parquet file under ``data/`` except at depth
+``chunk=K/part_id=P/`` (a file at another depth would make partition
+discovery fail loudly with CONFLICTING_DIRECTORY_STRUCTURES).
 
 A killed job leaves at most one un-marked chunk directory, which the next run
 ignores and reprocesses — zero reprocessing of *committed* partitions, the
@@ -45,6 +59,7 @@ that already landed (see streaming/ingest.py). ``commit_chunk``'s
 
 from __future__ import annotations
 
+import bisect
 import contextlib
 import fcntl
 import json
@@ -101,6 +116,12 @@ class TableContractError(ValueError):
     chunk directory per attempt)."""
 
 
+def _chunk_dirname(cid: int) -> str:
+    """Chunk subdirectory under data/ and lineage/, in key=value form so
+    ``chunk`` resolves as a partition column (see module docstring)."""
+    return f"chunk={cid:06d}"
+
+
 class CommitLog:
     def __init__(self, root: str):
         self.root = root
@@ -109,6 +130,15 @@ class CommitLog:
         self.commits_dir = os.path.join(root, "commits")
         for d in (self.data_dir, self.lineage_dir, self.commits_dir):
             os.makedirs(d, exist_ok=True)
+        # published markers are immutable (retention deletes DATA, never
+        # markers), so parsed markers cache per-instance forever; the dir
+        # listing stays the source of truth for WHICH markers exist, so a
+        # concurrent writer's new marker is picked up (and parsed once) on
+        # the next list. Without this a long-running writer's commit path
+        # is O(C^2) marker opens (commit_chunk re-lists under the lock
+        # every publish) — measured 9.6 -> 20.2 ms/commit from C=200 to
+        # C=1000 (tools/bench_commitlog.py).
+        self._marker_cache: dict[str, dict] = {}
 
     # ------------------------------------------------------------- commit side
 
@@ -126,8 +156,14 @@ class CommitLog:
         out = []
         for name in sorted(os.listdir(self.commits_dir)):
             if name.startswith("commit-") and name.endswith(".json"):
-                with open(os.path.join(self.commits_dir, name)) as f:
-                    out.append(json.load(f))
+                marker = self._marker_cache.get(name)
+                if marker is None:
+                    with open(os.path.join(self.commits_dir, name)) as f:
+                        marker = json.load(f)
+                    self._marker_cache[name] = marker
+                out.append(marker)
+        # callers treat markers as read-only (the cache hands out the same
+        # dicts); nothing in the repo mutates a returned marker
         out.sort(key=self._commit_order)
         if as_of is not None:
             cap = next((m for m in out if m["chunk_id"] == as_of), None)
@@ -187,17 +223,18 @@ class CommitLog:
         committed = self.committed_chunks()
         visible = self.visible_chunks(chunks=committed)
         visible_ids = {c["chunk_id"] for c in visible}
+        shadow = self._shadow_index(visible)
         gone: list[int] = []
         for c in committed:
             cid = c["chunk_id"]
             reachable = cid in visible_ids and (
-                not shadowed or bool(self._owned_parts(c, visible))
+                not shadowed or bool(self._owned_parts(c, visible, shadow))
             )
             if reachable or c["committed_at"] >= older_than:
                 continue
             removed = False
             for base in (self.data_dir, self.lineage_dir):
-                d = os.path.join(base, f"chunk-{cid:06d}")
+                d = os.path.join(base, _chunk_dirname(cid))
                 if os.path.isdir(d):
                     shutil.rmtree(d)
                     removed = True
@@ -247,7 +284,7 @@ class CommitLog:
             cid = max(floor, self._read_highwater() + 1)
             while True:
                 try:
-                    os.mkdir(os.path.join(self.data_dir, f"chunk-{cid:06d}"))
+                    os.mkdir(os.path.join(self.data_dir, _chunk_dirname(cid)))
                     break
                 except FileExistsError:
                     cid += 1
@@ -304,10 +341,10 @@ class CommitLog:
         cutoff = time.time() - grace_s
         for base in (self.data_dir, self.lineage_dir):
             for name in sorted(os.listdir(base)):
-                if not name.startswith("chunk-"):
+                if not name.startswith("chunk="):
                     continue
                 try:
-                    cid = int(name.split("-")[1])
+                    cid = int(name.split("=")[1])
                 except (IndexError, ValueError):
                     continue
                 path = os.path.join(base, name)
@@ -365,7 +402,39 @@ class CommitLog:
         equal-resolution timestamps."""
         return (marker["committed_at"], marker["chunk_id"])
 
-    def _owned_parts(self, chunk: dict, visible: list[dict]) -> list[int]:
+    def _shadow_index(
+        self, visible: list[dict]
+    ) -> tuple[list[tuple[float, int]], list[set[int]]]:
+        """Suffix unions of overwrite-marker part_ids in commit order:
+        ``sets[i]`` = every part shadowed for a chunk committed before
+        ``orders[i]``. Built ONCE per read so resolving a chunk's owned
+        parts is a bisect, not a scan of all C visible markers — the
+        per-chunk scan made read planning O(C^2) driver-side (measured
+        0.003 -> 0.03 -> 0.14 s at C=200/1000/2000,
+        tools/bench_commitlog.py)."""
+        ows = sorted(
+            (
+                (self._commit_order(c), set(c["part_ids"]))
+                for c in visible
+                if c.get("overwrite")
+            ),
+            key=lambda t: t[0],
+        )
+        orders = [o for o, _ in ows]
+        sets_: list[set[int]] = []
+        acc: set[int] = set()
+        for _, parts in reversed(ows):
+            acc = acc | parts
+            sets_.append(acc)
+        sets_.reverse()
+        return orders, sets_
+
+    def _owned_parts(
+        self,
+        chunk: dict,
+        visible: list[dict],
+        shadow: tuple[list[tuple[float, int]], list[set[int]]] | None = None,
+    ) -> list[int]:
         """The subset of ``chunk``'s part_ids whose rows are current, given
         the pre-computed ``visible`` marker list for the read's snapshot.
 
@@ -376,11 +445,18 @@ class CommitLog:
         chunk committed EARLIER (commit order, not chunk-id order — ids are
         assigned at reserve time and a slow writer can commit a low id
         late) become invisible at the commit flip, without any rewrite of
-        the old chunks."""
-        shadowed: set[int] = set()
-        for c in visible:
-            if c.get("overwrite") and self._commit_order(c) > self._commit_order(chunk):
-                shadowed.update(c["part_ids"])
+        the old chunks. Loops over many chunks should pass a shared
+        ``shadow=self._shadow_index(visible)``."""
+        if shadow is None:
+            shadow = self._shadow_index(visible)
+        orders, sets_ = shadow
+        # strictly-later overwrites shadow: bisect_right puts an overwrite
+        # whose order EQUALS the chunk's (i.e. the chunk itself) before the
+        # insertion point, excluding it
+        i = bisect.bisect_right(orders, self._commit_order(chunk))
+        if i >= len(orders):
+            return list(chunk["part_ids"])
+        shadowed = sets_[i]
         return [p for p in chunk["part_ids"] if p not in shadowed]
 
     def commit_chunk(
@@ -485,6 +561,9 @@ class CommitLog:
                     raise CommitConflict(
                         f"commit marker for chunk {chunk_id} already exists"
                     )
+                # seed the immutable-marker cache: this writer's next
+                # commit re-lists but never re-opens its own markers
+                self._marker_cache[os.path.basename(path)] = marker
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
@@ -492,50 +571,86 @@ class CommitLog:
 
     # --------------------------------------------------------------- read side
 
+    def _scan_chunks(
+        self,
+        spark: SparkSession,
+        base_dir: str,
+        schema: str,
+        whole: list[int],
+        partial: list[tuple[int, list[int]]],
+    ):
+        """ONE parquet scan over ``base_dir`` resolving a snapshot's chunk
+        set declaratively: fully-owned chunks via ``chunk IN (...)``,
+        partially-shadowed chunks (rare — created only by a later
+        overwrite) via ``chunk = K AND part_id IN (owned)``. Both ``chunk``
+        and ``part_id`` are directory-level partition columns, so the whole
+        visibility predicate is a PartitionFilter — invisible and
+        uncommitted chunk directories are pruned at planning, nothing is
+        scanned-and-dropped — and plan build stays flat in chunk count
+        (the per-chunk unionByName it replaced built plans superlinearly:
+        7.5 / 38 / 156 s at 200 / 1000 / 2000 chunks,
+        tools/bench_commitlog.py)."""
+        if not whole and not partial:
+            return spark.createDataFrame([], schema)
+        # explicit schema: a committed chunk whose parts got zero docs
+        # holds only _SUCCESS, and schema inference over an all-empty
+        # table would raise. `chunk` is appended by partition discovery;
+        # when NO data file exists anywhere it cannot be discovered, and
+        # there is nothing to read either way.
+        df = spark.read.schema(schema).parquet(base_dir)
+        if "chunk" not in df.columns:
+            return spark.createDataFrame([], schema)
+        cond = F.col("chunk").isin(whole) if whole else F.lit(False)
+        for cid, owned in partial:
+            cond = cond | (
+                (F.col("chunk") == cid) & F.col("part_id").isin(owned)
+            )
+        return df.where(cond).drop("chunk")
+
+    def _visible_split(
+        self,
+        as_of: int | None,
+        markers: list[dict] | None,
+    ) -> tuple[list[int], list[tuple[int, list[int]]]]:
+        """Resolve a snapshot to (fully-owned chunk ids, partially-shadowed
+        (chunk id, owned part_ids)) — the driver-side read planning, linear
+        in chunk count via the shared shadow index."""
+        visible = self.visible_chunks(as_of, chunks=markers)  # parsed once
+        shadow = self._shadow_index(visible)
+        whole: list[int] = []
+        partial: list[tuple[int, list[int]]] = []
+        for c in visible:
+            owned = self._owned_parts(c, visible, shadow)
+            if not owned:
+                continue
+            if len(owned) == len(c["part_ids"]):
+                whole.append(c["chunk_id"])
+            else:
+                partial.append((c["chunk_id"], owned))
+        return whole, partial
+
     def read_extracted(
         self,
         spark: SparkSession,
         as_of: int | None = None,
         markers: list[dict] | None = None,
     ) -> DataFrame:
-        """Union of committed chunks only (uncommitted dirs are invisible);
-        ``as_of`` time-travels to snapshot N — chunks committed later exist
-        on disk but stay invisible, exactly like reading an older Iceberg
-        snapshot. ``markers`` pins the committed-marker set to a list the
-        caller already captured — compaction MUST read exactly its victim
+        """Committed chunks only (uncommitted dirs are invisible); ``as_of``
+        time-travels to snapshot N — chunks committed later exist on disk
+        but stay invisible, exactly like reading an older Iceberg snapshot.
+        ``markers`` pins the committed-marker set to a list the caller
+        already captured — compaction MUST read exactly its victim
         snapshot, not whatever has committed since (a marker re-list here
         would fold a concurrent append into the compaction output without
         putting it in ``replaces``, duplicating its rows forever).
-
-        Chunks are part_id-partitioned directories, so each chunk is read on
-        its own (multi-root partition discovery would see conflicting
-        structures) and unioned by name — the parquet emulation of reading
-        one partitioned Iceberg table."""
-        from functools import reduce
-
+        Visibility is ONE PartitionFilter over one scan; see
+        :meth:`_scan_chunks`."""
         from .pipeline import EXTRACTED_SCHEMA
 
-        frames = []
-        visible = self.visible_chunks(as_of, chunks=markers)  # parsed once
-        for c in visible:
-            path = os.path.join(self.data_dir, f"chunk-{c['chunk_id']:06d}")
-            if not os.path.isdir(path):
-                continue
-            owned = self._owned_parts(c, visible)
-            if not owned:
-                continue
-            # explicit schema: a committed chunk whose parts got zero
-            # docs holds only _SUCCESS, and schema inference would raise
-            df = spark.read.schema(EXTRACTED_SCHEMA).parquet(path)
-            if len(owned) < len(c["part_ids"]):
-                # partially shadowed by a later overwrite: the part_id
-                # predicate is a PartitionFilter — whole shadowed
-                # directories are pruned, nothing is scanned-and-dropped
-                df = df.where(F.col("part_id").isin(owned))
-            frames.append(df)
-        if not frames:
-            return spark.createDataFrame([], EXTRACTED_SCHEMA)
-        return reduce(DataFrame.unionByName, frames)
+        whole, partial = self._visible_split(as_of, markers)
+        return self._scan_chunks(
+            spark, self.data_dir, EXTRACTED_SCHEMA, whole, partial
+        )
 
     def read_incremental(
         self, spark: SparkSession, after: int, until: int | None = None
@@ -558,14 +673,12 @@ class CommitLog:
         id). ``after``/``until`` name committed snapshots; everything that
         COMMITTED after ``after`` did is in scope, exactly like an Iceberg
         incremental scan walking snapshot history."""
-        from functools import reduce
-
         from .pipeline import EXTRACTED_SCHEMA
 
         chunks = self.committed_chunks(until)  # commit order
         lo = next((c for c in chunks if c["chunk_id"] == after), None)
         lo_key = self._commit_order(lo) if lo is not None else None
-        frames = []
+        ids = []
         for c in chunks:
             if c.get("replaces"):
                 continue
@@ -574,12 +687,10 @@ class CommitLog:
                     continue
             elif c["chunk_id"] <= after:  # id fallback (e.g. after=-1/0 start)
                 continue
-            path = os.path.join(self.data_dir, f"chunk-{c['chunk_id']:06d}")
-            if os.path.isdir(path):
-                frames.append(spark.read.schema(EXTRACTED_SCHEMA).parquet(path))
-        if not frames:
-            return spark.createDataFrame([], EXTRACTED_SCHEMA)
-        return reduce(DataFrame.unionByName, frames)
+            ids.append(c["chunk_id"])
+        # each marker's data is read whole here (an overwrite's parts ARE
+        # its current content), so the scan needs no part_id conditions
+        return self._scan_chunks(spark, self.data_dir, EXTRACTED_SCHEMA, ids, [])
 
     def read_lineage(
         self,
@@ -587,24 +698,10 @@ class CommitLog:
         as_of: int | None = None,
         markers: list[dict] | None = None,
     ) -> DataFrame:
-        from functools import reduce
-
-        frames = []
-        visible = self.visible_chunks(as_of, chunks=markers)
-        for c in visible:
-            path = os.path.join(self.lineage_dir, f"chunk-{c['chunk_id']:06d}")
-            if not os.path.isdir(path):
-                continue
-            owned = self._owned_parts(c, visible)
-            if not owned:
-                continue
-            df = spark.read.schema(LINEAGE_SCHEMA).parquet(path)
-            if len(owned) < len(c["part_ids"]):
-                df = df.where(F.col("part_id").isin(owned))
-            frames.append(df)
-        if not frames:
-            return spark.createDataFrame([], LINEAGE_SCHEMA)
-        return reduce(DataFrame.unionByName, frames)
+        whole, partial = self._visible_split(as_of, markers)
+        return self._scan_chunks(
+            spark, self.lineage_dir, LINEAGE_SCHEMA, whole, partial
+        )
 
 
 def resume_filter(documents: DataFrame, log: CommitLog, n_parts: int) -> DataFrame:
@@ -659,7 +756,7 @@ def compact_chunks(
     new_id = log.reserve_chunk_id()
 
     data = log.read_extracted(spark, markers=snapshot)
-    data_path = os.path.join(log.data_dir, f"chunk-{new_id:06d}")
+    data_path = os.path.join(log.data_dir, _chunk_dirname(new_id))
     n_tasks = max(1, min(len(part_ids), 32))
     (
         data.repartition(n_tasks, "part_id")
@@ -668,7 +765,7 @@ def compact_chunks(
         .parquet(data_path)
     )
     lineage = log.read_lineage(spark, markers=snapshot)
-    lineage_path = os.path.join(log.lineage_dir, f"chunk-{new_id:06d}")
+    lineage_path = os.path.join(log.lineage_dir, _chunk_dirname(new_id))
     lineage.coalesce(1).write.mode("overwrite").parquet(lineage_path)
 
     metrics: dict = {"docs": 0, "pages": 0, "failures": 0}
@@ -711,8 +808,8 @@ def _write_chunk(
     the two-phase contract side outputs need so their visible artifacts
     imply a committed chunk (see streaming/ingest._ocr_queue_router).
     Returns the chunk's metrics row."""
-    data_path = os.path.join(log.data_dir, f"chunk-{chunk_id:06d}")
-    lineage_path = os.path.join(log.lineage_dir, f"chunk-{chunk_id:06d}")
+    data_path = os.path.join(log.data_dir, _chunk_dirname(chunk_id))
+    lineage_path = os.path.join(log.lineage_dir, _chunk_dirname(chunk_id))
     # partition the committed data by part_id: point lookups and resume
     # reads prune whole directories (the Iceberg partition-spec analogue;
     # preview.py's part_id filter becomes a PartitionFilter, not a scan).

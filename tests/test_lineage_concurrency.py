@@ -92,7 +92,7 @@ def test_reserve_chunk_id_skips_claimed_dirs(tmp_path):
     log = L.CommitLog(str(tmp_path / "t"))
     assert log.reserve_chunk_id() == 0
     # a rival (or crashed run) holds chunk-000001's directory
-    os.mkdir(os.path.join(log.data_dir, "chunk-000001"))
+    os.mkdir(os.path.join(log.data_dir, "chunk=000001"))
     assert log.reserve_chunk_id() == 2
     # committed markers advance the starting candidate too
     log.commit_chunk(7, [0], {"docs": 1})
@@ -101,8 +101,8 @@ def test_reserve_chunk_id_skips_claimed_dirs(tmp_path):
 
 def test_gc_orphans(tmp_path):
     log = L.CommitLog(str(tmp_path / "t"))
-    committed = os.path.join(log.data_dir, "chunk-000000")
-    orphan = os.path.join(log.data_dir, "chunk-000001")
+    committed = os.path.join(log.data_dir, "chunk=000000")
+    orphan = os.path.join(log.data_dir, "chunk=000001")
     os.mkdir(committed)
     os.mkdir(orphan)
     log.commit_chunk(0, [0], {"docs": 1})
@@ -113,7 +113,7 @@ def test_gc_orphans(tmp_path):
     assert removed == [orphan]
     assert os.path.isdir(committed) and not os.path.exists(orphan)
     # a FRESH unmarked dir (live writer's reservation) is never swept
-    fresh = os.path.join(log.data_dir, "chunk-000002")
+    fresh = os.path.join(log.data_dir, "chunk=000002")
     os.mkdir(fresh)
     assert log.gc_orphans(grace_s=3600) == []
     assert os.path.isdir(fresh)
@@ -156,9 +156,9 @@ def test_two_concurrent_writers_exactly_once(spark, tmp_path):
     # conflict losers' staged dirs (if any) are unmarked -> GC reclaims them
     marked = {c["chunk_id"] for c in log_a.committed_chunks()}
     on_disk = {
-        int(n.split("-")[1])
+        int(n.split("=")[1])
         for n in os.listdir(log_a.data_dir)
-        if n.startswith("chunk-")
+        if n.startswith("chunk=")
     }
     orphans = on_disk - marked
     removed = log_a.gc_orphans(grace_s=0)
@@ -175,7 +175,7 @@ def test_chunk_ids_never_reused_after_gc(tmp_path):
     orphan = log.reserve_chunk_id()
     assert orphan == 1
     old = time.time() - 7200
-    path = os.path.join(log.data_dir, "chunk-000001")
+    path = os.path.join(log.data_dir, "chunk=000001")
     os.utime(path, (old, old))
     assert log.gc_orphans(grace_s=3600) == [path]
     # the dir is gone but the highwater keeps the id retired forever
@@ -191,7 +191,7 @@ def test_legacy_pre_highwater_orphan_id_never_reused(tmp_path):
     # simulate the upgraded table: chunk dirs exist, no highwater file
     old = time.time() - 7200
     for cid in (0, 5):
-        path = os.path.join(log.data_dir, f"chunk-{cid:06d}")
+        path = os.path.join(log.data_dir, f"chunk={cid:06d}")
         os.makedirs(path)
         os.utime(path, (old, old))
     assert not os.path.exists(os.path.join(log.commits_dir, "chunk-id-highwater"))

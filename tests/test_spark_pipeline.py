@@ -173,12 +173,12 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert ids[0] < ids[1] < ids[2]
 
     # an uncommitted data dir (crashed writer) is invisible at EVERY snapshot
-    rogue = os.path.join(root, "data", "chunk-000099", "part_id=7")
+    rogue = os.path.join(root, "data", "chunk=000099", "part_id=7")
     os.makedirs(rogue)
     shutil.copy(
         next(
             os.path.join(dp, f)
-            for dp, _, fs in os.walk(os.path.join(root, "data", "chunk-000000"))
+            for dp, _, fs in os.walk(os.path.join(root, "data", "chunk=000000"))
             for f in fs
             if f.endswith(".parquet")
         ),
@@ -211,7 +211,7 @@ def test_compaction_and_expiry(spark, tmp_path):
             for r in log.read_extracted(spark).collect()
         }
 
-    def n_data_files(chunk_glob="chunk-*"):
+    def n_data_files(chunk_glob="chunk=*"):
         import glob
 
         return len(
@@ -227,7 +227,7 @@ def test_compaction_and_expiry(spark, tmp_path):
     # contents identical, one visible chunk, fewer files
     assert span_map() == before
     assert [c["chunk_id"] for c in log.visible_chunks()] == [new_id]
-    files_after = n_data_files(f"chunk-{new_id:06d}")
+    files_after = n_data_files(f"chunk={new_id:06d}")
     assert files_after <= 8 and files_after < files_before
     # lineage equivalence (per-part totals survive the rewrite)
     assert log.read_lineage(spark).groupBy().sum("docs_done").collect()[0][0] == lineage_docs
@@ -248,7 +248,7 @@ def test_compaction_and_expiry(spark, tmp_path):
     # expiry physically reclaims the replaced chunks; current reads unchanged
     gone = log.expire_replaced()
     assert sorted(gone) == [0, 1, 2, 3]
-    assert not os.path.isdir(os.path.join(root, "data", "chunk-000000"))
+    assert not os.path.isdir(os.path.join(root, "data", "chunk=000000"))
     assert span_map() == before
 
 
@@ -284,8 +284,8 @@ def test_expire_snapshots_ttl(spark, tmp_path):
     # reachable chunks (1: untouched parts, 2: the overwrite) are kept
     gone = log.expire_snapshots(older_than=time.time() + 60)
     assert gone == [0]
-    assert not os.path.isdir(os.path.join(root, "data", "chunk-000000"))
-    assert os.path.isdir(os.path.join(root, "data", "chunk-000001"))
+    assert not os.path.isdir(os.path.join(root, "data", "chunk=000000"))
+    assert os.path.isdir(os.path.join(root, "data", "chunk=000001"))
     # current reads are byte-identical; markers remain auditable
     assert span_map() == before
     assert [s["snapshot_id"] for s in log.snapshots()] == [0, 1, 2]
@@ -415,7 +415,8 @@ def test_preview_point_lookup(spark, tmp_path):
     from plan_audit import plan_of
 
     plan = plan_of(doc_spans(spark, log, target["doc_id"], n_parts=16))
-    assert "PartitionFilters: [isnotnull(part_id" in plan, plan
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "(part_id" in pf and "(chunk" in pf, plan
 
     page1 = read_page(spark, log, target["doc_id"], 1, n_parts=16)
     assert page1 is not None
@@ -453,7 +454,8 @@ def test_preview_n_parts_recorded_and_validated(spark, tmp_path):
     from plan_audit import plan_of
 
     df = doc_spans(spark, log, target["doc_id"])
-    assert "PartitionFilters: [isnotnull(part_id" in plan_of(df)
+    pf = next(l for l in plan_of(df).splitlines() if "PartitionFilters" in l)
+    assert "(part_id" in pf
     got = [(r["kind"], r["text"], r["media_ref"], r["offset"]) for r in df.collect()]
     assert got == want
 

@@ -41,6 +41,22 @@ def pushed(plan: str, fragment: str):
     return ok, f"PushedFilters contains {fragment!r}"
 
 
+def n_scans_at_most(plan: str, n_max: int):
+    """Count physical scan nodes via their detail headers — the literal
+    'Scan parquet' appears TWICE per node in formatted explain (tree line +
+    detail line), so a raw substring count double-counts."""
+    found = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    return found <= n_max, f"<= {n_max} parquet scan nodes (found {found})"
+
+
+def partition_filtered(plan: str, fragment: str):
+    ok = any(
+        fragment in m
+        for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    )
+    return ok, f"PartitionFilters contains {fragment!r}"
+
+
 def never_reads(plan: str, column: str):
     ok = all(column not in s for s in _read_schemas(plan))
     return ok, f"column {column!r} pruned from every scan"
@@ -135,7 +151,33 @@ def _staged_extract_stage_df(spark, sf_dir: str):
     return extract_documents_staged(staged, n_parts=64, num_partitions=32)
 
 
+def _snapshot_scan_df(spark, sf_dir: str):
+    """read_extracted over the committed-chunk fixture: the snapshot read
+    must be ONE parquet scan over the table root with visibility expressed
+    as a chunk PartitionFilter — never one DataFrame per chunk glued with
+    Union, whose plan build is superlinear in chunk count (7.5/38/156 s at
+    200/1000/2000 chunks pre-fix, tools/bench_commitlog.py)."""
+    from pdf_extractor_spark.ops.extraction_queries import (
+        _snapshot_fixture_root,
+    )
+    from pdf_extractor_spark.spark.lineage import CommitLog
+
+    log = CommitLog(_snapshot_fixture_root())
+    return log.read_extracted(spark)
+
+
 AUDITS: list[tuple] = [
+    (
+        "snapshot_scan_shape",
+        _snapshot_scan_df,
+        [
+            lambda p: n_scans_at_most(p, 1),
+            lambda p: contains(p, "Scan parquet", 1),
+            lambda p: absent(p, "Union"),
+            lambda p: partition_filtered(p, "chunk#"),
+        ],
+        False,
+    ),
     (
         "point_lookup",
         _query_df,
