@@ -52,6 +52,12 @@ def main(argv: list[str] | None = None) -> int:
                         "<doc_id>.md in one deterministic zip archive "
                         "(download-artifact sink; committed data is never "
                         "deleted by exporting)")
+    p.add_argument("--shards", type=int, default=None, metavar="N",
+                   help="with --export-zip: write N deterministic archives "
+                        "(shard-00000.zip ...) under PATH (a directory) via "
+                        "executor-side foreachPartition instead of one "
+                        "driver-streamed zip; a doc's shard is "
+                        "pmod(xxhash64(doc_id), N)")
     p.add_argument("--watch", action="store_true",
                    help="treat --input as a drop directory of documents "
                         "parquet files and drain it incrementally "
@@ -111,6 +117,11 @@ def main(argv: list[str] | None = None) -> int:
                 "--ocr-stage")
     if args.with_ocr_text and not args.export_zip:
         p.error("--with-ocr-text only applies to --export-zip")
+    if args.shards is not None:
+        if not args.export_zip:
+            p.error("--shards only applies to --export-zip")
+        if args.shards < 1:
+            p.error("--shards must be >= 1")
     if args.watch and args.parts_per_chunk is not None:
         p.error("--parts-per-chunk is batch chunking; micro-batches define "
                 "chunks under --watch")
@@ -266,13 +277,27 @@ def main(argv: list[str] | None = None) -> int:
             swept = log.gc_orphans(grace_s=args.gc_orphans_older_than)
             print(f"ORPHANS_REMOVED dirs={len(swept)}")
         if args.export_zip:
-            from pdf_extractor_spark.spark.export import export_markdown_zip
+            if args.shards is not None and args.shards > 1:
+                from pdf_extractor_spark.spark.export import (
+                    export_markdown_zip_sharded,
+                )
 
-            n_exported = export_markdown_zip(
-                spark, args.output, args.export_zip,
-                ocr_text_dir=args.with_ocr_text,
-            )
-            print(f"EXPORT_DONE zip={args.export_zip} docs={n_exported}")
+                n_exported = export_markdown_zip_sharded(
+                    spark, args.output, args.export_zip, args.shards,
+                    ocr_text_dir=args.with_ocr_text,
+                )
+                print(
+                    f"EXPORT_DONE zip={args.export_zip} "
+                    f"shards={args.shards} docs={n_exported}"
+                )
+            else:
+                from pdf_extractor_spark.spark.export import export_markdown_zip
+
+                n_exported = export_markdown_zip(
+                    spark, args.output, args.export_zip,
+                    ocr_text_dir=args.with_ocr_text,
+                )
+                print(f"EXPORT_DONE zip={args.export_zip} docs={n_exported}")
         dt = time.monotonic() - t0
         docs_s = report.docs_processed / dt if dt > 0 else 0.0
         verb = "STREAM_DONE" if args.watch else "EXTRACTION_DONE"

@@ -16,6 +16,10 @@ partition in memory at a time — because the zip FORMAT is a single
 sequential file. At 100 TB nobody zips the corpus; this sink is for
 human-sized result sets (a filtered report, one tenant's documents), and
 the data-plane export path remains the parquet/markdown table writers.
+When the result set outgrows one driver-streamed archive,
+``export_markdown_zip_sharded`` packs N deterministic archives executor-
+side via ``foreachPartition`` (doc -> shard by ``pmod(xxhash64(doc_id),
+N)``), keeping the single-zip default for reference parity.
 """
 
 from __future__ import annotations
@@ -108,13 +112,22 @@ def export_markdown_zip(
     # unique temp name: two concurrent exports to the same path must each
     # build their own archive and race only on the final atomic rename
     # (last-publish-wins), never interleave writes into one file
+    return _write_zip_atomic(zip_path, md.toLocalIterator())
+
+
+def _write_zip_atomic(zip_path: str, rows) -> int:
+    """Pack (doc_id, markdown) rows — already in final entry order — into
+    ``zip_path`` via a unique temp name + atomic rename: readers never see
+    a partial file, and two concurrent writers race only on the final
+    ``os.replace`` (last-publish-wins), never interleave into one file.
+    Returns the entry count."""
     tmp = f"{zip_path}.inprogress-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     n = 0
     seen: set[str] = set()
     os.makedirs(os.path.dirname(os.path.abspath(zip_path)), exist_ok=True)
     try:
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
-            for row in md.toLocalIterator():
+            for row in rows:
                 name = _entry_name(row["doc_id"], seen)
                 info = zipfile.ZipInfo(name, date_time=_ZIP_EPOCH)
                 info.compress_type = zipfile.ZIP_DEFLATED
@@ -128,6 +141,83 @@ def export_markdown_zip(
             pass
         raise
     return n
+
+
+def shard_zip_name(shard: int) -> str:
+    return f"shard-{shard:05d}.zip"
+
+
+def export_markdown_zip_sharded(
+    spark: SparkSession,
+    root: str,
+    out_dir: str,
+    n_shards: int,
+    as_of: int | None = None,
+    ocr_text_dir: str | None = None,
+) -> int:
+    """Sharded variant of :func:`export_markdown_zip`: exactly ``n_shards``
+    zip archives under ``out_dir`` (``shard-00000.zip`` ...), written by
+    the EXECUTORS via ``foreachPartition`` — the driver never streams the
+    bytes, so export throughput scales with the cluster instead of being
+    bound by one driver-side ``toLocalIterator`` loop (the single-archive
+    default keeps reference parity, dashboard.py:79-96).
+
+    Determinism: a document's shard is ``pmod(xxhash64(doc_id), n_shards)``
+    — a pure function of the doc_id, stable across runs and cluster sizes —
+    and entries within a shard are sorted (doc_id, markdown) with fixed
+    timestamps, so every shard's BYTES are a pure function of the committed
+    snapshot. Duplicate doc_ids hash identically, so the ~N collision
+    suffixes stay intra-shard and archive-deterministic. A retried or
+    speculative task rebuilds byte-identical archives and the atomic
+    rename makes either attempt's publish equivalent.
+
+    Empty shards (no doc hashes to them) are backfilled with empty zips
+    driver-side, so exactly ``n_shards`` files always exist — a consumer
+    can glob-and-count to verify completeness.
+
+    ``out_dir`` must be a filesystem all executors share (posix mount in
+    this sandbox's local mode; object-store mounts in production — the
+    same contract every file sink has). Returns total documents written.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    log = CommitLog(root)
+    df: DataFrame = log.read_extracted(spark, as_of=as_of)
+    if ocr_text_dir is not None:
+        from ..streaming.ocr_stage import OCR_TEXT_SCHEMA, merge_ocr_text
+
+        ocr = spark.read.schema(OCR_TEXT_SCHEMA).parquet(ocr_text_dir)
+        df = merge_ocr_text(df, ocr)
+    md = (
+        df.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            markdown_expr("spans").alias("markdown"),
+        )
+        .withColumn("shard", F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)))
+        # one shuffle on the shard id; a physical partition may receive
+        # several shard values (hash-of-hash collision) or none, but one
+        # shard value never splits across partitions — the writer below
+        # just rolls to a new archive at each shard boundary
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "doc_id", "markdown")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    counts = spark.sparkContext.accumulator(0)
+
+    def _write_partition(rows) -> None:
+        import itertools
+
+        for shard, group in itertools.groupby(rows, key=lambda r: r["shard"]):
+            path = os.path.join(out_dir, shard_zip_name(int(shard)))
+            counts.add(_write_zip_atomic(path, group))
+
+    md.foreachPartition(_write_partition)
+    # backfill empty archives for shards no document hashed to
+    for k in range(n_shards):
+        path = os.path.join(out_dir, shard_zip_name(k))
+        if not os.path.exists(path):
+            _write_zip_atomic(path, iter(()))
+    return counts.value
 
 
 _UNSAFE_RE = re.compile(r"[^A-Za-z0-9._-]")

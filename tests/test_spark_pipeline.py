@@ -504,6 +504,67 @@ def test_export_markdown_zip(spark, tmp_path):
     assert log.read_extracted(spark).count() == 40
 
 
+def test_export_markdown_zip_sharded(spark, tmp_path):
+    """S8 sharded option: exactly N archives, each byte-deterministic
+    across runs, whose union equals the single-zip export entry-for-entry;
+    doc->shard assignment is content-addressed (pmod(xxhash64(doc_id), N)),
+    and empty shards still exist as empty zips (completeness glob)."""
+    import zipfile
+
+    from pdf_extractor_spark.spark.export import (
+        export_markdown_zip,
+        export_markdown_zip_sharded,
+        shard_zip_name,
+    )
+
+    root = str(tmp_path / "commitlog")
+    log = L.CommitLog(root)
+    L.run_extraction(spark, corpus_df(spark, 40), log, n_parts=8, parts_per_chunk=4)
+
+    single = str(tmp_path / "single.zip")
+    assert export_markdown_zip(spark, root, single) == 40
+
+    n_shards = 6
+    out1, out2 = str(tmp_path / "shards1"), str(tmp_path / "shards2")
+    assert export_markdown_zip_sharded(spark, root, out1, n_shards) == 40
+    assert export_markdown_zip_sharded(spark, root, out2, n_shards) == 40
+
+    # completeness: exactly N archives, rerun byte-identical shard by shard
+    for out in (out1, out2):
+        assert sorted(os.listdir(out)) == [
+            shard_zip_name(k) for k in range(n_shards)
+        ]
+    union: dict[str, bytes] = {}
+    n_nonempty = 0
+    for k in range(n_shards):
+        p1, p2 = [os.path.join(d, shard_zip_name(k)) for d in (out1, out2)]
+        with open(p1, "rb") as a, open(p2, "rb") as b:
+            assert a.read() == b.read()
+        with zipfile.ZipFile(p1) as zf:
+            names = zf.namelist()
+            assert names == sorted(names)  # in-shard doc_id order
+            n_nonempty += bool(names)
+            for name in names:
+                assert name not in union  # shards are disjoint
+                union[name] = zf.read(name)
+    assert n_nonempty > 1  # 40 docs over 6 shards: really sharded
+    # union of shards == the single archive, entry-for-entry
+    with zipfile.ZipFile(single) as zf:
+        assert sorted(zf.namelist()) == sorted(union)
+        for name in zf.namelist():
+            assert zf.read(name) == union[name]
+
+    # a shard count above the doc count forces empty shards; they exist
+    out3 = str(tmp_path / "shards3")
+    assert export_markdown_zip_sharded(spark, root, out3, 64) == 40
+    empties = [
+        k
+        for k in range(64)
+        if not zipfile.ZipFile(os.path.join(out3, shard_zip_name(k))).namelist()
+    ]
+    assert empties  # backfilled, readable, empty
+
+
 def test_export_zip_time_travel(spark, tmp_path):
     """as_of exports exactly the pinned snapshot's documents."""
     import zipfile
