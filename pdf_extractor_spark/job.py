@@ -78,6 +78,13 @@ def main(argv: list[str] | None = None) -> int:
                         "table's recovered text into the spans before "
                         "rendering, so scanned documents export with their "
                         "recovered content")
+    p.add_argument("--state-store", choices=["hdfs", "rocksdb"], default=None,
+                   help="state-store backend for stateful streaming "
+                        "(--watch / --ocr-stage): rocksdb keeps state "
+                        "off-heap on executor-local disk — the production "
+                        "setting for unbounded key spaces (see "
+                        "streaming/statestore.py); pinned per checkpoint "
+                        "at first start")
     p.add_argument("--ocr-stage", action="store_true",
                    help="run the stage-2 OCR consumer instead of extraction: "
                         "--input is a stage-1 table root (its ocr_queue/ is "
@@ -125,6 +132,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.watch and args.parts_per_chunk is not None:
         p.error("--parts-per-chunk is batch chunking; micro-batches define "
                 "chunks under --watch")
+    if args.state_store and not (args.watch or args.ocr_stage):
+        p.error("--state-store only applies to streaming modes "
+                "(--watch / --ocr-stage)")
 
     from pdf_extractor_spark.spark.session import get_spark
     from pdf_extractor_spark.spark.lineage import (
@@ -173,6 +183,12 @@ def main(argv: list[str] | None = None) -> int:
             )
 
     spark = get_spark(app_name="pdf-extractor-spark-job", master=args.master)
+    if args.state_store:
+        from pdf_extractor_spark.streaming.statestore import (
+            configure_state_store,
+        )
+
+        configure_state_store(spark, args.state_store)
     try:
         if args.ocr_stage:
             t0 = time.monotonic()

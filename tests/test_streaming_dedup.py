@@ -74,3 +74,60 @@ def test_first_seen_dedup_across_batches_and_restarts(spark, tmp_path):
     assert len(out2) == len(out) + 1  # exactly one new key: W
     new_docs = {doc for doc, _ in out2.values()} - survivors
     assert new_docs == {"d1"}
+
+
+def test_state_store_backends_equivalent(spark, tmp_path):
+    """The RocksDB state-store toggle (streaming/statestore.py): the same
+    first-seen dedup over a key space big enough to matter (5k distinct
+    content keys, duplicated across two micro-batches) yields IDENTICAL
+    results on the default HDFS-backed store and on RocksDB — including
+    cross-restart state recovery — and each checkpoint really carries its
+    backend's format (.delta files vs RocksDB .zip/SST uploads), proving
+    the toggle took effect rather than silently defaulting."""
+    import glob
+    import os as _os
+    import time as _time
+
+    from pdf_extractor_spark.streaming.statestore import state_store
+
+    n_keys = 5000
+    batch0 = [_doc(f"a-{k:05d}", f"K{k % n_keys}") for k in range(n_keys)]
+    # batch 1: every key again (cross-batch dups) plus 500 fresh keys
+    batch1 = [_doc(f"b-{k:05d}", f"K{k}") for k in range(n_keys + 500)]
+
+    results = {}
+    for backend in ("hdfs", "rocksdb"):
+        landing = tmp_path / backend / "landing"
+        landing.mkdir(parents=True)
+        ckpt = tmp_path / backend / "ckpt"
+        out_dir = tmp_path / backend / "out"
+        _write_drop(spark, batch0, str(landing / "drop-0.parquet"))
+        _write_drop(spark, batch1, str(landing / "drop-1.parquet"))
+        now = _time.time()
+        _os.utime(landing / "drop-0.parquet", (now - 20, now - 20))
+        _os.utime(landing / "drop-1.parquet", (now - 10, now - 10))
+
+        with state_store(spark, backend):
+            out = _run_stream(spark, landing, ckpt, out_dir)
+            # restart against the same checkpoint: recovered state must
+            # suppress every already-seen key
+            _write_drop(spark, [_doc("c-0", "K0"), _doc("c-1", "FRESH")],
+                        str(landing / "drop-2.parquet"))
+            out2 = _run_stream(spark, landing, ckpt, out_dir)
+        assert len(out) == n_keys + 500
+        assert len(out2) == len(out) + 1  # only FRESH is new
+        results[backend] = out2
+
+        state_files = glob.glob(str(ckpt / "state" / "**" / "*"), recursive=True)
+        has_delta = any(f.endswith(".delta") for f in state_files)
+        # snapshot uploads (.zip/.sst) or, with changelog checkpointing
+        # enabled (our rocksdb setting), per-batch .changelog uploads
+        has_rocks = any(
+            f.endswith((".zip", ".sst", ".changelog")) for f in state_files
+        )
+        if backend == "hdfs":
+            assert has_delta and not has_rocks, state_files[:10]
+        else:
+            assert has_rocks and not has_delta, state_files[:10]
+
+    assert results["hdfs"] == results["rocksdb"]
