@@ -172,14 +172,34 @@ def scaling_report(n_docs: int, levels=(2, 8, 32), rounds: int = 2) -> dict:
     executor; a single box does not.
     """
     best: dict[int, float] = {lvl: 0.0 for lvl in levels}
-    for _ in range(rounds):
+    pairs = [(a, b) for a, b in zip(levels, levels[1:]) if b == 4 * a]
+
+    def _effs() -> dict[str, float]:
+        return {
+            f"efficiency_{a}to{b}": round((best[b] / best[a]) / (b / a), 3)
+            for a, b in pairs
+            if best[a] > 0
+        }
+
+    done = 0
+    extra_budget = 2
+    while True:
         for lvl in levels:  # identical input at every level — non-negotiable
             best[lvl] = max(best[lvl], extraction_throughput(lvl, n_docs))
-    out = {"docs": n_docs, "levels": {f"local[{k}]": round(v, 1) for k, v in best.items()}}
-    pairs = [(a, b) for a, b in zip(levels, levels[1:]) if b == 4 * a]
-    for a, b in pairs:
-        eff = (best[b] / best[a]) / (b / a)
-        out[f"efficiency_{a}to{b}"] = round(eff, 3)
+        done += 1
+        if done < rounds:
+            continue
+        # Superlinear "efficiency" (> 1) at identical input on one box is
+        # physically impossible; it means the SMALL level's legs were all
+        # noise-depressed (r03 driver run read 1.155). Treat it as a noise
+        # signal, not a result: keep interleaving rounds (bounded) until
+        # the small level gets one fair window and the ratio drops sane.
+        if all(e <= 1.05 for e in _effs().values()) or extra_budget == 0:
+            break
+        extra_budget -= 1
+    out = {"docs": n_docs, "rounds_run": done,
+           "levels": {f"local[{k}]": round(v, 1) for k, v in best.items()}}
+    out.update(_effs())
     return out
 
 
