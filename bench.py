@@ -77,6 +77,11 @@ def _make_spark(cpus: int, app: str):
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 32)))
         .config("spark.sql.adaptive.enabled", "true")
+        # without this, AQE skips every plan under a persist(): the staged
+        # dedup/kmeans subtrees ran all their post-shuffle stages at the
+        # full static partition count (measured 17.2 -> 3.9 s on
+        # dedup_verified_pairs, 15.4 -> 3.1 s on kmeans_train at sf0.1)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")

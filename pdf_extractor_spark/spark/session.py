@@ -30,6 +30,13 @@ def get_spark(
         # deterministic timestamp arithmetic regardless of host timezone
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # apply AQE to cached plans too: the staged intermediates this
+        # engine leans on (ops/dedup._persisted) otherwise run every
+        # post-shuffle stage at the static partition count — Spark's
+        # default false only protects a downstream consumer of the cache's
+        # physical distribution, which nothing here relies on (plan pins
+        # assert scan/exchange budgets, not cached output partitioning)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Small Arrow batches through the extraction UDF: one batch of 20-50
