@@ -424,6 +424,20 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "simhash_neardup",
+        _query_df,
+        [
+            # the signature table is persisted: both bucket-join sides read
+            # the cache, so the raw table (and the interpreted simhash
+            # fold) is hit once, not once per join side
+            lambda p: occurs_at_most(p, "documents.parquet", 1),
+            lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: absent(p, "BroadcastNestedLoopJoin"),
+        ],
+        False,
+    ),
+    (
         "dedup_components",
         _query_df,
         [
