@@ -293,7 +293,10 @@ def main(argv: list[str] | None = None) -> int:
             swept = log.gc_orphans(grace_s=args.gc_orphans_older_than)
             print(f"ORPHANS_REMOVED dirs={len(swept)}")
         if args.export_zip:
-            if args.shards is not None and args.shards > 1:
+            # ANY --shards value (1 included) means the directory layout:
+            # routing --shards 1 to the single-zip writer would os.replace
+            # a zip onto the documented shard DIRECTORY path
+            if args.shards is not None:
                 from pdf_extractor_spark.spark.export import (
                     export_markdown_zip_sharded,
                 )

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..spark.lineage import _chunk_dirname
 from ..spark.pipeline import extract_documents
 from .portable import tokens_sql
 
@@ -432,7 +433,7 @@ def _snapshot_fixture_root() -> str:
     for chunk in range(_SNAPFIX_CHUNKS + 1):  # +1: the uncommitted chunk
         for part in range(chunk * 3, chunk * 3 + 3):
             pdir = os.path.join(
-                root, "data", f"chunk={chunk:06d}", f"part_id={part}"
+                root, "data", _chunk_dirname(chunk), f"part_id={part}"
             )
             os.makedirs(pdir, exist_ok=True)
             rows = {
@@ -505,7 +506,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _snapshot_diff_oracle_sql() -> str:
     root = _snapshot_fixture_root()
     paths = ", ".join(
-        f"'{root}/data/chunk={c:06d}/part_id=*/*.parquet'" for c in (1, 2)
+        f"'{root}/data/{_chunk_dirname(c)}/part_id=*/*.parquet'" for c in (1, 2)
     )
     return (
         "SELECT doc_id, spans_emitted, CAST(part_id AS BIGINT) AS part_id "
@@ -516,7 +517,7 @@ def _snapshot_diff_oracle_sql() -> str:
 def _snapshot_read_oracle_sql() -> str:
     root = _snapshot_fixture_root()
     paths = ", ".join(
-        f"'{root}/data/chunk={c:06d}/part_id=*/*.parquet'"
+        f"'{root}/data/{_chunk_dirname(c)}/part_id=*/*.parquet'"
         for c in range(SNAPSHOT_AS_OF + 1)
     )
     return (

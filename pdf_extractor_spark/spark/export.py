@@ -175,6 +175,13 @@ def export_markdown_zip_sharded(
     driver-side, so exactly ``n_shards`` files always exist — a consumer
     can glob-and-count to verify completeness.
 
+    Publish is whole-directory: every shard lands in a per-export staging
+    dir first, which the driver renames into place at the end — so like
+    the single-zip path, concurrent exports to the same ``out_dir`` race
+    only on the final renames (last-publish-wins) and a reader can never
+    observe a MIXED-snapshot shard set (at worst a brief ENOENT between a
+    loser's retire-and-republish renames).
+
     ``out_dir`` must be a filesystem all executors share (posix mount in
     this sandbox's local mode; object-store mounts in production — the
     same contract every file sink has). Returns total documents written.
@@ -201,23 +208,59 @@ def export_markdown_zip_sharded(
         .repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "doc_id", "markdown")
     )
-    os.makedirs(out_dir, exist_ok=True)
+    out_dir = os.path.abspath(out_dir)
+    os.makedirs(os.path.dirname(out_dir), exist_ok=True)
+    stage = f"{out_dir}.inprogress-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    os.makedirs(stage)
     counts = spark.sparkContext.accumulator(0)
 
     def _write_partition(rows) -> None:
         import itertools
 
         for shard, group in itertools.groupby(rows, key=lambda r: r["shard"]):
-            path = os.path.join(out_dir, shard_zip_name(int(shard)))
+            path = os.path.join(stage, shard_zip_name(int(shard)))
             counts.add(_write_zip_atomic(path, group))
 
-    md.foreachPartition(_write_partition)
-    # backfill empty archives for shards no document hashed to
-    for k in range(n_shards):
-        path = os.path.join(out_dir, shard_zip_name(k))
-        if not os.path.exists(path):
-            _write_zip_atomic(path, iter(()))
+    try:
+        md.foreachPartition(_write_partition)
+        # backfill empty archives for shards no document hashed to
+        for k in range(n_shards):
+            path = os.path.join(stage, shard_zip_name(k))
+            if not os.path.exists(path):
+                _write_zip_atomic(path, iter(()))
+        _publish_dir(stage, out_dir)
+    finally:
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)
     return counts.value
+
+
+def _publish_dir(stage: str, out_dir: str, attempts: int = 5) -> None:
+    """Atomically move a fully-staged export directory into place. When
+    ``out_dir`` is absent (or an empty dir) one rename publishes; when a
+    previous export occupies it, retire-then-republish — two renames with
+    a brief ENOENT window, never a mixed directory. Concurrent publishers
+    retire each other last-publish-wins; the loop is bounded because each
+    iteration either publishes or removes one competing directory."""
+    import shutil
+
+    for _ in range(attempts):
+        try:
+            os.rename(stage, out_dir)
+            return
+        except OSError:
+            pass  # out_dir exists and is non-empty: retire it
+        retired = f"{out_dir}.retired-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(out_dir, retired)
+        except FileNotFoundError:
+            continue  # a racing publisher won the window; retry the publish
+        shutil.rmtree(retired, ignore_errors=True)
+    raise RuntimeError(
+        f"could not publish export to {out_dir!r} after {attempts} attempts "
+        f"(concurrent exporters thrashing?)"
+    )
 
 
 _UNSAFE_RE = re.compile(r"[^A-Za-z0-9._-]")

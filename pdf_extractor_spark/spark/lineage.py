@@ -64,6 +64,7 @@ import contextlib
 import fcntl
 import json
 import os
+import re
 import time
 from dataclasses import dataclass
 
@@ -122,6 +123,9 @@ def _chunk_dirname(cid: int) -> str:
     return f"chunk={cid:06d}"
 
 
+_LEGACY_CHUNK_RE = re.compile(r"^chunk-(\d{6})$")
+
+
 class CommitLog:
     def __init__(self, root: str):
         self.root = root
@@ -130,6 +134,20 @@ class CommitLog:
         self.commits_dir = os.path.join(root, "commits")
         for d in (self.data_dir, self.lineage_dir, self.commits_dir):
             os.makedirs(d, exist_ok=True)
+        # layout-format guard: a table written before the chunk=K (Hive)
+        # layout holds chunk-K dirs, which partition discovery cannot see —
+        # opening it would read as EMPTY with committed markers present
+        # (and gc would never sweep its orphans). Fail loudly instead of
+        # silently returning nothing; the fix is a one-time offline rename.
+        for base in (self.data_dir, self.lineage_dir):
+            legacy = [n for n in os.listdir(base) if _LEGACY_CHUNK_RE.match(n)]
+            if legacy:
+                raise TableContractError(
+                    f"{base} holds pre-Hive-layout chunk dirs "
+                    f"(e.g. {legacy[0]!r}); run "
+                    f"CommitLog.migrate_layout({self.root!r}) once, with no "
+                    f"live writers, to rename chunk-K -> chunk=K"
+                )
         # published markers are immutable (retention deletes DATA, never
         # markers), so parsed markers cache per-instance forever; the dir
         # listing stays the source of truth for WHICH markers exist, so a
@@ -139,6 +157,30 @@ class CommitLog:
         # every publish) — measured 9.6 -> 20.2 ms/commit from C=200 to
         # C=1000 (tools/bench_commitlog.py).
         self._marker_cache: dict[str, dict] = {}
+
+    @staticmethod
+    def migrate_layout(root: str) -> list[str]:
+        """One-time offline upgrade of a pre-Hive-layout table: rename every
+        ``data|lineage/chunk-K`` directory to ``chunk=K``. Markers, ids,
+        and part_id subdirs are layout-independent and untouched; each
+        rename is atomic, and a crash mid-migration is resumed by running
+        it again (already-renamed dirs are skipped). MUST NOT run while any
+        writer is live (old-code writers would recreate legacy dirs).
+        Returns the renamed paths."""
+        renamed = []
+        for sub in ("data", "lineage"):
+            base = os.path.join(root, sub)
+            if not os.path.isdir(base):
+                continue
+            for name in sorted(os.listdir(base)):
+                m = _LEGACY_CHUNK_RE.match(name)
+                if not m:
+                    continue
+                src = os.path.join(base, name)
+                dst = os.path.join(base, _chunk_dirname(int(m.group(1))))
+                os.rename(src, dst)  # same dir: atomic, fails if dst exists
+                renamed.append(dst)
+        return renamed
 
     # ------------------------------------------------------------- commit side
 

@@ -219,3 +219,42 @@ def test_commit_chunk_rejects_mismatched_n_parts(tmp_path):
     # same value (or a marker that doesn't record one) still commits
     assert log.commit_chunk(1, [1], {"docs": 1}, n_parts=8)
     assert log.commit_chunk(2, [2], {"docs": 1})
+
+
+def test_legacy_layout_fails_loudly_and_migrates(tmp_path, spark):
+    """A pre-Hive-layout table (chunk-K dirs) must never read as silently
+    empty: opening it raises with migration instructions, and
+    migrate_layout renames chunk-K -> chunk=K after which reads see every
+    committed row again (markers/ids are layout-independent)."""
+    import pytest
+
+    root = str(tmp_path / "t")
+    log = L.CommitLog(root)
+    docs = spark.createDataFrame(
+        [(f"d{i}", [("text", f"t{i}", "", 0)]) for i in range(6)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    L.run_extraction(spark, docs, log, n_parts=2, parts_per_chunk=1)
+    want = {r["doc_id"] for r in log.read_extracted(spark).collect()}
+    assert len(want) == 6
+
+    # downgrade the table to the legacy layout
+    for base in (log.data_dir, log.lineage_dir):
+        for name in os.listdir(base):
+            if name.startswith("chunk="):
+                os.rename(
+                    os.path.join(base, name),
+                    os.path.join(base, name.replace("chunk=", "chunk-")),
+                )
+
+    with pytest.raises(L.TableContractError, match="migrate_layout"):
+        L.CommitLog(root)
+
+    renamed = L.CommitLog.migrate_layout(root)
+    assert renamed and all("chunk=" in p for p in renamed)
+    # idempotent: a resumed migration after a crash is a no-op
+    assert L.CommitLog.migrate_layout(root) == []
+    log2 = L.CommitLog(root)
+    assert {r["doc_id"] for r in log2.read_extracted(spark).collect()} == want
+    # gc/orphan accounting sees migrated dirs again
+    assert log2.gc_orphans(grace_s=3600) == []

@@ -564,6 +564,26 @@ def test_export_markdown_zip_sharded(spark, tmp_path):
     ]
     assert empties  # backfilled, readable, empty
 
+    # n_shards=1 is the directory layout too (the CLI routes ANY --shards
+    # here): one shard archive whose entries equal the single-zip export
+    out4 = str(tmp_path / "shards4")
+    assert export_markdown_zip_sharded(spark, root, out4, 1) == 40
+    assert os.listdir(out4) == [shard_zip_name(0)]
+    with zipfile.ZipFile(os.path.join(out4, shard_zip_name(0))) as zf, \
+            zipfile.ZipFile(single) as zs:
+        assert zf.namelist() == zs.namelist()
+
+    # publish is whole-directory: re-exporting onto an existing out_dir
+    # replaces it wholesale, leaving no staging/retired litter behind
+    assert export_markdown_zip_sharded(spark, root, out4, 1) == 40
+    assert os.listdir(out4) == [shard_zip_name(0)]
+    litter = [
+        n
+        for n in os.listdir(os.path.dirname(out4))
+        if ".inprogress-" in n or ".retired-" in n
+    ]
+    assert litter == []
+
 
 def test_export_zip_time_travel(spark, tmp_path):
     """as_of exports exactly the pinned snapshot's documents."""
