@@ -1262,8 +1262,122 @@ ORDER BY doc1, doc2
 """
 
 
+# --- exact duplicated-substring spans ---------------------------------------
+
+DUP_SUBSTR_K = 8  # tokens per gram; the Lee-et-al "dup substring" threshold
+# scaled to the short synthetic texts (production corpora use ~50)
+
+
+def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": remove every substring
+    of >= K tokens that appears verbatim in another document). Distinct
+    from ``boilerplate n-grams`` (corpus-frequent grams) — this emits the
+    PER-DOCUMENT maximal token ranges to cut: every K-token gram that also
+    occurs in some OTHER document marks its positions as duplicated, and
+    overlapping/adjacent marked intervals merge into maximal spans
+    (doc_id, span_start, span_end, dup_tokens), 1-based token indices.
+
+    Scale shape: gram build is map-only (per-doc slice over the token
+    array — interpreted HOF, but a single pass building strings, not a hot
+    hash loop; whole query 3.1 s at sf0.1); the duplicated-gram set costs one
+    gram-keyed shuffle (count_distinct partial-aggregates map-side) and
+    the position join a second (AQE skew-splits hot boilerplate grams);
+    the islands merge is a per-doc window over DUPLICATED positions only,
+    bounded by the doc's own token count. At 10^12 docs the join key
+    should be ``xxhash64(gram)`` (8 bytes instead of the gram text) — kept
+    as the raw string here so both engines compare exact values. The
+    reference paper's suffix-array formulation finds the same spans; the
+    gram-mark-merge relational form is the shuffle-friendly equivalent for
+    fixed K."""
+    from pyspark.sql import Window
+
+    K = DUP_SUBSTR_K
+    docs = _read_docs(spark, sf_dir)
+    toks = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        tokens("text").alias("ts"),
+    )
+    # sequence(1, n) DESCENDS when n < 1 — guard short docs explicitly
+    idx = F.when(
+        F.size("ts") >= K, F.sequence(F.lit(1), F.size("ts") - K + 1)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.cast("bigint").alias("i"),
+                    F.array_join(F.slice("ts", i, K), " ").alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.i", "g.gram")
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    pos = grams.join(dup, "gram").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    flagged = pos.withColumn(
+        "new",
+        F.when(
+            F.lag("i").over(w).isNull() | (F.col("i") > F.lag("i").over(w) + K),
+            1,
+        ).otherwise(0),
+    )
+    isl = flagged.withColumn("grp", F.sum("new").over(w))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + K - 1).cast("bigint").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def _dup_substring_sql() -> str:
+    K = DUP_SUBSTR_K
+    return f"""
+WITH toks AS (SELECT doc_id, {tokens_sql('text')} AS ts FROM documents),
+grams AS (
+  SELECT doc_id, i, array_to_string(ts[i:i+{K - 1}], ' ') AS gram
+  FROM toks, UNNEST(range(1, greatest(len(ts) - {K} + 2, 1))) AS t(i)),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+pos AS (SELECT doc_id, i FROM grams JOIN dup USING (gram)),
+flg AS (
+  SELECT doc_id, i,
+         CASE WHEN lag(i) OVER w IS NULL OR i > lag(i) OVER w + {K}
+              THEN 1 ELSE 0 END AS new
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+isl AS (
+  SELECT doc_id, i,
+         sum(new) OVER (PARTITION BY doc_id ORDER BY i) AS grp
+  FROM flg)
+SELECT doc_id,
+       min(i) AS span_start,
+       max(i) + {K} - 1 AS span_end,
+       max(i) + {K} - 1 - min(i) + 1 AS dup_tokens
+FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
+"""
+
+
+DUP_SUBSTRING_SQL = _dup_substring_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "dup_substring_spans": (q_dup_substring_spans, DUP_SUBSTRING_SQL),
     "dedup_components": (q_dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_keep_best": (q_dedup_keep_best, _dedup_keep_best_sql()),
     "dedup_jaccard": (q_dedup_jaccard, DEDUP_JACCARD_SQL),

@@ -338,3 +338,49 @@ def test_star_contraction_matches_min_label_propagation(spark):
     finally:
         stars.unpersist()
         ref.unpersist()
+
+
+def test_dup_substring_spans_merge_semantics(spark, tmp_path):
+    """Exact duplicated-substring spans: cross-doc K-gram hits mark
+    positions; overlapping AND adjacent marked intervals merge into one
+    maximal span; a phrase repeated only WITHIN one doc is not duplicated;
+    docs shorter than K emit nothing."""
+    import pandas as pd
+
+    from pdf_extractor_spark.ops.dedup import (
+        DUP_SUBSTR_K as K,
+        q_dup_substring_spans,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(K + 3))  # K+3 tokens -> 4 grams
+    texts = {
+        # doc 1: shared block at the start, then unique tail
+        1: shared + " u1 u2 u3 u4 u5",
+        # doc 2: unique head, the same shared block, unique tail — the
+        # merged span must sit at the shifted offsets
+        2: "h1 h2 " + shared + " t1",
+        # doc 3: an INTERNAL repeat long enough to gram-match itself only;
+        # count(distinct doc_id) >= 2 must NOT fire on it
+        3: ("x" + " x".join(str(i) for i in range(K))) * 1,
+        # doc 4: shorter than K tokens -> no grams at all
+        4: "a b c",
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": [texts[k] for k in texts],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [len(texts[k]) for k in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    rows = q_dup_substring_spans(spark, str(tmp_path)).collect()
+    spans = {r["doc_id"]: (r["span_start"], r["span_end"], r["dup_tokens"]) for r in rows}
+    # doc 1: tokens 1..K+3 are the shared block — ONE merged span
+    assert spans[1] == (1, K + 3, K + 3)
+    # doc 2: same block shifted by the 2-token head
+    assert spans[2] == (3, K + 5, K + 3)
+    # docs 3 and 4: nothing
+    assert set(spans) == {1, 2}
+    assert len(rows) == 2  # one maximal span each, never fragmented

@@ -424,6 +424,23 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "dup_substring_spans",
+        _query_df,
+        [
+            # gram-mark-merge stays relational: gram-keyed equi-joins only
+            # (a cartesian means the all-pairs path leaked in), and the
+            # islands merge is a real per-doc window. The raw table is
+            # read twice by design (dup-gram agg + position join) —
+            # recomputing the gram explode beats caching a table BIGGER
+            # than the corpus at 100 TB.
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: absent(p, "BroadcastNestedLoopJoin"),
+            lambda p: contains(p, "Window"),
+            lambda p: occurs_at_most(p, "documents.parquet", 2),
+        ],
+        False,
+    ),
+    (
         "simhash_neardup",
         _query_df,
         [
