@@ -384,3 +384,58 @@ def test_dup_substring_spans_merge_semantics(spark, tmp_path):
     # docs 3 and 4: nothing
     assert set(spans) == {1, 2}
     assert len(rows) == 2  # one maximal span each, never fragmented
+
+
+def test_dup_substring_spans_matches_python_reference(spark, tmp_path):
+    """Randomized differential test: the relational gram-mark-merge must
+    equal an independent brute-force reference (mark every position whose
+    K-gram occurs in >= 2 distinct docs, merge intervals within K)."""
+    import random
+
+    import pandas as pd
+
+    from pdf_extractor_spark.ops.dedup import (
+        DUP_SUBSTR_K as K,
+        q_dup_substring_spans,
+    )
+
+    rng = random.Random(907)
+    vocab = [f"t{i}" for i in range(12)]  # tiny vocab -> dense collisions
+    texts = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(2, 40)))
+        for d in range(1, 25)
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": [texts[d] for d in texts],
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(texts[d]) for d in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    # independent reference
+    toks = {d: t.split() for d, t in texts.items()}
+    where: dict[str, set] = {}
+    for d, ts in toks.items():
+        for i in range(len(ts) - K + 1):
+            where.setdefault(" ".join(ts[i : i + K]), set()).add(d)
+    want = []
+    for d, ts in sorted(toks.items()):
+        marks = sorted(
+            i + 1
+            for i in range(len(ts) - K + 1)
+            if len(where[" ".join(ts[i : i + K])]) >= 2
+        )
+        run: list[int] = []
+        for i in marks + [10**9]:
+            if run and i > run[-1] + K:
+                want.append((d, run[0], run[-1] + K - 1, run[-1] + K - run[0]))
+                run = []
+            run.append(i)
+    got = [
+        (r["doc_id"], r["span_start"], r["span_end"], r["dup_tokens"])
+        for r in q_dup_substring_spans(spark, str(tmp_path)).collect()
+    ]
+    assert got == sorted(want)
