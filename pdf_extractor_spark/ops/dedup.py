@@ -1375,9 +1375,91 @@ FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start
 DUP_SUBSTRING_SQL = _dup_substring_sql()
 
 
+def q_dup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply :func:`q_dup_substring_spans`: excise every duplicated token
+    range and emit each document's surviving text — the transformation the
+    Lee-et-al pipeline actually ships (cut the duplicated substrings, keep
+    the rest). Every input doc is emitted: untouched docs keep their full
+    (whitespace-normalized) token stream, fully-duplicated docs come out
+    empty with n_tokens_kept = 0.
+
+    Scale shape: inherits the spans DAG; the apply side is one explode of
+    the span ranges (tiny — spans only), a broadcast-friendly anti-join on
+    (doc_id, pos), and the repo's ordered-string-agg convention
+    (array_sort(collect_list(struct))) for the deterministic rebuild —
+    per-doc groups, never a global window."""
+    spans = q_dup_substring_spans(spark, sf_dir)
+    covered = spans.select(
+        "doc_id", F.explode(F.sequence("span_start", "span_end")).alias("pos")
+    )
+    docs = _read_docs(spark, sf_dir)
+    toks = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode(tokens("text")).alias("p0", "w"),
+    ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "w")
+    kept = (
+        toks.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_tokens_kept"),
+        )
+    )
+    base = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(tokens("text")).cast("bigint").alias("n_tokens_in"),
+    )
+    return (
+        base.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens_in",
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dup_substring_scrub_sql() -> str:
+    K = DUP_SUBSTR_K
+    spans = _dup_substring_sql().replace("ORDER BY doc_id, span_start", "")
+    return f"""
+WITH spans AS ({spans}),
+covered AS (
+  SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos FROM spans),
+toks2 AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS w,
+         generate_subscripts({tokens_sql('text')}, 1) AS pos
+  FROM documents),
+kept AS (
+  SELECT t.doc_id,
+         string_agg(t.w, ' ' ORDER BY t.pos) AS clean_text,
+         count(*) AS n_tokens_kept
+  FROM toks2 t ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  GROUP BY t.doc_id)
+SELECT d.doc_id,
+       len({tokens_sql('d.text')}) AS n_tokens_in,
+       coalesce(k.n_tokens_kept, 0) AS n_tokens_kept,
+       coalesce(k.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+ORDER BY d.doc_id
+"""
+
+
+DUP_SUBSTRING_SCRUB_SQL = _dup_substring_scrub_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dup_substring_spans": (q_dup_substring_spans, DUP_SUBSTRING_SQL),
+    "dup_substring_scrub": (q_dup_substring_scrub, DUP_SUBSTRING_SCRUB_SQL),
     "dedup_components": (q_dedup_components, DEDUP_COMPONENTS_SQL),
     "dedup_keep_best": (q_dedup_keep_best, _dedup_keep_best_sql()),
     "dedup_jaccard": (q_dedup_jaccard, DEDUP_JACCARD_SQL),

@@ -385,6 +385,20 @@ def test_dup_substring_spans_merge_semantics(spark, tmp_path):
     assert set(spans) == {1, 2}
     assert len(rows) == 2  # one maximal span each, never fragmented
 
+    # the apply side: duplicated ranges excised, everything else kept,
+    # untouched docs pass through whitespace-normalized, every doc emitted
+    from pdf_extractor_spark.ops.dedup import q_dup_substring_scrub
+
+    scrub = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens_in"], r["n_tokens_kept"])
+        for r in q_dup_substring_scrub(spark, str(tmp_path)).collect()
+    }
+    assert scrub[1] == ("u1 u2 u3 u4 u5", K + 8, 5)
+    assert scrub[2] == ("h1 h2 t1", K + 6, 3)
+    assert scrub[3][0] == " ".join(texts[3].split())  # untouched
+    assert scrub[4] == ("a b c", 3, 3)
+    assert set(scrub) == {1, 2, 3, 4}
+
 
 def test_dup_substring_spans_matches_python_reference(spark, tmp_path):
     """Randomized differential test: the relational gram-mark-merge must

@@ -441,6 +441,19 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "dup_substring_scrub",
+        _query_df,
+        [
+            # the apply side adds an anti-join on (doc_id, pos) and a
+            # per-doc ordered rebuild — still equi-joins only, and the
+            # outer emit-every-doc join must not degrade to a loop join
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: absent(p, "BroadcastNestedLoopJoin"),
+            lambda p: occurs_at_most(p, "documents.parquet", 4),
+        ],
+        False,
+    ),
+    (
         "simhash_neardup",
         _query_df,
         [
