@@ -47,6 +47,10 @@ def main(argv: list[str] | None = None) -> int:
                         "or conflict-losing writers (remove_orphan_files "
                         "analogue; keep SECS above any live writer's chunk "
                         "write time)")
+    p.add_argument("--migrate-layout", action="store_true",
+                   help="one-time upgrade of a pre-Hive-layout table "
+                        "(chunk-K dirs -> chunk=K) at --output, then exit; "
+                        "run with NO live writers (idempotent, resumable)")
     p.add_argument("--export-zip", type=str, default=None, metavar="PATH",
                    help="after the run, export every committed document as "
                         "<doc_id>.md in one deterministic zip archive "
@@ -95,6 +99,28 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     # modes and flags that would otherwise be silent no-ops fail loudly
+    if args.migrate_layout:
+        if (
+            args.watch or args.ocr_stage or args.compact or args.refresh_parts
+            or args.export_zip or args.route_needs_ocr
+            or args.expire_older_than is not None
+            or args.gc_orphans_older_than is not None
+        ):
+            p.error("--migrate-layout runs alone (offline upgrade, "
+                    "no live writers)")
+        try:
+            from pdf_extractor_spark.spark.lineage import CommitLog
+        except ModuleNotFoundError:  # plain `python job.py` outside the root
+            import os as _os
+
+            sys.path.insert(
+                0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+            )
+            from pdf_extractor_spark.spark.lineage import CommitLog
+
+        renamed = CommitLog.migrate_layout(args.output)
+        print(f"LAYOUT_MIGRATED dirs={len(renamed)}")
+        return 0
     if args.ocr_stage and (
         args.watch
         or args.compact

@@ -258,3 +258,80 @@ def test_legacy_layout_fails_loudly_and_migrates(tmp_path, spark):
     assert {r["doc_id"] for r in log2.read_extracted(spark).collect()} == want
     # gc/orphan accounting sees migrated dirs again
     assert log2.gc_orphans(grace_s=3600) == []
+
+
+def test_chaos_append_compact_expire_concurrently(spark, tmp_path):
+    """Chaos probe for the maintenance protocol: while one writer appends
+    the corpus in many small chunks, a compactor thread repeatedly
+    rewrites whatever snapshot it catches and a retention thread runs
+    orphan GC + replaced-chunk expiry the whole time. Whatever interleaving
+    occurs, the final visible table must hold every doc exactly once, and
+    a final compact+expire must leave reads byte-identical."""
+    root = str(tmp_path / "chaos")
+    docs = corpus_df(spark, 96)
+    log = L.CommitLog(root)
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def appender():
+        try:
+            # parts_per_chunk=1 -> 12 separate commits spread over time
+            L.run_extraction(spark, docs, log, n_parts=12, parts_per_chunk=1)
+        except BaseException as e:
+            errors.append(e)
+        finally:
+            stop.set()
+
+    def compactor():
+        mylog = L.CommitLog(root)
+        while not stop.is_set():
+            try:
+                L.compact_chunks(spark, mylog, min_chunks=2)
+            except L.CommitConflict:
+                pass  # lost to a concurrent maintenance commit: fine
+            except BaseException as e:  # pragma: no cover - surfaced below
+                errors.append(e)
+                return
+            time.sleep(0.02)
+
+    def retention():
+        mylog = L.CommitLog(root)
+        while not stop.is_set():
+            try:
+                mylog.gc_orphans(grace_s=3600)  # never sweeps live staging
+                mylog.expire_replaced()
+            except BaseException as e:  # pragma: no cover - surfaced below
+                errors.append(e)
+                return
+            time.sleep(0.02)
+
+    threads = [
+        threading.Thread(target=appender),
+        threading.Thread(target=compactor),
+        threading.Thread(target=retention),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    def visible_ids():
+        return sorted(
+            r["doc_id"] for r in log.read_extracted(spark).select("doc_id").collect()
+        )
+
+    want = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    assert visible_ids() == want  # exactly once, no loss, no duplicates
+
+    # quiesced final maintenance: reads unchanged, history reclaimed
+    before = visible_ids()
+    L.compact_chunks(spark, log, min_chunks=2)
+    log.expire_replaced()
+    log.gc_orphans(grace_s=0)
+    assert visible_ids() == before
+    # marker history stayed coherent (snapshots listable, ids monotonic)
+    snaps = log.snapshots()
+    assert [s["snapshot_id"] for s in snaps] == sorted(
+        s["snapshot_id"] for s in snaps
+    )
