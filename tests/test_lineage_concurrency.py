@@ -335,3 +335,114 @@ def test_chaos_append_compact_expire_concurrently(spark, tmp_path):
     assert [s["snapshot_id"] for s in snaps] == sorted(
         s["snapshot_id"] for s in snaps
     )
+
+
+def test_shadow_index_matches_bruteforce_owned_parts():
+    """Randomized differential test: the suffix-union shadow index +
+    bisect must resolve owned parts identically to the O(C^2) definition
+    (a part is shadowed iff SOME strictly-later-committed overwrite marker
+    lists it) — including equal-committed_at ties broken by chunk_id and
+    overwrite chunks shadowing each other."""
+    import random
+
+    rng = random.Random(4242)
+    log = L.CommitLog.__new__(L.CommitLog)  # no dirs needed for planning
+    for trial in range(200):
+        n = rng.randint(1, 14)
+        visible = []
+        for cid in range(n):
+            visible.append(
+                {
+                    "chunk_id": cid,
+                    # coarse timestamps force equal-commit ties regularly
+                    "committed_at": float(rng.randint(0, 4)),
+                    "part_ids": sorted(
+                        rng.sample(range(8), rng.randint(1, 4))
+                    ),
+                    "overwrite": rng.random() < 0.4,
+                }
+            )
+        shadow = log._shadow_index(visible)
+        for c in visible:
+            want = [
+                p
+                for p in c["part_ids"]
+                if not any(
+                    o.get("overwrite")
+                    and log._commit_order(o) > log._commit_order(c)
+                    and p in o["part_ids"]
+                    for o in visible
+                )
+            ]
+            got = log._owned_parts(c, visible, shadow)
+            assert got == want, (trial, c, visible)
+
+
+def test_publish_dir_never_mixes_concurrent_exports(tmp_path):
+    """Two threads repeatedly publishing complete export dirs to one path:
+    at every observation the target holds ONE writer's complete shard set
+    (or briefly nothing mid-swap), never a mix, and no staging/retired
+    litter survives."""
+    import shutil
+
+    from pdf_extractor_spark.spark.export import _publish_dir
+
+    out = str(tmp_path / "pub" / "out")
+    os.makedirs(os.path.dirname(out))
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def publisher(tag: str):
+        try:
+            for i in range(25):
+                stage = str(tmp_path / f"stage-{tag}-{i}")
+                os.makedirs(stage)
+                for k in range(3):
+                    with open(os.path.join(stage, f"shard-{k}.zip"), "w") as f:
+                        f.write(tag)  # every file carries its writer's tag
+                _publish_dir(stage, out)
+        except BaseException as e:
+            errors.append(e)
+        finally:
+            stop.set()
+
+    def observer():
+        # snapshot-consistent observation: a publish swaps the DIRECTORY
+        # inode, so an unchanged inode across the reads proves every file
+        # came from one writer's publish (the contract _publish_dir
+        # documents for readers)
+        while not stop.is_set():
+            try:
+                ino = os.stat(out).st_ino
+                names = sorted(os.listdir(out))
+                tags = set()
+                for nm in names:
+                    with open(os.path.join(out, nm)) as f:
+                        tags.add(f.read())
+                if os.stat(out).st_ino != ino:
+                    continue  # swapped mid-read: not one observation
+            except FileNotFoundError:
+                continue  # the documented brief swap window
+            if len(names) == 3 and len(tags) > 1:
+                errors.append(AssertionError(f"mixed export: {names} {tags}"))
+                return
+
+    threads = [
+        threading.Thread(target=publisher, args=("A",)),
+        threading.Thread(target=publisher, args=("B",)),
+        threading.Thread(target=observer),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert sorted(os.listdir(out)) == [f"shard-{k}.zip" for k in range(3)]
+    litter = [
+        n
+        for n in os.listdir(tmp_path / "pub")
+        if ".retired-" in n or ".inprogress-" in n
+    ]
+    assert litter == []
+    # all staging dirs consumed by publishes
+    assert not [n for n in os.listdir(tmp_path) if n.startswith("stage-")]
