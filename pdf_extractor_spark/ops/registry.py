@@ -19,6 +19,7 @@ from . import (
     analytics,
     dedup,
     extraction_queries,
+    jsonl_source,
     multimodal,
     similarity,
     sketches,
@@ -36,6 +37,7 @@ _MODULES = (
     training,
     multimodal,
     sketches,
+    jsonl_source,
 )
 
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}

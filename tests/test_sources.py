@@ -223,3 +223,23 @@ def test_xlsx_data_row_wider_than_header(spark, tmp_path):
 
     rows = read_xlsx_rows(path)
     assert rows[0] == ["doc", "url", ""] and rows[1][2] == "stray-extra-cell"
+
+
+def test_jsonl_corrupt_lines_quarantined(spark):
+    """PERMISSIVE JSONL ingest: the 3 truncated lines land in _corrupt
+    (all data fields null) instead of failing the scan; valid rows carry
+    no _corrupt payload. Cache first — Spark refuses a query referencing
+    ONLY the internal corrupt-record column (documented contract)."""
+    from pdf_extractor_spark.ops.jsonl_source import (
+        jsonl_fixture_root,
+        read_jsonl_documents,
+    )
+
+    df = read_jsonl_documents(spark, jsonl_fixture_root()).cache()
+    try:
+        bad = df.where(df["_corrupt"].isNotNull())
+        assert bad.count() == 3
+        assert bad.where(df.doc_id.isNotNull()).count() == 0
+        assert df.where(df["_corrupt"].isNull()).count() == 363
+    finally:
+        df.unpersist()
