@@ -21,7 +21,9 @@ import time
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="pdf-extractor-spark batch extraction")
     p.add_argument("--input", required=True,
-                   help="parquet path of documents(doc_id, spans), or synthetic:<n_docs>")
+                   help="documents(doc_id, spans) as a parquet path, a "
+                        "JSONL file/dir (*.jsonl: explicit schema, corrupt "
+                        "lines quarantined), or synthetic:<n_docs>")
     p.add_argument("--output", required=True, help="commit-log root directory")
     p.add_argument("--n-parts", type=int, default=256)
     p.add_argument("--parts-per-chunk", type=int, default=None,
@@ -287,7 +289,22 @@ def main(argv: list[str] | None = None) -> int:
                     spark, int(args.input.split(":", 1)[1]), seed=args.seed
                 )
             else:
-                docs = spark.read.parquet(args.input).select("doc_id", "spans")
+                import glob as _glob
+
+                if args.input.endswith(".jsonl") or _glob.glob(
+                    f"{args.input}/*.jsonl"
+                ):
+                    from pdf_extractor_spark.ops.jsonl_source import (
+                        read_jsonl_documents,
+                    )
+
+                    docs = (
+                        read_jsonl_documents(spark, args.input)
+                        .where("doc_id IS NOT NULL")  # corrupt lines quarantine
+                        .select("doc_id", "spans")
+                    )
+                else:
+                    docs = spark.read.parquet(args.input).select("doc_id", "spans")
 
             log = CommitLog(args.output)
             t0 = time.monotonic()
