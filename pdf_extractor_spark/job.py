@@ -250,6 +250,9 @@ def main(argv: list[str] | None = None) -> int:
             ckpt = args.checkpoint or _os.path.join(args.output, "_checkpoint")
             before = {c["chunk_id"] for c in log.committed_chunks()}
             t0 = time.monotonic()
+            import glob as _glob
+
+            fmt = "jsonl" if _glob.glob(f"{args.input}/*.jsonl") else "parquet"
             q = start_extraction_stream(
                 spark,
                 args.input,
@@ -258,6 +261,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_parts=args.n_parts,
                 num_partitions=args.num_partitions or 32,
                 route_needs_ocr=args.route_needs_ocr,
+                fmt=fmt,
             )
             q.awaitTermination()
             # attribute only THIS stream's chunks (metrics.stream carries

@@ -36,13 +36,29 @@ def stream_documents(
     spark: SparkSession,
     input_dir: str,
     max_files_per_trigger: int = 4,
+    fmt: str = "parquet",
 ) -> DataFrame:
-    """File-source stream of documents(doc_id, spans) parquet drops."""
-    return (
-        spark.readStream.schema(DOCUMENTS_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
-    )
+    """File-source stream of documents(doc_id, spans) drops — parquet by
+    default, ``fmt="jsonl"`` for newline-delimited JSON drops (the classic
+    crawler layout): explicit schema either way (a JSON inference pass per
+    micro-batch would re-read every file), corrupt JSONL lines dropped at
+    the source with the same quarantine semantics as the batch path
+    (ops/jsonl_source.py)."""
+    reader = spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+    if fmt == "jsonl":
+        from ..ops.jsonl_source import JSONL_SCHEMA
+
+        return (
+            reader.schema(JSONL_SCHEMA)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .json(input_dir)
+            .where(F.col("doc_id").isNotNull())
+            .select("doc_id", "spans")
+        )
+    if fmt != "parquet":
+        raise ValueError(f"unknown stream format {fmt!r}")
+    return reader.schema(DOCUMENTS_SCHEMA).parquet(input_dir)
 
 
 def queue_root_for(table_root: str) -> str:
@@ -290,6 +306,7 @@ def start_extraction_stream(
     num_partitions: int = 32,
     max_files_per_trigger: int = 4,
     route_needs_ocr: bool = False,
+    fmt: str = "parquet",
 ) -> StreamingQuery:
     """Incremental extraction: each micro-batch becomes one committed chunk.
 
@@ -303,7 +320,7 @@ def start_extraction_stream(
         stream_ns=os.path.realpath(checkpoint_dir),
     )
     return (
-        stream_documents(spark, input_dir, max_files_per_trigger)
+        stream_documents(spark, input_dir, max_files_per_trigger, fmt=fmt)
         .writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

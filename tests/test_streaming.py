@@ -536,3 +536,59 @@ def test_export_zip_with_ocr_text(spark, tmp_path):
     body = zipfile.ZipFile(merged).read("d1.md").decode()
     assert "![media](pdf://d1/0/im)\n\n> [ocr-stub feedface0000]" in body
     assert "hello world" in body
+
+
+def test_streaming_jsonl_drops_exactly_once(spark, tmp_path):
+    """JSONL drop directory drained incrementally: corrupt lines are
+    dropped at the source, each micro-batch commits one chunk, and a
+    re-run after a new drop processes ONLY the new file (checkpoint +
+    epoch markers) — every valid doc exactly once."""
+    import json
+    import os
+    import time
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    log = CommitLog(str(tmp_path / "t"))
+
+    def drop(name, lo, hi, corrupt=True):
+        lines = [
+            json.dumps(
+                {
+                    "doc_id": f"d{i:04d}",
+                    "spans": [
+                        {"kind": "text", "text": f"t {i}", "media_ref": "", "offset": 0}
+                    ],
+                }
+            )
+            for i in range(lo, hi)
+        ]
+        if corrupt:
+            lines.append('{"doc_id": "broken",')  # truncated: must quarantine
+        (landing / name).write_text("\n".join(lines) + "\n")
+
+    drop("a.jsonl", 0, 30)
+    drop("b.jsonl", 30, 50)
+    now = time.time()
+    os.utime(landing / "a.jsonl", (now - 20, now - 20))
+    os.utime(landing / "b.jsonl", (now - 10, now - 10))
+
+    def drain():
+        q = start_extraction_stream(
+            spark, str(landing), log, checkpoint_dir=ckpt,
+            n_parts=8, num_partitions=4, max_files_per_trigger=1, fmt="jsonl",
+        )
+        q.awaitTermination(300)
+
+    drain()
+    ids = [r["doc_id"] for r in log.read_extracted(spark).select("doc_id").collect()]
+    assert sorted(ids) == [f"d{i:04d}" for i in range(50)]  # no dupes, no 'broken'
+    chunks_after_first = len(log.committed_chunks())
+    assert chunks_after_first == 2  # one chunk per micro-batch (file)
+
+    drop("c.jsonl", 50, 65)
+    drain()
+    ids = [r["doc_id"] for r in log.read_extracted(spark).select("doc_id").collect()]
+    assert sorted(ids) == [f"d{i:04d}" for i in range(65)]
+    assert len(log.committed_chunks()) == chunks_after_first + 1  # only the new file
