@@ -20,10 +20,15 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description="pdf-extractor-spark batch extraction")
-    p.add_argument("--input", required=True,
+    p.add_argument("--input", default=None,
                    help="documents(doc_id, spans) as a parquet path, a "
                         "JSONL file/dir (*.jsonl: explicit schema, corrupt "
-                        "lines quarantined), or synthetic:<n_docs>")
+                        "lines quarantined), or synthetic:<n_docs> "
+                        "(required except with --migrate-layout)")
+    p.add_argument("--input-format", choices=["auto", "parquet", "jsonl"],
+                   default="auto",
+                   help="documents input format; auto sniffs the path and "
+                        "REFUSES a directory mixing both kinds")
     p.add_argument("--output", required=True, help="commit-log root directory")
     p.add_argument("--n-parts", type=int, default=256)
     p.add_argument("--parts-per-chunk", type=int, default=None,
@@ -101,6 +106,8 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     # modes and flags that would otherwise be silent no-ops fail loudly
+    if not args.migrate_layout and not args.input:
+        p.error("--input is required (except with --migrate-layout)")
     if args.migrate_layout:
         if (
             args.watch or args.ocr_stage or args.compact or args.refresh_parts
@@ -250,9 +257,14 @@ def main(argv: list[str] | None = None) -> int:
             ckpt = args.checkpoint or _os.path.join(args.output, "_checkpoint")
             before = {c["chunk_id"] for c in log.committed_chunks()}
             t0 = time.monotonic()
-            import glob as _glob
+            if args.input_format == "auto":
+                from pdf_extractor_spark.ops.jsonl_source import (
+                    detect_input_format,
+                )
 
-            fmt = "jsonl" if _glob.glob(f"{args.input}/*.jsonl") else "parquet"
+                fmt = detect_input_format(args.input)
+            else:
+                fmt = args.input_format
             q = start_extraction_stream(
                 spark,
                 args.input,
@@ -293,18 +305,22 @@ def main(argv: list[str] | None = None) -> int:
                     spark, int(args.input.split(":", 1)[1]), seed=args.seed
                 )
             else:
-                import glob as _glob
+                from pdf_extractor_spark.ops.jsonl_source import (
+                    detect_input_format,
+                    read_jsonl_documents,
+                )
 
-                if args.input.endswith(".jsonl") or _glob.glob(
-                    f"{args.input}/*.jsonl"
-                ):
-                    from pdf_extractor_spark.ops.jsonl_source import (
-                        read_jsonl_documents,
-                    )
-
+                fmt = (
+                    detect_input_format(args.input)
+                    if args.input_format == "auto"
+                    else args.input_format
+                )
+                if fmt == "jsonl":
                     docs = (
                         read_jsonl_documents(spark, args.input)
-                        .where("doc_id IS NOT NULL")  # corrupt lines quarantine
+                        # quarantine: structurally-broken lines (and any
+                        # partial-result row a future Spark flags)
+                        .where("doc_id IS NOT NULL AND _corrupt IS NULL")
                         .select("doc_id", "spans")
                     )
                 else:

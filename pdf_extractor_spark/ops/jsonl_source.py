@@ -11,10 +11,26 @@ hash-verified against a DuckDB oracle over the same bytes.
 Scale shape: `spark.read.json` with a provided schema is a streaming
 single-pass scan (no inference pass), splittable per file, column-pruned;
 PERMISSIVE mode turns each corrupt line into an all-null row captured by
-``columnNameOfCorruptRecord`` instead of failing the task. Valid-row
-filtering keys on ``doc_id IS NOT NULL`` (Spark forbids referencing only
-the internal corrupt column without materializing; the pytest that counts
-quarantined lines caches first, per the documented Spark contract).
+``columnNameOfCorruptRecord`` instead of failing the task.
+
+Corrupt-flag semantics, measured on this Spark 4.1.2 (they are
+PRUNING-DEPENDENT, which is why the fixture pins five line classes):
+- truncated JSON: all data fields null, ``_corrupt`` set — always.
+- valid JSON with an unconvertible field (``"spans": 23``, a bad nested
+  ``offset``): when the spans column is actually PARSED, Spark sets
+  ``_corrupt`` AND keeps the partial result (doc_id populated, offending
+  field null) — the >=3.4 partial-results mode; when spans is pruned
+  away, the same line is not flagged at all.
+- DuckDB ``ignore_errors=true`` keeps every such row with the offending
+  field null-ized and has no flag column.
+
+Two gates follow. The INGEST paths (job.py batch, watch mode) apply the
+POLICY gate ``doc_id IS NOT NULL AND _corrupt IS NULL``: structurally
+broken and type-mangled lines quarantine, schema-valid metadata-only docs
+ingest as zero-span documents. The ORACLE view (``jsonl_ingest``) gates
+on ``doc_id IS NOT NULL`` only, because its job is to value-hash the
+PARTIAL-RESULT PARITY: both engines must produce identical null-ized
+values for the mangled classes, and that equality is what the hash pins.
 """
 
 from __future__ import annotations
@@ -37,10 +53,12 @@ JSONL_SCHEMA = (
 
 def jsonl_fixture_root() -> str:
     """Deterministic JSONL corpus: 3 files x 120 docs with interleaved
-    text/media spans, plus per file one truncated-JSON line and one valid
-    line with no spans (metadata-only doc). Content is formula-driven —
-    bytes depend on nothing but this code."""
-    root = os.path.join(tempfile.gettempdir(), "pes-jsonl-fixture-v1")
+    text/media spans, plus per file one of each non-clean line class whose
+    cross-engine handling the oracle pins: metadata-only (no spans key),
+    bad-typed spans (not an array), bad nested field (unconvertible
+    offset), and a truncated-JSON line. Content is formula-driven — bytes
+    depend on nothing but this code."""
+    root = os.path.join(tempfile.gettempdir(), "pes-jsonl-fixture-v2")
     done = os.path.join(root, ".complete")
     if os.path.exists(done):
         return root
@@ -64,13 +82,45 @@ def jsonl_fixture_root() -> str:
             )
         # one metadata-only doc (valid JSON, no spans key)
         lines.append('{"doc_id":"j-meta-%d","source":"s%d"}' % (f, f))
+        # valid JSON, spans not an array: both engines null-ize the field
+        lines.append('{"doc_id":"j-badtype-%d","source":"s%d","spans":23}' % (f, f))
+        # valid JSON, unconvertible nested field: both engines null-ize
+        # just the offset, keeping the rest of the struct
+        lines.append(
+            '{"doc_id":"j-badnest-%d","source":"s%d","spans":'
+            '[{"kind":"text","text":"bn %d","media_ref":"","offset":"zz"}]}'
+            % (f, f, f)
+        )
         # one corrupt line (truncated) — must quarantine, never abort
-        lines.append('{"doc_id":"j-bad-%d","source":' % f)
+        lines.append('{"doc_id":"j-trunc-%d","source":' % f)
         with open(os.path.join(root, f"part-{f}.jsonl"), "w") as fh:
             fh.write("\n".join(lines) + "\n")
     with open(done, "w") as fh:
         fh.write("ok")
     return root
+
+
+def detect_input_format(path: str) -> str:
+    """Resolve a documents input path to ``"jsonl"`` or ``"parquet"`` —
+    the ONE sniffing rule shared by the batch driver and watch mode (they
+    previously each had their own, and disagreed on single files). A
+    single ``*.jsonl`` file or a directory holding only jsonl drops is
+    jsonl; a directory holding BOTH jsonl and parquet is ambiguous and
+    fails loudly — sniffing a whole stream's format from whichever file
+    landed first would silently misparse every drop of the other kind."""
+    import glob as _glob
+
+    if path.endswith(".jsonl"):
+        return "jsonl"
+    has_jsonl = bool(_glob.glob(os.path.join(path, "*.jsonl")))
+    has_parquet = bool(_glob.glob(os.path.join(path, "*.parquet")))
+    if has_jsonl and has_parquet:
+        raise ValueError(
+            f"{path!r} mixes *.jsonl and *.parquet drops; pass an explicit "
+            f"--input-format (a per-stream format is pinned by the "
+            f"checkpoint — one landing dir cannot serve both)"
+        )
+    return "jsonl" if has_jsonl else "parquet"
 
 
 def read_jsonl_documents(spark: SparkSession, path: str) -> DataFrame:
@@ -86,9 +136,14 @@ def read_jsonl_documents(spark: SparkSession, path: str) -> DataFrame:
 
 
 def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Valid-row view of the JSONL fixture with per-doc span stats —
-    the hash gate for the whole source path (schema projection, nested
-    array decode, null-spans docs, corrupt-line exclusion)."""
+    """Parseable-row view of the JSONL fixture with per-doc span stats —
+    the hash gate for the whole source path: schema projection, nested
+    array decode, metadata-only docs, truncated-line exclusion, and the
+    partial-result PARITY of the mangled classes (bad-typed spans ->
+    n_spans 0, bad nested offset -> struct kept, offset null) — both
+    engines must null-ize identically for the hash to match. The ingest
+    paths additionally drop the _corrupt-flagged mangled rows (module
+    docstring: policy gate vs oracle gate)."""
     df = read_jsonl_documents(spark, jsonl_fixture_root())
     return (
         df.where(F.col("doc_id").isNotNull())

@@ -250,6 +250,7 @@ def _publish_dir(stage: str, out_dir: str, attempts: int = 20) -> None:
     import random
     import shutil
     import time as _time
+    from contextlib import suppress as contextlib_suppress
 
     for attempt in range(attempts):
         try:
@@ -263,7 +264,13 @@ def _publish_dir(stage: str, out_dir: str, attempts: int = 20) -> None:
         except FileNotFoundError:
             pass  # a racing publisher is mid-swap; back off and retry
         else:
-            shutil.rmtree(retired, ignore_errors=True)
+            if os.path.isdir(retired):
+                shutil.rmtree(retired, ignore_errors=True)
+            else:
+                # a prior SINGLE-ZIP export at this path is a regular
+                # file; rmtree would silently leave it behind as litter
+                with contextlib_suppress(OSError):
+                    os.unlink(retired)
         if attempt:
             _time.sleep(random.uniform(0, 0.01 * attempt))
     raise RuntimeError(

@@ -123,7 +123,10 @@ def _chunk_dirname(cid: int) -> str:
     return f"chunk={cid:06d}"
 
 
-_LEGACY_CHUNK_RE = re.compile(r"^chunk-(\d{6})$")
+# 6+ digits, not exactly 6: {cid:06d} WIDENS past chunk 999999, and a
+# 7-digit legacy dir escaping this guard would silently read as empty —
+# the exact failure the guard exists to prevent
+_LEGACY_CHUNK_RE = re.compile(r"^chunk-(\d{6,})$")
 
 
 class CommitLog:

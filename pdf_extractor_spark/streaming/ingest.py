@@ -53,7 +53,9 @@ def stream_documents(
             .option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", "_corrupt")
             .json(input_dir)
-            .where(F.col("doc_id").isNotNull())
+            # quarantine: structurally-broken lines (and any partial-result
+            # row a future Spark flags via the corrupt column)
+            .where(F.col("doc_id").isNotNull() & F.col("_corrupt").isNull())
             .select("doc_id", "spans")
         )
     if fmt != "parquet":

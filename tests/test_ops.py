@@ -359,9 +359,10 @@ def test_dup_substring_spans_merge_semantics(spark, tmp_path):
         # doc 2: unique head, the same shared block, unique tail — the
         # merged span must sit at the shifted offsets
         2: "h1 h2 " + shared + " t1",
-        # doc 3: an INTERNAL repeat long enough to gram-match itself only;
+        # doc 3: a genuine INTERNAL repeat — the same K-token phrase twice,
+        # so one gram occurs at two positions of ONE doc;
         # count(distinct doc_id) >= 2 must NOT fire on it
-        3: ("x" + " x".join(str(i) for i in range(K))) * 1,
+        3: " ".join([" ".join(f"y{i}" for i in range(K))] * 2),
         # doc 4: shorter than K tokens -> no grams at all
         4: "a b c",
     }

@@ -226,10 +226,14 @@ def test_xlsx_data_row_wider_than_header(spark, tmp_path):
 
 
 def test_jsonl_corrupt_lines_quarantined(spark):
-    """PERMISSIVE JSONL ingest: the 3 truncated lines land in _corrupt
-    (all data fields null) instead of failing the scan; valid rows carry
-    no _corrupt payload. Cache first — Spark refuses a query referencing
-    ONLY the internal corrupt-record column (documented contract)."""
+    """PERMISSIVE JSONL ingest over the five fixture line classes: the 3
+    truncated lines land in _corrupt (all data fields null); bad-TYPED
+    lines (spans not an array / unconvertible nested offset) are NOT
+    corrupt on this Spark — the field alone null-izes, matching DuckDB —
+    and ingest as zero/partial-span docs. Cached before touching _corrupt
+    (the documented Spark corrupt-column contract)."""
+    import pyspark.sql.functions as F
+
     from pdf_extractor_spark.ops.jsonl_source import (
         jsonl_fixture_root,
         read_jsonl_documents,
@@ -238,8 +242,55 @@ def test_jsonl_corrupt_lines_quarantined(spark):
     df = read_jsonl_documents(spark, jsonl_fixture_root()).cache()
     try:
         bad = df.where(df["_corrupt"].isNotNull())
-        assert bad.count() == 3
-        assert bad.where(df.doc_id.isNotNull()).count() == 0
-        assert df.where(df["_corrupt"].isNull()).count() == 363
+        # full-row parse (cache materializes spans): truncated AND
+        # type-mangled lines are flagged — 3 of each class
+        assert bad.count() == 9
+        trunc = bad.where(df.doc_id.isNull())
+        assert trunc.count() == 3  # structurally broken: no partial result
+        # partial results: mangled lines keep doc_id and null-ize the field
+        badtype = bad.where(df.doc_id.startswith("j-badtype-"))
+        assert badtype.count() == 3
+        assert badtype.where(df.spans.isNotNull()).count() == 0
+        badnest = bad.where(df.doc_id.startswith("j-badnest-")).collect()
+        assert len(badnest) == 3
+        for r in badnest:  # struct kept, only the unconvertible offset nulled
+            assert r["spans"][0]["kind"] == "text"
+            assert r["spans"][0]["offset"] is None
+        # the INGEST policy gate drops all 9; metadata-only docs stay
+        kept = df.where("doc_id IS NOT NULL AND _corrupt IS NULL")
+        assert kept.count() == 363  # 360 docs + 3 meta
+        assert kept.where(df.doc_id.startswith("j-meta-")).count() == 3
     finally:
         df.unpersist()
+
+
+def test_detect_input_format_refuses_mixed_dirs(tmp_path):
+    from pdf_extractor_spark.ops.jsonl_source import detect_input_format
+
+    d = tmp_path / "drops"
+    d.mkdir()
+    assert detect_input_format(str(d)) == "parquet"  # empty dir: default
+    (d / "a.jsonl").write_text("{}\n")
+    assert detect_input_format(str(d)) == "jsonl"
+    assert detect_input_format(str(d / "a.jsonl")) == "jsonl"  # single file
+    (d / "b.parquet").write_bytes(b"PAR1")
+    import pytest
+
+    with pytest.raises(ValueError, match="mixes"):
+        detect_input_format(str(d))
+
+
+def test_migrate_layout_cli_runs_without_input(tmp_path):
+    """The documented one-time migration invocation: no --input, runs
+    alone, idempotent."""
+    import os
+
+    from pdf_extractor_spark.job import main
+
+    root = tmp_path / "t"
+    (root / "data" / "chunk-000000").mkdir(parents=True)
+    (root / "lineage" / "chunk-1000000").mkdir(parents=True)  # 7-digit legacy
+    assert main(["--output", str(root), "--migrate-layout"]) == 0
+    assert sorted(os.listdir(root / "data")) == ["chunk=000000"]
+    assert sorted(os.listdir(root / "lineage")) == ["chunk=1000000"]
+    assert main(["--output", str(root), "--migrate-layout"]) == 0  # idempotent

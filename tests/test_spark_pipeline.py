@@ -685,3 +685,31 @@ def test_out_of_order_commit_visible_to_incremental_and_as_of(spark, tmp_path):
     # time travel to snapshot 1 excludes the later-committed chunk 0
     assert log.read_extracted(spark, as_of=fast_id).count() == n_fast
     assert log.read_extracted(spark).count() == n_fast + n_slow
+
+
+def test_sharded_export_replaces_prior_single_zip_file(spark, tmp_path):
+    """Re-exporting with --shards over a path holding a PRIOR single-zip
+    export (a regular file) must retire the file cleanly — directory
+    published, no .retired litter."""
+    from pdf_extractor_spark.spark.export import (
+        export_markdown_zip,
+        export_markdown_zip_sharded,
+        shard_zip_name,
+    )
+
+    root = str(tmp_path / "commitlog")
+    log = L.CommitLog(root)
+    L.run_extraction(spark, corpus_df(spark, 10), log, n_parts=2, parts_per_chunk=1)
+
+    target = str(tmp_path / "exp" / "out")
+    assert export_markdown_zip(spark, root, target) == 10  # a FILE at target
+    assert os.path.isfile(target)
+    assert export_markdown_zip_sharded(spark, root, target, 2) == 10
+    assert os.path.isdir(target)
+    assert sorted(os.listdir(target)) == [shard_zip_name(k) for k in range(2)]
+    litter = [
+        n
+        for n in os.listdir(tmp_path / "exp")
+        if ".retired-" in n or ".inprogress-" in n
+    ]
+    assert litter == []
