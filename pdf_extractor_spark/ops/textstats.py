@@ -753,7 +753,93 @@ FROM kept ORDER BY doc_id
 TRANSCRIPT_NORMALIZE_SQL = _transcript_normalize_sql()
 
 
+# --- Unicode NFC normalization ----------------------------------------------
+
+_NFC_OUT_SCHEMA = (
+    "doc_id bigint, nfc_text string, raw_cp bigint, nfc_cp bigint"
+)
+
+
+def _nfc_batches(it):
+    """Arrow-batched NFC kernel. pyarrow's own utf8_normalize does NOT
+    compose on this build (measured: 'e'+U+0301 stays decomposed under
+    form='NFC'), so the composition runs through unicodedata inside the
+    Arrow batch — the engine's sanctioned Python boundary, and byte-exact
+    vs DuckDB's nfc_normalize (probed on combining marks and precomposed
+    forms before this op existed)."""
+    import unicodedata
+
+    import pyarrow as pa
+
+    for batch in it:
+        ids = batch.column("doc_id")
+        raw = batch.column("raw").to_pylist()
+        nfc = [
+            None if s is None else unicodedata.normalize("NFC", s) for s in raw
+        ]
+        # Python len() counts code points — the same unit as length() on
+        # both SQL engines (probed on combining marks)
+        yield pa.RecordBatch.from_arrays(
+            [
+                ids,
+                pa.array(nfc, pa.string()),
+                pa.array([None if s is None else len(s) for s in raw], pa.int64()),
+                pa.array([None if s is None else len(s) for s in nfc], pa.int64()),
+            ],
+            names=["doc_id", "nfc_text", "raw_cp", "nfc_cp"],
+        )
+
+
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the standard first cleaning step of a
+    web-corpus pipeline (CCNet/RefinedWeb normalize before dedup so that
+    'é' composed and 'e'+combining-acute hash identically).
+
+    The testdata text is ASCII (NFC is the identity there), so the query
+    appends a per-doc DECOMPOSED suffix built portably in both engines
+    (combining acute repeated doc_id%3+1 times, plus 'a'+combining tilde)
+    and value-hashes the composed result and the code-point counts: the
+    first acute must compose into 'é', surplus acutes must survive as
+    combining marks, 'a'+tilde must become 'ã' — on both engines, byte
+    for byte.
+
+    Scale shape: map-only (zero shuffle) through one vectorized Arrow
+    batch pass; the normalize itself is per-string C inside unicodedata.
+    """
+    docs = _docs(spark, sf_dir)
+    # real unicode escapes, NOT Spark's char(): char(n) is chr(n % 256)
+    # (ASCII-only), which mangled U+0301 into \x01 on the first attempt
+    acute, tilde = "\u0301", "\u0303"
+    raw = docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" e"),
+            F.expr(f"repeat('{acute}', cast(doc_id % 3 + 1 as int))"),
+            F.lit(" a" + tilde),
+        ).alias("raw"),
+    )
+    # code-point counts come out of the SAME Arrow pass — joining back to
+    # the raw table for length() would buy a doc_id shuffle for nothing
+    return raw.mapInArrow(_nfc_batches, schema=_NFC_OUT_SCHEMA).orderBy("doc_id")
+
+
+UNICODE_NORMALIZE_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         text || ' e' || repeat('\u0301', CAST(doc_id % 3 + 1 AS INT))
+              || ' a\u0303' AS raw
+  FROM documents)
+SELECT doc_id,
+       nfc_normalize(raw) AS nfc_text,
+       CAST(length(raw) AS BIGINT) AS raw_cp,
+       CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_cp
+FROM raw ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "unicode_normalize": (q_unicode_normalize, UNICODE_NORMALIZE_SQL),
     "transcript_normalize": (q_transcript_normalize, TRANSCRIPT_NORMALIZE_SQL),
     "tfidf_keywords": (q_tfidf_keywords, TFIDF_KEYWORDS_SQL),
     "bm25_search": (q_bm25_search, BM25_SEARCH_SQL),

@@ -424,6 +424,19 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "unicode_normalize",
+        _query_df,
+        [
+            # map-only through one Arrow pass: the counts come out of the
+            # kernel, so there is no join back to the raw table and no
+            # exchange before the final presentation sort
+            lambda p: contains(p, "MapInArrow"),
+            lambda p: occurs_at_most(p, "hashpartitioning", 0),
+            lambda p: n_scans_at_most(p, 1),
+        ],
+        False,
+    ),
+    (
         "dup_substring_spans",
         _query_df,
         [
