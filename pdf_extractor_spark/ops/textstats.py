@@ -838,8 +838,68 @@ FROM raw ORDER BY doc_id
 """
 
 
+# --- compression-ratio quality signal ---------------------------------------
+
+_COMPRESS_OUT_SCHEMA = (
+    "doc_id bigint, raw_bytes bigint, gz_bytes bigint, ratio_micros bigint"
+)
+_COMPRESS_LEVEL = 6  # fixed: the ratio must not drift with a zlib default
+
+
+def _compress_batches(it):
+    import zlib
+
+    import pyarrow as pa
+
+    for batch in it:
+        ids = batch.column("doc_id")
+        texts = batch.column("text").to_pylist()
+        raw, gz, ratio = [], [], []
+        for s in texts:
+            if s is None:
+                raw.append(None), gz.append(None), ratio.append(None)
+                continue
+            b = s.encode("utf-8")
+            c = len(zlib.compress(b, _COMPRESS_LEVEL))
+            raw.append(len(b))
+            gz.append(c)
+            ratio.append(c * 1_000_000 // len(b) if b else None)
+        yield pa.RecordBatch.from_arrays(
+            [
+                ids,
+                pa.array(raw, pa.int64()),
+                pa.array(gz, pa.int64()),
+                pa.array(ratio, pa.int64()),
+            ],
+            names=["doc_id", "raw_bytes", "gz_bytes", "ratio_micros"],
+        )
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per document — the Gopher/FineWeb-style junk
+    signal: highly repetitive machine junk compresses far below natural
+    text, so a low ``ratio_micros`` (compressed/raw, floor-micros) flags
+    removal candidates and a very high one flags random-noise docs.
+
+    No SQL oracle (DuckDB has no compression function), so this rides the
+    rows-only driver check; the pytest differential recomputes every row
+    with an independent zlib call and pins the monotonicity invariant
+    (repeated text << natural text << incompressible hex noise). zlib
+    level is PINNED (6) so the ratio never drifts with a library default.
+
+    Scale shape: map-only through one Arrow pass, zero shuffle; only
+    doc_id and text are read (column pruning)."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text"
+    )
+    return docs.mapInArrow(
+        _compress_batches, schema=_COMPRESS_OUT_SCHEMA
+    ).orderBy("doc_id")
+
+
 QUERIES: dict[str, tuple] = {
     "unicode_normalize": (q_unicode_normalize, UNICODE_NORMALIZE_SQL),
+    "compression_ratio": (q_compression_ratio, None),
     "transcript_normalize": (q_transcript_normalize, TRANSCRIPT_NORMALIZE_SQL),
     "tfidf_keywords": (q_tfidf_keywords, TFIDF_KEYWORDS_SQL),
     "bm25_search": (q_bm25_search, BM25_SEARCH_SQL),

@@ -454,3 +454,45 @@ def test_dup_substring_spans_matches_python_reference(spark, tmp_path):
         for r in q_dup_substring_spans(spark, str(tmp_path)).collect()
     ]
     assert got == sorted(want)
+
+
+def test_compression_ratio_differential_and_monotone(spark, tmp_path):
+    """compression_ratio: every row equals an independent zlib
+    recomputation, and the signal orders as the curation heuristic
+    requires: repeated junk << natural text << incompressible noise."""
+    import zlib
+
+    import pandas as pd
+
+    from pdf_extractor_spark.ops.textstats import (
+        _COMPRESS_LEVEL,
+        q_compression_ratio,
+    )
+
+    texts = {
+        1: "spam " * 400,  # repetitive junk
+        2: ("the quick brown fox jumps over the lazy dog and then wanders "
+            "through a long meadow describing everything it sees ") * 12,
+        3: "9f8a6c1d" * 1 + "".join(f"{(i * 2654435761) % 2**32:08x}"
+                                    for i in range(250)),  # hex noise
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": [texts[k] for k in texts],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [len(texts[k]) for k in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    rows = {r["doc_id"]: r for r in q_compression_ratio(spark, str(tmp_path)).collect()}
+    for d, t in texts.items():
+        b = t.encode("utf-8")
+        c = len(zlib.compress(b, _COMPRESS_LEVEL))
+        assert rows[d]["raw_bytes"] == len(b)
+        assert rows[d]["gz_bytes"] == c
+        assert rows[d]["ratio_micros"] == c * 1_000_000 // len(b)
+    assert (
+        rows[1]["ratio_micros"] < rows[2]["ratio_micros"] < rows[3]["ratio_micros"]
+    )
