@@ -624,7 +624,58 @@ FROM st ORDER BY doc_id, chunk_idx
 """
 
 
+# --- leakage-safe dataset splitting ------------------------------------------
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test = the remainder
+
+
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment keyed on the GROUP, not the
+    document: ``h64(source) % 100`` decides the split, so every document
+    of one source lands in the same split. Splitting per-doc is the
+    classic leakage bug — near-duplicates and templated documents inside
+    one source straddle train and test, inflating eval. Group-level
+    hashing is the standard fix (and why this op exists next to the dedup
+    family: dedup bounds within-split duplication, the split key bounds
+    CROSS-split duplication).
+
+    Deterministic (no rand(), no sampleBy — reruns and backfills assign
+    identically), map-only, zero shuffle; the presentation sort is the
+    only ordering. Matching the split downstream is a filter, not a join.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = F.pmod(h64(F.col("source")), F.lit(100))
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "source",
+        bucket.cast("bigint").alias("split_bucket"),
+        split.alias("split"),
+    ).orderBy("doc_id")
+
+
+def _train_split_sql() -> str:
+    h = h64_sql("source")
+    return f"""
+SELECT doc_id, source,
+       {h} % 100 AS split_bucket,
+       CASE WHEN {h} % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN {h} % 100 < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+"""
+
+
+TRAIN_SPLIT_SQL = _train_split_sql()
+
+
 QUERIES: dict[str, tuple] = {
+    "train_split": (q_train_split, TRAIN_SPLIT_SQL),
     "chunk_windows": (q_chunk_windows, CHUNK_WINDOWS_SQL),
     "pack_contexts": (q_pack_contexts, PACK_CONTEXTS_SQL),
     "lm_score": (q_lm_score, LM_SCORE_SQL),

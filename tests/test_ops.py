@@ -496,3 +496,19 @@ def test_compression_ratio_differential_and_monotone(spark, tmp_path):
     assert (
         rows[1]["ratio_micros"] < rows[2]["ratio_micros"] < rows[3]["ratio_micros"]
     )
+
+
+def test_train_split_group_integrity(spark):
+    """Every document of one source lands in exactly one split (the
+    leakage-control property the group-hash key exists for), and all
+    splits are populated on the testdata sources."""
+    from pdf_extractor_spark.ops.training import q_train_split
+
+    rows = q_train_split(spark, SF_DIR).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_source.values()), by_source
+    assert {s for sets in by_source.values() for s in sets} == {
+        "train", "val", "test",
+    }
