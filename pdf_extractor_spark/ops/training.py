@@ -644,7 +644,7 @@ def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically), map-only, zero shuffle; the presentation sort is the
     only ordering. Matching the split downstream is a filter, not a join.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     bucket = F.pmod(h64(F.col("source")), F.lit(100))
     split = (
         F.when(bucket < SPLIT_TRAIN_PCT, F.lit("train"))

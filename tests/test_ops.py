@@ -473,8 +473,8 @@ def test_compression_ratio_differential_and_monotone(spark, tmp_path):
         1: "spam " * 400,  # repetitive junk
         2: ("the quick brown fox jumps over the lazy dog and then wanders "
             "through a long meadow describing everything it sees ") * 12,
-        3: "9f8a6c1d" * 1 + "".join(f"{(i * 2654435761) % 2**32:08x}"
-                                    for i in range(250)),  # hex noise
+        3: "".join(f"{(i * 2654435761) % 2**32:08x}"
+                   for i in range(250)),  # hex noise
     }
     pd.DataFrame(
         {

@@ -437,6 +437,33 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "compression_ratio",
+        _query_df,
+        [
+            # map-only Arrow pass: no exchange, one scan, and only
+            # doc_id/text leave the parquet reader
+            lambda p: contains(p, "MapInArrow"),
+            lambda p: occurs_at_most(p, "hashpartitioning", 0),
+            lambda p: n_scans_at_most(p, 1),
+            lambda p: never_reads(p, "lang"),
+            lambda p: never_reads(p, "n_chars"),
+        ],
+        False,
+    ),
+    (
+        "train_split",
+        _query_df,
+        [
+            # deterministic group-hash assignment is a pure projection:
+            # no exchange (beyond the presentation sort), one scan, and
+            # the text column never leaves disk
+            lambda p: occurs_at_most(p, "hashpartitioning", 0),
+            lambda p: n_scans_at_most(p, 1),
+            lambda p: never_reads(p, "text"),
+        ],
+        False,
+    ),
+    (
         "dup_substring_spans",
         _query_df,
         [
