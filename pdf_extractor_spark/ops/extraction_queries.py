@@ -604,8 +604,119 @@ ORDER BY m.doc_id, span_idx
 """
 
 
+# --- interleaved multimodal sequence packing ---------------------------------
+
+MEDIA_PATCH_TOKENS = 64  # fixed token budget a media span occupies
+PACK_CTX = 512
+_PACK_SHARDS = 4096
+
+
+def q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal concat-and-chunk packing over the REAL extraction output:
+    every extracted span (interleaved text + media, in document order) is
+    assigned its token range in the fixed-512-token training-context
+    stream, where a text span costs its token count and a media span costs
+    a fixed 64-token patch budget (the vision-token accounting of an
+    interleaved image-text pretraining mix, Flamingo/MM1-style).
+
+    This is `pack_contexts`' interleaved sibling and the bridge between the
+    engine's two halves: the cost stream comes out of the actual
+    ``mapInPandas`` pipeline (clean_text, DOM strip, failure placeholders),
+    and the oracle predicts every cost in closed form from the wrap rules —
+    so span ordering, media passthrough, AND the packing arithmetic are all
+    value-hash gated together.
+
+    Scale shape: posexplode is map-only 1-to-many; the global prefix sum is
+    the same two-phase distributed scan as ``pack_contexts`` (order-
+    respecting shards from the doc-id range, per-shard totals in one tiny
+    groupBy, 4096 broadcast shard offsets, intra-shard window) — never a
+    single-partition global window. The max-id probe is one 1-row agg
+    (at 10^12 docs: read it from table stats instead).
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _persisted
+    from .portable import tokens
+
+    ext = extract_wrapped(spark, sf_dir)
+    # the cost stream feeds THREE consumers (max-id probe, shard totals,
+    # placement) — staged, or the mapInPandas extraction runs three times
+    sp = _persisted(ext.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode("spans").alias("idx0", "s"),
+    ).select(
+        "doc_id",
+        (F.col("idx0") + 1).cast("bigint").alias("span_idx"),
+        F.col("s.kind").alias("kind"),
+        F.when(F.col("s.kind") == "media", F.lit(MEDIA_PATCH_TOKENS))
+        .when(F.length("s.text") == 0, F.lit(0))
+        .otherwise(F.size(tokens(F.col("s.text"))))
+        .cast("bigint")
+        .alias("cost"),
+    ))
+    maxid = sp.agg(F.max("doc_id").alias("max_id"))
+    sharded = sp.crossJoin(F.broadcast(maxid)).select(
+        "doc_id",
+        "span_idx",
+        "kind",
+        "cost",
+        F.expr(f"doc_id * {_PACK_SHARDS} DIV (max_id + 1)").alias("shard"),
+    )
+    shard_tot = sharded.groupBy("shard").agg(F.sum("cost").alias("stok"))
+    w_shard = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    shard_off = shard_tot.select(
+        "shard",
+        F.coalesce(F.sum("stok").over(w_shard), F.lit(0)).alias("shard_off"),
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "span_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("shard_off") + F.coalesce(F.sum("cost").over(w_in), F.lit(0))
+    placed = sharded.join(F.broadcast(shard_off), "shard").select(
+        "doc_id", "span_idx", "kind", "cost", start.alias("start_tok")
+    )
+    return placed.select(
+        "doc_id",
+        "span_idx",
+        "kind",
+        "cost",
+        "start_tok",
+        F.expr(f"start_tok DIV {PACK_CTX}").alias("ctx_first"),
+        F.expr(
+            f"(start_tok + greatest(cost, 1) - 1) DIV {PACK_CTX}"
+        ).alias("ctx_last"),
+    ).orderBy("doc_id", "span_idx")
+
+
+PACK_INTERLEAVED_SQL = f"""
+WITH base AS (
+  SELECT doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS text_cost
+  FROM documents),
+spans AS (
+  SELECT doc_id, 1 AS span_idx, 'text' AS kind, text_cost AS cost FROM base
+  UNION ALL
+  SELECT doc_id, 2, 'media', {MEDIA_PATCH_TOKENS} FROM base
+  UNION ALL
+  SELECT doc_id, 3, 'text', 0 FROM base WHERE doc_id % 17 = 0),
+p AS (
+  SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, kind, CAST(cost AS BIGINT) AS cost,
+         CAST(coalesce(SUM(cost) OVER (
+                ORDER BY doc_id, span_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+  FROM spans)
+SELECT doc_id, span_idx, kind, cost, start_tok,
+       start_tok // {PACK_CTX} AS ctx_first,
+       (start_tok + greatest(cost, 1) - 1) // {PACK_CTX} AS ctx_last
+FROM p ORDER BY doc_id, span_idx
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ocr_roundtrip": (q_ocr_roundtrip, _ocr_roundtrip_oracle_sql),
+    "pack_interleaved": (q_pack_interleaved, PACK_INTERLEAVED_SQL),
     "extract_clean": (q_extract_clean, EXTRACT_CLEAN_SQL),
     "snapshot_read": (q_snapshot_read, _snapshot_read_oracle_sql),
     "snapshot_diff": (q_snapshot_diff, _snapshot_diff_oracle_sql),

@@ -897,8 +897,134 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- BPE pair counting (tokenizer-training step) ----------------------------
+
+BPE_TOPK = 20
+
+
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent adjacent character pairs across the corpus — the first
+    merge-candidate scan of BPE tokenizer training (count every adjacent
+    symbol pair, weighted by word frequency; the argmax becomes the first
+    merge rule).
+
+    Scale shape is the actual BPE algorithm's: collapse the corpus to a
+    (token, count) VOCAB first (one shuffle with map-side combine — the
+    explode's output is token-count rows but the partial agg collapses them
+    in-map), then enumerate pairs over vocab rows only, weighted by count.
+    Pair generation therefore costs O(|vocab| * avg_len), not O(corpus
+    tokens) — the reason real BPE trainers iterate on the vocab, not the
+    stream. Final top-k is TakeOrderedAndProject, never a global sort.
+    """
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .where(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), "pair")
+        .limit(BPE_TOPK)
+    )
+
+
+BPE_PAIRS_SQL = f"""
+WITH vocab AS (
+  SELECT tok, count(*) AS n
+  FROM (SELECT unnest({tokens_sql('text')}) AS tok FROM documents)
+  WHERE len(tok) >= 2 GROUP BY tok),
+pairs AS (
+  SELECT substr(tok, u.i, 2) AS pair, n
+  FROM vocab, LATERAL unnest(generate_series(1, len(tok) - 1)) AS u(i))
+SELECT pair, CAST(sum(n) AS BIGINT) AS occurrences
+FROM pairs GROUP BY pair
+ORDER BY occurrences DESC, pair LIMIT {BPE_TOPK}
+"""
+
+
+# --- vocabulary coverage curve ----------------------------------------------
+
+VOCAB_COVERAGE_KS = (10, 100, 1000)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of total token mass covered by the top-k vocabulary terms,
+    for k in {10, 100, 1000} — the Zipf-curve summary a tokenizer/vocab
+    sizing decision reads (how much of the corpus does a vocab of size k
+    explain), in floor-micros.
+
+    Scale shape: ONE (term, count) aggregation with map-side combine, then
+    top-max(k) via TakeOrderedAndProject — the only ordered structure is
+    over the <= 1000 surviving rows (the rank window runs on a bounded,
+    driver-small input; a global window over the full vocab would be the
+    scale bug). The vocab subtree feeds both the total and the top-k, so
+    it is persisted (vocab-sized, millions of rows when corpora are
+    billions) — the raw corpus is scanned ONCE. Totals and the ranked
+    survivors join back broadcast.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _persisted
+
+    docs = _docs(spark, sf_dir)
+    vocab = _persisted(
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    total = vocab.agg(F.sum("n").alias("total"))
+    top = vocab.orderBy(F.desc("n"), "term").limit(max(VOCAB_COVERAGE_KS))
+    # single-partition window is safe: input is already bounded to 1000 rows
+    w = Window.orderBy(F.desc("n"), "term")
+    ranked = top.select("term", "n", F.row_number().over(w).alias("rank"))
+    ks = spark.createDataFrame(
+        [(k,) for k in VOCAB_COVERAGE_KS], "k bigint"
+    )
+    return (
+        ks.join(F.broadcast(ranked), F.col("rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("n").alias("covered"), F.count("*").alias("terms"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "terms",
+            F.expr("covered * 1000000 DIV total").alias("covered_micros"),
+        )
+        .orderBy("k")
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH vocab AS (
+  SELECT term, count(*) AS n
+  FROM (SELECT unnest({tokens_sql('text')}) AS term FROM documents)
+  GROUP BY term),
+total AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM vocab),
+ranked AS (
+  SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rank
+  FROM vocab QUALIFY rank <= {max(VOCAB_COVERAGE_KS)}),
+ks AS (SELECT CAST(unnest([{", ".join(str(k) for k in VOCAB_COVERAGE_KS)}]) AS BIGINT) AS k)
+SELECT ks.k AS k, count(*) AS terms,
+       CAST((CAST(sum(r.n) AS BIGINT) * 1000000) // (SELECT total FROM total) AS BIGINT)
+         AS covered_micros
+FROM ks JOIN ranked r ON r.rank <= ks.k
+GROUP BY ks.k ORDER BY k
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "unicode_normalize": (q_unicode_normalize, UNICODE_NORMALIZE_SQL),
+    "bpe_pairs": (q_bpe_pairs, BPE_PAIRS_SQL),
+    "vocab_coverage": (q_vocab_coverage, VOCAB_COVERAGE_SQL),
     "compression_ratio": (q_compression_ratio, None),
     "transcript_normalize": (q_transcript_normalize, TRANSCRIPT_NORMALIZE_SQL),
     "tfidf_keywords": (q_tfidf_keywords, TFIDF_KEYWORDS_SQL),

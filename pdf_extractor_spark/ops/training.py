@@ -674,8 +674,124 @@ FROM documents ORDER BY doc_id
 TRAIN_SPLIT_SQL = _train_split_sql()
 
 
+# --- DSIR-style hashed-n-gram importance weights ------------------------------
+
+DSIR_BUCKETS = 256
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., 2023) over
+    hashed unigram features: score every document by how much its hashed
+    token distribution looks like a TARGET domain (here the ``lang='en'``
+    slice) relative to the full corpus. High-scoring documents are the ones
+    importance resampling keeps when curating a pretraining mix toward the
+    target.
+
+    Cross-engine exactness: the paper's log-likelihood ratio is libm-bound
+    (the lm_score trap), so the score is the rational surrogate — the
+    per-token target/source frequency ratio in integer micros, averaged
+    over the document. Add-one smoothing over the fixed 256-bucket domain
+    keeps every denominator positive; frequencies are scaled to nanos
+    BEFORE the ratio so the smallest smoothed bucket (1 token in ~10^7)
+    stays nonzero (at 10^12-token scale the nano constant bumps to picos —
+    one literal).
+
+    Scale shape: ONE token explode collapses immediately to
+    (doc_id, lang, bucket) partial counts (map-side combine; the staged
+    subtree is persisted because both the weight table and the scoring
+    pass consume it). The 256-row weight table aggregates those partials
+    and joins back BROADCAST — the corpus stream is never shuffled on the
+    bucket key (Zipf-hot buckets never hot-spot a reducer, the lesson of
+    lm_score's r3 weak row).
+    """
+    docs = _docs(spark, sf_dir)
+    db = _persisted(
+        docs.select(
+            "doc_id", "lang", F.explode(tokens("text")).alias("term")
+        )
+        .select(
+            "doc_id", "lang", F.pmod(h64("term"), F.lit(DSIR_BUCKETS)).alias("bucket")
+        )
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    counts = db.groupBy("bucket").agg(
+        F.sum("c").alias("src_raw"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(F.lit(0))).alias(
+            "tgt_raw"
+        ),
+    )
+    dom = spark.range(DSIR_BUCKETS).select(F.col("id").alias("bucket"))
+    wt0 = (
+        dom.join(counts, "bucket", "left")
+        .select(
+            "bucket",
+            (F.coalesce("src_raw", F.lit(0)) + 1).alias("src_c"),
+            (F.coalesce("tgt_raw", F.lit(0)) + 1).alias("tgt_c"),
+        )
+    )
+    tot = wt0.agg(
+        F.sum("src_c").alias("src_total"), F.sum("tgt_c").alias("tgt_total")
+    )
+    wt = wt0.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.expr(
+            "((tgt_c * 1000000000) DIV tgt_total) * 1000000"
+            " DIV ((src_c * 1000000000) DIV src_total)"
+        ).alias("w"),
+    )
+    return (
+        db.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("w")).alias("score"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("score DIV n_tokens").alias("dsir_micros"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DSIR_WEIGHTS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, {h64_sql("term")} % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT doc_id, lang, unnest({tokens_sql('text')}) AS term FROM documents)),
+db AS (
+  SELECT doc_id, lang, bucket, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+counts AS (
+  SELECT bucket,
+         CAST(sum(c) AS BIGINT) AS src_raw,
+         CAST(sum(CASE WHEN lang = 'en' THEN c ELSE 0 END) AS BIGINT) AS tgt_raw
+  FROM db GROUP BY bucket),
+dom AS (SELECT unnest(generate_series(0, {DSIR_BUCKETS - 1})) AS bucket),
+wt0 AS (
+  SELECT dom.bucket, 1 + coalesce(src_raw, 0) AS src_c,
+         1 + coalesce(tgt_raw, 0) AS tgt_c
+  FROM dom LEFT JOIN counts ON dom.bucket = counts.bucket),
+tot AS (
+  SELECT CAST(sum(src_c) AS BIGINT) AS src_total,
+         CAST(sum(tgt_c) AS BIGINT) AS tgt_total FROM wt0),
+wt AS (
+  SELECT bucket,
+         ((tgt_c * 1000000000) // tgt_total) * 1000000
+           // ((src_c * 1000000000) // src_total) AS w
+  FROM wt0, tot),
+sc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(sum(c * w) AS BIGINT) AS score
+  FROM db JOIN wt USING (bucket) GROUP BY doc_id)
+SELECT doc_id, n_tokens, score // n_tokens AS dsir_micros
+FROM sc ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "train_split": (q_train_split, TRAIN_SPLIT_SQL),
+    "dsir_weights": (q_dsir_weights, DSIR_WEIGHTS_SQL),
     "chunk_windows": (q_chunk_windows, CHUNK_WINDOWS_SQL),
     "pack_contexts": (q_pack_contexts, PACK_CONTEXTS_SQL),
     "lm_score": (q_lm_score, LM_SCORE_SQL),

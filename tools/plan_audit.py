@@ -464,6 +464,73 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "pack_interleaved",
+        _query_df,
+        [
+            # the extracted cost stream is persisted (one mapInPandas
+            # extraction run feeds the max-id probe, the shard totals AND
+            # the placement); the 4096-row shard offsets join back
+            # broadcast; the only windows are the 4096-row shard scan and
+            # the per-shard running sum — never a global sort-merge join
+            lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: occurs_at_most(p, "documents.parquet", 1),
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: contains(p, "Window"),
+        ],
+        False,
+    ),
+    (
+        "bpe_pairs",
+        _query_df,
+        [
+            # BPE's own shape: corpus collapses to the (token, count) vocab
+            # first (map-side combine), pairs are enumerated over VOCAB rows
+            # only, and the top-k is TakeOrderedAndProject — a global sort
+            # or a pair explode over the raw token stream is the scale bug
+            lambda p: contains(p, "TakeOrderedAndProject"),
+            lambda p: n_scans_at_most(p, 1),
+            lambda p: never_reads(p, "lang"),
+            lambda p: never_reads(p, "source"),
+        ],
+        False,
+    ),
+    (
+        "vocab_coverage",
+        _query_df,
+        [
+            # the persisted vocab feeds both the total and the top-k: one
+            # raw scan; the rank<=k theta-join is a BroadcastNestedLoopJoin
+            # over two BOUNDED sides (3 k-values x <=1000 ranked rows) —
+            # acceptable exactly because the limit precedes it; a
+            # SortMergeJoin or an unbounded NLJ input would be the bug
+            lambda p: occurs_at_most(p, "documents.parquet", 1),
+            lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: contains(p, "TakeOrderedAndProject"),
+            lambda p: contains(p, "BroadcastNestedLoopJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+        ],
+        False,
+    ),
+    (
+        "dsir_weights",
+        _query_df,
+        [
+            # one explode collapses to persisted (doc, lang, bucket)
+            # partials: one raw scan feeds both the weight table and the
+            # scoring pass, and the 256-row weight table joins back
+            # BROADCAST — the corpus stream is never sort-merge-joined or
+            # re-shuffled on the Zipf-hot bucket key
+            lambda p: occurs_at_most(p, "documents.parquet", 1),
+            lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: never_reads(p, "source"),
+        ],
+        False,
+    ),
+    (
         "dup_substring_spans",
         _query_df,
         [
