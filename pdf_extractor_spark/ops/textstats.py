@@ -897,6 +897,110 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# --- per-source document cap -------------------------------------------------
+
+SOURCE_CAP = 20
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota enforcement: keep at most 20 documents per source,
+    ranked by length then id — the curation step that stops one crawl
+    domain from dominating the training mix (the batch twin of the
+    streaming per-key quota in streaming/quota.py).
+
+    Scale shape: one window partitioned by source (parallel across
+    sources), ranking on columns that never require reading `text`. A
+    monster domain makes its partition hot; at 100 TB the two-phase form
+    applies — per-partition top-CAP first (each input partition emits at
+    most CAP rows per source it holds), then the same window over the
+    survivors — the standard top-k-per-key defusal, elided here because
+    CAP bounds the skew the test corpus can express.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= SOURCE_CAP)
+        .orderBy("source", "rank")
+    )
+
+
+SOURCE_CAP_SQL = f"""
+SELECT source, doc_id, n_chars,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+FROM documents QUALIFY rank <= {SOURCE_CAP}
+ORDER BY source, rank
+"""
+
+
+# --- lexical diversity (Simpson repeat probability) ---------------------------
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson repeat probability per document — the probability two
+    token positions drawn without replacement hold the SAME token,
+    sum(c_i*(c_i-1)) / (n*(n-1)) in floor-micros. A log-free lexical-
+    diversity quality signal (entropy's rational stand-in: libm-free, so
+    it hash-matches across engines): high = repetitive template spam,
+    low = diverse natural text. Complements `repetition` (mode fraction)
+    with the full-distribution statistic.
+
+    Map-only like `repetition`'s fold: sum(c*(c-1)) accumulates over the
+    SORTED token array — extending an equal-run from k-1 to k adds
+    2*(k-1) — so one array_sort + one fold computes it with ZERO shuffle.
+    The oracle computes the same value the set-semantics way (unnest +
+    group + sum), independently checking the fold identity.
+    """
+    docs = _docs(spark, sf_dir)
+    tok = tokens("text")
+    sorted_tok = F.array_sort(tok)
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).cast("bigint").alias("s")
+    )
+
+    def merge(acc, t):
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        s = F.when(
+            t == acc["prev"], acc["s"] + 2 * (run - 1).cast("bigint")
+        ).otherwise(acc["s"])
+        return F.struct(t.alias("prev"), run.alias("run"), s.alias("s"))
+
+    pairs_same = F.aggregate(sorted_tok, acc0, merge, lambda acc: acc["s"])
+    n = F.size(tok).cast("bigint")
+    return (
+        docs.select("doc_id", n.alias("n_tokens"), pairs_same.alias("ps"))
+        .where(F.col("n_tokens") >= 2)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("ps * 1000000 DIV (n_tokens * (n_tokens - 1))").alias(
+                "simpson_micros"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LEXICAL_DIVERSITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql('text')} AS tok FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tokens FROM t WHERE len(tok) >= 2),
+counts AS (
+  SELECT doc_id, CAST(sum(c * (c - 1)) AS BIGINT) AS ps
+  FROM (SELECT doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest(tok) AS w FROM t) GROUP BY doc_id, w)
+  GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       (c.ps * 1000000) // (b.n_tokens * (b.n_tokens - 1)) AS simpson_micros
+FROM base b JOIN counts c ON b.doc_id = c.doc_id
+ORDER BY b.doc_id
+"""
+
+
 # --- BPE pair counting (tokenizer-training step) ----------------------------
 
 BPE_TOPK = 20
@@ -1025,6 +1129,8 @@ QUERIES: dict[str, tuple] = {
     "unicode_normalize": (q_unicode_normalize, UNICODE_NORMALIZE_SQL),
     "bpe_pairs": (q_bpe_pairs, BPE_PAIRS_SQL),
     "vocab_coverage": (q_vocab_coverage, VOCAB_COVERAGE_SQL),
+    "source_cap": (q_source_cap, SOURCE_CAP_SQL),
+    "lexical_diversity": (q_lexical_diversity, LEXICAL_DIVERSITY_SQL),
     "compression_ratio": (q_compression_ratio, None),
     "transcript_normalize": (q_transcript_normalize, TRANSCRIPT_NORMALIZE_SQL),
     "tfidf_keywords": (q_tfidf_keywords, TFIDF_KEYWORDS_SQL),

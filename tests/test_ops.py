@@ -512,3 +512,72 @@ def test_train_split_group_integrity(spark):
     assert {s for sets in by_source.values() for s in sets} == {
         "train", "val", "test",
     }
+
+
+def test_pack_interleaved_sparse_ids(spark, tmp_path):
+    """Differential test on SPARSE doc ids: the driver testdata's ids are
+    dense 0..N-1, so its oracle never exercises uneven order-respecting
+    shard boundaries (most ids collapsing into one shard, long empty shard
+    runs, a lone doc in the top shard). Build such a corpus and check the
+    two-phase distributed prefix scan against a plain sequential reference
+    computed from the wrap rules (text span = token count, media = 64,
+    every-17th bogus placeholder = 0)."""
+    import pandas as pd
+
+    from pdf_extractor_spark.ops.extraction_queries import (
+        MEDIA_PATCH_TOKENS,
+        PACK_CTX,
+        q_pack_interleaved,
+    )
+
+    ids = [0, 3, 17, 18, 51, 999_999_983, 1_000_000_002, 1_000_000_017]
+    texts = {
+        did: " ".join(f"w{did % 7}x{i}" for i in range((did % 13) + 2))
+        for did in ids
+    }
+    pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": [texts[d] for d in ids],
+            "lang": ["en"] * len(ids),
+            "source": ["s"] * len(ids),
+            "n_chars": [len(texts[d]) for d in ids],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    # sequential reference over the same wrap rules, in stream order
+    expect = {}
+    cum = 0
+    for did in sorted(ids):
+        spans = [("text", len(texts[did].split())), ("media", MEDIA_PATCH_TOKENS)]
+        if did % 17 == 0:
+            spans.append(("text", 0))
+        for idx, (kind, cost) in enumerate(spans, start=1):
+            expect[(did, idx)] = (
+                kind,
+                cost,
+                cum,
+                cum // PACK_CTX,
+                (cum + max(cost, 1) - 1) // PACK_CTX,
+            )
+            cum += cost
+
+    rows = q_pack_interleaved(spark, str(tmp_path)).collect()
+    from pdf_extractor_spark.ops.dedup import release_caches
+
+    release_caches()
+    got = {
+        (r["doc_id"], r["span_idx"]): (
+            r["kind"],
+            r["cost"],
+            r["start_tok"],
+            r["ctx_first"],
+            r["ctx_last"],
+        )
+        for r in rows
+    }
+    assert got == expect
+    # stream invariants: offsets partition the token stream exactly
+    assert sum(c for _k, c, *_ in got.values()) == cum
+    ordered = [got[k] for k in sorted(got)]
+    assert all(a[2] + a[1] == b[2] for a, b in zip(ordered, ordered[1:]))

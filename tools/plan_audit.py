@@ -497,6 +497,34 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "source_cap",
+        _query_df,
+        [
+            # one window partitioned by source over (source, doc_id,
+            # n_chars) projections only — the text column never leaves
+            # disk, and no join of any kind appears
+            lambda p: contains(p, "Window"),
+            lambda p: n_scans_at_most(p, 1),
+            lambda p: never_reads(p, "text"),
+            lambda p: absent(p, "Join"),
+        ],
+        False,
+    ),
+    (
+        "lexical_diversity",
+        _query_df,
+        [
+            # zero-shuffle sorted-run fold (the repetition pattern): no
+            # exchange beyond the presentation sort, one scan, only
+            # doc_id/text read
+            lambda p: occurs_at_most(p, "hashpartitioning", 0),
+            lambda p: n_scans_at_most(p, 1),
+            lambda p: never_reads(p, "lang"),
+            lambda p: never_reads(p, "source"),
+        ],
+        False,
+    ),
+    (
         "vocab_coverage",
         _query_df,
         [
