@@ -608,7 +608,6 @@ ORDER BY m.doc_id, span_idx
 
 MEDIA_PATCH_TOKENS = 64  # fixed token budget a media span occupies
 PACK_CTX = 512
-_PACK_SHARDS = 4096
 
 
 def q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,21 +626,21 @@ def q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash gated together.
 
     Scale shape: posexplode is map-only 1-to-many; the global prefix sum is
-    the same two-phase distributed scan as ``pack_contexts`` (order-
-    respecting shards from the doc-id range, per-shard totals in one tiny
-    groupBy, 4096 broadcast shard offsets, intra-shard window) — never a
-    single-partition global window. The max-id probe is one 1-row agg
-    (at 10^12 docs: read it from table stats instead).
+    ``training.exclusive_prefix_sum`` — the two-phase distributed scan
+    shared with ``pack_contexts``. No uniform shard key exists here (doc
+    ids may cluster anywhere in their value range — snowflake/epoch ids
+    would funnel a value-proportional bucketing into one hot shard), so
+    the helper derives order-respecting shards from a SAMPLED range
+    partitioning and persists the ranged frame (which also means the
+    mapInPandas extraction runs exactly once). Boundary sampling never
+    reaches the values: any order-respecting split yields the same
+    exclusive prefix.
     """
-    from pyspark.sql import Window
-
-    from .dedup import _persisted
     from .portable import tokens
+    from .training import exclusive_prefix_sum
 
     ext = extract_wrapped(spark, sf_dir)
-    # the cost stream feeds THREE consumers (max-id probe, shard totals,
-    # placement) — staged, or the mapInPandas extraction runs three times
-    sp = _persisted(ext.select(
+    sp = ext.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.posexplode("spans").alias("idx0", "s"),
     ).select(
@@ -653,30 +652,8 @@ def q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.size(tokens(F.col("s.text"))))
         .cast("bigint")
         .alias("cost"),
-    ))
-    maxid = sp.agg(F.max("doc_id").alias("max_id"))
-    sharded = sp.crossJoin(F.broadcast(maxid)).select(
-        "doc_id",
-        "span_idx",
-        "kind",
-        "cost",
-        F.expr(f"doc_id * {_PACK_SHARDS} DIV (max_id + 1)").alias("shard"),
     )
-    shard_tot = sharded.groupBy("shard").agg(F.sum("cost").alias("stok"))
-    w_shard = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
-    shard_off = shard_tot.select(
-        "shard",
-        F.coalesce(F.sum("stok").over(w_shard), F.lit(0)).alias("shard_off"),
-    )
-    w_in = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id", "span_idx")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.col("shard_off") + F.coalesce(F.sum("cost").over(w_in), F.lit(0))
-    placed = sharded.join(F.broadcast(shard_off), "shard").select(
-        "doc_id", "span_idx", "kind", "cost", start.alias("start_tok")
-    )
+    placed = exclusive_prefix_sum(sp, ["doc_id", "span_idx"], "cost", "start_tok")
     return placed.select(
         "doc_id",
         "span_idx",
@@ -692,7 +669,11 @@ def q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PACK_INTERLEAVED_SQL = f"""
 WITH base AS (
-  SELECT doc_id, CAST(len({tokens_sql('text')}) AS BIGINT) AS text_cost
+  -- an empty/whitespace-only doc extracts to an empty text span, which the
+  -- engine costs 0 (split('') would miscount it as 1 token)
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len({tokens_sql('text')}) AS BIGINT) END AS text_cost
   FROM documents),
 spans AS (
   SELECT doc_id, 1 AS span_idx, 'text' AS kind, text_cost AS cost FROM base

@@ -62,6 +62,66 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+PREFIX_RANGE_SHARDS = 256  # sampled-range shard count when no shard key given
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    shard_col=None,
+) -> DataFrame:
+    """Exclusive prefix sum of ``value_col`` over the global ``order_cols``
+    order — the two-phase distributed scan shared by ``pack_contexts`` and
+    ``pack_interleaved``: order-respecting shards, per-shard totals in one
+    tiny groupBy, broadcast shard offsets, intra-shard running-sum window.
+    Never a single-partition global window.
+
+    ``shard_col``: an order-respecting shard expression if the caller has a
+    uniform one (pack_contexts' md5 top bits). Without one, shards come from
+    a SAMPLED range partitioning (Spark's RangePartitioner +
+    ``spark_partition_id``) — balanced by observed row mass, so clustered
+    key distributions (snowflake/epoch ids piling into one value range)
+    cannot funnel into a hot shard the way value-proportional bucketing
+    does. The ranged frame is persisted because two consumers read it AND
+    because the sampled boundaries must be frozen — recomputation could
+    re-sample different (still order-respecting) boundaries between the
+    totals pass and the placement pass. The output is boundary-independent
+    either way: ANY contiguous order-respecting split yields the same
+    exclusive prefix, so sampling nondeterminism never reaches the values.
+    Shard count is free for correctness; production sizes it to O(cluster
+    cores) and persists to disk-backed storage at corpus scale.
+    """
+    from .dedup import _persisted
+
+    if shard_col is None:
+        sharded = _persisted(
+            df.repartitionByRange(
+                PREFIX_RANGE_SHARDS, *[F.col(c) for c in order_cols]
+            ).withColumn("_shard", F.spark_partition_id())
+        )
+    else:
+        sharded = df.withColumn("_shard", shard_col)
+    shard_tot = sharded.groupBy("_shard").agg(F.sum(value_col).alias("_stok"))
+    w_shard = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
+    shard_off = shard_tot.select(
+        "_shard",
+        F.coalesce(F.sum("_stok").over(w_shard), F.lit(0)).alias("_shard_off"),
+    )
+    w_in = (
+        Window.partitionBy("_shard")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("_shard_off") + F.coalesce(F.sum(value_col).over(w_in), F.lit(0))
+    return (
+        sharded.join(F.broadcast(shard_off), "_shard")
+        .withColumn(out_col, start.cast("bigint"))
+        .drop("_shard", "_shard_off")
+    )
+
+
 # --- sequence packing -------------------------------------------------------
 
 def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,21 +150,12 @@ def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens("text")).cast("bigint").alias("n_tokens"),
         h64(F.col("doc_id").cast("string")).alias("h"),
     )
-    d = d.withColumn("shard", F.expr(f"h div {PACK_SHARDS_DIV}"))
-    shard_tot = d.groupBy("shard").agg(F.sum("n_tokens").alias("stok"))
-    w_shard = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
-    shard_off = shard_tot.select(
-        "shard",
-        F.coalesce(F.sum("stok").over(w_shard), F.lit(0)).alias("shard_off"),
-    )
-    w_in = (
-        Window.partitionBy("shard")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    start = F.col("shard_off") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
-    placed = d.join(F.broadcast(shard_off), "shard").select(
-        "doc_id", "n_tokens", start.alias("start_off")
+    placed = exclusive_prefix_sum(
+        d,
+        ["h", "doc_id"],
+        "n_tokens",
+        "start_off",
+        shard_col=F.expr(f"h div {PACK_SHARDS_DIV}"),
     )
     return (
         placed.select(
@@ -691,10 +742,15 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the lm_score trap), so the score is the rational surrogate — the
     per-token target/source frequency ratio in integer micros, averaged
     over the document. Add-one smoothing over the fixed 256-bucket domain
-    keeps every denominator positive; frequencies are scaled to nanos
-    BEFORE the ratio so the smallest smoothed bucket (1 token in ~10^7)
-    stays nonzero (at 10^12-token scale the nano constant bumps to picos —
-    one literal).
+    keeps every count positive, and the ratio is staged as
+    ``((tgt_c * 1e6) DIV src_c) * src_total DIV tgt_total`` — the first
+    factor is <= 1e6 because the target slice is a SUBSET of the corpus
+    (tgt_c <= src_c bucket-wise, equal smoothing on both), so no divisor
+    can be zero and the product stays in int64 up to ~9*10^12 corpus
+    tokens. Past that, the fix is not bigger literals: the weight table is
+    256 rows, so a >10^13-token deployment computes it driver-side in
+    arbitrary precision and broadcasts the constants — the corpus-side
+    arithmetic (sum of c*w per doc) is unaffected.
 
     Scale shape: ONE token explode collapses immediately to
     (doc_id, lang, bucket) partial counts (map-side combine; the staged
@@ -735,10 +791,9 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wt = wt0.crossJoin(F.broadcast(tot)).select(
         "bucket",
-        F.expr(
-            "((tgt_c * 1000000000) DIV tgt_total) * 1000000"
-            " DIV ((src_c * 1000000000) DIV src_total)"
-        ).alias("w"),
+        F.expr("((tgt_c * 1000000) DIV src_c) * src_total DIV tgt_total").alias(
+            "w"
+        ),
     )
     return (
         db.join(F.broadcast(wt), "bucket")
@@ -777,8 +832,7 @@ tot AS (
          CAST(sum(tgt_c) AS BIGINT) AS tgt_total FROM wt0),
 wt AS (
   SELECT bucket,
-         ((tgt_c * 1000000000) // tgt_total) * 1000000
-           // ((src_c * 1000000000) // src_total) AS w
+         ((tgt_c * 1000000) // src_c) * src_total // tgt_total AS w
   FROM wt0, tot),
 sc AS (
   SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,

@@ -530,11 +530,15 @@ def test_pack_interleaved_sparse_ids(spark, tmp_path):
         q_pack_interleaved,
     )
 
-    ids = [0, 3, 17, 18, 51, 999_999_983, 1_000_000_002, 1_000_000_017]
+    ids = [0, 3, 17, 18, 22, 25, 51, 999_999_983, 1_000_000_002, 1_000_000_017]
     texts = {
         did: " ".join(f"w{did % 7}x{i}" for i in range((did % 13) + 2))
         for did in ids
     }
+    # empty and whitespace-only docs: the extracted text span is '' and must
+    # cost 0 tokens on BOTH engines (split('') would miscount it as 1)
+    texts[22] = ""
+    texts[25] = "   "
     pd.DataFrame(
         {
             "doc_id": ids,
@@ -562,10 +566,12 @@ def test_pack_interleaved_sparse_ids(spark, tmp_path):
             )
             cum += cost
 
-    rows = q_pack_interleaved(spark, str(tmp_path)).collect()
     from pdf_extractor_spark.ops.dedup import release_caches
 
-    release_caches()
+    try:
+        rows = q_pack_interleaved(spark, str(tmp_path)).collect()
+    finally:
+        release_caches()
     got = {
         (r["doc_id"], r["span_idx"]): (
             r["kind"],
