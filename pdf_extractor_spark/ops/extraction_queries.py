@@ -695,8 +695,117 @@ FROM p ORDER BY doc_id, span_idx
 """
 
 
+# --- derived quality-signals table -------------------------------------------
+
+
+def _signals_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build (idempotently, commit-protocol-resumable) a committed source
+    extraction of the wrapped corpus plus its derived signals table, keyed
+    by the documents parquet's identity so regenerated testdata can never
+    hit a stale fixture. Reruns are no-ops: run_extraction resumes past
+    committed parts and run_signals sees cursor == latest."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..spark.lineage import CommitLog, run_extraction
+    from ..spark.signals import SIGNALS_COMPUTE_VERSION, run_signals
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{st.st_mtime_ns}:{st.st_size}"
+        f":v{SIGNALS_COMPUTE_VERSION}".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), f"pes-signals-{key}")
+    src_root = os.path.join(base, "src")
+    out_root = os.path.join(base, "out")
+    run_extraction(
+        spark,
+        wrap_documents(spark, sf_dir),
+        CommitLog(src_root),
+        n_parts=16,
+        parts_per_chunk=8,
+        num_partitions=8,
+    )
+    run_signals(spark, CommitLog(src_root), CommitLog(out_root))
+    return out_root
+
+
+def q_signals_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived quality-signals STAGE, value-hash gated end-to-end:
+    extraction (real kernel) -> commit log -> incremental signals pass
+    (spark/signals.py, consumed via read_incremental with a src_snapshot
+    cursor) -> committed snapshot read of the signals table. The oracle is
+    closed-form on the flat documents table (wrap rules predict every span,
+    so token counts, marker-language argmax, stopword ratio and the Simpson
+    same-pair sum are all SQL-predictable) — a bug anywhere in the chain
+    (a doc dropped by the delta cursor, a double-processed chunk, a signal
+    expression drift) flips row count or hash."""
+    from ..spark.lineage import CommitLog
+    from ..spark.signals import read_signals
+
+    out_root = _signals_fixture(spark, sf_dir)
+    df = read_signals(spark, CommitLog(out_root))
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_text_spans").cast("bigint").alias("n_text_spans"),
+        F.col("n_media_spans").cast("bigint").alias("n_media_spans"),
+        "n_tokens",
+        "pred_lang",
+        "stopword_micros",
+        "simpson_micros",
+    ).orderBy("doc_id")
+
+
+def _signals_oracle_sql() -> str:
+    from .textstats import (
+        _PRIORITY,
+        LANG_MARKERS,
+        STOPWORDS,
+        _count_in_sql,
+    )
+
+    counts = ",\n         ".join(
+        f"{_count_in_sql('t', LANG_MARKERS[lg])} AS c_{lg}" for lg in _PRIORITY
+    )
+    best = "greatest(" + ", ".join(f"c_{lg}" for lg in _PRIORITY) + ")"
+    whens = "\n           ".join(
+        f"WHEN c_{lg} = {best} THEN '{lg}'" for lg in _PRIORITY
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql("text")} AS t FROM documents),
+c AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         {_count_in_sql('t', STOPWORDS)} AS n_stop,
+         {counts}
+  FROM t),
+pairs AS (
+  SELECT doc_id, CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS ps
+  FROM (SELECT doc_id, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(t) AS w FROM t) GROUP BY doc_id, w)
+  GROUP BY doc_id)
+SELECT c.doc_id,
+       CASE WHEN c.doc_id % 17 = 0 THEN 2 ELSE 1 END AS n_text_spans,
+       1 AS n_media_spans,
+       c.n_tokens,
+       CASE WHEN c.n_tokens <= 0 OR {best} <= 0 THEN 'unknown'
+           {whens}
+       END AS pred_lang,
+       CASE WHEN c.n_tokens > 0
+            THEN (n_stop * 1000000) // c.n_tokens ELSE 0 END AS stopword_micros,
+       CASE WHEN c.n_tokens >= 2
+            THEN (p.ps * 1000000) // (c.n_tokens * (c.n_tokens - 1))
+            ELSE 0 END AS simpson_micros
+FROM c JOIN pairs p ON c.doc_id = p.doc_id
+ORDER BY c.doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ocr_roundtrip": (q_ocr_roundtrip, _ocr_roundtrip_oracle_sql),
+    "signals_table": (q_signals_table, _signals_oracle_sql),
     "pack_interleaved": (q_pack_interleaved, PACK_INTERLEAVED_SQL),
     "extract_clean": (q_extract_clean, EXTRACT_CLEAN_SQL),
     "snapshot_read": (q_snapshot_read, _snapshot_read_oracle_sql),

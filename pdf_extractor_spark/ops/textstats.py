@@ -53,21 +53,28 @@ def _count_in_sql(tok: str, words: tuple[str, ...]) -> str:
 
 # --- language ID -----------------------------------------------------------
 
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word argmax language prediction per document."""
-    docs = _docs(spark, sf_dir)
-    tok = tokens("text")
-    d = docs.select(
-        "doc_id",
-        "lang",
-        *[_count_in(tok, LANG_MARKERS[lg]).alias(f"c_{lg}") for lg in _PRIORITY],
-    )
+def lang_marker_counts(tok) -> list:
+    """Per-language marker-count projections (compute ONCE, then argmax —
+    the marker filters are interpreted higher-order functions, so inlining
+    them into every argmax branch would re-run each one ~2x)."""
+    return [_count_in(tok, LANG_MARKERS[lg]).alias(f"c_{lg}") for lg in _PRIORITY]
+
+
+def lang_argmax():
+    """Argmax over the ``c_<lang>`` columns with the fixed tie priority."""
     best = F.greatest(*[F.col(f"c_{lg}") for lg in _PRIORITY])
     pred = F.when(best <= 0, F.lit("unknown"))
     for lg in _PRIORITY:  # fixed priority resolves ties deterministically
         pred = pred.when(F.col(f"c_{lg}") == best, F.lit(lg))
+    return pred
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word argmax language prediction per document."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", "lang", *lang_marker_counts(tokens("text")))
     return (
-        d.select("doc_id", "lang", pred.alias("pred_lang"))
+        d.select("doc_id", "lang", lang_argmax().alias("pred_lang"))
         .orderBy("doc_id")
     )
 
@@ -939,6 +946,27 @@ ORDER BY source, rank
 
 # --- lexical diversity (Simpson repeat probability) ---------------------------
 
+def simpson_pairs(tok):
+    """sum(c_i * (c_i - 1)) over the token multiset — the same-pair count of
+    the Simpson index — via one array_sort + one fold: extending an
+    equal-run from k-1 to k adds 2*(k-1). Zero shuffle; shared by
+    ``q_lexical_diversity`` and the derived signals stage."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("bigint").alias("s"),
+    )
+
+    def merge(acc, t):
+        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        s = F.when(
+            t == acc["prev"], acc["s"] + 2 * (run - 1).cast("bigint")
+        ).otherwise(acc["s"])
+        return F.struct(t.alias("prev"), run.alias("run"), s.alias("s"))
+
+    return F.aggregate(F.array_sort(tok), acc0, merge, lambda acc: acc["s"])
+
+
 def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Simpson repeat probability per document — the probability two
     token positions drawn without replacement hold the SAME token,
@@ -956,19 +984,7 @@ def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     tok = tokens("text")
-    sorted_tok = F.array_sort(tok)
-    acc0 = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).cast("bigint").alias("s")
-    )
-
-    def merge(acc, t):
-        run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        s = F.when(
-            t == acc["prev"], acc["s"] + 2 * (run - 1).cast("bigint")
-        ).otherwise(acc["s"])
-        return F.struct(t.alias("prev"), run.alias("run"), s.alias("s"))
-
-    pairs_same = F.aggregate(sorted_tok, acc0, merge, lambda acc: acc["s"])
+    pairs_same = simpson_pairs(tok)
     n = F.size(tok).cast("bigint")
     return (
         docs.select("doc_id", n.alias("n_tokens"), pairs_same.alias("ps"))

@@ -697,6 +697,20 @@ class CommitLog:
             spark, self.data_dir, EXTRACTED_SCHEMA, whole, partial
         )
 
+    def read_table(
+        self,
+        spark: SparkSession,
+        schema,
+        as_of: int | None = None,
+        markers: list[dict] | None = None,
+    ) -> DataFrame:
+        """Generic committed read of this log's data under a CALLER-supplied
+        schema — for derived tables (spark/signals.py) that reuse the same
+        commit-marker visibility protocol with their own row shape.
+        ``read_extracted`` is exactly this with EXTRACTED_SCHEMA."""
+        whole, partial = self._visible_split(as_of, markers)
+        return self._scan_chunks(spark, self.data_dir, schema, whole, partial)
+
     def read_incremental(
         self, spark: SparkSession, after: int, until: int | None = None
     ) -> DataFrame:

@@ -1,0 +1,141 @@
+"""Derived quality-signals stage (spark/signals.py): incremental consume,
+exactly-once visibility, overwrite refusal + rebuild, value correctness."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import pdf_extractor_spark.spark.lineage as L
+from pdf_extractor_spark.ops.extraction_queries import wrap_documents
+from pdf_extractor_spark.spark.signals import (
+    compute_signals,
+    read_signals,
+    run_signals,
+)
+
+
+def _write_docs(tmp_path, texts: dict[int, str]) -> str:
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": [texts[k] for k in texts],
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(texts[k]) for k in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_signals_incremental_exactly_once(spark, tmp_path):
+    """Two source waves (crash-injected first run), one signals run after
+    each: the second consumes ONLY the delta, every doc gets exactly one
+    visible signals row, and a third run is a no-op."""
+    sf_dir = _write_docs(
+        tmp_path, {i: " ".join(f"tok{i}x{j}" for j in range(i % 5 + 2)) for i in range(40)}
+    )
+    docs = wrap_documents(spark, sf_dir)
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        L.run_extraction(spark, docs, src, n_parts=8, parts_per_chunk=4,
+                         fail_after_chunks=1)
+    r1 = run_signals(spark, src, out)
+    assert r1.chunks_committed == 1
+    n_wave1 = r1.docs_processed
+    assert 0 < n_wave1 < 40
+
+    L.run_extraction(spark, docs, src, n_parts=8, parts_per_chunk=4)
+    r2 = run_signals(spark, src, out)
+    assert r2.chunks_committed == 1
+    assert n_wave1 + r2.docs_processed == 40  # delta only, no reprocessing
+
+    rows = read_signals(spark, out).collect()
+    assert len(rows) == 40
+    assert len({r["doc_id"] for r in rows}) == 40
+
+    r3 = run_signals(spark, src, out)  # cursor == latest
+    assert r3.chunks_committed == 0 and r3.docs_processed == 0
+    assert read_signals(spark, out).count() == 40
+
+
+def test_signals_values_match_python_reference(spark, tmp_path):
+    """Signal values for known documents: token counts, stopword ratio,
+    marker-language argmax, Simpson same-pair arithmetic, and the
+    empty-document zeros."""
+    texts = {
+        1: "the cat and the dog of the house",  # en markers, repeats
+        2: "aaa aaa aaa bbb",
+        3: "",  # empty: extracted span text '', all signals zero
+    }
+    sf_dir = _write_docs(tmp_path, texts)
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+    L.run_extraction(spark, wrap_documents(spark, sf_dir), src, n_parts=4,
+                     parts_per_chunk=4)
+    run_signals(spark, src, out)
+    got = {r["doc_id"]: r.asDict() for r in read_signals(spark, out).collect()}
+
+    r1 = got["1"]
+    assert r1["n_tokens"] == 8
+    assert r1["pred_lang"] == "en"
+    # stopwords: the x3, and, of -> 5/8
+    assert r1["stopword_micros"] == 5 * 1_000_000 // 8
+    # counts: the=3, cat=1, and=1, dog=1, of=1, house=1 -> sum c(c-1) = 6
+    assert r1["simpson_micros"] == 6 * 1_000_000 // (8 * 7)
+
+    r2 = got["2"]
+    assert r2["n_tokens"] == 4
+    assert r2["pred_lang"] == "unknown"
+    assert r2["simpson_micros"] == 6 * 1_000_000 // (4 * 3)
+
+    r3 = got["3"]
+    assert r3["n_tokens"] == 0
+    assert (r3["pred_lang"], r3["stopword_micros"], r3["simpson_micros"]) == (
+        "unknown", 0, 0,
+    )
+    # span-mix counters ride through: each wrapped doc has 1 media span
+    assert all(r["n_media_spans"] == 1 for r in got.values())
+
+
+def test_signals_overwrite_refused_then_rebuild(spark, tmp_path):
+    """A source partition overwrite poisons the append-shaped delta: the
+    incremental run refuses loudly; rebuild recomputes everything as one
+    overwrite chunk and every doc has exactly one visible, fresh row."""
+    texts = {i: f"alpha beta w{i}" for i in range(20)}
+    sf_dir = _write_docs(tmp_path, texts)
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+    docs = wrap_documents(spark, sf_dir)
+    L.run_extraction(spark, docs, src, n_parts=4, parts_per_chunk=4)
+    run_signals(spark, src, out)
+    assert read_signals(spark, out).count() == 20
+
+    L.reextract_parts(spark, docs, src, parts=[0, 1])
+    with pytest.raises(ValueError, match="rebuild"):
+        run_signals(spark, src, out)
+
+    rep = run_signals(spark, src, out, rebuild=True)
+    assert rep.chunks_committed == 1 and rep.docs_processed == 20
+    rows = read_signals(spark, out).collect()
+    assert len(rows) == 20  # overwrite chunk shadows the stale signals
+    assert len({r["doc_id"] for r in rows}) == 20
+    # and the table is again consumable incrementally (up to date)
+    assert run_signals(spark, src, out).docs_processed == 0
+
+
+def test_compute_signals_is_projection_only(spark, tmp_path):
+    """Plan shape: the signal expressions are JVM projections over the scan
+    — no exchange, no Python stage."""
+    sf_dir = _write_docs(tmp_path, {i: f"a b c{i}" for i in range(5)})
+    src = L.CommitLog(str(tmp_path / "src"))
+    L.run_extraction(spark, wrap_documents(spark, sf_dir), src, n_parts=2,
+                     parts_per_chunk=2)
+    df = compute_signals(src.read_extracted(spark))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan

@@ -464,6 +464,21 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "signals_table",
+        _query_df,
+        [
+            # the derived signals table reads like any committed snapshot:
+            # ONE partition-filtered parquet scan (chunk visibility as a
+            # PartitionFilter), no join, no Python stage — the signal
+            # expressions were spent at WRITE time, reads are plain scans
+            lambda p: n_scans_at_most(p, 1),
+            lambda p: partition_filtered(p, "chunk"),
+            lambda p: absent(p, "Join"),
+            lambda p: absent(p, "MapInPandas"),
+        ],
+        False,
+    ),
+    (
         "pack_interleaved",
         _query_df,
         [
