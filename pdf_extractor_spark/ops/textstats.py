@@ -1141,9 +1141,196 @@ GROUP BY ks.k ORDER BY k
 """
 
 
+# --- BPE encode (tokenizer application) --------------------------------------
+
+BPE_MERGES = 12  # merge-rule table size; recursion depth of the oracle CTE
+
+_BPE_OUT_SCHEMA = (
+    "doc_id bigint, n_tokens bigint, n_pieces bigint, encoded_text string"
+)
+
+
+def bpe_merge_rules(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Top-``BPE_MERGES`` adjacent character pairs by weighted corpus count
+    (ties broken by pair text) — the single-level merge table that
+    :func:`q_bpe_encode` applies. Derived with the same vocab-first shape
+    as :func:`q_bpe_pairs`; the result is <= ``BPE_MERGES`` rows, so the
+    collect is bounded (same contract as the k-means centroid collect)."""
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .where(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair"),
+        "n",
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), "pair")
+        .limit(BPE_MERGES)
+        .collect()
+    )
+    return [r["pair"] for r in top]
+
+
+def bpe_encode_word(tok: str, rules: list[str]) -> list[str]:
+    """Greedy rank-ordered merge sweeps over one word's character sequence.
+
+    For each rule (in rank order) scan left-to-right: whenever the last
+    emitted symbol equals the rule's first char and the next symbol equals
+    its second char, replace the pair with the merged 2-char symbol. With
+    single-level rules (pairs of ORIGINAL chars) one sweep per rule IS that
+    rule's fixpoint: a merged symbol is 2 chars long and can never equal a
+    rule's 1-char operand, so a sweep never creates new matches for itself
+    or any other rule (asserted by the differential test). Pure Python —
+    this is the oracle kernel for the Arrow batch path."""
+    syms: list[str] = list(tok)
+    for pair in rules:
+        a, b = pair[0], pair[1]
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == a and s == b:
+                out[-1] = pair
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def _bpe_encode_batches(rules: list[str]):
+    def gen(it):
+        import pyarrow as pa
+
+        memo: dict[str, tuple[str, int]] = {}
+
+        def enc(tok: str) -> tuple[str, int]:
+            hit = memo.get(tok)
+            if hit is None:
+                syms = bpe_encode_word(tok, rules)
+                hit = ("_".join(syms), len(syms))
+                memo[tok] = hit
+            return hit
+
+        for batch in it:
+            ids = batch.column("doc_id")
+            texts = batch.column("text").to_pylist()
+            n_tok, n_pieces, enc_text = [], [], []
+            for s in texts:
+                toks = s.strip().lower().split()
+                pieces = [enc(t) for t in toks]
+                n_tok.append(len(toks))
+                n_pieces.append(sum(p[1] for p in pieces))
+                enc_text.append(" ".join(p[0] for p in pieces))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(n_tok, pa.int64()),
+                    pa.array(n_pieces, pa.int64()),
+                    pa.array(enc_text, pa.string()),
+                ],
+                names=["doc_id", "n_tokens", "n_pieces", "encoded_text"],
+            )
+
+    return gen
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table to the corpus — tokenizer
+    APPLICATION, the stage :func:`q_bpe_pairs` (merge-candidate counting)
+    feeds (Sennrich et al. 2016). Each word's character sequence gets the
+    top-``BPE_MERGES`` pair rules in rank order, greedy left-to-right;
+    output is the per-doc piece stream ('_' joins merged chars inside a
+    word, ' ' joins words) plus token/piece counts — every byte of the
+    encoding value-hashed against the oracle.
+
+    Rules here are single-level (ranked by the STATIC pair counts; real BPE
+    training re-counts after each merge). The encode machinery is
+    rule-table-agnostic — an iteratively-trained table plugs into the same
+    kernel — and single-level rules make one sweep per rule provably that
+    rule's fixpoint (see :func:`bpe_encode_word`).
+
+    Scale shape: the rule table is derived vocab-first (two agg shuffles
+    over token/pair counts, map-side combine) and is <= 12 rows — collected
+    once and closure-shipped, the k-means-centroid pattern. The corpus pass
+    is then MAP-ONLY: one mapInArrow over (doc_id, text) with a per-task
+    word->pieces memo (the encode-the-vocab-once trick as a cache), so the
+    Zipf-hot token distribution never touches a join or shuffle — at 10^12
+    docs the encode is embarrassingly parallel. `documents` is read twice
+    per run (rule derivation at build, encode at execute), never more."""
+    rules = bpe_merge_rules(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    raw = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+    return raw.mapInArrow(
+        _bpe_encode_batches(rules), schema=_BPE_OUT_SCHEMA
+    ).orderBy("doc_id")
+
+
+def _bpe_encode_sql() -> str:
+    m = BPE_MERGES
+    return f"""
+WITH RECURSIVE
+vocab AS (
+  SELECT tok, count(*) AS n
+  FROM (SELECT unnest({tokens_sql('text')}) AS tok FROM documents)
+  WHERE len(tok) >= 2 GROUP BY tok),
+cand AS (
+  SELECT substr(tok, u.i, 2) AS pair, CAST(sum(n) AS BIGINT) AS occurrences
+  FROM vocab, LATERAL unnest(generate_series(1, len(tok) - 1)) AS u(i)
+  GROUP BY pair ORDER BY occurrences DESC, pair LIMIT {m}),
+rules AS (
+  SELECT pair, row_number() OVER (ORDER BY occurrences DESC, pair) AS rank
+  FROM cand),
+words AS (
+  SELECT DISTINCT tok
+  FROM (SELECT unnest({tokens_sql('text')}) AS tok FROM documents)),
+enc AS (
+  SELECT tok,
+         list_transform(generate_series(1, len(tok)), i -> substr(tok, i, 1))
+           AS syms,
+         0 AS r
+  FROM words
+  UNION ALL
+  SELECT e.tok,
+         CASE WHEN len(e.syms) <= 1 THEN e.syms ELSE
+           reduce(
+             list_transform(e.syms, s -> [s]),
+             (acc, x) -> CASE WHEN acc[-1] = substr(ru.pair, 1, 1)
+                               AND x[1] = substr(ru.pair, 2, 1)
+                         THEN list_concat(acc[:len(acc) - 1], [ru.pair])
+                         ELSE list_concat(acc, x) END)
+         END AS syms,
+         e.r + 1
+  FROM enc e JOIN rules ru ON ru.rank = e.r + 1),
+encoded AS (
+  SELECT tok, array_to_string(syms, '_') AS pieces,
+         CAST(len(syms) AS BIGINT) AS n_pieces
+  FROM enc QUALIFY row_number() OVER (PARTITION BY tok ORDER BY r DESC) = 1),
+toks AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS tok,
+         generate_subscripts({tokens_sql('text')}, 1) AS pos
+  FROM documents)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,
+       string_agg(e.pieces, ' ' ORDER BY t.pos) AS encoded_text
+FROM toks t JOIN encoded e USING (tok)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+BPE_ENCODE_SQL = _bpe_encode_sql()
+
+
 QUERIES: dict[str, tuple] = {
     "unicode_normalize": (q_unicode_normalize, UNICODE_NORMALIZE_SQL),
     "bpe_pairs": (q_bpe_pairs, BPE_PAIRS_SQL),
+    "bpe_encode": (q_bpe_encode, BPE_ENCODE_SQL),
     "vocab_coverage": (q_vocab_coverage, VOCAB_COVERAGE_SQL),
     "source_cap": (q_source_cap, SOURCE_CAP_SQL),
     "lexical_diversity": (q_lexical_diversity, LEXICAL_DIVERSITY_SQL),

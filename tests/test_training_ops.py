@@ -223,3 +223,73 @@ def test_chunk_windows_and_normalize_match_python_reference(spark, tmp_path):
         assert rows[i]["clean_text"] == " ".join(ref)
         assert rows[i]["n_tokens_out"] == len(ref)
         assert rows[i]["n_tokens_in"] == len(text.split())
+
+
+def test_bpe_encode_word_single_sweep_is_fixpoint():
+    """Differential check of the encode kernel: for SINGLE-LEVEL rules
+    (pairs of original chars) one greedy sweep per rule in rank order must
+    equal running the whole rule loop to fixpoint — the property
+    q_bpe_encode's docstring claims makes the oracle's fixed-depth
+    recursion exact. Randomized over a small alphabet so repeated chars
+    ('aaaa') and chained rules get exercised."""
+    import random
+
+    from pdf_extractor_spark.ops.textstats import bpe_encode_word
+
+    def fixpoint(tok, rules):
+        syms = list(tok)
+        while True:
+            changed = False
+            for pair in rules:
+                a, b = pair[0], pair[1]
+                out = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = pair
+                        changed = True
+                    else:
+                        out.append(s)
+                syms = out
+            if not changed:
+                return syms
+
+    rng = random.Random(42)
+    alpha = "abc"
+    for _ in range(500):
+        tok = "".join(rng.choice(alpha) for _ in range(rng.randint(1, 12)))
+        n_rules = rng.randint(1, 6)
+        rules = []
+        while len(rules) < n_rules:
+            p = rng.choice(alpha) + rng.choice(alpha)
+            if p not in rules:
+                rules.append(p)
+        got = bpe_encode_word(tok, rules)
+        assert got == fixpoint(tok, rules), (tok, rules, got)
+        # merges never lose characters: concatenation round-trips the word
+        assert "".join(got) == tok
+
+
+def test_bpe_encode_reconstructs_corpus(spark):
+    """End-to-end invariants on the real query: piece streams reconstruct
+    the whitespace-normalized lowercased text exactly (drop the '_' merge
+    markers), counts agree, and at least one merge actually fired."""
+    import duckdb
+
+    rows = _rows(spark, "bpe_encode")
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(
+            f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        ).fetchall()
+    )
+    assert len(rows) == len(texts)
+    merged_somewhere = False
+    for r in rows:
+        norm = " ".join(texts[r["doc_id"]].strip().lower().split())
+        assert r["encoded_text"].replace("_", "") == norm
+        assert r["n_tokens"] == len(norm.split())
+        pieces = sum(len(w.split("_")) for w in r["encoded_text"].split())
+        assert r["n_pieces"] == pieces <= len(norm.replace(" ", ""))
+        if r["n_pieces"] < len(norm.replace(" ", "")):
+            merged_somewhere = True
+    assert merged_somewhere

@@ -512,6 +512,25 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "bpe_encode",
+        _query_df,
+        [
+            # tokenizer application: the rule table was collected at build
+            # time (bounded, <= 12 rows, the centroid pattern), so the
+            # EXECUTED plan is one map-only Arrow pass over (doc_id, text)
+            # — no join against an encoded vocab (the Zipf-hot token join
+            # is replaced by the kernel's word memo), no exchange before
+            # the presentation sort, one scan, pruned columns
+            lambda p: contains(p, "MapInArrow"),
+            lambda p: occurs_at_most(p, "hashpartitioning", 0),
+            lambda p: absent(p, "Join"),
+            lambda p: n_scans_at_most(p, 1),
+            lambda p: never_reads(p, "lang"),
+            lambda p: never_reads(p, "n_chars"),
+        ],
+        False,
+    ),
+    (
         "source_cap",
         _query_df,
         [
