@@ -547,6 +547,95 @@ ORDER BY r.lang
 """
 
 
+_MIX_EPOCH_SALT = ":epochs:11"
+
+
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the UPSAMPLED mixture :func:`q_corpus_mix` can't
+    (its rates cap at 1.0): per-language epoch repeat factors — the
+    Pile/LLaMA "epochs per source" assembly where an under-represented
+    language is repeated rate times, fractional part resolved per-doc by a
+    deterministic hash bucket (a doc repeats ceil(rate) with probability
+    frac(rate), floor(rate) otherwise — expected counts match the target
+    shares exactly). One row per (doc, epoch) — the materialized training
+    mix.
+
+    Scale shape: per-language counts are one tiny partial-agg groupBy, the
+    uncapped rate table broadcasts back, and the repeat emission is a
+    map-only 1-to-many sequence explode fused into the scan pipeline — the
+    corpus stream never shuffles, output size is exactly the token budget
+    the mix calls for, and the hash salt makes reruns/backfills
+    bit-reproducible at any cluster size. Rate exactness: same single
+    IEEE double division as corpus_mix, floored to ppm on both engines."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    expr = None
+    for lang, ppm in MIX_TARGET_PPM.items():
+        cond = F.when(F.col("lang") == lang, F.lit(ppm).cast("bigint"))
+        expr = cond if expr is None else expr.when(
+            F.col("lang") == lang, F.lit(ppm).cast("bigint")
+        )
+    share = expr.otherwise(F.lit(0).cast("bigint"))
+    # grand total as a window over the language COUNTS (bounded, one row
+    # per language) — a second agg branch from `docs` would re-scan the
+    # table (no cross-branch CSE in Catalyst)
+    rates = (
+        counts.withColumn(
+            "n_total", F.sum("n_docs").over(Window.partitionBy(F.lit(1)))
+        )
+        .withColumn(
+            "rate_ppm",
+            F.floor((share * F.col("n_total")).cast("double") / F.col("n_docs"))
+            .cast("bigint"),
+        )
+        .select("lang", "rate_ppm")
+    )
+    bucket = F.pmod(
+        h64(F.concat(F.col("doc_id").cast("string"), F.lit(_MIX_EPOCH_SALT))),
+        F.lit(1_000_000),
+    )
+    rep = (
+        F.expr("rate_ppm DIV 1000000")
+        + F.when(bucket < F.expr("rate_ppm % 1000000"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .withColumn("n_repeats", rep)
+        .where(F.col("n_repeats") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.col("n_repeats"))
+            ).alias("epoch"),
+        )
+        .orderBy("doc_id", "epoch")
+    )
+
+
+def _mix_epochs_sql() -> str:
+    share = "CASE lang " + " ".join(
+        f"WHEN '{lang}' THEN {ppm}" for lang, ppm in MIX_TARGET_PPM.items()
+    ) + " ELSE 0 END"
+    bucket = h64_sql(f"CAST(doc_id AS VARCHAR) || '{_MIX_EPOCH_SALT}'") + " % 1000000"
+    return f"""
+WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+r AS (SELECT lang,
+             CAST(floor(CAST(({share}) * (SELECT sum(n_docs) FROM c)
+                             AS DOUBLE) / n_docs) AS BIGINT) AS rate_ppm
+      FROM c),
+rep AS (SELECT d.doc_id, d.lang,
+               r.rate_ppm // 1000000
+                 + CASE WHEN {bucket} < r.rate_ppm % 1000000
+                        THEN 1 ELSE 0 END AS n_repeats
+        FROM documents d JOIN r ON d.lang = r.lang)
+SELECT doc_id, lang, CAST(unnest(range(1, n_repeats + 1)) AS BIGINT) AS epoch
+FROM rep WHERE n_repeats > 0 ORDER BY doc_id, epoch
+"""
+
+
 # --- full cube -----------------------------------------------------------
 
 def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -841,6 +930,7 @@ QUERIES: dict[str, tuple] = {
     "length_quantiles": (q_length_quantiles, LENGTH_QUANTILES_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
     "corpus_mix": (q_corpus_mix, _corpus_mix_sql()),
+    "mix_epochs": (q_mix_epochs, _mix_epochs_sql()),
     "sessionize": (q_sessionize, SESSIONIZE_SQL),
     "wordcount_topk": (q_wordcount_topk, WORDCOUNT_TOPK_SQL),
     "salted_topk_users": (q_salted_topk_users, SALTED_TOPK_USERS_SQL),

@@ -587,3 +587,44 @@ def test_pack_interleaved_sparse_ids(spark, tmp_path):
     assert sum(c for _k, c, *_ in got.values()) == cum
     ordered = [got[k] for k in sorted(got)]
     assert all(a[2] + a[1] == b[2] for a, b in zip(ordered, ordered[1:]))
+
+
+def test_mix_epochs_repeat_factors(spark):
+    """Deterministic epoch materialization: per-language emitted rows land
+    inside the floor/ceil repeat bounds implied by the uncapped rate, the
+    fixture exercises BOTH directions (some doc repeats >= 2, some doc is
+    dropped), and (doc_id, epoch) pairs are unique with epochs contiguous
+    from 1."""
+    import math
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from pdf_extractor_spark.ops.advanced import MIX_TARGET_PPM
+    from pdf_extractor_spark.ops.registry import queries
+
+    rows = queries()["mix_epochs"](spark, SF_DIR).collect()
+    con = duckdb.connect()
+    counts = dict(
+        con.execute(
+            f"SELECT lang, count(*) FROM '{SF_DIR}/documents.parquet' GROUP BY lang"
+        ).fetchall()
+    )
+    total = sum(counts.values())
+    emitted = Counter(r["lang"] for r in rows)
+    for lang, n_docs in counts.items():
+        rate_ppm = math.floor(MIX_TARGET_PPM.get(lang, 0) * total / n_docs)
+        lo = n_docs * (rate_ppm // 1_000_000)
+        hi = n_docs * (rate_ppm // 1_000_000 + (1 if rate_ppm % 1_000_000 else 0))
+        assert lo <= emitted.get(lang, 0) <= hi, (lang, rate_ppm, emitted.get(lang))
+    assert any(r["epoch"] >= 2 for r in rows), "no language was upsampled"
+    seen_docs = {r["doc_id"] for r in rows}
+    n_docs_total = con.execute(
+        f"SELECT count(*) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    assert len(seen_docs) < n_docs_total, "no doc was downsampled away"
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r["doc_id"]].append(r["epoch"])
+    for d, eps in per_doc.items():
+        assert sorted(eps) == list(range(1, len(eps) + 1)), (d, eps)

@@ -512,6 +512,24 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "mix_epochs",
+        _query_df,
+        [
+            # epoch materialization: the tiny uncapped rate table joins
+            # back BROADCAST, the repeat emission is a map-only sequence
+            # explode (Generate), and the corpus stream itself is never
+            # hash-shuffled — only the handful-of-rows language counts
+            # aggregate exchanges; text never leaves disk
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: contains(p, "Generate"),
+            lambda p: occurs_at_most(p, "documents.parquet", 2),
+            lambda p: never_reads(p, "text"),
+            lambda p: never_reads(p, "n_chars"),
+        ],
+        False,
+    ),
+    (
         "bpe_encode",
         _query_df,
         [
