@@ -713,3 +713,50 @@ def test_sharded_export_replaces_prior_single_zip_file(spark, tmp_path):
         if ".retired-" in n or ".inprogress-" in n
     ]
     assert litter == []
+
+
+def test_schema_evolution_add_and_drop_column(spark, tmp_path):
+    """Iceberg-parity schema evolution over the commit protocol: the scan
+    takes the CALLER's schema, so (a) adding a nullable column is one
+    contract bump — chunks written before the column exists read back as
+    NULL, chunks written after carry values, in the SAME snapshot read;
+    (b) reading with the old schema prunes the new column from newer
+    chunks (drop-column view); (c) time travel composes with both. No
+    rewrite of old files, exactly Iceberg's add/drop semantics."""
+    from pdf_extractor_spark.spark.lineage import _chunk_dirname
+
+    root = str(tmp_path / "evolve")
+    log = L.CommitLog(root)
+    v1 = "doc_id string, n_spans int, part_id int"
+    v2 = "doc_id string, n_spans int, quality_micros bigint, part_id int"
+
+    def write_chunk(rows, schema):
+        cid = log.reserve_chunk_id()
+        df = spark.createDataFrame(rows, schema)
+        df.write.partitionBy("part_id").mode("append").parquet(
+            os.path.join(log.data_dir, _chunk_dirname(cid))
+        )
+        parts = sorted({r[-1] for r in rows})
+        log.commit_chunk(cid, parts, {"docs": len(rows)}, n_parts=8)
+
+    write_chunk([("a", 3, 0), ("b", 1, 1)], v1)
+    write_chunk([("c", 2, 900_000, 2), ("d", 5, 400_000, 3)], v2)
+
+    # (a) evolved read: one scan over both chunks, old rows NULL-filled
+    got = {r["doc_id"]: r for r in log.read_table(spark, v2).collect()}
+    assert set(got) == {"a", "b", "c", "d"}
+    assert got["a"]["quality_micros"] is None
+    assert got["b"]["quality_micros"] is None
+    assert got["c"]["quality_micros"] == 900_000
+    assert got["d"]["quality_micros"] == 400_000
+    assert got["a"]["n_spans"] == 3  # shared columns intact across versions
+
+    # (b) old-schema read still sees every chunk (new column pruned)
+    old = log.read_table(spark, v1)
+    assert "quality_micros" not in old.columns
+    assert {r["doc_id"] for r in old.collect()} == {"a", "b", "c", "d"}
+
+    # (c) time travel with the evolved schema: snapshot 0 predates v2
+    at0 = log.read_table(spark, v2, as_of=0).collect()
+    assert {r["doc_id"] for r in at0} == {"a", "b"}
+    assert all(r["quality_micros"] is None for r in at0)
