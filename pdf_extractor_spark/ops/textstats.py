@@ -1207,13 +1207,19 @@ def _bpe_encode_batches(rules: list[str]):
     def gen(it):
         import pyarrow as pa
 
+        # bounded: a real-scale vocab (10^7+ types) must not grow a
+        # per-task dict without limit — Zipf means the hot heads all fit
+        # long before the cap, so evicting wholesale barely costs
         memo: dict[str, tuple[str, int]] = {}
+        MEMO_CAP = 1_000_000
 
         def enc(tok: str) -> tuple[str, int]:
             hit = memo.get(tok)
             if hit is None:
                 syms = bpe_encode_word(tok, rules)
                 hit = ("_".join(syms), len(syms))
+                if len(memo) >= MEMO_CAP:
+                    memo.clear()
                 memo[tok] = hit
             return hit
 
