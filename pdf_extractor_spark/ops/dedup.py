@@ -1038,6 +1038,146 @@ GROUP BY c.doc_id ORDER BY doc_id
 """
 
 
+# --- fuzzy decontamination: LSH candidates vs benchmark, exact verify -------
+
+# benchmark slice for the fuzzy screen: ~2.7% of docs (a different slice
+# than the exact screen's BENCH_DOC_MOD so both fixtures stay non-trivial)
+FUZZY_BENCH_MOD = 37
+FUZZY_BENCH_REM = 8
+DECON_FUZZY_PPB = 300_000_000  # flag >= 0.3 exact Jaccard with any bench doc
+
+
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination — the near-duplicate complement of
+    :func:`q_decontaminate`'s exact n-gram screen (the Llama/GPT-4-report
+    practice: paraphrased or lightly-edited eval items slip an exact
+    13-gram filter, so eval sets are ALSO screened by near-dup similarity).
+    Corpus docs that LSH-collide with any benchmark doc are verified by
+    exact 3-gram Jaccard, and docs whose best benchmark similarity clears
+    the threshold get flagged for drop.
+
+    Scale shape composes the repo's two proven cross-set shapes: the
+    benchmark band table (eval suites are MBs; the corpus is TBs) is
+    BROADCAST against the streaming corpus bands — the 100 TB side is
+    never shuffled on the band key (q_dedup_incremental's probe) — and the
+    expensive exact Jaccard runs ONLY on the candidate pairs, joined per
+    side against the staged shingle table keyed on doc_id
+    (q_dedup_verified_pairs' verification). The shingle stage is persisted
+    because it feeds the signature build and both verification sides;
+    one raw scan fills it (pinned)."""
+    sh = _persisted(shingles(_read_docs(spark, sf_dir)))
+    banded = _persisted(_banded_from(_signatures_from(sh)))
+    banded.count()  # materialize: bench + corpus branches read the cache
+    is_bench = F.col("doc_id") % FUZZY_BENCH_MOD == FUZZY_BENCH_REM
+    c = banded.where(~is_bench).alias("c")
+    b = banded.where(is_bench).alias("b")
+    cand = (
+        c.join(F.broadcast(b), ["band_id", "band_hash"])
+        .select(
+            F.col("c.doc_id").alias("corpus_doc"),
+            F.col("b.doc_id").alias("bench_doc"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    s1 = sh.alias("s1")
+    s2 = sh.alias("s2")
+    common = (
+        cand.join(s1, F.col("corpus_doc") == F.col("s1.doc_id"))
+        .join(
+            s2,
+            (F.col("bench_doc") == F.col("s2.doc_id"))
+            & (F.col("s1.shingle") == F.col("s2.shingle")),
+        )
+        .groupBy("corpus_doc", "bench_doc")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    scored = (
+        cand.join(common, ["corpus_doc", "bench_doc"], "left")
+        .join(sa, F.col("corpus_doc") == F.col("sa.doc_id"))
+        .join(sb, F.col("bench_doc") == F.col("sb.doc_id"))
+        .select(
+            "corpus_doc",
+            F.floor(
+                F.coalesce("common", F.lit(0))
+                * F.lit(1_000_000_000)
+                / (
+                    F.col("sa.n_sh")
+                    + F.col("sb.n_sh")
+                    - F.coalesce("common", F.lit(0))
+                )
+            )
+            .cast("bigint")
+            .alias("jaccard_ppb"),
+        )
+    )
+    return (
+        scored.groupBy("corpus_doc")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.max("jaccard_ppb").alias("max_jaccard_ppb"),
+        )
+        .select(
+            F.col("corpus_doc").alias("doc_id"),
+            "n_candidates",
+            "max_jaccard_ppb",
+            (F.col("max_jaccard_ppb") >= DECON_FUZZY_PPB).cast("int").alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _decontaminate_fuzzy_sql() -> str:
+    rows_per_band = NUM_MINHASH // MINHASH_BANDS
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(
+                f"CAST(mh{b * rows_per_band + r:02d} AS VARCHAR)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH sig AS ({_minhash_sig_sql()}),
+banded AS ({band_rows}),
+sh AS ({SHINGLES_SQL}),
+bench AS (SELECT * FROM banded
+          WHERE doc_id % {FUZZY_BENCH_MOD} = {FUZZY_BENCH_REM}),
+corpus AS (SELECT * FROM banded
+           WHERE doc_id % {FUZZY_BENCH_MOD} <> {FUZZY_BENCH_REM}),
+cand AS (SELECT DISTINCT c.doc_id AS corpus_doc, b.doc_id AS bench_doc
+         FROM corpus c JOIN bench b USING (band_id, band_hash)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.corpus_doc, c.bench_doc, count(*) AS common
+  FROM cand c
+  JOIN sh s1 ON c.corpus_doc = s1.doc_id
+  JOIN sh s2 ON c.bench_doc = s2.doc_id AND s1.shingle = s2.shingle
+  GROUP BY c.corpus_doc, c.bench_doc),
+scored AS (
+  SELECT c.corpus_doc,
+         CAST(floor(coalesce(m.common, 0) * 1000000000
+                    / (sa.n_sh + sb.n_sh - coalesce(m.common, 0))) AS BIGINT)
+           AS jaccard_ppb
+  FROM cand c
+  LEFT JOIN common m USING (corpus_doc, bench_doc)
+  JOIN sizes sa ON c.corpus_doc = sa.doc_id
+  JOIN sizes sb ON c.bench_doc = sb.doc_id)
+SELECT corpus_doc AS doc_id,
+       count(*) AS n_candidates,
+       max(jaccard_ppb) AS max_jaccard_ppb,
+       CAST(max(jaccard_ppb) >= {DECON_FUZZY_PPB} AS INT) AS flagged
+FROM scored GROUP BY corpus_doc ORDER BY doc_id
+"""
+
+
+DECONTAMINATE_FUZZY_SQL = _decontaminate_fuzzy_sql()
+
+
 # --- incremental dedup: new batch vs existing corpus ------------------------
 
 # deterministic "today's delta" subset: doc_id % 10 in {8, 9} (20%); a real
@@ -1466,6 +1606,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_verified_pairs": (q_dedup_verified_pairs, DEDUP_VERIFIED_PAIRS_SQL),
     "dedup_cross_source": (q_dedup_cross_source, _dedup_cross_source_sql()),
     "decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
+    "decontaminate_fuzzy": (q_decontaminate_fuzzy, DECONTAMINATE_FUZZY_SQL),
     "dedup_incremental": (q_dedup_incremental, _dedup_incremental_sql()),
     "minhash_signatures": (q_minhash_signatures, MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),

@@ -512,6 +512,23 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "decontaminate_fuzzy",
+        _query_df,
+        [
+            # cross-set probe: benchmark bands broadcast against the
+            # streaming corpus bands (never a shuffle on the band key for
+            # the big side), exact verification candidate-bounded via the
+            # staged shingle cache — equi-joins only, raw table scanned at
+            # most twice
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: absent(p, "BroadcastNestedLoopJoin"),
+            lambda p: occurs_at_most(p, "documents.parquet", 2),
+        ],
+        False,
+    ),
+    (
         "mix_epochs",
         _query_df,
         [
