@@ -704,6 +704,71 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue where customer and supplier share the nation,
+    region- and year-scoped (TPC-H Q5 shape) — the deepest join chain in
+    the suite: lineitem ⨝ orders ⨝ supplier ⨝ customer ⨝ (nation ⨝ region).
+
+    Scale shape: the entire dimension chain — region filter, nations of
+    the region, supplier, customer — is BROADCAST, so the only real
+    shuffle is lineitem⨝orders on orderkey; the date predicate pushes to
+    the orders parquet scan (pinned) so the shuffle carries one year of
+    orders, and the same-nation constraint rides the customer broadcast
+    join as a second join condition rather than a post-join filter. At
+    100 TB: facts shuffle once, dims never do."""
+    li = _read(spark, sf_dir, "lineitem")
+    orders = _read(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    customer = _read(spark, sf_dir, "customer")
+    supplier = _read(spark, sf_dir, "supplier")
+    nation = _read(spark, sf_dir, "nation")
+    region = _read(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    local_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    rev = F.sum(
+        F.floor(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100)
+        .cast("bigint")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(customer),
+            (orders.o_custkey == customer.c_custkey)
+            & (customer.c_nationkey == supplier.s_nationkey),
+        )
+        .join(
+            F.broadcast(local_nations),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(rev.alias("revenue_cents"), F.count("*").alias("n_lineitems"))
+        .orderBy(F.desc("revenue_cents"), "n_name")
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+         AS BIGINT) AS revenue_cents,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, n_name
+"""
+
+
 RETURNED_ITEMS_SQL = """
 SELECT c_custkey, c_name, n_name,
        CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
@@ -739,4 +804,5 @@ QUERIES: dict[str, tuple] = {
     "priority_waiting": (q_priority_waiting, PRIORITY_WAITING_SQL),
     "top_supplier": (q_top_supplier, TOP_SUPPLIER_SQL),
     "returned_items": (q_returned_items, RETURNED_ITEMS_SQL),
+    "local_supplier_volume": (q_local_supplier_volume, LOCAL_SUPPLIER_VOLUME_SQL),
 }

@@ -512,6 +512,23 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "local_supplier_volume",
+        _query_df,
+        [
+            # Q5 shape: the whole dim chain broadcasts (>= 3 broadcast
+            # joins), never a sort-merge join; the year predicate reaches
+            # the orders parquet scan so the single fact shuffle carries
+            # one year, not seven
+            lambda p: contains(p, "BroadcastHashJoin", 3),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: pushed(p, "IsNotNull(o_orderdate)"),
+            lambda p: pushed(p, "GreaterThanOrEqual(o_orderdate"),
+            lambda p: pushed(p, "EqualTo(r_name,ASIA)"),
+        ],
+        False,
+    ),
+    (
         "decontaminate_fuzzy",
         _query_df,
         [
