@@ -103,10 +103,17 @@ def main(argv: list[str] | None = None) -> int:
                         "(incremental: only source snapshots committed since "
                         "the last run are recomputed; exactly-once via the "
                         "same commit markers)")
+    p.add_argument("--curate", action="store_true",
+                   help="run the curation-verdict pass instead of "
+                        "extraction: --input is a committed extraction table "
+                        "root, --output receives the verdict table (gates + "
+                        "exact dedup against the accumulated kept-digest "
+                        "index; incremental and exactly-once like --signals)")
     p.add_argument("--rebuild", action="store_true",
-                   help="with --signals: full recompute committed as one "
-                        "overwrite chunk (required after a source partition "
-                        "overwrite)")
+                   help="with --signals/--curate: full recompute committed "
+                        "as one overwrite chunk (required after a source "
+                        "partition overwrite; under --curate dedup is "
+                        "re-decided globally)")
     p.add_argument("--ocr-stage", action="store_true",
                    help="run the stage-2 OCR consumer instead of extraction: "
                         "--input is a stage-1 table root (its ocr_queue/ is "
@@ -152,23 +159,27 @@ def main(argv: list[str] | None = None) -> int:
     ):
         p.error("--ocr-stage runs alone; maintenance/extraction flags "
                 "apply to stage-1 runs against the stage-1 --output")
-    if args.rebuild and not args.signals:
-        p.error("--rebuild only applies to --signals")
-    if args.signals and (
-        args.watch
-        or args.ocr_stage
-        or args.compact
-        or args.refresh_parts
-        or args.route_needs_ocr
-        or args.export_zip
-        or args.expire_older_than is not None
-        or args.gc_orphans_older_than is not None
-    ):
-        p.error("--signals runs alone; maintenance/extraction flags apply "
-                "to stage-1 runs against the stage-1 --output")
-    if args.signals and args.input.startswith("synthetic:"):
-        p.error("--signals reads a committed extraction table root, not "
-                "synthetic: input")
+    if args.rebuild and not (args.signals or args.curate):
+        p.error("--rebuild only applies to --signals/--curate")
+    if args.signals and args.curate:
+        p.error("--signals and --curate are separate passes; run them "
+                "against separate --output roots")
+    for flag, on in (("--signals", args.signals), ("--curate", args.curate)):
+        if on and (
+            args.watch
+            or args.ocr_stage
+            or args.compact
+            or args.refresh_parts
+            or args.route_needs_ocr
+            or args.export_zip
+            or args.expire_older_than is not None
+            or args.gc_orphans_older_than is not None
+        ):
+            p.error(f"{flag} runs alone; maintenance/extraction flags apply "
+                    "to stage-1 runs against the stage-1 --output")
+        if on and args.input.startswith("synthetic:"):
+            p.error(f"{flag} reads a committed extraction table root, not "
+                    "synthetic: input")
     if args.route_needs_ocr and not args.watch:
         p.error("--route-needs-ocr requires --watch (the batch path has no "
                 "side-output router)")
@@ -253,19 +264,29 @@ def main(argv: list[str] | None = None) -> int:
 
         configure_state_store(spark, args.state_store)
     try:
-        if args.signals:
+        if args.signals or args.curate:
             import os as _os
 
-            from pdf_extractor_spark.spark.signals import run_signals_job
-
+            flag = "--signals" if args.signals else "--curate"
             if not _os.path.isdir(_os.path.join(args.input, "commits")):
-                p.error(f"--signals --input {args.input} is not a committed "
+                p.error(f"{flag} --input {args.input} is not a committed "
                         "table root (no commits/ directory)")
-            report, dt = run_signals_job(
-                spark, args.input, args.output, rebuild=args.rebuild
-            )
+            if args.signals:
+                from pdf_extractor_spark.spark.signals import run_signals_job
+
+                report, dt = run_signals_job(
+                    spark, args.input, args.output, rebuild=args.rebuild
+                )
+                verb = "SIGNALS_DONE"
+            else:
+                from pdf_extractor_spark.spark.curate import run_curate_job
+
+                report, dt = run_curate_job(
+                    spark, args.input, args.output, rebuild=args.rebuild
+                )
+                verb = "CURATE_DONE"
             print(
-                f"SIGNALS_DONE chunks={report.chunks_committed} "
+                f"{verb} chunks={report.chunks_committed} "
                 f"parts={report.parts_processed} docs={report.docs_processed} "
                 f"wall_s={dt:.2f}"
                 + (" (rebuild)" if args.rebuild else "")

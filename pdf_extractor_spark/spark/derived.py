@@ -1,0 +1,189 @@
+"""Shared incremental consumer loop for DERIVED tables over a CommitLog.
+
+Every post-extraction stage (signals, curation verdicts, ...) has the same
+shape: read the SOURCE snapshots committed since this stage's cursor,
+compute a per-document projection/verdict over exactly that delta, and
+commit the result as one chunk of the stage's OWN CommitLog table — with
+the consumed source snapshot recorded in the marker (``metrics.
+src_snapshot``) so the cursor survives crashes for free. This module is
+that loop, factored once; ``spark/signals.py`` and ``spark/curate.py`` are
+instances.
+
+Semantics pinned here (stage modules inherit them):
+
+- **Cursor** = max ``src_snapshot`` over the stage table's committed
+  markers. A killed run leaves an unmarked (invisible, gc-able) chunk dir;
+  the rerun reprocesses the same delta under a fresh chunk id and the
+  cursor advances only when the marker flips — exactly-once at snapshot
+  granularity.
+- **Append-only windows.** A source partition-overwrite changes history in
+  place; folding it into an append-shaped delta would strand the untouched
+  docs of the overwritten parts. The loop refuses (``ValueError``) and the
+  operator reruns with ``rebuild=True`` — one full recompute committed as
+  an overwrite chunk owning every part, atomically shadowing prior output.
+- **Commit-order horizon.** The window is markers strictly after the
+  cursor's marker in COMMIT order (not chunk-id order): under concurrent
+  source writers a low chunk id can commit late and an id-cursor would
+  skip it forever.
+
+Scale shape: each run is bounded by its delta, the compute is whatever the
+stage's ``compute`` closure builds (signals/curate keep it map-only plus
+at most one digest-keyed exchange), and the only required shuffle is the
+writer's ``partitionBy(part_id)`` file layout. 100 TB is a chain of these
+runs.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .lineage import CommitLog, RunReport, _chunk_dirname
+
+
+def derived_cursor(out_log: CommitLog) -> int | None:
+    """Latest SOURCE snapshot any committed chunk of this stage consumed."""
+    cursor = None
+    for c in out_log.committed_chunks():
+        src = (c.get("metrics") or {}).get("src_snapshot")
+        if src is not None:
+            cursor = src if cursor is None else max(cursor, src)
+    return cursor
+
+
+def commit_derived_chunk(
+    spark: SparkSession,
+    out_log: CommitLog,
+    df: DataFrame,
+    schema: StructType,
+    stage: str,
+    part_ids: list[int] | None,
+    metrics: dict,
+    n_parts: int | None,
+    overwrite: bool = False,
+) -> tuple[int, int, list[int]]:
+    """Stage one derived chunk (append-mode write into the mkdir-reserved
+    dir, exactly like lineage._write_chunk) and flip its marker."""
+    chunk_id = out_log.reserve_chunk_id()
+    data_path = os.path.join(out_log.data_dir, _chunk_dirname(chunk_id))
+    df.write.partitionBy("part_id").mode("append").parquet(data_path)
+    written = spark.read.schema(schema).parquet(data_path)
+    rollup = written.groupBy("part_id").agg(F.count("*").alias("n")).collect()
+    n_docs = int(sum(r["n"] for r in rollup))
+    touched = sorted(r["part_id"] for r in rollup)
+    out_log.commit_chunk(
+        chunk_id,
+        part_ids if part_ids is not None else touched,
+        {**metrics, "docs": n_docs, "stage": stage},
+        n_parts=n_parts,
+        overwrite=overwrite,
+    )
+    return chunk_id, n_docs, touched
+
+
+def source_window(src_chunks: list[dict], cursor: int | None) -> list[dict]:
+    """Markers ``read_incremental(after=cursor)`` will include: strictly
+    after the cursor's marker in commit order, compaction rewrites
+    (``replaces``) excluded."""
+    lo = next((c for c in src_chunks if c["chunk_id"] == cursor), None)
+
+    def _after_cursor(c) -> bool:
+        if c.get("replaces"):
+            return False
+        if lo is not None:
+            return CommitLog._commit_order(c) > CommitLog._commit_order(lo)
+        return cursor is None or c["chunk_id"] > cursor
+
+    return [c for c in src_chunks if _after_cursor(c)]
+
+
+def run_derived_stage(
+    spark: SparkSession,
+    src_log: CommitLog,
+    out_log: CommitLog,
+    schema: StructType,
+    stage: str,
+    compute: Callable[[DataFrame], DataFrame],
+    rebuild: bool = False,
+    rebuild_compute: Callable[[DataFrame], DataFrame] | None = None,
+) -> RunReport:
+    """One incremental pass of a derived stage: consume the source
+    snapshots committed since the cursor, or (``rebuild=True``) recompute
+    everything as one overwrite chunk.
+
+    ``compute`` maps the DELTA extraction rows to the stage's schema;
+    ``rebuild_compute`` (default: ``compute``) maps the FULL table — a
+    stage whose incremental path consults its own prior output (e.g.
+    curate's kept-digest index) passes a self-contained variant here.
+    """
+    src_chunks = src_log.committed_chunks()  # commit order
+    if not src_chunks:
+        return RunReport(0, 0, 0, 0)
+    latest = src_chunks[-1]["chunk_id"]
+    n_parts = src_log.n_parts()
+
+    if rebuild:
+        out = (rebuild_compute or compute)(src_log.read_extracted(spark))
+        all_parts = sorted(src_log.committed_part_ids())
+        _, n_docs, _ = commit_derived_chunk(
+            spark,
+            out_log,
+            out,
+            schema,
+            stage,
+            all_parts,
+            {"src_snapshot": latest, "rebuild": True},
+            n_parts,
+            overwrite=True,
+        )
+        return RunReport(1, len(all_parts), n_docs, 0)
+
+    cursor = derived_cursor(out_log)
+    if cursor == latest:
+        return RunReport(0, 0, 0, 0)
+    window = source_window(src_chunks, cursor)
+    if not window:
+        return RunReport(0, 0, 0, 0)
+    if any(c.get("overwrite") for c in window):
+        raise ValueError(
+            "source window contains a partition overwrite; an append-shaped "
+            "delta would strand the untouched docs of the overwritten parts "
+            f"— run with rebuild=True (job.py --{stage} --rebuild)"
+        )
+    delta = src_log.read_incremental(
+        spark, after=cursor if cursor is not None else -1, until=latest
+    )
+    out = compute(delta)
+    _, n_docs, touched = commit_derived_chunk(
+        spark, out_log, out, schema, stage, None, {"src_snapshot": latest}, n_parts
+    )
+    return RunReport(1, len(touched), n_docs, 0)
+
+
+def run_derived_job(
+    spark: SparkSession,
+    src_root: str,
+    out_root: str,
+    schema: StructType,
+    stage: str,
+    compute,
+    rebuild: bool = False,
+    rebuild_compute=None,
+) -> tuple[RunReport, float]:
+    t0 = time.monotonic()
+    report = run_derived_stage(
+        spark,
+        CommitLog(src_root),
+        CommitLog(out_root),
+        schema,
+        stage,
+        compute,
+        rebuild=rebuild,
+        rebuild_compute=rebuild_compute,
+    )
+    return report, time.monotonic() - t0

@@ -31,10 +31,9 @@ bounded by its delta size.
 
 from __future__ import annotations
 
-import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -46,7 +45,8 @@ from pyspark.sql.types import (
 
 from ..ops.portable import tokens
 from ..ops.textstats import STOPWORDS, lang_argmax, lang_marker_counts, simpson_pairs
-from .lineage import CommitLog, RunReport, _chunk_dirname
+from .derived import run_derived_stage
+from .lineage import CommitLog, RunReport
 
 # bump whenever compute_signals' semantics change: fixture caches (e.g. the
 # signals_table oracle fixture) key on it so stale committed signals can
@@ -67,23 +67,34 @@ SIGNALS_SCHEMA = StructType(
 )
 
 
-def compute_signals(extracted: DataFrame) -> DataFrame:
-    """Per-document signal columns over extracted rows (doc_id, spans,
-    part_id, ...). Pure projection — no shuffle, no Python."""
-    from ..ops.textstats import _count_in
-
-    # SPACE-joined, not newline: trim() strips only spaces (both engines),
-    # so a trailing empty span joined with "\n" would leave a separator
-    # that split('\s+') turns into a phantom empty token
-    text = F.array_join(
+def signal_text() -> Column:
+    """The per-document text the signal/verdict stages score: the
+    space-joined text spans. SPACE-joined, not newline: trim() strips only
+    spaces (both engines), so a trailing empty span joined with "\\n" would
+    leave a separator that split('\\s+') turns into a phantom empty token."""
+    return F.array_join(
         F.transform(
             F.filter("spans", lambda s: s["kind"] == "text"), lambda s: s["text"]
         ),
         " ",
     )
+
+
+def compute_signals(
+    extracted: DataFrame, extra: dict[str, Column] | None = None
+) -> DataFrame:
+    """Per-document signal columns over extracted rows (doc_id, spans,
+    part_id, ...). Pure projection — no shuffle, no Python. ``extra``
+    columns (computed from the SOURCE row, e.g. curate's content digest)
+    ride along the same single pass and come out after ``part_id``."""
+    from ..ops.textstats import _count_in
+
+    text = signal_text()
+    extra = extra or {}
     d = extracted.select(
         "doc_id",
         "part_id",
+        *(expr.alias(name) for name, expr in extra.items()),
         F.size(F.filter("spans", lambda s: s["kind"] == "text"))
         .cast("int")
         .alias("n_text_spans"),
@@ -100,6 +111,7 @@ def compute_signals(extracted: DataFrame) -> DataFrame:
     d = d.select(
         "doc_id",
         "part_id",
+        *extra,
         "n_text_spans",
         "n_media_spans",
         "n_tokens",
@@ -130,45 +142,8 @@ def compute_signals(extracted: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("simpson_micros"),
         "part_id",
+        *extra,
     )
-
-
-def _signals_cursor(out_log: CommitLog) -> int | None:
-    """Latest SOURCE snapshot any committed signals chunk consumed."""
-    cursor = None
-    for c in out_log.committed_chunks():
-        src = (c.get("metrics") or {}).get("src_snapshot")
-        if src is not None:
-            cursor = src if cursor is None else max(cursor, src)
-    return cursor
-
-
-def _commit_signals_chunk(
-    spark: SparkSession,
-    out_log: CommitLog,
-    sig: DataFrame,
-    part_ids: list[int] | None,
-    metrics: dict,
-    n_parts: int | None,
-    overwrite: bool = False,
-) -> tuple[int, int, list[int]]:
-    """Stage one signals chunk (append-mode write into the mkdir-reserved
-    dir, exactly like lineage._write_chunk) and flip its marker."""
-    chunk_id = out_log.reserve_chunk_id()
-    data_path = os.path.join(out_log.data_dir, _chunk_dirname(chunk_id))
-    sig.write.partitionBy("part_id").mode("append").parquet(data_path)
-    written = spark.read.schema(SIGNALS_SCHEMA).parquet(data_path)
-    rollup = written.groupBy("part_id").agg(F.count("*").alias("n")).collect()
-    n_docs = int(sum(r["n"] for r in rollup))
-    touched = sorted(r["part_id"] for r in rollup)
-    out_log.commit_chunk(
-        chunk_id,
-        part_ids if part_ids is not None else touched,
-        {**metrics, "docs": n_docs, "stage": "signals"},
-        n_parts=n_parts,
-        overwrite=overwrite,
-    )
-    return chunk_id, n_docs, touched
 
 
 def run_signals(
@@ -179,57 +154,17 @@ def run_signals(
 ) -> RunReport:
     """One incremental signals pass: consume the source snapshots committed
     since the cursor, or (``rebuild=True``) recompute everything as one
-    overwrite chunk."""
-    src_chunks = src_log.committed_chunks()  # commit order
-    if not src_chunks:
-        return RunReport(0, 0, 0, 0)
-    latest = src_chunks[-1]["chunk_id"]
-    n_parts = src_log.n_parts()
-
-    if rebuild:
-        sig = compute_signals(src_log.read_extracted(spark))
-        all_parts = sorted(src_log.committed_part_ids())
-        _, n_docs, _ = _commit_signals_chunk(
-            spark,
-            out_log,
-            sig,
-            all_parts,
-            {"src_snapshot": latest, "rebuild": True},
-            n_parts,
-            overwrite=True,
-        )
-        return RunReport(1, len(all_parts), n_docs, 0)
-
-    cursor = _signals_cursor(out_log)
-    if cursor == latest:
-        return RunReport(0, 0, 0, 0)
-    # window = markers that read_incremental will include; refuse overwrites
-    lo = next((c for c in src_chunks if c["chunk_id"] == cursor), None)
-
-    def _after_cursor(c) -> bool:
-        if c.get("replaces"):
-            return False
-        if lo is not None:
-            return CommitLog._commit_order(c) > CommitLog._commit_order(lo)
-        return cursor is None or c["chunk_id"] > cursor
-
-    window = [c for c in src_chunks if _after_cursor(c)]
-    if not window:
-        return RunReport(0, 0, 0, 0)
-    if any(c.get("overwrite") for c in window):
-        raise ValueError(
-            "source window contains a partition overwrite; an append-shaped "
-            "delta would strand the untouched docs of the overwritten parts "
-            "— run with rebuild=True (job.py --signals --rebuild)"
-        )
-    delta = src_log.read_incremental(
-        spark, after=cursor if cursor is not None else -1, until=latest
+    overwrite chunk. The consumer loop itself lives in spark/derived.py —
+    signals is its simplest instance (stateless map-only compute)."""
+    return run_derived_stage(
+        spark,
+        src_log,
+        out_log,
+        SIGNALS_SCHEMA,
+        "signals",
+        compute_signals,
+        rebuild=rebuild,
     )
-    sig = compute_signals(delta)
-    _, n_docs, touched = _commit_signals_chunk(
-        spark, out_log, sig, None, {"src_snapshot": latest}, n_parts
-    )
-    return RunReport(1, len(touched), n_docs, 0)
 
 
 def read_signals(

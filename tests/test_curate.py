@@ -1,0 +1,205 @@
+"""Curation-verdict stage (spark/curate.py): gate reasons, within-batch and
+cross-run exact dedup, overwrite refusal + global-dedup rebuild, CLI."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import pdf_extractor_spark.spark.lineage as L
+from pdf_extractor_spark.ops.extraction_queries import wrap_documents
+from pdf_extractor_spark.spark.curate import (
+    MIN_TOKENS,
+    compute_verdicts,
+    read_curated,
+    run_curate,
+)
+
+KEEP_TEXT = "the and of to a " * 5  # 25 tokens, all stopwords, en markers
+
+
+def _write_docs(tmp_path, texts: dict[int, str]) -> str:
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": [texts[k] for k in texts],
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(texts[k]) for k in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def _verdicts(spark, out) -> dict[str, dict]:
+    return {r["doc_id"]: r.asDict() for r in read_curated(spark, out).collect()}
+
+
+def test_gate_reasons_and_batch_dedup(spark, tmp_path):
+    """One run over crafted docs: each gate fires for exactly the doc built
+    to trip it, first gate wins, and within-batch dedup keeps the
+    lexicographically-smallest doc_id among PASSING docs only."""
+    texts = {
+        1: KEEP_TEXT,
+        2: "the cat",  # < MIN_TOKENS
+        3: " ".join(f"zz{i}" for i in range(25)),  # no markers -> language
+        # >= MIN_TOKENS, en marker, 1/40 stopwords < 3% -> quality
+        4: "the " + " ".join(f"qq{i}" for i in range(39)),
+        5: KEEP_TEXT,  # batch duplicate of 1 and 10
+        10: KEEP_TEXT,  # "10" < "1"? no: "1" < "10" lexicographically
+        6: "the cat",  # duplicate TEXT of 2, but both gate-rejected: no
+        #   dedup among rejects — each keeps its own too_short reason
+    }
+    assert len(KEEP_TEXT.split()) >= MIN_TOKENS
+    sf_dir = _write_docs(tmp_path, texts)
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+    L.run_extraction(spark, wrap_documents(spark, sf_dir), src, n_parts=4,
+                     parts_per_chunk=4)
+    rep = run_curate(spark, src, out)
+    assert rep.chunks_committed == 1 and rep.docs_processed == 7
+    got = _verdicts(spark, out)
+
+    assert (got["2"]["verdict"], got["2"]["reason"]) == ("reject", "too_short")
+    assert (got["6"]["verdict"], got["6"]["reason"]) == ("reject", "too_short")
+    assert got["2"]["dup_of"] is None and got["6"]["dup_of"] is None
+    assert (got["3"]["verdict"], got["3"]["reason"]) == ("reject", "language")
+    assert (got["4"]["verdict"], got["4"]["reason"]) == ("reject", "quality")
+
+    # digest group {1, 5, 10}: "1" < "10" < "5" lexicographically
+    assert (got["1"]["verdict"], got["1"]["reason"]) == ("keep", None)
+    for loser in ("5", "10"):
+        assert (got[loser]["verdict"], got[loser]["reason"]) == (
+            "reject", "duplicate",
+        )
+        assert got[loser]["dup_of"] == "1"
+    assert got["1"]["digest"] == got["5"]["digest"] == got["10"]["digest"]
+    assert got["1"]["n_tokens"] == 25 and got["1"]["pred_lang"] == "en"
+
+
+def test_cross_run_dedup_is_exactly_once(spark, tmp_path):
+    """Crash-split waves: run 2 consumes only the delta, and a digest kept
+    by run 1 beats every run-2 contender — exactly one keep per digest
+    across the whole table, losers pointing at the actual keeper."""
+    # 12 clones of one text scattered across parts + unique fillers
+    texts = {i: KEEP_TEXT for i in range(12)}
+    texts.update({100 + i: f"unique{i} " + KEEP_TEXT for i in range(20)})
+    sf_dir = _write_docs(tmp_path, texts)
+    docs = wrap_documents(spark, sf_dir)
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        L.run_extraction(spark, docs, src, n_parts=8, parts_per_chunk=4,
+                         fail_after_chunks=1)
+    r1 = run_curate(spark, src, out)
+    assert 0 < r1.docs_processed < 32
+    wave1 = set(_verdicts(spark, out))
+
+    L.run_extraction(spark, docs, src, n_parts=8, parts_per_chunk=4)
+    r2 = run_curate(spark, src, out)
+    assert r1.docs_processed + r2.docs_processed == 32  # delta only
+    got = _verdicts(spark, out)
+    assert len(got) == 32
+
+    by_digest: dict[str, list[dict]] = {}
+    for row in got.values():
+        by_digest.setdefault(row["digest"], []).append(row)
+    clone_rows = [got[str(i)] for i in range(12)]
+    assert len({r["digest"] for r in clone_rows}) == 1
+    for rows in by_digest.values():
+        keepers = [r for r in rows if r["verdict"] == "keep"]
+        assert len(keepers) == 1  # exactly-once across runs
+        for r in rows:
+            if r["reason"] == "duplicate":
+                assert r["dup_of"] == keepers[0]["doc_id"]
+    # the clone keeper was decided by the FIRST run that saw the digest
+    clone_keeper = next(r for r in clone_rows if r["verdict"] == "keep")
+    wave1_clones = {r["doc_id"] for r in clone_rows if r["doc_id"] in wave1}
+    if wave1_clones:
+        assert clone_keeper["doc_id"] == min(wave1_clones)
+
+    r3 = run_curate(spark, src, out)  # cursor == latest
+    assert r3.chunks_committed == 0 and r3.docs_processed == 0
+
+
+def test_overwrite_refused_then_rebuild_redecides_globally(spark, tmp_path):
+    """A source partition overwrite poisons the delta (refused); rebuild
+    recomputes ONE overwrite chunk with dedup re-decided globally — the
+    keeper is the global lexicographic minimum, not run-1's incumbent."""
+    texts = {i: KEEP_TEXT for i in range(8)}
+    sf_dir = _write_docs(tmp_path, texts)
+    docs = wrap_documents(spark, sf_dir)
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+    L.run_extraction(spark, docs, src, n_parts=4, parts_per_chunk=4)
+    run_curate(spark, src, out)
+    assert read_curated(spark, out).count() == 8
+
+    L.reextract_parts(spark, docs, src, parts=[0, 1])
+    with pytest.raises(ValueError, match="rebuild"):
+        run_curate(spark, src, out)
+
+    rep = run_curate(spark, src, out, rebuild=True)
+    assert rep.chunks_committed == 1 and rep.docs_processed == 8
+    got = _verdicts(spark, out)
+    assert len(got) == 8  # overwrite chunk shadows all prior verdicts
+    keepers = [d for d, r in got.items() if r["verdict"] == "keep"]
+    assert keepers == [min(got)]  # global lexicographic min
+    assert all(
+        r["dup_of"] == keepers[0]
+        for d, r in got.items()
+        if d != keepers[0]
+    )
+    assert run_curate(spark, src, out).docs_processed == 0
+
+
+def test_compute_verdicts_index_beats_batch(spark, tmp_path):
+    """Unit shape: a kept-digest index entry outranks even the batch's
+    smallest doc_id — every batch contender becomes a duplicate of the
+    index keeper."""
+    sf_dir = _write_docs(tmp_path, {7: KEEP_TEXT, 8: KEEP_TEXT})
+    src = L.CommitLog(str(tmp_path / "src"))
+    L.run_extraction(spark, wrap_documents(spark, sf_dir), src, n_parts=2,
+                     parts_per_chunk=2)
+    batch = src.read_extracted(spark)
+    digest = compute_verdicts(batch, None).select("digest").first()["digest"]
+    idx = spark.createDataFrame(
+        [(digest, "0")], "digest string, _idx_dup_of string"
+    )
+    rows = {r["doc_id"]: r.asDict()
+            for r in compute_verdicts(batch, idx).collect()}
+    assert all(r["verdict"] == "reject" for r in rows.values())
+    assert all(r["reason"] == "duplicate" for r in rows.values())
+    assert all(r["dup_of"] == "0" for r in rows.values())
+
+
+def test_curate_job_and_cli_guards(spark, tmp_path):
+    """run_curate_job (the --curate body) end-to-end against a committed
+    root, plus the argparse guards for the new flag (all of which fire
+    BEFORE JVM startup — main() owns and stops its own session, so the
+    in-process test must not reach get_spark)."""
+    from pdf_extractor_spark.job import main
+    from pdf_extractor_spark.spark.curate import run_curate_job
+
+    texts = {1: KEEP_TEXT, 2: KEEP_TEXT, 3: "the cat"}
+    sf_dir = _write_docs(tmp_path, texts)
+    src_root = str(tmp_path / "src")
+    out_root = str(tmp_path / "out")
+    L.run_extraction(spark, wrap_documents(spark, sf_dir),
+                     L.CommitLog(src_root), n_parts=4, parts_per_chunk=4)
+    report, dt = run_curate_job(spark, src_root, out_root)
+    assert report.chunks_committed == 1 and report.docs_processed == 3
+    got = _verdicts(spark, L.CommitLog(out_root))
+    assert len(got) == 3
+    assert got["1"]["verdict"] == "keep"
+    assert (got["2"]["reason"], got["3"]["reason"]) == ("duplicate", "too_short")
+
+    with pytest.raises(SystemExit):
+        main(["--curate", "--signals", "--input", src_root, "--output", out_root])
+    with pytest.raises(SystemExit):
+        main(["--curate", "--input", "synthetic:10", "--output", out_root])
+    with pytest.raises(SystemExit):
+        main(["--curate", "--compact", "--input", src_root, "--output", out_root])
+    with pytest.raises(SystemExit):
+        main(["--rebuild", "--input", src_root, "--output", out_root])
