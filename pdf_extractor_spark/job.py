@@ -84,6 +84,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --watch: route scanned docs (text-free pages "
                         "with images) into a crash-safe ocr_queue/ side "
                         "output for a downstream OCR stage")
+    p.add_argument("--kept-from", type=str, default=None, metavar="DIR",
+                   help="with --export-zip: export only documents whose "
+                        "curation verdict at this --curate table root is "
+                        "'keep' (left-semi join; rejected/duplicate docs "
+                        "stay committed in the table, they just don't ship)")
     p.add_argument("--with-ocr-text", type=str, default=None, metavar="DIR",
                    help="with --export-zip: fold this stage-2 ocr_text "
                         "table's recovered text into the spans before "
@@ -114,6 +119,20 @@ def main(argv: list[str] | None = None) -> int:
                         "as one overwrite chunk (required after a source "
                         "partition overwrite; under --curate dedup is "
                         "re-decided globally)")
+    p.add_argument("--min-tokens", type=int, default=None,
+                   help="with --curate: too_short gate threshold "
+                        "(default 20)")
+    p.add_argument("--min-stopword-micros", type=int, default=None,
+                   help="with --curate: quality gate — reject docs whose "
+                        "stopword ratio (micros) is below this (default "
+                        "30000; 0 disables). English-centric: tune or "
+                        "disable for other corpora")
+    p.add_argument("--accept-langs", type=str, default=None,
+                   help="with --curate: comma-separated predicted "
+                        "languages to keep, or 'any' to disable the "
+                        "language gate (default: reject only 'unknown'). "
+                        "Gate config is recorded per commit; changing it "
+                        "on a non-empty table requires --rebuild")
     p.add_argument("--ocr-stage", action="store_true",
                    help="run the stage-2 OCR consumer instead of extraction: "
                         "--input is a stage-1 table root (its ocr_queue/ is "
@@ -161,6 +180,12 @@ def main(argv: list[str] | None = None) -> int:
                 "apply to stage-1 runs against the stage-1 --output")
     if args.rebuild and not (args.signals or args.curate):
         p.error("--rebuild only applies to --signals/--curate")
+    if not args.curate and any(
+        v is not None
+        for v in (args.min_tokens, args.min_stopword_micros, args.accept_langs)
+    ):
+        p.error("--min-tokens/--min-stopword-micros/--accept-langs only "
+                "apply to --curate")
     if args.signals and args.curate:
         p.error("--signals and --curate are separate passes; run them "
                 "against separate --output roots")
@@ -198,6 +223,8 @@ def main(argv: list[str] | None = None) -> int:
                 "--ocr-stage")
     if args.with_ocr_text and not args.export_zip:
         p.error("--with-ocr-text only applies to --export-zip")
+    if args.kept_from and not args.export_zip:
+        p.error("--kept-from only applies to --export-zip")
     if args.shards is not None:
         if not args.export_zip:
             p.error("--shards only applies to --export-zip")
@@ -279,10 +306,35 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 verb = "SIGNALS_DONE"
             else:
-                from pdf_extractor_spark.spark.curate import run_curate_job
+                from pdf_extractor_spark.spark.curate import (
+                    GateConfig,
+                    run_curate_job,
+                )
 
+                defaults = GateConfig()
+                if args.accept_langs is None:
+                    langs = None
+                elif args.accept_langs.strip().lower() == "any":
+                    langs = GateConfig.any_language()
+                else:
+                    langs = tuple(
+                        s.strip() for s in args.accept_langs.split(",") if s.strip()
+                    )
+                gates = GateConfig(
+                    min_tokens=(
+                        defaults.min_tokens if args.min_tokens is None
+                        else args.min_tokens
+                    ),
+                    min_stopword_micros=(
+                        defaults.min_stopword_micros
+                        if args.min_stopword_micros is None
+                        else args.min_stopword_micros
+                    ),
+                    accept_langs=langs,
+                )
                 report, dt = run_curate_job(
-                    spark, args.input, args.output, rebuild=args.rebuild
+                    spark, args.input, args.output, rebuild=args.rebuild,
+                    gates=gates,
                 )
                 verb = "CURATE_DONE"
             print(
@@ -434,6 +486,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_exported = export_markdown_zip_sharded(
                     spark, args.output, args.export_zip, args.shards,
                     ocr_text_dir=args.with_ocr_text,
+                    kept_from=args.kept_from,
                 )
                 print(
                     f"EXPORT_DONE zip={args.export_zip} "
@@ -445,6 +498,7 @@ def main(argv: list[str] | None = None) -> int:
                 n_exported = export_markdown_zip(
                     spark, args.output, args.export_zip,
                     ocr_text_dir=args.with_ocr_text,
+                    kept_from=args.kept_from,
                 )
                 print(f"EXPORT_DONE zip={args.export_zip} docs={n_exported}")
         dt = time.monotonic() - t0

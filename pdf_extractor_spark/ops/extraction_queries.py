@@ -803,9 +803,197 @@ ORDER BY c.doc_id
 """
 
 
+# --- curation-verdict table ---------------------------------------------
+
+# clone-slice offset: divisible by 3 and 17, so a clone keeps the original's
+# wrap structure (html-vs-text choice, bogus-span injection) and therefore
+# its normalized extracted text — guaranteed duplicate groups for the dedup
+# verdicts. % 5 == 0 -> one clone per five base docs.
+_CURATE_CLONE_OFFSET = 510_000
+
+
+def _curate_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    clones = base.where(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + _CURATE_CLONE_OFFSET
+    )
+    return base.unionByName(clones)
+
+
+def _curate_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Committed extraction of the wrapped corpus + its +510000 clone
+    slice, then ONE curate pass. Same idempotence/keying contract as
+    _signals_fixture; the cross-RUN index path is pytest-covered
+    (tests/test_curate.py), the oracle value-hashes gates + global dedup."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..spark.curate import CURATE_COMPUTE_VERSION, run_curate
+    from ..spark.lineage import CommitLog, run_extraction
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{st.st_mtime_ns}:{st.st_size}"
+        f":curate-v{CURATE_COMPUTE_VERSION}".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), f"pes-curate-{key}")
+    docs_dir = os.path.join(base, "docs")
+    if not os.path.exists(os.path.join(docs_dir, "documents.parquet")):
+        _curate_corpus_df(spark, sf_dir).write.mode("overwrite").parquet(
+            os.path.join(docs_dir, "documents.parquet")
+        )
+    src_root = os.path.join(base, "src")
+    out_root = os.path.join(base, "out")
+    run_extraction(
+        spark,
+        wrap_documents(spark, docs_dir),
+        CommitLog(src_root),
+        n_parts=16,
+        parts_per_chunk=8,
+        num_partitions=8,
+    )
+    run_curate(spark, CommitLog(src_root), CommitLog(out_root))
+    return out_root
+
+
+def q_curated_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation-verdict STAGE, value-hash gated end-to-end: extraction
+    (real kernel, duplicate groups injected via the clone slice) -> commit
+    log -> curate pass (spark/curate.py: normalized-content digest, gate
+    verdicts, digest-window dedup) -> committed snapshot read. The oracle
+    predicts every verdict in closed form from the flat documents table —
+    a wrong gate order, an unstable dedup winner, or a digest that leaks
+    span-boundary whitespace all flip the value hash."""
+    from ..spark.curate import read_curated
+    from ..spark.lineage import CommitLog
+
+    out_root = _curate_fixture(spark, sf_dir)
+    df = read_curated(spark, CommitLog(out_root))
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "digest",
+        "n_tokens",
+        "pred_lang",
+        "verdict",
+        "reason",
+        F.col("dup_of").cast("bigint").alias("dup_of"),
+    ).orderBy("doc_id")
+
+
+def _curate_cte() -> str:
+    """The WITH chain predicting every curation verdict from the flat
+    documents table — shared by the curated_table and kept_corpus oracles
+    (final SELECTs differ)."""
+    from ..spark.curate import MIN_STOPWORD_MICROS, MIN_TOKENS
+    from .textstats import (
+        _PRIORITY,
+        LANG_MARKERS,
+        STOPWORDS,
+        _count_in_sql,
+    )
+
+    counts = ",\n         ".join(
+        f"{_count_in_sql('t', LANG_MARKERS[lg])} AS c_{lg}" for lg in _PRIORITY
+    )
+    best = "greatest(" + ", ".join(f"c_{lg}" for lg in _PRIORITY) + ")"
+    whens = "\n           ".join(
+        f"WHEN c_{lg} = {best} THEN '{lg}'" for lg in _PRIORITY
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CURATE_CLONE_OFFSET}, text FROM documents
+  WHERE doc_id % 5 = 0),
+t AS (
+  SELECT doc_id, {tokens_sql("text")} AS t,
+         md5(array_to_string({tokens_sql("text")}, ' ')) AS digest
+  FROM base),
+c AS (
+  SELECT doc_id, digest, CAST(len(t) AS BIGINT) AS n_tokens,
+         {_count_in_sql('t', STOPWORDS)} AS n_stop,
+         {counts}
+  FROM t),
+gated AS (
+  SELECT doc_id, digest, n_tokens,
+         CASE WHEN n_tokens <= 0 OR {best} <= 0 THEN 'unknown'
+             {whens}
+         END AS pred_lang,
+         CASE WHEN n_tokens > 0
+              THEN (n_stop * 1000000) // n_tokens ELSE 0 END AS sw
+  FROM c),
+reasons AS (
+  SELECT *, CASE WHEN n_tokens < {MIN_TOKENS} THEN 'too_short'
+                 WHEN pred_lang = 'unknown' THEN 'language'
+                 WHEN sw < {MIN_STOPWORD_MICROS} THEN 'quality'
+            END AS gate
+  FROM gated),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY digest, (gate IS NULL)
+                            ORDER BY CAST(doc_id AS VARCHAR)) AS rn,
+         min(CAST(doc_id AS VARCHAR)) OVER (
+             PARTITION BY digest, (gate IS NULL)) AS winner
+  FROM reasons)"""
+
+
+def _curated_oracle_sql() -> str:
+    return (
+        _curate_cte()
+        + """
+SELECT doc_id, digest, n_tokens, pred_lang,
+       CASE WHEN gate IS NULL AND rn = 1 THEN 'keep' ELSE 'reject' END
+         AS verdict,
+       coalesce(gate, CASE WHEN rn > 1 THEN 'duplicate' END) AS reason,
+       CASE WHEN gate IS NULL AND rn > 1
+            THEN CAST(winner AS BIGINT) END AS dup_of
+FROM ranked ORDER BY doc_id
+"""
+    )
+
+
+def q_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the pipeline: extraction ⋉ keep-verdicts (read_kept, the
+    publish-as-view path --export-zip --kept-from ships) — exactly the
+    gate-passing dedup winners, each with its extracted text intact. A
+    verdict row that leaks a loser, drops a keeper, or a semi-join that
+    duplicates rows all flip the hash."""
+    import os
+
+    from ..spark.curate import read_kept
+    from ..spark.lineage import CommitLog
+
+    out_root = _curate_fixture(spark, sf_dir)
+    src_root = os.path.join(os.path.dirname(out_root), "src")
+    df = read_kept(spark, CommitLog(src_root), CommitLog(out_root))
+    first_text = F.element_at(
+        F.filter("spans", lambda s: s["kind"] == "text"), 1
+    )["text"]
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        first_text.alias("extracted_text"),
+    ).orderBy("doc_id")
+
+
+def _kept_corpus_oracle_sql() -> str:
+    return (
+        _curate_cte()
+        + """
+SELECT r.doc_id, b.text AS extracted_text
+FROM ranked r JOIN base b ON r.doc_id = b.doc_id
+WHERE r.gate IS NULL AND r.rn = 1
+ORDER BY r.doc_id
+"""
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "ocr_roundtrip": (q_ocr_roundtrip, _ocr_roundtrip_oracle_sql),
     "signals_table": (q_signals_table, _signals_oracle_sql),
+    "curated_table": (q_curated_table, _curated_oracle_sql),
+    "kept_corpus": (q_kept_corpus, _kept_corpus_oracle_sql),
     "pack_interleaved": (q_pack_interleaved, PACK_INTERLEAVED_SQL),
     "extract_clean": (q_extract_clean, EXTRACT_CLEAN_SQL),
     "snapshot_read": (q_snapshot_read, _snapshot_read_oracle_sql),

@@ -42,6 +42,7 @@ the join key is the same digest the window just shuffled on.
 from __future__ import annotations
 
 import time
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -63,6 +64,40 @@ CURATE_COMPUTE_VERSION = 1
 
 MIN_TOKENS = 20
 MIN_STOPWORD_MICROS = 30_000
+
+
+@dataclass(frozen=True)
+class GateConfig:
+    """Corpus-dependent gate thresholds. The marker-language heuristic and
+    stopword list are English-centric (ops/textstats.py), so a corpus of
+    code, tables, or another language family needs different settings —
+    but verdicts must stay CONSISTENT across incremental runs, so the
+    config is recorded in every committed chunk's marker and a run whose
+    config differs from the table's refuses (rerun with rebuild=True to
+    re-verdict everything under the new gates).
+
+    ``accept_langs=None`` rejects only ``unknown``; a tuple rejects
+    anything not in it (include ``"unknown"`` in the tuple to accept
+    marker-less documents — the CLI's ``--accept-langs any``)."""
+
+    min_tokens: int = MIN_TOKENS
+    min_stopword_micros: int = MIN_STOPWORD_MICROS
+    accept_langs: tuple[str, ...] | None = None
+
+    def as_metrics(self) -> dict:
+        return {
+            "min_tokens": self.min_tokens,
+            "min_stopword_micros": self.min_stopword_micros,
+            "accept_langs": (
+                None if self.accept_langs is None else sorted(self.accept_langs)
+            ),
+        }
+
+    @staticmethod
+    def any_language() -> tuple[str, ...]:
+        from ..ops.textstats import _PRIORITY
+
+        return (*_PRIORITY, "unknown")
 
 CURATED_SCHEMA = StructType(
     [
@@ -87,14 +122,24 @@ def kept_digest_index(spark: SparkSession, out_log: CommitLog) -> DataFrame:
     return kept.select("digest", F.col("doc_id").alias("_idx_dup_of"))
 
 
-def compute_verdicts(extracted: DataFrame, kept_index: DataFrame | None) -> DataFrame:
+def compute_verdicts(
+    extracted: DataFrame,
+    kept_index: DataFrame | None,
+    gates: GateConfig | None = None,
+) -> DataFrame:
     """Verdict rows for one batch of extracted docs, deduped against
     ``kept_index`` (None = empty, the rebuild path)."""
     from ..ops.portable import tokens
 
+    g = gates or GateConfig()
     normalized = F.array_join(tokens(signal_text()), " ")
     sig = compute_signals(
         extracted, extra={"digest": F.md5(F.encode(normalized, "UTF-8"))}
+    )
+    lang_bad = (
+        F.col("pred_lang") == "unknown"
+        if g.accept_langs is None
+        else ~F.col("pred_lang").isin(list(g.accept_langs))
     )
     gated = sig.select(
         "doc_id",
@@ -102,9 +147,11 @@ def compute_verdicts(extracted: DataFrame, kept_index: DataFrame | None) -> Data
         "n_tokens",
         "pred_lang",
         "part_id",
-        F.when(F.col("n_tokens") < MIN_TOKENS, F.lit("too_short"))
-        .when(F.col("pred_lang") == "unknown", F.lit("language"))
-        .when(F.col("stopword_micros") < MIN_STOPWORD_MICROS, F.lit("quality"))
+        F.when(F.col("n_tokens") < g.min_tokens, F.lit("too_short"))
+        .when(lang_bad, F.lit("language"))
+        .when(
+            F.col("stopword_micros") < g.min_stopword_micros, F.lit("quality")
+        )
         .alias("_gate"),
     )
     # one window pass ranks EVERY row, but partitioning includes the gate
@@ -145,19 +192,40 @@ def compute_verdicts(extracted: DataFrame, kept_index: DataFrame | None) -> Data
     )
 
 
+def table_gates(out_log: CommitLog) -> dict | None:
+    """Gate config the table's verdicts were decided under (latest
+    committed chunk's record — rebuilds may legitimately change it)."""
+    gates = None
+    for c in out_log.committed_chunks():
+        m = (c.get("metrics") or {}).get("gates")
+        if m is not None:
+            gates = m
+    return gates
+
+
 def run_curate(
     spark: SparkSession,
     src_log: CommitLog,
     out_log: CommitLog,
     rebuild: bool = False,
+    gates: GateConfig | None = None,
 ) -> RunReport:
     """One incremental curation pass (or a global-dedup rebuild)."""
+    g = gates or GateConfig()
+    prior = table_gates(out_log)
+    if prior is not None and prior != g.as_metrics() and not rebuild:
+        raise ValueError(
+            f"gate config changed (table: {prior}, run: {g.as_metrics()}); "
+            "mixing verdicts decided under different gates would make the "
+            "kept set config-order-dependent — run with rebuild=True "
+            "(job.py --curate --rebuild) to re-verdict everything"
+        )
 
     def _incremental(delta: DataFrame) -> DataFrame:
-        return compute_verdicts(delta, kept_digest_index(spark, out_log))
+        return compute_verdicts(delta, kept_digest_index(spark, out_log), g)
 
     def _rebuild(full: DataFrame) -> DataFrame:
-        return compute_verdicts(full, None)
+        return compute_verdicts(full, None, g)
 
     return run_derived_stage(
         spark,
@@ -168,6 +236,7 @@ def run_curate(
         _incremental,
         rebuild=rebuild,
         rebuild_compute=_rebuild,
+        extra_metrics={"gates": g.as_metrics()},
     )
 
 
@@ -177,11 +246,42 @@ def read_curated(
     return out_log.read_table(spark, CURATED_SCHEMA, as_of=as_of)
 
 
+def read_kept(
+    spark: SparkSession,
+    src_log: CommitLog,
+    curate_log: CommitLog,
+    as_of: int | None = None,
+    curate_as_of: int | None = None,
+) -> DataFrame:
+    """The training-ready corpus VIEW: extraction rows whose curation
+    verdict is ``keep``. Publish-as-view, not rewrite — at 100 TB the kept
+    corpus is most of the table and rewriting its bytes to drop the losers
+    costs a full write pass; a LEFT SEMI join against the doc_id-narrow
+    keep set costs one shuffled column (or a broadcast, AQE's call) and
+    time-travels on BOTH tables independently."""
+    kept = (
+        read_curated(spark, curate_log, as_of=curate_as_of)
+        .where(F.col("verdict") == "keep")
+        .select("doc_id")
+    )
+    return src_log.read_extracted(spark, as_of=as_of).join(
+        kept, "doc_id", "left_semi"
+    )
+
+
 def run_curate_job(
-    spark: SparkSession, src_root: str, out_root: str, rebuild: bool = False
+    spark: SparkSession,
+    src_root: str,
+    out_root: str,
+    rebuild: bool = False,
+    gates: GateConfig | None = None,
 ) -> tuple[RunReport, float]:
     t0 = time.monotonic()
     report = run_curate(
-        spark, CommitLog(src_root), CommitLog(out_root), rebuild=rebuild
+        spark,
+        CommitLog(src_root),
+        CommitLog(out_root),
+        rebuild=rebuild,
+        gates=gates,
     )
     return report, time.monotonic() - t0

@@ -111,6 +111,7 @@ def run_derived_stage(
     compute: Callable[[DataFrame], DataFrame],
     rebuild: bool = False,
     rebuild_compute: Callable[[DataFrame], DataFrame] | None = None,
+    extra_metrics: dict | None = None,
 ) -> RunReport:
     """One incremental pass of a derived stage: consume the source
     snapshots committed since the cursor, or (``rebuild=True``) recompute
@@ -137,7 +138,7 @@ def run_derived_stage(
             schema,
             stage,
             all_parts,
-            {"src_snapshot": latest, "rebuild": True},
+            {**(extra_metrics or {}), "src_snapshot": latest, "rebuild": True},
             n_parts,
             overwrite=True,
         )
@@ -160,7 +161,14 @@ def run_derived_stage(
     )
     out = compute(delta)
     _, n_docs, touched = commit_derived_chunk(
-        spark, out_log, out, schema, stage, None, {"src_snapshot": latest}, n_parts
+        spark,
+        out_log,
+        out,
+        schema,
+        stage,
+        None,
+        {**(extra_metrics or {}), "src_snapshot": latest},
+        n_parts,
     )
     return RunReport(1, len(touched), n_docs, 0)
 

@@ -76,12 +76,29 @@ def markdown_expr(spans: Column | str) -> Column:
     )
 
 
+def _kept_filter(spark: SparkSession, df: DataFrame, kept_from: str) -> DataFrame:
+    """Restrict an extraction read to documents the curation stage KEPT:
+    left-semi join against the doc_id-narrow keep set of the verdict table
+    at ``kept_from``. Applied BEFORE any OCR merge — recovering text for a
+    doc the export is about to drop is wasted work."""
+    from .curate import read_curated
+    from .lineage import CommitLog
+
+    kept = (
+        read_curated(spark, CommitLog(kept_from))
+        .where(F.col("verdict") == "keep")
+        .select("doc_id")
+    )
+    return df.join(kept, "doc_id", "left_semi")
+
+
 def export_markdown_zip(
     spark: SparkSession,
     root: str,
     zip_path: str,
     as_of: int | None = None,
     ocr_text_dir: str | None = None,
+    kept_from: str | None = None,
 ) -> int:
     """Export every committed document as ``<doc_id>.md`` inside one zip.
 
@@ -96,6 +113,8 @@ def export_markdown_zip(
     """
     log = CommitLog(root)
     df: DataFrame = log.read_extracted(spark, as_of=as_of)
+    if kept_from is not None:
+        df = _kept_filter(spark, df, kept_from)
     if ocr_text_dir is not None:
         from ..streaming.ocr_stage import OCR_TEXT_SCHEMA, merge_ocr_text
 
@@ -154,6 +173,7 @@ def export_markdown_zip_sharded(
     n_shards: int,
     as_of: int | None = None,
     ocr_text_dir: str | None = None,
+    kept_from: str | None = None,
 ) -> int:
     """Sharded variant of :func:`export_markdown_zip`: exactly ``n_shards``
     zip archives under ``out_dir`` (``shard-00000.zip`` ...), written by
@@ -190,6 +210,8 @@ def export_markdown_zip_sharded(
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     log = CommitLog(root)
     df: DataFrame = log.read_extracted(spark, as_of=as_of)
+    if kept_from is not None:
+        df = _kept_filter(spark, df, kept_from)
     if ocr_text_dir is not None:
         from ..streaming.ocr_stage import OCR_TEXT_SCHEMA, merge_ocr_text
 

@@ -174,6 +174,97 @@ def test_compute_verdicts_index_beats_batch(spark, tmp_path):
     assert all(r["dup_of"] == "0" for r in rows.values())
 
 
+def test_gate_config_recorded_and_pinned(spark, tmp_path):
+    """Custom gates change verdicts; the config is recorded in the marker;
+    an incremental run under a DIFFERENT config refuses (verdict
+    consistency) and --rebuild re-verdicts everything under the new one."""
+    from pdf_extractor_spark.spark.curate import (
+        GateConfig,
+        run_curate,
+        table_gates,
+    )
+
+    # markerless (pred_lang unknown) but long: rejected by defaults,
+    # kept once the language gate is open and the quality gate is off
+    texts = {i: " ".join(f"w{i}x{j}" for j in range(30)) for i in range(6)}
+    sf_dir = _write_docs(tmp_path, texts)
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+    docs = wrap_documents(spark, sf_dir)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        L.run_extraction(spark, docs, src, n_parts=4, parts_per_chunk=2,
+                         fail_after_chunks=1)
+    open_gates = GateConfig(
+        min_stopword_micros=0, accept_langs=GateConfig.any_language()
+    )
+    run_curate(spark, src, out, gates=open_gates)
+    got = _verdicts(spark, out)
+    assert got and all(r["verdict"] == "keep" for r in got.values())
+    assert table_gates(out) == open_gates.as_metrics()
+
+    # same config: incremental continues; different config: refuses
+    L.run_extraction(spark, docs, src, n_parts=4, parts_per_chunk=2)
+    with pytest.raises(ValueError, match="gate config changed"):
+        run_curate(spark, src, out)  # defaults != open_gates
+    run_curate(spark, src, out, gates=open_gates)
+    assert len(_verdicts(spark, out)) == 6
+
+    # rebuild under the DEFAULT gates re-verdicts: all language-rejected
+    run_curate(spark, src, out, rebuild=True)
+    got = _verdicts(spark, out)
+    assert len(got) == 6
+    assert all(r["reason"] == "language" for r in got.values())
+    assert table_gates(out) == GateConfig().as_metrics()
+
+
+def test_read_kept_and_kept_export(spark, tmp_path):
+    """read_kept returns exactly the keepers' extraction rows, and both
+    export writers honor kept_from (rejected/duplicate docs stay committed
+    but don't ship)."""
+    import os
+    import zipfile
+
+    from pdf_extractor_spark.spark.curate import read_kept, run_curate
+    from pdf_extractor_spark.spark.export import (
+        export_markdown_zip,
+        export_markdown_zip_sharded,
+        shard_zip_name,
+    )
+
+    texts = {1: KEEP_TEXT, 2: KEEP_TEXT, 3: "the cat",
+             4: "keep2 " + KEEP_TEXT}
+    sf_dir = _write_docs(tmp_path, texts)
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+    L.run_extraction(spark, wrap_documents(spark, sf_dir), src, n_parts=4,
+                     parts_per_chunk=4)
+    run_curate(spark, src, out)
+
+    kept = read_kept(spark, src, out)
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == [
+        "1", "4",
+    ]
+    # extraction rows come through intact (spans, not just ids)
+    assert all(len(r["spans"]) >= 2 for r in kept.collect())
+
+    zp = str(tmp_path / "kept.zip")
+    n = export_markdown_zip(spark, str(tmp_path / "src"), zp,
+                            kept_from=str(tmp_path / "out"))
+    assert n == 2
+    with zipfile.ZipFile(zp) as z:
+        assert sorted(z.namelist()) == ["1.md", "4.md"]
+
+    shard_dir = str(tmp_path / "kept-shards")
+    n = export_markdown_zip_sharded(spark, str(tmp_path / "src"), shard_dir,
+                                    2, kept_from=str(tmp_path / "out"))
+    assert n == 2
+    names = []
+    for k in range(2):
+        with zipfile.ZipFile(os.path.join(shard_dir, shard_zip_name(k))) as z:
+            names += z.namelist()
+    assert sorted(names) == ["1.md", "4.md"]
+
+
 def test_curate_job_and_cli_guards(spark, tmp_path):
     """run_curate_job (the --curate body) end-to-end against a committed
     root, plus the argparse guards for the new flag (all of which fire
@@ -203,3 +294,6 @@ def test_curate_job_and_cli_guards(spark, tmp_path):
         main(["--curate", "--compact", "--input", src_root, "--output", out_root])
     with pytest.raises(SystemExit):
         main(["--rebuild", "--input", src_root, "--output", out_root])
+    with pytest.raises(SystemExit):  # --kept-from needs --export-zip
+        main(["--kept-from", out_root, "--input", src_root,
+              "--output", src_root])

@@ -166,7 +166,74 @@ def _snapshot_scan_df(spark, sf_dir: str):
     return log.read_extracted(spark)
 
 
+def _curate_verdicts_df(spark, sf_dir: str):
+    """The curate stage's WRITE-side compute plan (compute_verdicts over a
+    committed extraction delta + the kept-digest index), as run_curate
+    builds it."""
+    import os
+
+    from pdf_extractor_spark.ops.extraction_queries import _curate_fixture
+    from pdf_extractor_spark.spark.curate import (
+        compute_verdicts,
+        kept_digest_index,
+    )
+    from pdf_extractor_spark.spark.lineage import CommitLog
+
+    out_root = _curate_fixture(spark, sf_dir)
+    src = CommitLog(os.path.join(os.path.dirname(out_root), "src"))
+    return compute_verdicts(
+        src.read_extracted(spark), kept_digest_index(spark, CommitLog(out_root))
+    )
+
+
 AUDITS: list[tuple] = [
+    (
+        "curate_verdicts",
+        _curate_verdicts_df,
+        [
+            # gates + digest ride the delta scan (zero Python end-to-end);
+            # dedup is ONE window exchange keyed (digest, gate-pass); the
+            # kept-digest index joins BROADCAST at this size (AQE re-sizes
+            # as the index grows) — two scans total, never a sort-merge
+            lambda p: n_scans_at_most(p, 2),
+            lambda p: occurs_at_most(p, "hashpartitioning", 1),
+            lambda p: contains(p, "Window", 1),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: absent(p, "MapInPandas"),
+            lambda p: absent(p, "MapInArrow"),
+        ],
+        False,
+    ),
+    (
+        "curated_table",
+        _query_df,
+        [
+            # the committed verdict table reads like any snapshot: ONE
+            # partition-filtered parquet scan, the verdict expressions
+            # were spent at WRITE time — no join, no window, no Python
+            lambda p: n_scans_at_most(p, 1),
+            lambda p: partition_filtered(p, "chunk"),
+            lambda p: absent(p, "Join"),
+            lambda p: absent(p, "Window"),
+            lambda p: absent(p, "MapInPandas"),
+        ],
+        False,
+    ),
+    (
+        "kept_corpus",
+        _query_df,
+        [
+            # publish-as-view: extraction ⋉ keep-set as a SEMI join on the
+            # doc_id-narrow verdict projection — two scans total, the keep
+            # side never carries spans, and no full-width shuffle of the
+            # extraction table (broadcast at this size; AQE re-sizes)
+            lambda p: n_scans_at_most(p, 2),
+            lambda p: contains(p, "LeftSemi"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: absent(p, "MapInPandas"),
+        ],
+        False,
+    ),
     (
         "snapshot_scan_shape",
         _snapshot_scan_df,
