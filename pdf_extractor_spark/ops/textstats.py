@@ -1333,7 +1333,88 @@ GROUP BY t.doc_id ORDER BY t.doc_id
 BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
+# --- model-based quality classifier ------------------------------------------
+
+# hashed feature space (fastText-style bag of hashed words). 2^12 buckets is
+# the toy-scale stand-in for fastText's 2^21; the bucket count only changes
+# collision rate, never the plan shape.
+CLS_BUCKETS = 4096
+# frozen "model": weight_micros(b) = ((b*A + C) mod (2W+1)) - W, a full-period
+# LCG draw in [-1e6, +1e6] micros. b < 2^12 and A < 2^16 keep every
+# intermediate < 2^28 (DuckDB errors on BIGINT overflow; ANSI Spark too).
+CLS_A = 48271
+CLS_C = 11213
+CLS_W = 1_000_000
+# decision threshold in logit micros. The corpus vocabulary draws mostly
+# positive weights under this frozen model, so 0 would keep ~97% — the
+# threshold sits at the observed sf0.01 median (~180k micros) so the gate
+# actually discriminates; a trained model ships its own threshold the same
+# way (a constant in the plan).
+CLS_THRESH = 180_000
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the GPT-3/CCNet-style classifier gate):
+    score every document with a linear bag-of-hashed-words model and emit the
+    keep/drop verdict — the stage that runs AFTER the heuristic `quality`
+    signals in a real curation pipeline (reference analogue: the confidence
+    scores its processors attach per extraction, e.g. Docling's per-cell
+    confidences, which downstream filtering thresholds).
+
+    The model here is a frozen deterministic weight function over hash
+    buckets so DuckDB can verify the whole chain closed-form; a TRAINED
+    model ships as a (bucket, weight_micros) table and swaps in as a
+    broadcast join on `bucket` — identical plan shape. Logit arithmetic is
+    all-integer: sum of per-token weights, floor-mean over token count.
+
+    Scale shape: tokenize+hash+weight are one codegen map pass fused with
+    the pruned (doc_id, text) scan; the only exchange is the partial-agg
+    sum keyed on doc_id (pre-reduced map-side, so the shuffle carries one
+    row per doc, not per token). At 100 TB this is a single
+    scan->explode->hash-agg stage; nothing is collected or broadcast except
+    the (constant-size) model.
+    """
+    docs = _docs(spark, sf_dir)
+    t = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    bucket = F.pmod(h64("tok"), F.lit(CLS_BUCKETS))
+    w = (bucket * CLS_A + CLS_C) % (2 * CLS_W + 1) - CLS_W
+    per_doc = (
+        t.select("doc_id", w.alias("w_micros"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("w_micros").alias("s"))
+    )
+    logit = F.floor(F.col("s").cast("double") / F.col("n_tokens")).cast("bigint")
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_tokens",
+            logit.alias("logit_micros"),
+            (logit > CLS_THRESH).cast("int").alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_CLASSIFIER_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest({tokens_sql('text')}) AS tok FROM documents),
+w AS (
+  SELECT doc_id,
+         ((({h64_sql('tok')}) % {CLS_BUCKETS}) * {CLS_A} + {CLS_C})
+           % {2 * CLS_W + 1} - {CLS_W} AS w_micros
+  FROM toks),
+agg AS (
+  SELECT doc_id, count(*) AS n_tokens, CAST(sum(w_micros) AS BIGINT) AS s
+  FROM w GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       CAST(floor(CAST(s AS DOUBLE) / n_tokens) AS BIGINT) AS logit_micros,
+       CASE WHEN floor(CAST(s AS DOUBLE) / n_tokens) > {CLS_THRESH} THEN 1 ELSE 0 END AS keep
+FROM agg ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "quality_classifier": (q_quality_classifier, QUALITY_CLASSIFIER_SQL),
     "unicode_normalize": (q_unicode_normalize, UNICODE_NORMALIZE_SQL),
     "bpe_pairs": (q_bpe_pairs, BPE_PAIRS_SQL),
     "bpe_encode": (q_bpe_encode, BPE_ENCODE_SQL),

@@ -44,7 +44,23 @@ SPOT_CHECK = [
     "hybrid_search",
     "snapshot_read",
     "snapshot_diff",
+    "quality_classifier",
 ]
+
+
+def test_quality_classifier_gate(spark):
+    """The classifier verdict must be a REAL gate (neither keeps nor drops
+    everything on the synthetic corpus) and `keep` must be exactly the
+    logit-vs-threshold comparison it claims to be."""
+    from pdf_extractor_spark.ops.registry import queries
+    from pdf_extractor_spark.ops.textstats import CLS_THRESH
+
+    rows = queries()["quality_classifier"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["keep"] == int(r["logit_micros"] > CLS_THRESH)
+    rate = sum(r["keep"] for r in rows) / len(rows)
+    assert 0.05 < rate < 0.95, rate
 
 
 def test_registry_complete():

@@ -1197,6 +1197,24 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "quality_classifier",
+        _query_df,
+        [
+            # tokenize+hash+weight fuse into the scan stage (map-side
+            # partial agg), so the one hash exchange carries a row per DOC,
+            # not per token; the frozen model is constants in the plan —
+            # no join at all; scan reads only (doc_id, text)
+            lambda p: contains(p, "hashpartitioning(doc_id", 1),
+            lambda p: contains(p, "Generate"),  # the token explode
+            lambda p: contains(p, "HashAggregate", 2),
+            lambda p: absent(p, "Join"),
+            lambda p: never_reads(p, "lang"),
+            lambda p: never_reads(p, "source"),
+            lambda p: never_reads(p, "n_chars"),
+        ],
+        False,
+    ),
+    (
         "hybrid_search",
         _query_df,
         [
