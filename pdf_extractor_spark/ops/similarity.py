@@ -562,7 +562,170 @@ ORDER BY rrf_micros DESC, id LIMIT {HYBRID_TOPK}
 """
 
 
+# --- product quantization (PQ) ANN ------------------------------------------
+
+# DIM=64 split into PQ_M=16 subspaces of 4 dims; PQ_K=16 codewords per
+# subspace (toy-scale stand-ins for the production 256-codeword byte codes).
+# Codes compress a vector to PQ_M small ints — 16x smaller than float32 —
+# which is what makes a 10^12-vector index FIT anywhere at all. Capacity on
+# the near-random synthetic embeddings (PQ's worst case — no cluster
+# structure for codewords to exploit; cf. the ann_lsh recall note), measured
+# recall@5 vs exact L2: (M=8,K=4) 0.08, (M=8,K=16) 0.20, (M=16,K=16) 0.38,
+# (M=32,K=16) 0.48 — the monotone capacity curve PQ theory predicts (bound
+# pinned in tests/test_ops.py). M/K set the accuracy/memory point, never the
+# plan shape.
+PQ_M = 16
+PQ_SUBDIM = DIM // PQ_M
+PQ_K = 16
+PQ_ITERS = 2
+PQ_TOP_K = 5
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, the billion-scale memory path (IVF-PQ's
+    PQ half), end-to-end in ONE oracled chain: per-subspace codebook
+    training (2 fixed-point Lloyd iterations over each 8-dim subvector,
+    all PQ_M subspaces trained in the SAME relational plan keyed by
+    ``sub``) -> encoding (argmin codeword per subspace: the vector becomes
+    PQ_M ints) -> asymmetric-distance (ADC) search (per-query lookup table
+    of query-subvector-to-codeword distances; a candidate's approximate
+    distance is the sum of PQ_M table entries selected by its code).
+
+    Everything is integer micros (same fixed-point contract as
+    ops/training.kmeans_loop: associative sums -> bit-reproducible across
+    partitionings, engines, retries), so the WHOLE train->encode->search
+    chain is value-hash gated against the DuckDB CTE chain.
+
+    Scale shape: the codebook (PQ_M*PQ_K*PQ_SUBDIM rows) and each query's
+    LUT (PQ_M*PQ_K entries) broadcast; training/encoding are broadcast-join
+    + partial-agg passes over the staged long-form points table (one raw
+    scan, pinned); the search pass streams the CODES table (never the raw
+    vectors) through one (query,cand)-keyed partial agg. At 10^12 vectors
+    the codes table is the only full-corpus input — raw embeddings are
+    touched once, at encode time.
+    """
+    from .dedup import _persisted
+    from .training import _floordiv
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vm = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000000.0).cast("bigint")
+    )
+    e = emb.select("vec_id", vm.alias("vm"))
+    # staged: feeds every iteration's assignment + update, the encode pass,
+    # and the query LUT (Catalyst does no cross-branch CSE; CLAUDE.md)
+    pts = _persisted(
+        e.select("vec_id", F.posexplode("vm").alias("dim", "val")).withColumn(
+            "sub", F.expr(f"dim DIV {PQ_SUBDIM}")
+        )
+    )
+    # seeds: the first PQ_K vectors' subvectors (cell id = seed vec_id)
+    cent = pts.where(F.col("vec_id") < PQ_K).select(
+        "dim", F.col("vec_id").alias("cell"), F.col("val").alias("c")
+    )
+    diff = F.col("val") - F.col("c")
+    w = Window.partitionBy("vec_id", "sub").orderBy("d2", "cell")
+    codes = None
+    for _ in range(PQ_ITERS):
+        d = (
+            pts.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "sub", "cell")
+            .agg(F.sum(diff * diff).alias("d2"))
+        )
+        codes = _persisted(
+            d.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "sub", "cell")
+        )
+        cent = _persisted(
+            codes.join(pts, ["vec_id", "sub"])
+            .groupBy("dim", "cell")
+            .agg(F.expr(_floordiv("sum(val)", "count(*)")).alias("c"))
+        )
+    lut = (
+        pts.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cent), "dim")
+        .groupBy(F.col("vec_id").alias("query_id"), "sub", "cell")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "cell"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id", "rank", "adc_d2")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ann_pq_sql() -> str:
+    from .training import _floordiv_duck
+
+    ctes = [
+        """e AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[],
+                                x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS vm
+  FROM embeddings)""",
+        f"""pts AS (
+  SELECT vec_id, generate_subscripts(vm, 1) - 1 AS dim,
+         (generate_subscripts(vm, 1) - 1) // {PQ_SUBDIM} AS sub, unnest(vm) AS val
+  FROM e)""",
+        f"""cent0 AS (
+  SELECT dim, vec_id AS cell, val AS c FROM pts WHERE vec_id < {PQ_K})""",
+    ]
+    for i in range(PQ_ITERS):
+        ctes.append(
+            f"""d{i} AS (
+  SELECT p.vec_id, p.sub, c.cell,
+         CAST(sum((p.val - c.c) * (p.val - c.c)) AS BIGINT) AS d2
+  FROM pts p JOIN cent{i} c ON p.dim = c.dim GROUP BY p.vec_id, p.sub, c.cell)"""
+        )
+        ctes.append(
+            f"""m{i} AS (
+  SELECT vec_id, sub, cell FROM (
+    SELECT vec_id, sub, cell,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cell) AS rk
+    FROM d{i}) WHERE rk = 1)"""
+        )
+        ctes.append(
+            f"""cent{i + 1} AS (
+  SELECT p.dim, m.cell,
+         {_floordiv_duck("CAST(sum(p.val) AS BIGINT)", "count(*)")} AS c
+  FROM m{i} m JOIN pts p ON p.vec_id = m.vec_id AND p.sub = m.sub
+  GROUP BY p.dim, m.cell)"""
+        )
+    last_m, last_c = f"m{PQ_ITERS - 1}", f"cent{PQ_ITERS}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+lut AS (
+  SELECT p.vec_id AS query_id, p.sub, c.cell,
+         CAST(sum((p.val - c.c) * (p.val - c.c)) AS BIGINT) AS d2
+  FROM pts p JOIN {last_c} c ON p.dim = c.dim
+  WHERE p.vec_id < {N_QUERIES} GROUP BY p.vec_id, p.sub, c.cell),
+scored AS (
+  SELECT l.query_id, m.vec_id AS neighbor_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+  FROM {last_m} m JOIN lut l ON m.sub = l.sub AND m.cell = l.cell
+  WHERE m.vec_id <> l.query_id GROUP BY l.query_id, m.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, adc_d2
+FROM ranked WHERE rank <= {PQ_TOP_K} ORDER BY query_id, rank
+"""
+    )
+
+
 QUERIES: dict[str, tuple] = {
+    "ann_pq": (q_ann_pq, _ann_pq_sql),
     "hybrid_search": (q_hybrid_search, _hybrid_search_sql),
     "ann_bruteforce": (q_ann_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),

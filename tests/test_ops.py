@@ -48,6 +48,35 @@ SPOT_CHECK = [
 ]
 
 
+def test_ann_pq_recall_vs_exact_l2(spark):
+    """PQ approximates SQUARED-L2 (ADC), so its quality bound is against the
+    exact L2 top-5, not the cosine brute force (metric mismatch). On the
+    near-random synthetic embeddings — PQ's worst case — the M=16/K=16
+    codebook measures recall@5 = 0.38; pin >= 0.2 (deterministic chain, the
+    margin only covers testdata regeneration)."""
+    import numpy as np
+
+    from pdf_extractor_spark.ops.registry import queries
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .orderBy("vec_id")
+        .collect()
+    )
+    V = np.floor(np.array([r["embedding"] for r in emb], dtype="float64") * 1e6)
+    ids = np.array([r["vec_id"] for r in emb])
+    exact = {}
+    for q in range(10):
+        d2 = ((V - V[q]) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d2))
+        exact[q] = set([int(ids[i]) for i in order if ids[i] != q][:5])
+    got = {}
+    for r in queries()["ann_pq"](spark, SF_DIR).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(got.get(q, set()) & exact[q]) / 5 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.2, recalls
+
+
 def test_quality_classifier_gate(spark):
     """The classifier verdict must be a REAL gate (neither keeps nor drops
     everything on the synthetic corpus) and `keep` must be exactly the

@@ -1106,6 +1106,25 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "ann_pq",
+        _query_df,
+        [
+            # train->encode->ADC: the raw embeddings are scanned ONCE (the
+            # staged long-form points table feeds every Lloyd iteration,
+            # the encode pass, and the query LUT); codebook and LUT sides
+            # broadcast; no cartesian anywhere — the search streams the
+            # codes table through keyed partial aggs only
+            lambda p: n_scans_at_most(p, 1),
+            lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: absent(p, "BroadcastNestedLoopJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: never_reads(p, "label"),
+        ],
+        False,
+    ),
+    (
         "priority_waiting",
         _query_df,
         [
