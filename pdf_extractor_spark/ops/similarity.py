@@ -581,29 +581,11 @@ PQ_ITERS = 2
 PQ_TOP_K = 5
 
 
-def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN, the billion-scale memory path (IVF-PQ's
-    PQ half), end-to-end in ONE oracled chain: per-subspace codebook
-    training (2 fixed-point Lloyd iterations over each 8-dim subvector,
-    all PQ_M subspaces trained in the SAME relational plan keyed by
-    ``sub``) -> encoding (argmin codeword per subspace: the vector becomes
-    PQ_M ints) -> asymmetric-distance (ADC) search (per-query lookup table
-    of query-subvector-to-codeword distances; a candidate's approximate
-    distance is the sum of PQ_M table entries selected by its code).
-
-    Everything is integer micros (same fixed-point contract as
-    ops/training.kmeans_loop: associative sums -> bit-reproducible across
-    partitionings, engines, retries), so the WHOLE train->encode->search
-    chain is value-hash gated against the DuckDB CTE chain.
-
-    Scale shape: the codebook (PQ_M*PQ_K*PQ_SUBDIM rows) and each query's
-    LUT (PQ_M*PQ_K entries) broadcast; training/encoding are broadcast-join
-    + partial-agg passes over the staged long-form points table (one raw
-    scan, pinned); the search pass streams the CODES table (never the raw
-    vectors) through one (query,cand)-keyed partial agg. At 10^12 vectors
-    the codes table is the only full-corpus input — raw embeddings are
-    touched once, at encode time.
-    """
+def _pq_train(spark: SparkSession, sf_dir: str):
+    """Train the PQ codebook and encode the corpus; returns (pts, codes,
+    cent) — the staged long-form micros points table (vec_id, dim, sub,
+    val), the code table (vec_id, sub, cell), and the final codebook
+    (dim, cell, c). Shared by ``ann_pq`` and ``ann_ivfpq``."""
     from .dedup import _persisted
     from .training import _floordiv
 
@@ -642,6 +624,34 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dim", "cell")
             .agg(F.expr(_floordiv("sum(val)", "count(*)")).alias("c"))
         )
+    return pts, codes, cent
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, the billion-scale memory path (IVF-PQ's
+    PQ half), end-to-end in ONE oracled chain: per-subspace codebook
+    training (2 fixed-point Lloyd iterations over each 8-dim subvector,
+    all PQ_M subspaces trained in the SAME relational plan keyed by
+    ``sub``) -> encoding (argmin codeword per subspace: the vector becomes
+    PQ_M ints) -> asymmetric-distance (ADC) search (per-query lookup table
+    of query-subvector-to-codeword distances; a candidate's approximate
+    distance is the sum of PQ_M table entries selected by its code).
+
+    Everything is integer micros (same fixed-point contract as
+    ops/training.kmeans_loop: associative sums -> bit-reproducible across
+    partitionings, engines, retries), so the WHOLE train->encode->search
+    chain is value-hash gated against the DuckDB CTE chain.
+
+    Scale shape: the codebook (PQ_M*PQ_K*PQ_SUBDIM rows) and each query's
+    LUT (PQ_M*PQ_K entries) broadcast; training/encoding are broadcast-join
+    + partial-agg passes over the staged long-form points table (one raw
+    scan, pinned); the search pass streams the CODES table (never the raw
+    vectors) through one (query,cand)-keyed partial agg. At 10^12 vectors
+    the codes table is the only full-corpus input — raw embeddings are
+    touched once, at encode time.
+    """
+    pts, codes, cent = _pq_train(spark, sf_dir)
+    diff = F.col("val") - F.col("c")
     lut = (
         pts.where(F.col("vec_id") < N_QUERIES)
         .join(F.broadcast(cent), "dim")
@@ -663,43 +673,50 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ann_pq_sql() -> str:
+def _pq_ctes(p: str = "") -> tuple[list[str], str, str]:
+    """The PQ train+encode CTE chain with every name prefixed by ``p`` (so
+    it composes with kmeans_ctes in the ivfpq oracle without collisions);
+    returns (ctes, final_codes_cte, final_codebook_cte)."""
     from .training import _floordiv_duck
 
     ctes = [
-        """e AS (
+        f"""{p}e AS (
   SELECT vec_id, list_transform(embedding::DOUBLE[],
                                 x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS vm
   FROM embeddings)""",
-        f"""pts AS (
+        f"""{p}pts AS (
   SELECT vec_id, generate_subscripts(vm, 1) - 1 AS dim,
          (generate_subscripts(vm, 1) - 1) // {PQ_SUBDIM} AS sub, unnest(vm) AS val
-  FROM e)""",
-        f"""cent0 AS (
-  SELECT dim, vec_id AS cell, val AS c FROM pts WHERE vec_id < {PQ_K})""",
+  FROM {p}e)""",
+        f"""{p}cent0 AS (
+  SELECT dim, vec_id AS cell, val AS c FROM {p}pts WHERE vec_id < {PQ_K})""",
     ]
     for i in range(PQ_ITERS):
         ctes.append(
-            f"""d{i} AS (
+            f"""{p}d{i} AS (
   SELECT p.vec_id, p.sub, c.cell,
          CAST(sum((p.val - c.c) * (p.val - c.c)) AS BIGINT) AS d2
-  FROM pts p JOIN cent{i} c ON p.dim = c.dim GROUP BY p.vec_id, p.sub, c.cell)"""
+  FROM {p}pts p JOIN {p}cent{i} c ON p.dim = c.dim GROUP BY p.vec_id, p.sub, c.cell)"""
         )
         ctes.append(
-            f"""m{i} AS (
+            f"""{p}m{i} AS (
   SELECT vec_id, sub, cell FROM (
     SELECT vec_id, sub, cell,
            row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cell) AS rk
-    FROM d{i}) WHERE rk = 1)"""
+    FROM {p}d{i}) WHERE rk = 1)"""
         )
         ctes.append(
-            f"""cent{i + 1} AS (
+            f"""{p}cent{i + 1} AS (
   SELECT p.dim, m.cell,
          {_floordiv_duck("CAST(sum(p.val) AS BIGINT)", "count(*)")} AS c
-  FROM m{i} m JOIN pts p ON p.vec_id = m.vec_id AND p.sub = m.sub
+  FROM {p}m{i} m JOIN {p}pts p ON p.vec_id = m.vec_id AND p.sub = m.sub
   GROUP BY p.dim, m.cell)"""
         )
-    last_m, last_c = f"m{PQ_ITERS - 1}", f"cent{PQ_ITERS}"
+    return ctes, f"{p}m{PQ_ITERS - 1}", f"{p}cent{PQ_ITERS}"
+
+
+def _ann_pq_sql() -> str:
+    ctes, last_m, last_c = _pq_ctes()
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -724,8 +741,115 @@ FROM ranked WHERE rank <= {PQ_TOP_K} ORDER BY query_id, rank
     )
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composed billion-scale index, end-to-end as ONE oracled
+    chain: the trained coarse quantizer (3 fixed-point Lloyd iterations,
+    ops/training.kmeans_loop — same as ``ann_ivf_trained``) routes each
+    query to its NPROBE nearest coarse cells; within the probed cells,
+    candidates are ranked by PQ asymmetric distance over their 16-int codes
+    (``_pq_train`` — same codebook as ``ann_pq``). Raw vectors appear only
+    at train/encode time; the SEARCH path touches the codes-with-coarse-cell
+    index table and two broadcast tables (probes, LUT).
+
+    Scale shape: at 10^12 vectors the index materializes once as
+    (coarse_cell, vec_id, code) partitioned by coarse_cell — here that
+    one-time co-partition is the codes⨝assignment join — and a query then
+    streams nprobe/K of the CODES (16 ints/vector, not 64 floats) through a
+    broadcast-LUT partial agg. This is the FAISS IVFADC layout expressed
+    relationally.
+    """
+    from .training import KMEANS_ITERS, kmeans_loop
+
+    k_pts, members, k_cent = kmeans_loop(spark, sf_dir, KMEANS_ITERS)
+    pq_pts, codes, pq_cent = _pq_train(spark, sf_dir)
+    # query -> NPROBE nearest trained coarse cells
+    diff = F.col("val") - F.col("c")
+    qd = (
+        k_pts.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(k_cent), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    probes = (
+        qd.withColumn("rk", F.row_number().over(w_probe))
+        .where(F.col("rk") <= NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cell").alias("coarse"))
+    )
+    # the index: codes co-located with their coarse cell (the one-time write)
+    idx = codes.join(
+        members.select("vec_id", F.col("cell").alias("coarse")), "vec_id"
+    )
+    # per-query subspace-distance lookup table against the PQ codebook
+    lut = (
+        pq_pts.where(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(pq_cent), "dim")
+        .groupBy(F.col("vec_id").alias("query_id"), "sub", "cell")
+        .agg(F.sum(diff * diff).alias("d2"))
+    )
+    scored = (
+        idx.join(F.broadcast(probes), "coarse")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(lut), ["query_id", "sub", "cell"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id", "rank", "adc_d2")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ann_ivfpq_sql() -> str:
+    from .training import KMEANS_ITERS, kmeans_ctes
+
+    n = KMEANS_ITERS
+    pq, pq_m, pq_c = _pq_ctes("pq_")
+    return (
+        "WITH "
+        + ",\n".join(kmeans_ctes(n) + pq)
+        + f""",
+qd AS (
+  SELECT p.vec_id, c.cell,
+         CAST(sum((p.val - c.c) * (p.val - c.c)) AS BIGINT) AS d2
+  FROM pts p JOIN cent{n} c USING (dim)
+  WHERE p.vec_id < {N_QUERIES} GROUP BY p.vec_id, c.cell),
+probes AS (
+  SELECT vec_id AS query_id, cell AS coarse FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+    FROM qd) WHERE rk <= {NPROBE}),
+idx AS (
+  SELECT k.vec_id, k.sub, k.cell, m.cell AS coarse
+  FROM {pq_m} k JOIN m{n - 1} m USING (vec_id)),
+lut AS (
+  SELECT p.vec_id AS query_id, p.sub, c.cell,
+         CAST(sum((p.val - c.c) * (p.val - c.c)) AS BIGINT) AS d2
+  FROM pq_pts p JOIN {pq_c} c ON p.dim = c.dim
+  WHERE p.vec_id < {N_QUERIES} GROUP BY p.vec_id, p.sub, c.cell),
+scored AS (
+  SELECT l.query_id, i.vec_id AS neighbor_id, CAST(sum(l.d2) AS BIGINT) AS adc_d2
+  FROM idx i
+  JOIN probes pr ON i.coarse = pr.coarse
+  JOIN lut l ON l.query_id = pr.query_id AND l.sub = i.sub AND l.cell = i.cell
+  WHERE i.vec_id <> pr.query_id GROUP BY l.query_id, i.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, adc_d2
+FROM ranked WHERE rank <= {PQ_TOP_K} ORDER BY query_id, rank
+"""
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "ann_pq": (q_ann_pq, _ann_pq_sql),
+    "ann_ivfpq": (q_ann_ivfpq, _ann_ivfpq_sql),
     "hybrid_search": (q_hybrid_search, _hybrid_search_sql),
     "ann_bruteforce": (q_ann_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),

@@ -76,6 +76,14 @@ def test_ann_pq_recall_vs_exact_l2(spark):
     recalls = [len(got.get(q, set()) & exact[q]) / 5 for q in exact]
     assert sum(recalls) / len(recalls) >= 0.2, recalls
 
+    # IVF-PQ sees only nprobe/K of the corpus, so its recall is bounded by
+    # (and close to) full PQ: measured 0.32 vs PQ's 0.38
+    got = {}
+    for r in queries()["ann_ivfpq"](spark, SF_DIR).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(got.get(q, set()) & exact[q]) / 5 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.15, recalls
+
 
 def test_quality_classifier_gate(spark):
     """The classifier verdict must be a REAL gate (neither keeps nor drops

@@ -1106,6 +1106,20 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "ann_ivfpq",
+        _query_df,
+        [
+            # composed index: probes + LUT broadcast into the codes stream;
+            # raw-vector scans only feed the two staged training pipelines
+            # (coarse k-means + PQ codebook); search side never cartesians
+            lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: absent(p, "BroadcastNestedLoopJoin"),
+        ],
+        False,
+    ),
+    (
         "ann_pq",
         _query_df,
         [
