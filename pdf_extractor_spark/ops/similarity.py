@@ -402,6 +402,78 @@ FROM ranked WHERE rank <= {IVF_TOP_K} ORDER BY query_id, rank
     )
 
 
+# --- cluster-balanced corpus sampling ----------------------------------------
+
+# keep at most n_docs/20 docs per embedding cluster — half the fair share of
+# the 10 trained cells, so over-represented semantic regions get truncated
+# and small ones survive whole
+CLUSTER_CAP_DIV = 20
+
+
+def q_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster-balanced corpus sampling (the SemDeDup/DoReMi-era
+    diversity step): assign every document to its trained k-means cell (3
+    fixed-point Lloyd iterations, the same chain as ``ann_ivf_trained``,
+    linked docs<->embeddings by id as in ``hybrid_search``), then cap each
+    cell at n/20 documents in deterministic hash order — truncating
+    over-represented semantic clusters instead of over-represented DOMAINS
+    (``source_cap``'s axis). Hash-order selection makes the kept set a
+    uniform sample WITHIN each cluster, and the whole chain (training,
+    assignment, capping) is value-hash oracled.
+
+    Scale shape: per-cell ranking is one window partitioned by cell; K is
+    small so at 100 TB the two-phase top-k-per-key defusal applies (the
+    source_cap docstring), or — since the order key is a uniform hash —
+    the exact rank collapses to a per-cell hash THRESHOLD (keep h <
+    cap/cell_count quantile), turning the cap into a map-only filter
+    against broadcast per-cell counts. The one-row total broadcasts.
+    """
+    from .portable import h64
+    from .training import KMEANS_ITERS, kmeans_loop
+
+    _pts, members, _cent = kmeans_loop(spark, sf_dir, KMEANS_ITERS)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    linked = docs.select("doc_id").join(
+        members.select(F.col("vec_id").alias("doc_id"), "cell"), "doc_id"
+    )
+    total = linked.agg(F.count("*").alias("n_total"))
+    w = Window.partitionBy("cell").orderBy(
+        h64(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        linked.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("rank") <= F.expr(f"n_total DIV {CLUSTER_CAP_DIV}"))
+        .select("doc_id", "cell", "rank")
+        .orderBy("cell", "rank")
+    )
+
+
+def _cluster_balance_sql() -> str:
+    from .portable import h64_sql
+    from .training import KMEANS_ITERS, kmeans_ctes
+
+    n = KMEANS_ITERS
+    return (
+        "WITH "
+        + ",\n".join(kmeans_ctes(n))
+        + f""",
+linked AS (
+  SELECT d.doc_id, m.cell FROM documents d JOIN m{n - 1} m ON m.vec_id = d.doc_id),
+tot AS (SELECT count(*) AS n_total FROM linked),
+ranked AS (
+  SELECT doc_id, cell,
+         CAST(row_number() OVER (
+           PARTITION BY cell
+           ORDER BY {h64_sql("CAST(doc_id AS VARCHAR)")}, doc_id) AS BIGINT) AS rank
+  FROM linked)
+SELECT r.doc_id, r.cell, r.rank
+FROM ranked r, tot t WHERE r.rank <= t.n_total // {CLUSTER_CAP_DIV}
+ORDER BY r.cell, r.rank
+"""
+    )
+
+
 def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column (per-vector absmax
     scaling) plus the reconstruction error — the storage-compression stage
@@ -850,6 +922,7 @@ FROM ranked WHERE rank <= {PQ_TOP_K} ORDER BY query_id, rank
 QUERIES: dict[str, tuple] = {
     "ann_pq": (q_ann_pq, _ann_pq_sql),
     "ann_ivfpq": (q_ann_ivfpq, _ann_ivfpq_sql),
+    "cluster_balance": (q_cluster_balance, _cluster_balance_sql),
     "hybrid_search": (q_hybrid_search, _hybrid_search_sql),
     "ann_bruteforce": (q_ann_bruteforce, ANN_BRUTEFORCE_SQL),
     "ann_lsh": (q_ann_lsh, ANN_LSH_SQL),

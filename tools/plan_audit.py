@@ -1106,6 +1106,24 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "cluster_balance",
+        _query_df,
+        [
+            # staged k-means chain feeds assignment; the docs scan reads
+            # ONLY doc_id; per-cell ranking is one window exchange on cell;
+            # the 1-row total broadcasts (nested-loop on 1 row is fine,
+            # a real cartesian is not)
+            lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: contains(p, "hashpartitioning(cell"),
+            lambda p: contains(p, "Window"),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: never_reads(p, "text"),
+            lambda p: never_reads(p, "lang"),
+            lambda p: never_reads(p, "source"),
+        ],
+        False,
+    ),
+    (
         "ann_ivfpq",
         _query_df,
         [
