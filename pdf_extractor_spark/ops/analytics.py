@@ -784,7 +784,73 @@ ORDER BY lost_rev_cents DESC, c_custkey LIMIT 20
 """
 
 
+# --- small-quantity revenue (Q17 shape: correlated scalar subquery) ----------
+
+SQR_BRAND = "Brand#13"
+SQR_MAX_SIZE = 20
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost to small orders (TPC-H Q17 shape): the
+    correlated scalar subquery `l_quantity < 0.2 * (SELECT avg(l_quantity)
+    ... WHERE l_partkey = outer.l_partkey)` DECORRELATED into a per-part
+    aggregate joined back — the optimizer shape that turns an
+    O(rows x subquery) nested loop into two passes.
+
+    Plan shape: the brand/size part filter broadcasts into the fact scan
+    FIRST, so the per-part average aggregates only the surviving parts'
+    lineitems (filtering by part key drops no lineitem of a surviving
+    part — the avg is identical to the full-corpus per-part avg); the
+    per-part stats join back onto the same filtered stream. Money in
+    integer cents before any sum; the 0.2*avg comparison is cleared of
+    division (5*qty*n < s) so both engines compare identical doubles.
+    """
+    part = _read(spark, sf_dir, "part").where(
+        (F.col("p_brand") == SQR_BRAND) & (F.col("p_size") < SQR_MAX_SIZE)
+    )
+    li = _read(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    pavg = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("s_qty"), F.count("*").alias("n_li")
+    )
+    return (
+        li.join(F.broadcast(pavg), "l_partkey")
+        .where(F.lit(5.0) * F.col("l_quantity") * F.col("n_li") < F.col("s_qty"))
+        .agg(
+            F.count("*").alias("n_small"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "_cents"
+            ),
+        )
+        .select(
+            "n_small",
+            F.expr("_cents DIV 7").cast("bigint").alias("avg_yearly_cents"),
+        )
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = f"""
+WITH partf AS (
+  SELECT p_partkey FROM part
+  WHERE p_brand = '{SQR_BRAND}' AND p_size < {SQR_MAX_SIZE}),
+lif AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN partf p ON l.l_partkey = p.p_partkey),
+pavg AS (
+  SELECT l_partkey, sum(l_quantity) AS s_qty, count(*) AS n_li
+  FROM lif GROUP BY l_partkey)
+SELECT count(*) AS n_small,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) // 7 AS BIGINT)
+         AS avg_yearly_cents
+FROM lif JOIN pavg USING (l_partkey)
+WHERE 5.0 * l_quantity * n_li < s_qty
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "small_quantity_revenue": (q_small_quantity_revenue, SMALL_QUANTITY_REVENUE_SQL),
     "status_rollup": (q_status_rollup, STATUS_ROLLUP_SQL),
     "user_segments": (q_user_segments, USER_SEGMENTS_SQL),
     "bucket_concat": (q_bucket_concat, BUCKET_CONCAT_SQL),

@@ -1106,6 +1106,22 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "small_quantity_revenue",
+        _query_df,
+        [
+            # decorrelated Q17: part filter pushed to the part scan and
+            # broadcast into the fact stream; per-part stats broadcast
+            # back; the fact table is never self-joined via sort-merge
+            lambda p: contains(p, "BroadcastHashJoin", 2),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: pushed(p, "EqualTo(p_brand"),
+            lambda p: never_reads(p, "l_shipdate"),
+            lambda p: never_reads(p, "l_comment"),
+        ],
+        False,
+    ),
+    (
         "cluster_balance",
         _query_df,
         [
