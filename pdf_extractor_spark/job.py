@@ -133,6 +133,11 @@ def main(argv: list[str] | None = None) -> int:
                         "language gate (default: reject only 'unknown'). "
                         "Gate config is recorded per commit; changing it "
                         "on a non-empty table requires --rebuild")
+    p.add_argument("--min-logit-micros", type=int, default=None,
+                   help="with --curate: enable the model-based classifier "
+                        "gate — reject docs whose hashed-linear-model logit "
+                        "(integer micros; the quality_classifier op's frozen "
+                        "model) is <= this threshold (default: gate off)")
     p.add_argument("--ocr-stage", action="store_true",
                    help="run the stage-2 OCR consumer instead of extraction: "
                         "--input is a stage-1 table root (its ocr_queue/ is "
@@ -182,10 +187,11 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--rebuild only applies to --signals/--curate")
     if not args.curate and any(
         v is not None
-        for v in (args.min_tokens, args.min_stopword_micros, args.accept_langs)
+        for v in (args.min_tokens, args.min_stopword_micros, args.accept_langs,
+                  args.min_logit_micros)
     ):
-        p.error("--min-tokens/--min-stopword-micros/--accept-langs only "
-                "apply to --curate")
+        p.error("--min-tokens/--min-stopword-micros/--accept-langs/"
+                "--min-logit-micros only apply to --curate")
     if args.signals and args.curate:
         p.error("--signals and --curate are separate passes; run them "
                 "against separate --output roots")
@@ -331,6 +337,7 @@ def main(argv: list[str] | None = None) -> int:
                         else args.min_stopword_micros
                     ),
                     accept_langs=langs,
+                    min_logit_micros=args.min_logit_micros,
                 )
                 report, dt = run_curate_job(
                     spark, args.input, args.output, rebuild=args.rebuild,

@@ -1353,6 +1353,14 @@ CLS_W = 1_000_000
 CLS_THRESH = 180_000
 
 
+def cls_weight(tok) -> "F.Column":
+    """Per-token weight (integer micros) of the frozen hashed linear model —
+    shared by the ``quality_classifier`` op (explode + codegen agg) and the
+    curation stage's optional classifier gate (single map-only fold)."""
+    bucket = F.pmod(h64(tok), F.lit(CLS_BUCKETS))
+    return (bucket * CLS_A + CLS_C) % (2 * CLS_W + 1) - CLS_W
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (the GPT-3/CCNet-style classifier gate):
     score every document with a linear bag-of-hashed-words model and emit the
@@ -1376,10 +1384,8 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _docs(spark, sf_dir)
     t = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
-    bucket = F.pmod(h64("tok"), F.lit(CLS_BUCKETS))
-    w = (bucket * CLS_A + CLS_C) % (2 * CLS_W + 1) - CLS_W
     per_doc = (
-        t.select("doc_id", w.alias("w_micros"))
+        t.select("doc_id", cls_weight(F.col("tok")).alias("w_micros"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_tokens"), F.sum("w_micros").alias("s"))
     )

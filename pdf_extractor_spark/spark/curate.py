@@ -16,6 +16,9 @@ Verdict semantics (deterministic, oracle-checkable):
   ``too_short``   n_tokens < MIN_TOKENS
   ``language``    pred_lang == 'unknown'
   ``quality``     stopword_micros < MIN_STOPWORD_MICROS
+  ``classifier``  (opt-in: ``min_logit_micros`` set) hashed-linear model
+                  logit (ops/textstats.cls_weight, the same frozen model as
+                  the ``quality_classifier`` op) <= the threshold
 - among gate-passing docs only, exact dedup on ``digest`` = md5 of the
   NORMALIZED extracted text — lowercased, whitespace collapsed to single
   spaces (the token stream re-joined) — so span-boundary artifacts (an
@@ -78,20 +81,30 @@ class GateConfig:
 
     ``accept_langs=None`` rejects only ``unknown``; a tuple rejects
     anything not in it (include ``"unknown"`` in the tuple to accept
-    marker-less documents — the CLI's ``--accept-langs any``)."""
+    marker-less documents — the CLI's ``--accept-langs any``).
+
+    ``min_logit_micros=None`` (default) disables the model-based
+    classifier gate entirely — the logit isn't even computed; setting it
+    rejects docs whose hashed-linear-model logit is <= the threshold. The
+    key enters ``as_metrics`` only when set, so existing tables curated
+    before the gate existed stay config-compatible."""
 
     min_tokens: int = MIN_TOKENS
     min_stopword_micros: int = MIN_STOPWORD_MICROS
     accept_langs: tuple[str, ...] | None = None
+    min_logit_micros: int | None = None
 
     def as_metrics(self) -> dict:
-        return {
+        m = {
             "min_tokens": self.min_tokens,
             "min_stopword_micros": self.min_stopword_micros,
             "accept_langs": (
                 None if self.accept_langs is None else sorted(self.accept_langs)
             ),
         }
+        if self.min_logit_micros is not None:
+            m["min_logit_micros"] = self.min_logit_micros
+        return m
 
     @staticmethod
     def any_language() -> tuple[str, ...]:
@@ -132,27 +145,48 @@ def compute_verdicts(
     from ..ops.portable import tokens
 
     g = gates or GateConfig()
-    normalized = F.array_join(tokens(signal_text()), " ")
-    sig = compute_signals(
-        extracted, extra={"digest": F.md5(F.encode(normalized, "UTF-8"))}
-    )
+    extra = {
+        "digest": F.md5(
+            F.encode(F.array_join(tokens(signal_text()), " "), "UTF-8")
+        )
+    }
+    if g.min_logit_micros is not None:
+        # single map-only fold (the accepted simhash-style F.aggregate
+        # shape — interpreted, but one pass per doc, no shuffle); shares
+        # the frozen model with the quality_classifier op
+        from ..ops.textstats import cls_weight
+
+        tok = tokens(signal_text())
+        extra["logit_micros"] = F.floor(
+            F.aggregate(
+                tok,
+                F.lit(0).cast("bigint"),
+                lambda acc, t: acc + cls_weight(t),
+            ).cast("double")
+            / F.size(tok)
+        ).cast("bigint")
+    sig = compute_signals(extracted, extra=extra)
     lang_bad = (
         F.col("pred_lang") == "unknown"
         if g.accept_langs is None
         else ~F.col("pred_lang").isin(list(g.accept_langs))
     )
+    gate = (
+        F.when(F.col("n_tokens") < g.min_tokens, F.lit("too_short"))
+        .when(lang_bad, F.lit("language"))
+        .when(F.col("stopword_micros") < g.min_stopword_micros, F.lit("quality"))
+    )
+    if g.min_logit_micros is not None:
+        gate = gate.when(
+            F.col("logit_micros") <= g.min_logit_micros, F.lit("classifier")
+        )
     gated = sig.select(
         "doc_id",
         "digest",
         "n_tokens",
         "pred_lang",
         "part_id",
-        F.when(F.col("n_tokens") < g.min_tokens, F.lit("too_short"))
-        .when(lang_bad, F.lit("language"))
-        .when(
-            F.col("stopword_micros") < g.min_stopword_micros, F.lit("quality")
-        )
-        .alias("_gate"),
+        gate.alias("_gate"),
     )
     # one window pass ranks EVERY row, but partitioning includes the gate
     # verdict, so gate-rejected docs rank only among themselves and never

@@ -77,6 +77,40 @@ def test_gate_reasons_and_batch_dedup(spark, tmp_path):
     assert got["1"]["n_tokens"] == 25 and got["1"]["pred_lang"] == "en"
 
 
+def test_classifier_gate_opt_in(spark, tmp_path):
+    """The model-based classifier gate is OFF by default (verdicts and gate
+    metrics unchanged), and when enabled rejects exactly the docs whose
+    frozen-model logit is <= the threshold, after the heuristic gates."""
+    from pdf_extractor_spark.spark.curate import GateConfig
+
+    texts = {1: KEEP_TEXT, 2: "the cat", 7: KEEP_TEXT + " extra tail words"}
+    sf_dir = _write_docs(tmp_path, texts)
+    src = L.CommitLog(str(tmp_path / "src"))
+    L.run_extraction(spark, wrap_documents(spark, sf_dir), src, n_parts=2,
+                     parts_per_chunk=2)
+
+    out_off = L.CommitLog(str(tmp_path / "out_off"))
+    run_curate(spark, src, out_off)
+    off = _verdicts(spark, out_off)
+    assert GateConfig().as_metrics().get("min_logit_micros") is None
+    assert off["1"]["verdict"] == "keep"
+
+    # an impossibly-high threshold fails every gate-passing doc; the
+    # heuristic gates still win priority (doc 2 stays too_short)
+    out_on = L.CommitLog(str(tmp_path / "out_on"))
+    run_curate(spark, src, out_on,
+               gates=GateConfig(min_logit_micros=10_000_000))
+    on = _verdicts(spark, out_on)
+    assert (on["2"]["verdict"], on["2"]["reason"]) == ("reject", "too_short")
+    for d in ("1", "7"):
+        assert (on[d]["verdict"], on[d]["reason"]) == ("reject", "classifier")
+    # the threshold is recorded in the table's gate config
+    from pdf_extractor_spark.spark.curate import table_gates
+
+    assert table_gates(out_on)["min_logit_micros"] == 10_000_000
+    assert "min_logit_micros" not in table_gates(out_off)
+
+
 def test_cross_run_dedup_is_exactly_once(spark, tmp_path):
     """Crash-split waves: run 2 consumes only the delta, and a digest kept
     by run 1 beats every run-2 contender — exactly one keep per digest
