@@ -920,7 +920,109 @@ FROM flags
 """
 
 
+# --- data-quality expectation checks -----------------------------------------
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite — the validation gate a pipeline runs
+    before training consumes a snapshot: referential integrity (anti-join
+    violation counts), primary-key uniqueness, null checks, and range
+    checks, one row per rule. All rules evaluate in the same job; a real
+    deployment alerts when any n_violations > 0 (the synthetic corpus is
+    clean, so every row here value-hashes to zero — the point is the
+    rule evaluation itself is gated).
+
+    Scale shape: each FK rule is one anti join on its key (AQE picks
+    broadcast while the dimension fits); uniqueness is count - distinct
+    inside one aggregate; null/range checks ride a single map-side
+    conditional sum per table — no rule ever materializes violating ROWS,
+    only counts cross the final single-row union.
+    """
+    orders = _read(spark, sf_dir, "orders")
+    customer = _read(spark, sf_dir, "customer")
+    li = _read(spark, sf_dir, "lineitem")
+    docs = _read(spark, sf_dir, "documents")
+    events = _read(spark, sf_dir, "events")
+
+    def one(rule: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(rule).alias("rule"), F.col("n_violations"))
+
+    fk_oc = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "left_anti"
+    ).agg(F.count("*").alias("n_violations"))
+    fk_lo = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count("*").alias("n_violations"))
+    pk_docs = docs.agg(
+        (F.count("doc_id") - F.count_distinct(F.col("doc_id"))).alias(
+            "n_violations"
+        )
+    )
+    null_ts = events.agg(
+        F.sum(F.when(F.col("ts").isNull(), 1).otherwise(0)).alias("n_violations")
+    )
+    neg_qty = li.agg(
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias(
+            "n_violations"
+        )
+    )
+    date_range = li.agg(
+        F.sum(
+            F.when(
+                (F.col("l_shipdate") < F.lit("1992-01-01"))
+                | (F.col("l_shipdate") >= F.lit("1999-01-01")),
+                1,
+            ).otherwise(0)
+        ).alias("n_violations")
+    )
+    out = (
+        one("fk_orders_customer", fk_oc)
+        .unionAll(one("fk_lineitem_orders", fk_lo))
+        .unionAll(one("pk_documents_unique", pk_docs))
+        .unionAll(one("null_events_ts", null_ts))
+        .unionAll(one("range_lineitem_quantity_positive", neg_qty))
+        .unionAll(one("range_lineitem_shipdate", date_range))
+    )
+    return out.select(
+        "rule", F.coalesce("n_violations", F.lit(0)).cast("bigint").alias("n_violations")
+    ).orderBy("rule")
+
+
+DQ_CHECKS_SQL = """
+SELECT rule, CAST(n_violations AS BIGINT) AS n_violations FROM (
+  SELECT 'fk_orders_customer' AS rule,
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) AS n_violations
+  UNION ALL
+  SELECT 'fk_lineitem_orders',
+         (SELECT count(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'pk_documents_unique',
+         (SELECT count(doc_id) - count(DISTINCT doc_id) FROM documents)
+  UNION ALL
+  SELECT 'null_events_ts',
+         (SELECT coalesce(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0)
+          FROM events)
+  UNION ALL
+  SELECT 'range_lineitem_quantity_positive',
+         (SELECT coalesce(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END), 0)
+          FROM lineitem)
+  UNION ALL
+  SELECT 'range_lineitem_shipdate',
+         (SELECT coalesce(sum(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+                                     OR l_shipdate >= TIMESTAMP '1999-01-01'
+                                   THEN 1 ELSE 0 END), 0)
+          FROM lineitem)
+) ORDER BY rule
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "dq_checks": (q_dq_checks, DQ_CHECKS_SQL),
     "rollup_revenue": (q_rollup_revenue, ROLLUP_REVENUE_SQL),
     "retention_cohorts": (q_retention_cohorts, RETENTION_COHORTS_SQL),
     "funnel_conversion": (q_funnel_conversion, FUNNEL_CONVERSION_SQL),

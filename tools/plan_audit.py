@@ -1106,6 +1106,21 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "dq_checks",
+        _query_df,
+        [
+            # FK rules are anti joins on their keys (broadcast at this
+            # scale); uniqueness/null/range rules are map-side conditional
+            # aggregates — only single-row counts reach the union
+            lambda p: contains(p, "LeftAnti", 2),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: contains(p, "Union"),
+            lambda p: never_reads(p, "text"),
+            lambda p: never_reads(p, "l_comment"),
+        ],
+        False,
+    ),
+    (
         "small_quantity_revenue",
         _query_df,
         [
