@@ -784,6 +784,79 @@ ORDER BY lost_rev_cents DESC, c_custkey LIMIT 20
 """
 
 
+# --- ingestion volume anomaly detection --------------------------------------
+
+ANOMALY_K = 2  # flag days beyond 2 sigma
+
+
+def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily ingestion-volume anomaly flags — the monitoring gate a
+    pipeline runs on its own commit metrics (a day whose event count sits
+    more than K sigma from that type's mean means a broken producer or a
+    flood upstream).
+
+    Cross-engine exactness trick: the z-score needs sqrt(variance) — libm
+    sqrt is engine-dependent in the last ulp — so the comparison is
+    cross-multiplied into pure integers:
+
+        |n - mu| > K*sigma  <=>  (n*D - S)^2 > K^2 * (D*Q - S^2)
+
+    with D = #days, S = sum(n), Q = sum(n^2) per type (population variance
+    over the type's observed days). Daily counts are bigints, so every
+    intermediate stays < 2^63 for corpora up to ~10^8 events/day/type —
+    far past any per-day partition this engine would see at 100 TB.
+
+    Scale shape: one (type, day) partial agg over the pruned (ts, type)
+    scan; per-type stats are a second agg over the (tiny) daily table,
+    broadcast back; the flag is a map-side comparison. No windows, no
+    sorts except the final output ordering.
+    """
+    ev = _read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("d_days"),
+        F.sum("n_events").alias("s_sum"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("q_sumsq"),
+    )
+    lhs = (
+        F.col("n_events") * F.col("d_days") - F.col("s_sum")
+    )
+    rhs = F.lit(ANOMALY_K * ANOMALY_K) * (
+        F.col("d_days") * F.col("q_sumsq") - F.col("s_sum") * F.col("s_sum")
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            (lhs * lhs > rhs).cast("int").alias("is_outlier"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+VOLUME_ANOMALY_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+stats AS (
+  SELECT event_type, count(*) AS d_days,
+         CAST(sum(n_events) AS BIGINT) AS s_sum,
+         CAST(sum(n_events * n_events) AS BIGINT) AS q_sumsq
+  FROM daily GROUP BY event_type)
+SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n_events,
+       CASE WHEN (d.n_events * s.d_days - s.s_sum)
+                 * (d.n_events * s.d_days - s.s_sum)
+               > {ANOMALY_K * ANOMALY_K} * (s.d_days * s.q_sumsq - s.s_sum * s.s_sum)
+            THEN 1 ELSE 0 END AS is_outlier
+FROM daily d JOIN stats s USING (event_type)
+ORDER BY d.event_type, d.day
+"""
+
+
 # --- small-quantity revenue (Q17 shape: correlated scalar subquery) ----------
 
 SQR_BRAND = "Brand#13"
@@ -851,6 +924,7 @@ WHERE 5.0 * l_quantity * n_li < s_qty
 
 QUERIES: dict[str, tuple] = {
     "small_quantity_revenue": (q_small_quantity_revenue, SMALL_QUANTITY_REVENUE_SQL),
+    "volume_anomaly": (q_volume_anomaly, VOLUME_ANOMALY_SQL),
     "status_rollup": (q_status_rollup, STATUS_ROLLUP_SQL),
     "user_segments": (q_user_segments, USER_SEGMENTS_SQL),
     "bucket_concat": (q_bucket_concat, BUCKET_CONCAT_SQL),

@@ -256,7 +256,8 @@ def test_timestamp_queries_timezone_independent(spark):
     try:
         for name in ("bucket_concat", "hourly_windows", "sessionize",
                      "asof_join", "transcript_buckets",
-                     "retention_cohorts", "funnel_conversion"):
+                     "retention_cohorts", "funnel_conversion",
+                     "volume_anomaly"):
             fn, sql = REGISTRY[name]
             sdf = fn(spark, SF_DIR).toPandas()
             ddf = con.sql(sql).df()

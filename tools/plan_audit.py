@@ -1106,6 +1106,22 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "volume_anomaly",
+        _query_df,
+        [
+            # one (type, day) partial agg over the pruned scan; per-type
+            # stats broadcast back; flag is map-side — no windows, no join
+            # of the raw events with anything
+            lambda p: contains(p, "BroadcastHashJoin", 1),
+            lambda p: absent(p, "Window"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: never_reads(p, "props"),
+            lambda p: never_reads(p, "value"),
+            lambda p: never_reads(p, "user_id"),
+        ],
+        False,
+    ),
+    (
         "dq_checks",
         _query_df,
         [
