@@ -114,10 +114,19 @@ def main(argv: list[str] | None = None) -> int:
                         "root, --output receives the verdict table (gates + "
                         "exact dedup against the accumulated kept-digest "
                         "index; incremental and exactly-once like --signals)")
+    p.add_argument("--neardup", action="store_true",
+                   help="run the near-duplicate pass instead of extraction: "
+                        "--input is a committed extraction table root, "
+                        "--output receives per-doc LSH band fingerprints + "
+                        "verified dup_of verdicts (banded MinHash candidates "
+                        "checked against the batch AND the accumulated band "
+                        "index, exact-Jaccard verified; incremental and "
+                        "exactly-once like --signals)")
     p.add_argument("--rebuild", action="store_true",
-                   help="with --signals/--curate: full recompute committed "
-                        "as one overwrite chunk (required after a source "
-                        "partition overwrite; under --curate dedup is "
+                   help="with --signals/--curate/--neardup: full recompute "
+                        "committed as one overwrite chunk (required after a "
+                        "source partition overwrite; under --curate dedup — "
+                        "and under --neardup near-dup matching — is "
                         "re-decided globally)")
     p.add_argument("--min-tokens", type=int, default=None,
                    help="with --curate: too_short gate threshold "
@@ -183,8 +192,8 @@ def main(argv: list[str] | None = None) -> int:
     ):
         p.error("--ocr-stage runs alone; maintenance/extraction flags "
                 "apply to stage-1 runs against the stage-1 --output")
-    if args.rebuild and not (args.signals or args.curate):
-        p.error("--rebuild only applies to --signals/--curate")
+    if args.rebuild and not (args.signals or args.curate or args.neardup):
+        p.error("--rebuild only applies to --signals/--curate/--neardup")
     if not args.curate and any(
         v is not None
         for v in (args.min_tokens, args.min_stopword_micros, args.accept_langs,
@@ -192,10 +201,11 @@ def main(argv: list[str] | None = None) -> int:
     ):
         p.error("--min-tokens/--min-stopword-micros/--accept-langs/"
                 "--min-logit-micros only apply to --curate")
-    if args.signals and args.curate:
-        p.error("--signals and --curate are separate passes; run them "
-                "against separate --output roots")
-    for flag, on in (("--signals", args.signals), ("--curate", args.curate)):
+    if sum((args.signals, args.curate, args.neardup)) > 1:
+        p.error("--signals/--curate/--neardup are separate passes; run "
+                "them against separate --output roots")
+    for flag, on in (("--signals", args.signals), ("--curate", args.curate),
+                     ("--neardup", args.neardup)):
         if on and (
             args.watch
             or args.ocr_stage
@@ -297,10 +307,11 @@ def main(argv: list[str] | None = None) -> int:
 
         configure_state_store(spark, args.state_store)
     try:
-        if args.signals or args.curate:
+        if args.signals or args.curate or args.neardup:
             import os as _os
 
-            flag = "--signals" if args.signals else "--curate"
+            flag = ("--signals" if args.signals
+                    else "--curate" if args.curate else "--neardup")
             if not _os.path.isdir(_os.path.join(args.input, "commits")):
                 p.error(f"{flag} --input {args.input} is not a committed "
                         "table root (no commits/ directory)")
@@ -311,6 +322,13 @@ def main(argv: list[str] | None = None) -> int:
                     spark, args.input, args.output, rebuild=args.rebuild
                 )
                 verb = "SIGNALS_DONE"
+            elif args.neardup:
+                from pdf_extractor_spark.spark.neardup import run_neardup_job
+
+                report, dt = run_neardup_job(
+                    spark, args.input, args.output, rebuild=args.rebuild
+                )
+                verb = "NEARDUP_DONE"
             else:
                 from pdf_extractor_spark.spark.curate import (
                     GateConfig,

@@ -1,0 +1,293 @@
+"""Incremental near-duplicate stage: banded MinHash + exact-Jaccard verify.
+
+The fourth derived pass (extraction -> signals -> curate -> neardup): every
+committed document gets one row carrying its LSH band fingerprints and a
+near-dup verdict — ``dup_of`` names a VERIFIED near-duplicate partner
+(exact 3-gram Jaccard >= 0.5, ops/dedup.DUP_JACCARD_PPB) or is null. This
+is the q_dedup_verified_pairs DAG (candidates by banded MinHash bucket
+join, never all-pairs; the expensive exact measure only on candidates)
+re-expressed as a CRASH-SAFE INCREMENTAL stage over the commit log: a new
+batch's documents are checked against each other AND against every
+previously committed document — without recomputing anything for the prior
+corpus, because the stage's own committed output IS the prior band index.
+
+Verdict semantics (deterministic):
+
+- docs shorter than SHINGLE_K tokens have no shingles, hence no signature:
+  their band columns are null and they never match anything (``dup_of``
+  null by construction).
+- candidate partners: any PRIOR committed doc sharing a band hash, plus any
+  SAME-BATCH doc with a smaller doc_id sharing a band hash. Prior partners
+  outrank batch partners; ties break on the lexicographically smallest
+  partner id. ``dup_of`` names the winning verified partner — the PARTNER,
+  not necessarily a canonical representative: a batch where A~B and B~C
+  but A!~C records dup_of(B)=A and dup_of(C)=B (near-duplication is not
+  transitive; canonicalization is ops/dedup.q_dedup_keep_best /
+  star-contraction components, batch ops over the verified pairs).
+- ``jaccard_ppb`` is the exact score against ``dup_of`` (null with it).
+
+Incrementality/crash-safety come from spark/derived.py (cursor in the
+marker, append-only windows, rebuild-as-overwrite). ``rebuild`` re-decides
+the whole table with an EMPTY prior index (within-"batch" matching over the
+full corpus — the overwrite chunk shadows every prior verdict).
+
+Scale shape: signatures are the explode->md5->groupBy partial-agg pass
+(ops/dedup docstrings — measured faster than every "map-only" higher-order
+form); the candidate join is keyed on (band_id, band_hash) — O(colliding
+docs), never O(n^2); prior-side SHINGLES are recomputed only for the
+candidate PARTNERS (a semi-joined sliver of the source table), so the
+prior corpus is never re-scanned in full; the verification join is two
+doc_id-keyed hash joins + one pair agg, exactly q_dedup_verified_pairs'
+pinned shape. At 10^12 docs the band index is 4 rows of (16-byte hash) per
+doc — the only state the stage carries forward.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..ops.dedup import (
+    DUP_JACCARD_PPB,
+    MINHASH_BANDS,
+    NUM_MINHASH,
+    _persisted,
+    _signatures_from,
+    shingles,
+)
+from .derived import run_derived_stage
+from .lineage import CommitLog, RunReport
+from .signals import signal_text
+
+NEARDUP_COMPUTE_VERSION = 1
+
+_ROWS_PER_BAND = NUM_MINHASH // MINHASH_BANDS
+_BAND_COLS = [f"bh{b}" for b in range(MINHASH_BANDS)]
+
+NEARDUP_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        *[StructField(c, StringType()) for c in _BAND_COLS],
+        StructField("dup_of", StringType()),
+        StructField("jaccard_ppb", LongType()),  # null iff dup_of is null
+        StructField("part_id", IntegerType()),
+    ]
+)
+
+
+def _band_hash(b: int):
+    """Band-b hash column over a signature row (same arithmetic as
+    ops/dedup._banded_from, as named columns instead of an explode)."""
+    return F.md5(
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"mh{b * _ROWS_PER_BAND + r:02d}").cast("string")
+                for r in range(_ROWS_PER_BAND)
+            ],
+        )
+    )
+
+
+def _band_table(wide: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band_id, band_hash) from a row with bh0..bh3 columns (null
+    band hashes — shingle-less docs — drop out: they can't match)."""
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_id"), F.col(c).alias("band_hash"))
+            for b, c in enumerate(_BAND_COLS)
+        ]
+    )
+    return (
+        wide.select(F.col(id_col).alias("doc_id"), F.explode(bands).alias("b"))
+        .select("doc_id", "b.band_id", "b.band_hash")
+        .where(F.col("band_hash").isNotNull())
+    )
+
+
+def prior_band_index(spark: SparkSession, out_log: CommitLog) -> DataFrame:
+    """(doc_id, band_id, band_hash) over every previously committed doc."""
+    return _band_table(read_neardup(spark, out_log))
+
+
+def _jaccard_verify(
+    pairs: DataFrame, sh_doc: DataFrame, sh_partner: DataFrame
+) -> DataFrame:
+    """Exact 3-gram Jaccard (ppb) for (doc_id, partner_id) pairs given each
+    side's (doc_id, shingle) table — q_dedup_verified_pairs' verification
+    join, parameterized by side."""
+    sizes_d = sh_doc.groupBy("doc_id").agg(F.count("*").alias("n_d"))
+    sizes_p = sh_partner.groupBy("doc_id").agg(F.count("*").alias("n_p"))
+    s1 = sh_doc.alias("s1")
+    s2 = sh_partner.alias("s2")
+    pr = pairs.alias("pr")
+    common = (
+        pr.join(s1, F.col("pr.doc_id") == F.col("s1.doc_id"))
+        .join(
+            s2,
+            (F.col("pr.partner_id") == F.col("s2.doc_id"))
+            & (F.col("s1.shingle") == F.col("s2.shingle")),
+        )
+        .select(
+            F.col("pr.doc_id").alias("doc_id"),
+            F.col("pr.partner_id").alias("partner_id"),
+        )
+        .groupBy("doc_id", "partner_id")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(common, ["doc_id", "partner_id"], "left")
+        .join(sizes_d.withColumnRenamed("doc_id", "doc_id_d"),
+              F.col("doc_id") == F.col("doc_id_d"))
+        .join(sizes_p.withColumnRenamed("doc_id", "doc_id_p"),
+              F.col("partner_id") == F.col("doc_id_p"))
+        .select(
+            "doc_id",
+            "partner_id",
+            "src_rank",
+            F.floor(
+                F.coalesce("common", F.lit(0))
+                * F.lit(1_000_000_000)
+                / (F.col("n_d") + F.col("n_p") - F.coalesce("common", F.lit(0)))
+            )
+            .cast("bigint")
+            .alias("jaccard_ppb"),
+        )
+    )
+
+
+def compute_neardup(
+    spark: SparkSession,
+    delta: DataFrame,
+    prior_bands: DataFrame | None,
+    src_log: CommitLog | None,
+) -> DataFrame:
+    """Near-dup verdict rows for one batch. ``prior_bands``/``src_log``
+    None = rebuild path (no prior index; batch-internal matching only)."""
+    d = _persisted(
+        delta.select("doc_id", signal_text().alias("text"), "part_id")
+    )
+    sh = _persisted(shingles(d))
+    sig = _signatures_from(sh)
+    wide = _persisted(
+        sig.select(
+            "doc_id", *[_band_hash(b).alias(c) for b, c in enumerate(_BAND_COLS)]
+        )
+    )
+    wide.count()  # one pass fills d + sh + wide (no cross-branch CSE)
+    new_bands = _band_table(wide)
+
+    nb = new_bands.alias("nb")
+    ob = new_bands.alias("ob")
+    cand_batch = (
+        nb.join(
+            ob,
+            (F.col("nb.band_id") == F.col("ob.band_id"))
+            & (F.col("nb.band_hash") == F.col("ob.band_hash"))
+            & (F.col("ob.doc_id") < F.col("nb.doc_id")),
+        )
+        .select(
+            F.col("nb.doc_id").alias("doc_id"),
+            F.col("ob.doc_id").alias("partner_id"),
+        )
+        .distinct()
+        .withColumn("src_rank", F.lit(1))  # batch partners rank after prior
+    )
+    verified = [
+        _jaccard_verify(_persisted(cand_batch), sh, sh)
+    ]
+    if prior_bands is not None:
+        pb = prior_bands.alias("pb")
+        cand_prior = _persisted(
+            nb.join(
+                pb,
+                (F.col("nb.band_id") == F.col("pb.band_id"))
+                & (F.col("nb.band_hash") == F.col("pb.band_hash")),
+            )
+            .select(
+                F.col("nb.doc_id").alias("doc_id"),
+                F.col("pb.doc_id").alias("partner_id"),
+            )
+            .distinct()
+            .withColumn("src_rank", F.lit(0))
+        )
+        cand_prior.count()  # materialize before shingling ONLY the partners
+        partner_ids = cand_prior.select(
+            F.col("partner_id").alias("doc_id")
+        ).distinct()
+        prior_docs = (
+            src_log.read_extracted(spark)
+            .join(partner_ids, "doc_id", "left_semi")
+            .select("doc_id", signal_text().alias("text"))
+        )
+        sh_prior = shingles(prior_docs)
+        verified.append(_jaccard_verify(cand_prior, sh, sh_prior))
+
+    allv = verified[0]
+    for v in verified[1:]:
+        allv = allv.unionAll(v)
+    dups = allv.where(F.col("jaccard_ppb") >= DUP_JACCARD_PPB)
+    w = Window.partitionBy("doc_id").orderBy("src_rank", "partner_id")
+    best = (
+        dups.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("partner_id").alias("dup_of"), "jaccard_ppb")
+    )
+    return (
+        d.select("doc_id", "part_id")
+        .join(wide, "doc_id", "left")
+        .join(best, "doc_id", "left")
+        .select("doc_id", *_BAND_COLS, "dup_of", "jaccard_ppb", "part_id")
+    )
+
+
+def run_neardup(
+    spark: SparkSession,
+    src_log: CommitLog,
+    out_log: CommitLog,
+    rebuild: bool = False,
+) -> RunReport:
+    def _incremental(delta: DataFrame) -> DataFrame:
+        return compute_neardup(
+            spark, delta, prior_band_index(spark, out_log), src_log
+        )
+
+    def _rebuild(full: DataFrame) -> DataFrame:
+        return compute_neardup(spark, full, None, None)
+
+    return run_derived_stage(
+        spark,
+        src_log,
+        out_log,
+        NEARDUP_SCHEMA,
+        "neardup",
+        _incremental,
+        rebuild=rebuild,
+        rebuild_compute=_rebuild,
+        extra_metrics={"neardup_version": NEARDUP_COMPUTE_VERSION},
+    )
+
+
+def read_neardup(
+    spark: SparkSession, out_log: CommitLog, as_of: int | None = None
+) -> DataFrame:
+    return out_log.read_table(spark, NEARDUP_SCHEMA, as_of=as_of)
+
+
+def run_neardup_job(
+    spark: SparkSession, src_root: str, out_root: str, rebuild: bool = False
+) -> tuple[RunReport, float]:
+    t0 = time.monotonic()
+    report = run_neardup(
+        spark, CommitLog(src_root), CommitLog(out_root), rebuild=rebuild
+    )
+    return report, time.monotonic() - t0

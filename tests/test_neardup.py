@@ -1,0 +1,153 @@
+"""Incremental near-dup stage (spark/neardup.py): batch + cross-run
+matching, band fingerprints, rebuild semantics."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import pdf_extractor_spark.spark.lineage as L
+from pdf_extractor_spark.ops.extraction_queries import wrap_documents
+from pdf_extractor_spark.spark.neardup import read_neardup, run_neardup
+
+# 30 distinct words; the tail-appended variants share >=0.9 of their 3-gram
+# shingles pairwise (well above the 0.5 Jaccard duplicate threshold)
+BASE = " ".join(f"word{i:02d}" for i in range(30))
+NEAR1 = BASE + " tailone"
+NEAR2 = BASE + " tailtwo"
+FAR = " ".join(f"other{i:02d}" for i in range(30))
+GROUP = ("1", "5", "9")  # the near-dup cluster's doc ids
+
+TEXTS = {1: BASE, 5: NEAR1, 7: FAR, 8: "ab", 9: NEAR2, 3: "zz " * 40}
+
+
+def _write_docs(tmp_path, name: str, texts: dict[int, str]) -> str:
+    d = tmp_path / name
+    d.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": [texts[k] for k in texts],
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(texts[k]) for k in texts],
+        }
+    ).to_parquet(d / "documents.parquet")
+    return str(d)
+
+
+def _rows(spark, out) -> dict[str, dict]:
+    return {r["doc_id"]: r.asDict() for r in read_neardup(spark, out).collect()}
+
+
+def _check_invariants(got: dict[str, dict]) -> None:
+    assert got["7"]["dup_of"] is None and got["3"]["dup_of"] is None
+    assert got["8"]["dup_of"] is None and got["8"]["bh0"] is None  # too short
+    for d in GROUP:
+        assert got[d]["bh0"] is not None and len(got[d]["bh0"]) == 32
+        if got[d]["dup_of"] is not None:
+            assert got[d]["dup_of"] in GROUP and got[d]["dup_of"] != d
+            assert got[d]["jaccard_ppb"] >= 500_000_000
+        else:
+            assert got[d]["jaccard_ppb"] is None
+
+
+def test_single_batch_neardup(spark, tmp_path):
+    """All docs in one snapshot: within-batch matching, smallest verified
+    partner wins, shingle-less and unrelated docs stay unique."""
+    sf = _write_docs(tmp_path, "b1", TEXTS)
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+    L.run_extraction(spark, wrap_documents(spark, sf), src, n_parts=2,
+                     parts_per_chunk=2)
+    rep = run_neardup(spark, src, out)
+    assert rep.chunks_committed == 1 and rep.docs_processed == 6
+    got = _rows(spark, out)
+    _check_invariants(got)
+    assert got["1"]["dup_of"] is None  # smallest id: nothing before it
+    assert got["5"]["dup_of"] == "1"
+    assert got["9"]["dup_of"] == "1"  # min verified partner among {1, 5}
+
+    # idempotent: cursor == latest -> no-op
+    rep2 = run_neardup(spark, src, out)
+    assert rep2.chunks_committed == 0 and rep2.docs_processed == 0
+
+
+def test_incremental_neardup_across_waves(spark, tmp_path):
+    """Crash-split waves: run 2 consumes only the delta and matches its docs
+    against run 1's committed BAND INDEX (prior partners outrank batch
+    ones); the prior corpus is only re-read for the candidate partners."""
+    sf = _write_docs(tmp_path, "waves", TEXTS)
+    docs = wrap_documents(spark, sf)
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        L.run_extraction(spark, docs, src, n_parts=4, parts_per_chunk=2,
+                         fail_after_chunks=1)
+    r1 = run_neardup(spark, src, out)
+    assert r1.chunks_committed == 1
+    wave1 = set(_rows(spark, out))
+
+    L.run_extraction(spark, docs, src, n_parts=4, parts_per_chunk=2)
+    r2 = run_neardup(spark, src, out)
+    assert r1.docs_processed + r2.docs_processed == 6  # delta only
+    got = _rows(spark, out)
+    assert len(got) == 6
+    _check_invariants(got)
+
+    # expected partner per group member, derived from the wave split:
+    # wave-1 members match only smaller wave-1 ids; wave-2 members prefer
+    # ANY prior (wave-1) member — smallest id — else smaller wave-2 ids
+    w1 = sorted(d for d in GROUP if d in wave1)
+    w2 = sorted(d for d in GROUP if d not in wave1)
+    for i, d in enumerate(w1):
+        expect = w1[0] if i > 0 else None
+        assert got[d]["dup_of"] == expect, (d, w1, w2)
+    for i, d in enumerate(w2):
+        if w1:
+            expect = w1[0]
+        else:
+            expect = w2[0] if i > 0 else None
+        assert got[d]["dup_of"] == expect, (d, w1, w2)
+
+    # rebuild re-decides globally with an empty prior index: pure batch
+    # semantics regardless of the historical wave split
+    r3 = run_neardup(spark, src, out, rebuild=True)
+    assert r3.chunks_committed == 1 and r3.docs_processed == 6
+    got = _rows(spark, out)
+    assert len(got) == 6
+    _check_invariants(got)
+    assert got["1"]["dup_of"] is None
+    assert got["5"]["dup_of"] == "1" and got["9"]["dup_of"] == "1"
+
+
+def test_neardup_job_and_cli_guards(spark, tmp_path):
+    """run_neardup_job (the --neardup body) end-to-end against a committed
+    root, plus the argparse guards (which fire BEFORE JVM startup — main()
+    owns its own session, so the in-process test must not reach
+    get_spark)."""
+    from pdf_extractor_spark.job import main
+    from pdf_extractor_spark.spark.neardup import run_neardup_job
+
+    sf = _write_docs(tmp_path, "cli", {1: BASE, 2: NEAR1})
+    src_root = str(tmp_path / "cli_src")
+    out_root = str(tmp_path / "cli_out")
+    L.run_extraction(spark, wrap_documents(spark, sf),
+                     L.CommitLog(src_root), n_parts=2, parts_per_chunk=2)
+    report, _dt = run_neardup_job(spark, src_root, out_root)
+    assert report.chunks_committed == 1 and report.docs_processed == 2
+    got = _rows(spark, L.CommitLog(out_root))
+    assert got["2"]["dup_of"] == "1" and got["1"]["dup_of"] is None
+
+    with pytest.raises(SystemExit):
+        main(["--neardup", "--signals", "--input", src_root,
+              "--output", out_root])
+    with pytest.raises(SystemExit):
+        main(["--neardup", "--input", "synthetic:10", "--output", out_root])
+    with pytest.raises(SystemExit):
+        main(["--neardup", "--compact", "--input", src_root,
+              "--output", out_root])
+    with pytest.raises(SystemExit):  # curate-only gate flag
+        main(["--neardup", "--min-logit-micros", "5", "--input", src_root,
+              "--output", out_root])
