@@ -89,6 +89,12 @@ def main(argv: list[str] | None = None) -> int:
                         "curation verdict at this --curate table root is "
                         "'keep' (left-semi join; rejected/duplicate docs "
                         "stay committed in the table, they just don't ship)")
+    p.add_argument("--drop-neardups-from", type=str, default=None,
+                   metavar="DIR",
+                   help="with --export-zip: additionally drop documents the "
+                        "near-dup stage flagged (dup_of non-null) at this "
+                        "--neardup table root (anti join; composes with "
+                        "--kept-from: shipped = kept AND not near-dup)")
     p.add_argument("--with-ocr-text", type=str, default=None, metavar="DIR",
                    help="with --export-zip: fold this stage-2 ocr_text "
                         "table's recovered text into the spans before "
@@ -241,6 +247,8 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--with-ocr-text only applies to --export-zip")
     if args.kept_from and not args.export_zip:
         p.error("--kept-from only applies to --export-zip")
+    if args.drop_neardups_from and not args.export_zip:
+        p.error("--drop-neardups-from only applies to --export-zip")
     if args.shards is not None:
         if not args.export_zip:
             p.error("--shards only applies to --export-zip")
@@ -512,6 +520,7 @@ def main(argv: list[str] | None = None) -> int:
                     spark, args.output, args.export_zip, args.shards,
                     ocr_text_dir=args.with_ocr_text,
                     kept_from=args.kept_from,
+                    drop_neardups_from=args.drop_neardups_from,
                 )
                 print(
                     f"EXPORT_DONE zip={args.export_zip} "
@@ -524,6 +533,7 @@ def main(argv: list[str] | None = None) -> int:
                     spark, args.output, args.export_zip,
                     ocr_text_dir=args.with_ocr_text,
                     kept_from=args.kept_from,
+                    drop_neardups_from=args.drop_neardups_from,
                 )
                 print(f"EXPORT_DONE zip={args.export_zip} docs={n_exported}")
         dt = time.monotonic() - t0

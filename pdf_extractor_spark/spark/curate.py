@@ -286,21 +286,39 @@ def read_kept(
     curate_log: CommitLog,
     as_of: int | None = None,
     curate_as_of: int | None = None,
+    neardup_log: CommitLog | None = None,
 ) -> DataFrame:
     """The training-ready corpus VIEW: extraction rows whose curation
     verdict is ``keep``. Publish-as-view, not rewrite — at 100 TB the kept
     corpus is most of the table and rewriting its bytes to drop the losers
     costs a full write pass; a LEFT SEMI join against the doc_id-narrow
     keep set costs one shuffled column (or a broadcast, AQE's call) and
-    time-travels on BOTH tables independently."""
+    time-travels on BOTH tables independently.
+
+    ``neardup_log`` (optional) additionally excludes docs the near-dup
+    stage flagged (``dup_of`` non-null) — an anti join against the
+    equally-narrow flagged set, so the full keep rule is curate-keep AND
+    not-near-duplicate. Near-dup flags always point at an EARLIER doc
+    (prior run or smaller id), so the surviving member of every near-dup
+    cluster is its first-seen representative."""
     kept = (
         read_curated(spark, curate_log, as_of=curate_as_of)
         .where(F.col("verdict") == "keep")
         .select("doc_id")
     )
-    return src_log.read_extracted(spark, as_of=as_of).join(
+    out = src_log.read_extracted(spark, as_of=as_of).join(
         kept, "doc_id", "left_semi"
     )
+    if neardup_log is not None:
+        from .neardup import read_neardup
+
+        flagged = (
+            read_neardup(spark, neardup_log)
+            .where(F.col("dup_of").isNotNull())
+            .select("doc_id")
+        )
+        out = out.join(flagged, "doc_id", "left_anti")
+    return out
 
 
 def run_curate_job(

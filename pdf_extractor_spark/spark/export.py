@@ -92,6 +92,22 @@ def _kept_filter(spark: SparkSession, df: DataFrame, kept_from: str) -> DataFram
     return df.join(kept, "doc_id", "left_semi")
 
 
+def _neardup_filter(spark: SparkSession, df: DataFrame, neardup_from: str) -> DataFrame:
+    """Drop documents the near-dup stage flagged (``dup_of`` non-null):
+    anti join against the flagged set of the band-index table at
+    ``neardup_from``. Composes with ``_kept_filter`` — the shipped corpus
+    is curate-keep AND not-near-duplicate."""
+    from .lineage import CommitLog
+    from .neardup import read_neardup
+
+    flagged = (
+        read_neardup(spark, CommitLog(neardup_from))
+        .where(F.col("dup_of").isNotNull())
+        .select("doc_id")
+    )
+    return df.join(flagged, "doc_id", "left_anti")
+
+
 def export_markdown_zip(
     spark: SparkSession,
     root: str,
@@ -99,6 +115,7 @@ def export_markdown_zip(
     as_of: int | None = None,
     ocr_text_dir: str | None = None,
     kept_from: str | None = None,
+    drop_neardups_from: str | None = None,
 ) -> int:
     """Export every committed document as ``<doc_id>.md`` inside one zip.
 
@@ -115,6 +132,8 @@ def export_markdown_zip(
     df: DataFrame = log.read_extracted(spark, as_of=as_of)
     if kept_from is not None:
         df = _kept_filter(spark, df, kept_from)
+    if drop_neardups_from is not None:
+        df = _neardup_filter(spark, df, drop_neardups_from)
     if ocr_text_dir is not None:
         from ..streaming.ocr_stage import OCR_TEXT_SCHEMA, merge_ocr_text
 
@@ -174,6 +193,7 @@ def export_markdown_zip_sharded(
     as_of: int | None = None,
     ocr_text_dir: str | None = None,
     kept_from: str | None = None,
+    drop_neardups_from: str | None = None,
 ) -> int:
     """Sharded variant of :func:`export_markdown_zip`: exactly ``n_shards``
     zip archives under ``out_dir`` (``shard-00000.zip`` ...), written by
@@ -212,6 +232,8 @@ def export_markdown_zip_sharded(
     df: DataFrame = log.read_extracted(spark, as_of=as_of)
     if kept_from is not None:
         df = _kept_filter(spark, df, kept_from)
+    if drop_neardups_from is not None:
+        df = _neardup_filter(spark, df, drop_neardups_from)
     if ocr_text_dir is not None:
         from ..streaming.ocr_stage import OCR_TEXT_SCHEMA, merge_ocr_text
 

@@ -122,6 +122,54 @@ def test_incremental_neardup_across_waves(spark, tmp_path):
     assert got["5"]["dup_of"] == "1" and got["9"]["dup_of"] == "1"
 
 
+def test_kept_view_and_export_drop_neardups(spark, tmp_path):
+    """read_kept(neardup_log=...) and the export-side filter both reduce to
+    curate-keep AND not-near-dup; each near-dup cluster ships exactly its
+    first-seen representative."""
+    import zipfile
+
+    from pdf_extractor_spark.spark.curate import (
+        GateConfig,
+        read_kept,
+        run_curate,
+    )
+    from pdf_extractor_spark.spark.export import export_markdown_zip
+    from pdf_extractor_spark.spark.neardup import run_neardup_job
+
+    sf = _write_docs(tmp_path, "kept", TEXTS)
+    src = L.CommitLog(str(tmp_path / "src"))
+    cur = L.CommitLog(str(tmp_path / "cur"))
+    L.run_extraction(spark, wrap_documents(spark, sf), src, n_parts=2,
+                     parts_per_chunk=2)
+    # the marker-word corpus has no English stopwords: open the heuristic
+    # gates so curation keeps everything long enough and the test isolates
+    # the NEAR-DUP composition
+    run_curate(spark, src, cur, gates=GateConfig(
+        min_stopword_micros=0, accept_langs=GateConfig.any_language()))
+    run_neardup_job(spark, str(tmp_path / "src"), str(tmp_path / "nd"))
+    nd = L.CommitLog(str(tmp_path / "nd"))
+
+    kept_plain = {r["doc_id"] for r in read_kept(spark, src, cur).collect()}
+    kept_nodups = {
+        r["doc_id"]
+        for r in read_kept(spark, src, cur, neardup_log=nd).collect()
+    }
+    # 5 and 9 are near-dups of 1; whatever curate kept, the composed view
+    # must not ship them
+    assert kept_nodups == kept_plain - {"5", "9"}
+    assert "1" in kept_nodups  # the cluster's first-seen representative
+
+    zp = str(tmp_path / "out.zip")
+    n = export_markdown_zip(
+        spark, str(tmp_path / "src"), zp,
+        kept_from=str(tmp_path / "cur"),
+        drop_neardups_from=str(tmp_path / "nd"),
+    )
+    with zipfile.ZipFile(zp) as z:
+        names = {m.rsplit(".", 1)[0] for m in z.namelist()}
+    assert n == len(kept_nodups) and names == kept_nodups
+
+
 def test_neardup_job_and_cli_guards(spark, tmp_path):
     """run_neardup_job (the --neardup body) end-to-end against a committed
     root, plus the argparse guards (which fire BEFORE JVM startup — main()
