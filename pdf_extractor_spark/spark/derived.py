@@ -86,22 +86,6 @@ def commit_derived_chunk(
     return chunk_id, n_docs, touched
 
 
-def source_window(src_chunks: list[dict], cursor: int | None) -> list[dict]:
-    """Markers ``read_incremental(after=cursor)`` will include: strictly
-    after the cursor's marker in commit order, compaction rewrites
-    (``replaces``) excluded."""
-    lo = next((c for c in src_chunks if c["chunk_id"] == cursor), None)
-
-    def _after_cursor(c) -> bool:
-        if c.get("replaces"):
-            return False
-        if lo is not None:
-            return CommitLog._commit_order(c) > CommitLog._commit_order(lo)
-        return cursor is None or c["chunk_id"] > cursor
-
-    return [c for c in src_chunks if _after_cursor(c)]
-
-
 def run_derived_stage(
     spark: SparkSession,
     src_log: CommitLog,
@@ -147,7 +131,11 @@ def run_derived_stage(
     cursor = derived_cursor(out_log)
     if cursor == latest:
         return RunReport(0, 0, 0, 0)
-    window = source_window(src_chunks, cursor)
+    # THE window definition lives on CommitLog (shared with the scan that
+    # reads it, so the overwrite guard below can never drift from what
+    # read_incremental actually returns); until=latest additionally pins
+    # the guard and the read to the same horizon under concurrent writers
+    window = src_log.incremental_window(cursor, until=latest)
     if not window:
         return RunReport(0, 0, 0, 0)
     if any(c.get("overwrite") for c in window):

@@ -734,22 +734,37 @@ class CommitLog:
         incremental scan walking snapshot history."""
         from .pipeline import EXTRACTED_SCHEMA
 
+        ids = [c["chunk_id"] for c in self.incremental_window(after, until)]
+        # each marker's data is read whole here (an overwrite's parts ARE
+        # its current content), so the scan needs no part_id conditions
+        return self._scan_chunks(spark, self.data_dir, EXTRACTED_SCHEMA, ids, [])
+
+    def incremental_window(
+        self, after: int | None, until: int | None = None
+    ) -> list[dict]:
+        """The markers whose rows ``read_incremental(after, until)`` reads:
+        committed strictly after ``after``'s marker in COMMIT order (id
+        fallback when ``after`` is not a committed snapshot, e.g. the
+        -1/None cold start), compaction rewrites (``replaces``) excluded.
+
+        Factored out as the ONE definition of the window so a consumer that
+        must DECIDE on it before reading (spark/derived.py inspects the
+        markers for partition overwrites and refuses the append-shaped
+        delta) can never drift from the scan that reads it."""
         chunks = self.committed_chunks(until)  # commit order
         lo = next((c for c in chunks if c["chunk_id"] == after), None)
         lo_key = self._commit_order(lo) if lo is not None else None
-        ids = []
+        out = []
         for c in chunks:
             if c.get("replaces"):
                 continue
             if lo_key is not None:
                 if self._commit_order(c) <= lo_key:
                     continue
-            elif c["chunk_id"] <= after:  # id fallback (e.g. after=-1/0 start)
+            elif after is not None and c["chunk_id"] <= after:
                 continue
-            ids.append(c["chunk_id"])
-        # each marker's data is read whole here (an overwrite's parts ARE
-        # its current content), so the scan needs no part_id conditions
-        return self._scan_chunks(spark, self.data_dir, EXTRACTED_SCHEMA, ids, [])
+            out.append(c)
+        return out
 
     def read_lineage(
         self,

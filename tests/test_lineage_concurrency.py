@@ -88,6 +88,32 @@ def test_compaction_rejected_after_concurrent_overwrite(tmp_path):
     )
 
 
+def test_incremental_window_commit_order_and_replaces(tmp_path):
+    """``incremental_window`` is THE definition of a consumer's delta
+    (``read_incremental`` reads exactly it; spark/derived.py's overwrite
+    guard inspects exactly it): strictly after the cursor in COMMIT order —
+    a late-committed LOW id is included, not skipped — with compaction
+    rewrites excluded and an id fallback on the cold start."""
+    log = L.CommitLog(str(tmp_path / "t"))
+    log.commit_chunk(0, [0], {"docs": 1})                       # the cursor
+    log.commit_chunk(2, [1], {"docs": 1})                       # high id first
+    log.commit_chunk(1, [0], {"docs": 1}, overwrite=True)       # low id, LATE
+    log.commit_chunk(3, [0, 1], {"docs": 2}, replaces=[0, 2])   # compaction
+
+    ids = [c["chunk_id"] for c in log.incremental_window(0)]
+    assert ids == [2, 1]  # commit order; late low id in; replaces out
+
+    # the late overwrite is visible to the derived-stage guard
+    assert any(c.get("overwrite") for c in log.incremental_window(0))
+
+    # cold start: id fallback admits everything non-replaces, commit order
+    assert [c["chunk_id"] for c in log.incremental_window(None)] == [0, 2, 1]
+    assert [c["chunk_id"] for c in log.incremental_window(-1)] == [0, 2, 1]
+
+    # until= pins guard and scan to one horizon under concurrent writers
+    assert [c["chunk_id"] for c in log.incremental_window(0, until=2)] == [2]
+
+
 def test_reserve_chunk_id_skips_claimed_dirs(tmp_path):
     log = L.CommitLog(str(tmp_path / "t"))
     assert log.reserve_chunk_id() == 0
