@@ -47,12 +47,22 @@ from .lineage import CommitLog, RunReport, _chunk_dirname
 
 
 def derived_cursor(out_log: CommitLog) -> int | None:
-    """Latest SOURCE snapshot any committed chunk of this stage consumed."""
+    """Source snapshot consumed by the stage's LAST committed chunk.
+
+    Last in COMMIT order, never the numeric max: after a late-committed low
+    source chunk id is consumed (window semantics below), the stage's newest
+    marker legitimately records a src_snapshot LOWER than an earlier
+    marker's. A numeric-max cursor would rewind to the old horizon and
+    re-consume that late chunk on every subsequent run, committing duplicate
+    derived rows forever. The newest marker's src_snapshot IS the horizon the
+    last run read up to — ``incremental_window`` anchors on it in source
+    commit order, so nothing before it is ever re-read and nothing after it
+    is skipped."""
     cursor = None
-    for c in out_log.committed_chunks():
+    for c in out_log.committed_chunks():  # commit order
         src = (c.get("metrics") or {}).get("src_snapshot")
         if src is not None:
-            cursor = src if cursor is None else max(cursor, src)
+            cursor = src
     return cursor
 
 

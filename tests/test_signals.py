@@ -139,3 +139,55 @@ def test_compute_signals_is_projection_only(spark, tmp_path):
     )
     assert "Exchange" not in plan
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def _write_src_chunk(spark, src, chunk_id: int, doc_ids: list[str]) -> None:
+    """Hand-write one extraction chunk's data files (marker published by the
+    caller, so commit ORDER can be controlled independently of chunk id)."""
+    import os
+
+    from pdf_extractor_spark.spark.lineage import _chunk_dirname
+    from pdf_extractor_spark.spark.pipeline import EXTRACTED_SCHEMA
+
+    rows = [
+        (d, [("text", f"body of {d}", None, 0)], 1, 1, 0, 1, {}, 0)
+        for d in doc_ids
+    ]
+    # append: reserve_chunk_id mkdir-reserved the chunk dir already
+    spark.createDataFrame(rows, EXTRACTED_SCHEMA).write.partitionBy(
+        "part_id"
+    ).mode("append").parquet(os.path.join(src.data_dir, _chunk_dirname(chunk_id)))
+
+
+def test_signals_late_low_id_source_commit_consumed_once(spark, tmp_path):
+    """Concurrent source writers can commit a LOW chunk id late (ids are
+    assigned at reserve time). The stage must consume it exactly once: the
+    cursor is the newest derived marker's src_snapshot in COMMIT order — a
+    numeric-max cursor would rewind past the late chunk's lower id and
+    re-consume it on every subsequent run, duplicating its rows forever."""
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+    # writer A reserves id 0 but stalls; writer B reserves and commits id 1
+    a = src.reserve_chunk_id()
+    b = src.reserve_chunk_id()
+    _write_src_chunk(spark, src, b, ["d2", "d3"])
+    src.commit_chunk(b, [0], {"docs": 2}, n_parts=4)
+
+    r1 = run_signals(spark, src, out)
+    assert r1.chunks_committed == 1 and r1.docs_processed == 2
+
+    # writer A commits its LOW id late
+    _write_src_chunk(spark, src, a, ["d0", "d1"])
+    src.commit_chunk(a, [0], {"docs": 2}, n_parts=4)
+
+    r2 = run_signals(spark, src, out)
+    assert r2.chunks_committed == 1 and r2.docs_processed == 2  # the delta
+
+    # from here on the stage is idle: the late chunk is never re-consumed
+    for _ in range(2):
+        r = run_signals(spark, src, out)
+        assert (r.chunks_committed, r.docs_processed) == (0, 0)
+
+    rows = read_signals(spark, out).collect()
+    assert len(rows) == 4
+    assert len({r["doc_id"] for r in rows}) == 4
