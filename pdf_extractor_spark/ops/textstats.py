@@ -1205,7 +1205,17 @@ def bpe_encode_word(tok: str, rules: list[str]) -> list[str]:
 
 def _bpe_encode_batches(rules: list[str]):
     def gen(it):
+        import re
+
         import pyarrow as pa
+
+        # EXACT portable.tokens() semantics (split(lower(trim(text)),'\s+')
+        # on both engines): ASCII-only whitespace class — Java regex \s and
+        # DuckDB/RE2 \s are [ \t\n\v\f\r], while Python's str.split()/\s are
+        # UNICODE-whitespace-aware — trim() strips SPACES only, and leading/
+        # trailing separators yield EMPTY tokens (split keeps them; '' in,
+        # e.g., a whitespace-only doc is ONE empty token, not zero tokens)
+        ws = re.compile(r"[ \t\n\v\f\r]+")
 
         # bounded: a real-scale vocab (10^7+ types) must not grow a
         # per-task dict without limit — Zipf means the hot heads all fit
@@ -1224,18 +1234,29 @@ def _bpe_encode_batches(rules: list[str]):
             return hit
 
         for batch in it:
-            ids = batch.column("doc_id")
+            ids = batch.column("doc_id").to_pylist()
             texts = batch.column("text").to_pylist()
-            n_tok, n_pieces, enc_text = [], [], []
-            for s in texts:
-                toks = s.strip().lower().split()
-                pieces = [enc(t) for t in toks]
+            out_ids, n_tok, n_pieces, enc_text = [], [], [], []
+            for doc_id, s in zip(ids, texts):
+                if s is None:
+                    # oracle parity: unnest(split(NULL)) yields no token
+                    # rows, so a NULL-text doc is absent from the output
+                    continue
+                toks = ws.split(s.strip(" ").lower())
+                # empty tokens (leading/trailing separators, whitespace-only
+                # docs) count in n_tokens but carry NO pieces and are absent
+                # from the joined text (DuckDB: array_to_string([]) is NULL
+                # and string_agg skips NULLs; all-empty -> NULL text)
+                pieces = [enc(t) for t in toks if t]
+                out_ids.append(doc_id)
                 n_tok.append(len(toks))
                 n_pieces.append(sum(p[1] for p in pieces))
-                enc_text.append(" ".join(p[0] for p in pieces))
+                enc_text.append(
+                    " ".join(p[0] for p in pieces) if pieces else None
+                )
             yield pa.RecordBatch.from_arrays(
                 [
-                    ids,
+                    pa.array(out_ids, pa.int64()),
                     pa.array(n_tok, pa.int64()),
                     pa.array(n_pieces, pa.int64()),
                     pa.array(enc_text, pa.string()),

@@ -293,3 +293,54 @@ def test_bpe_encode_reconstructs_corpus(spark):
         if r["n_pieces"] < len(norm.replace(" ", "")):
             merged_somewhere = True
     assert merged_somewhere
+
+
+def test_bpe_encode_edge_texts_match_oracle(spark, tmp_path):
+    """Cross-engine exactness on the tokenizer's edge cases: NULL text is
+    ABSENT from the output on both engines (unnest of a NULL split yields
+    no rows); empty / whitespace-only / separator-padded docs produce the
+    same EMPTY tokens (split keeps leading/trailing empties; trim strips
+    spaces only); and a unicode NBSP is NOT a separator (Java/RE2 \\s is
+    the ASCII class — Python's str.split() would disagree)."""
+    import duckdb
+    import pandas as pd
+
+    from pdf_extractor_spark.ops.registry import REGISTRY, queries
+
+    texts = {
+        10: None,
+        11: "",
+        12: "   ",
+        13: "\tlead and\ttrail\t",
+        14: "a b c",
+        15: "aa aab the the the cat",
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": [texts[k] for k in texts],
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t or "") for t in texts.values()],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in queries()["bpe_encode"](spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = {
+        r[0]: {"doc_id": r[0], "n_tokens": r[1], "n_pieces": r[2],
+               "encoded_text": r[3]}
+        for r in con.execute(REGISTRY["bpe_encode"][1]).fetchall()
+    }
+    assert got == want
+    assert 10 not in got  # NULL text: no row on either engine
+    assert got[11]["n_tokens"] == 1  # '' splits to one EMPTY token
+    assert got[12]["n_tokens"] == 1  # spaces trim to the same
+    assert got[14]["n_tokens"] == 2  # NBSP is not a separator
