@@ -296,11 +296,19 @@ def read_kept(
     time-travels on BOTH tables independently.
 
     ``neardup_log`` (optional) additionally excludes docs the near-dup
-    stage flagged (``dup_of`` non-null) — an anti join against the
-    equally-narrow flagged set, so the full keep rule is curate-keep AND
-    not-near-duplicate. Near-dup flags always point at an EARLIER doc
-    (prior run or smaller id), so the surviving member of every near-dup
-    cluster is its first-seen representative."""
+    stage flagged — but a flag only counts when its ``dup_of`` partner is
+    itself in the curate-keep set: neardup runs over ALL extracted docs
+    independent of curation, so a flagged-but-kept doc whose partner was
+    curate-REJECTED must survive as its cluster's earliest kept
+    representative (an unconditional anti join would delete the whole
+    cluster's content from the view). Along a flag chain (dup_of names the
+    verified PARTNER, see spark/neardup.py — B->A, C->B) the rule promotes
+    the next member automatically: if A is rejected, B survives and C
+    (whose partner B is kept) stays excluded. Residual near-dups among
+    survivors that shared a rejected partner are KEPT — collapsing those
+    requires re-running neardup over the kept corpus. Both exclusion
+    inputs are doc_id-narrow: one semi join (flag validity) plus one anti
+    join (the exclusion)."""
     kept = (
         read_curated(spark, curate_log, as_of=curate_as_of)
         .where(F.col("verdict") == "keep")
@@ -315,6 +323,11 @@ def read_kept(
         flagged = (
             read_neardup(spark, neardup_log)
             .where(F.col("dup_of").isNotNull())
+            .join(
+                kept.select(F.col("doc_id").alias("dup_of")),
+                "dup_of",
+                "left_semi",
+            )
             .select("doc_id")
         )
         out = out.join(flagged, "doc_id", "left_anti")

@@ -76,36 +76,52 @@ def markdown_expr(spans: Column | str) -> Column:
     )
 
 
-def _kept_filter(spark: SparkSession, df: DataFrame, kept_from: str) -> DataFrame:
-    """Restrict an extraction read to documents the curation stage KEPT:
-    left-semi join against the doc_id-narrow keep set of the verdict table
-    at ``kept_from``. Applied BEFORE any OCR merge — recovering text for a
-    doc the export is about to drop is wasted work."""
+def _kept_ids(spark: SparkSession, kept_from: str) -> DataFrame:
+    """The doc_id-narrow curate-keep set of the verdict table at
+    ``kept_from``."""
     from .curate import read_curated
     from .lineage import CommitLog
 
-    kept = (
+    return (
         read_curated(spark, CommitLog(kept_from))
         .where(F.col("verdict") == "keep")
         .select("doc_id")
     )
+
+
+def _kept_filter(spark: SparkSession, df: DataFrame, kept: DataFrame) -> DataFrame:
+    """Restrict an extraction read to documents the curation stage KEPT:
+    left-semi join against the doc_id-narrow keep set. Applied BEFORE any
+    OCR merge — recovering text for a doc the export is about to drop is
+    wasted work."""
     return df.join(kept, "doc_id", "left_semi")
 
 
-def _neardup_filter(spark: SparkSession, df: DataFrame, neardup_from: str) -> DataFrame:
+def _neardup_filter(
+    spark: SparkSession,
+    df: DataFrame,
+    neardup_from: str,
+    kept: DataFrame | None = None,
+) -> DataFrame:
     """Drop documents the near-dup stage flagged (``dup_of`` non-null):
     anti join against the flagged set of the band-index table at
-    ``neardup_from``. Composes with ``_kept_filter`` — the shipped corpus
-    is curate-keep AND not-near-duplicate."""
+    ``neardup_from``. When composed with ``_kept_filter`` (``kept`` given),
+    a flag only counts if its ``dup_of`` partner is itself curate-kept —
+    otherwise a cluster whose partner was curate-rejected would lose every
+    member from the shipped corpus (see spark/curate.read_kept, the same
+    rule). Without curation every partner survives by construction, so the
+    plain anti join is already safe."""
     from .lineage import CommitLog
     from .neardup import read_neardup
 
-    flagged = (
-        read_neardup(spark, CommitLog(neardup_from))
-        .where(F.col("dup_of").isNotNull())
-        .select("doc_id")
+    flagged = read_neardup(spark, CommitLog(neardup_from)).where(
+        F.col("dup_of").isNotNull()
     )
-    return df.join(flagged, "doc_id", "left_anti")
+    if kept is not None:
+        flagged = flagged.join(
+            kept.select(F.col("doc_id").alias("dup_of")), "dup_of", "left_semi"
+        )
+    return df.join(flagged.select("doc_id"), "doc_id", "left_anti")
 
 
 def export_markdown_zip(
@@ -130,10 +146,11 @@ def export_markdown_zip(
     """
     log = CommitLog(root)
     df: DataFrame = log.read_extracted(spark, as_of=as_of)
-    if kept_from is not None:
-        df = _kept_filter(spark, df, kept_from)
+    kept = _kept_ids(spark, kept_from) if kept_from is not None else None
+    if kept is not None:
+        df = _kept_filter(spark, df, kept)
     if drop_neardups_from is not None:
-        df = _neardup_filter(spark, df, drop_neardups_from)
+        df = _neardup_filter(spark, df, drop_neardups_from, kept=kept)
     if ocr_text_dir is not None:
         from ..streaming.ocr_stage import OCR_TEXT_SCHEMA, merge_ocr_text
 
@@ -230,10 +247,11 @@ def export_markdown_zip_sharded(
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     log = CommitLog(root)
     df: DataFrame = log.read_extracted(spark, as_of=as_of)
-    if kept_from is not None:
-        df = _kept_filter(spark, df, kept_from)
+    kept = _kept_ids(spark, kept_from) if kept_from is not None else None
+    if kept is not None:
+        df = _kept_filter(spark, df, kept)
     if drop_neardups_from is not None:
-        df = _neardup_filter(spark, df, drop_neardups_from)
+        df = _neardup_filter(spark, df, drop_neardups_from, kept=kept)
     if ocr_text_dir is not None:
         from ..streaming.ocr_stage import OCR_TEXT_SCHEMA, merge_ocr_text
 

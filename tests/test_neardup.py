@@ -199,3 +199,70 @@ def test_neardup_job_and_cli_guards(spark, tmp_path):
     with pytest.raises(SystemExit):  # curate-only gate flag
         main(["--neardup", "--min-logit-micros", "5", "--input", src_root,
               "--output", out_root])
+
+
+def test_kept_view_survives_curate_rejected_partner(spark, tmp_path):
+    """A near-dup flag only excludes a doc whose dup_of partner is itself
+    curate-KEPT. Neardup runs over ALL extracted docs independent of
+    curation, so when a flagged-but-kept doc's partner was curate-rejected
+    the doc must survive as its cluster's earliest kept representative —
+    an unconditional anti join would drop every member of the cluster from
+    the shipped corpus. Flag chains promote the next member: with
+    dup_of(B)=A (A rejected) and dup_of(C)=B (B kept), exactly B ships."""
+    import os
+    import zipfile
+
+    from pdf_extractor_spark.spark.curate import CURATED_SCHEMA, read_kept
+    from pdf_extractor_spark.spark.derived import commit_derived_chunk
+    from pdf_extractor_spark.spark.export import export_markdown_zip
+    from pdf_extractor_spark.spark.lineage import _chunk_dirname
+    from pdf_extractor_spark.spark.neardup import NEARDUP_SCHEMA
+    from pdf_extractor_spark.spark.pipeline import EXTRACTED_SCHEMA
+
+    src = L.CommitLog(str(tmp_path / "src"))
+    cid = src.reserve_chunk_id()
+    rows = [
+        (d, [("text", f"body {d}", None, 0)], 1, 1, 0, 1, {}, 0)
+        for d in ["A", "B", "C"]
+    ]
+    spark.createDataFrame(rows, EXTRACTED_SCHEMA).write.partitionBy(
+        "part_id"
+    ).mode("append").parquet(os.path.join(src.data_dir, _chunk_dirname(cid)))
+    src.commit_chunk(cid, [0], {"docs": 3}, n_parts=2)
+
+    cur = L.CommitLog(str(tmp_path / "cur"))
+    cur_rows = [
+        ("A", "dA", 2, "en", "reject", "quality", None, 0),
+        ("B", "dB", 2, "en", "keep", None, None, 0),
+        ("C", "dC", 2, "en", "keep", None, None, 0),
+    ]
+    commit_derived_chunk(
+        spark, cur, spark.createDataFrame(cur_rows, CURATED_SCHEMA),
+        CURATED_SCHEMA, "curate", None, {"src_snapshot": cid}, 2,
+    )
+
+    nd = L.CommitLog(str(tmp_path / "nd"))
+    nd_rows = [
+        ("A", None, None, None, None, None, None, 0),
+        ("B", None, None, None, None, "A", 700_000_000, 0),
+        ("C", None, None, None, None, "B", 700_000_000, 0),
+    ]
+    commit_derived_chunk(
+        spark, nd, spark.createDataFrame(nd_rows, NEARDUP_SCHEMA),
+        NEARDUP_SCHEMA, "neardup", None, {"src_snapshot": cid}, 2,
+    )
+
+    kept = {
+        r["doc_id"] for r in read_kept(spark, src, cur, neardup_log=nd).collect()
+    }
+    assert kept == {"B"}
+
+    # the export-side filter composes the same rule
+    zp = str(tmp_path / "out.zip")
+    n = export_markdown_zip(
+        spark, str(tmp_path / "src"), zp,
+        kept_from=str(tmp_path / "cur"),
+        drop_neardups_from=str(tmp_path / "nd"),
+    )
+    with zipfile.ZipFile(zp) as z:
+        assert n == 1 and {m.rsplit(".", 1)[0] for m in z.namelist()} == {"B"}
