@@ -169,6 +169,7 @@ def main(argv: list[str] | None = None) -> int:
         if (
             args.watch or args.ocr_stage or args.compact or args.refresh_parts
             or args.export_zip or args.route_needs_ocr
+            or args.signals or args.curate or args.neardup or args.rebuild
             or args.expire_older_than is not None
             or args.gc_orphans_older_than is not None
         ):

@@ -112,13 +112,33 @@ def detect_input_format(path: str) -> str:
 
     if path.endswith(".jsonl"):
         return "jsonl"
-    has_jsonl = bool(_glob.glob(os.path.join(path, "*.jsonl")))
-    has_parquet = bool(_glob.glob(os.path.join(path, "*.parquet")))
+
+    def _has(ext: str) -> bool:
+        # flat first (the landing-dir layout), then recursive for nested
+        # parquet tables (Hive partition dirs); iglob short-circuits on the
+        # first hit so populated dirs never pay for the deep walk
+        flat = os.path.join(path, f"*.{ext}")
+        deep = os.path.join(path, "**", f"*.{ext}")
+        return (
+            next(_glob.iglob(flat), None) is not None
+            or next(_glob.iglob(deep, recursive=True), None) is not None
+        )
+
+    has_jsonl = _has("jsonl")
+    has_parquet = _has("parquet")
     if has_jsonl and has_parquet:
         raise ValueError(
             f"{path!r} mixes *.jsonl and *.parquet drops; pass an explicit "
             f"--input-format (a per-stream format is pinned by the "
             f"checkpoint — one landing dir cannot serve both)"
+        )
+    if not has_jsonl and not has_parquet:
+        # an empty landing dir is normal for a watcher started ahead of its
+        # producer — but guessing 'parquet' here would pin the stream to
+        # that guess and misparse every jsonl drop that lands later
+        raise ValueError(
+            f"{path!r} holds neither *.jsonl nor *.parquet files; pass an "
+            f"explicit --input-format to start on an empty landing dir"
         )
     return "jsonl" if has_jsonl else "parquet"
 

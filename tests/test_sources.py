@@ -267,15 +267,18 @@ def test_jsonl_corrupt_lines_quarantined(spark):
 def test_detect_input_format_refuses_mixed_dirs(tmp_path):
     from pdf_extractor_spark.ops.jsonl_source import detect_input_format
 
+    import pytest
+
     d = tmp_path / "drops"
     d.mkdir()
-    assert detect_input_format(str(d)) == "parquet"  # empty dir: default
+    # empty dir: refuse to guess — a watcher started ahead of its producer
+    # would pin the stream to the guess and misparse later jsonl drops
+    with pytest.raises(ValueError, match="explicit --input-format"):
+        detect_input_format(str(d))
     (d / "a.jsonl").write_text("{}\n")
     assert detect_input_format(str(d)) == "jsonl"
     assert detect_input_format(str(d / "a.jsonl")) == "jsonl"  # single file
     (d / "b.parquet").write_bytes(b"PAR1")
-    import pytest
-
     with pytest.raises(ValueError, match="mixes"):
         detect_input_format(str(d))
 
@@ -294,3 +297,21 @@ def test_migrate_layout_cli_runs_without_input(tmp_path):
     assert sorted(os.listdir(root / "data")) == ["chunk=000000"]
     assert sorted(os.listdir(root / "lineage")) == ["chunk=1000000"]
     assert main(["--output", str(root), "--migrate-layout"]) == 0  # idempotent
+
+
+def test_migrate_layout_refuses_mode_flags(tmp_path):
+    """--migrate-layout runs alone: combining it with a derived-stage mode
+    (or --rebuild) must fail loudly instead of silently skipping the mode
+    — exit 0 with the mode ignored reads as 'the rebuild ran'."""
+    import pytest
+
+    from pdf_extractor_spark.job import main
+
+    root = tmp_path / "t"
+    (root / "data").mkdir(parents=True)
+    for extra in (["--curate", "--rebuild", "--input", "x"],
+                  ["--signals", "--input", "x"],
+                  ["--neardup", "--input", "x"]):
+        with pytest.raises(SystemExit) as e:
+            main(["--output", str(root), "--migrate-layout", *extra])
+        assert e.value.code == 2  # argparse error, not a silent no-op
