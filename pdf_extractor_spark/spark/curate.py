@@ -59,7 +59,7 @@ from pyspark.sql.types import (
 
 from .derived import run_derived_stage
 from .lineage import CommitLog, RunReport
-from .signals import compute_signals, signal_text
+from .signals import compute_signals
 
 # bump whenever verdict semantics change: fixture caches key on it so stale
 # committed verdicts can never satisfy a check against new definitions
@@ -142,12 +142,13 @@ def compute_verdicts(
 ) -> DataFrame:
     """Verdict rows for one batch of extracted docs, deduped against
     ``kept_index`` (None = empty, the rebuild path)."""
-    from ..ops.portable import tokens
-
     g = gates or GateConfig()
+    # callables: computed from compute_signals' staged (_text, _tok)
+    # columns, so the interpreted span-join/token-split chain runs once per
+    # row instead of once per consumer (see compute_signals' docstring)
     extra = {
-        "digest": F.md5(
-            F.encode(F.array_join(tokens(signal_text()), " "), "UTF-8")
+        "digest": lambda _text, tok: F.md5(
+            F.encode(F.array_join(tok, " "), "UTF-8")
         )
     }
     if g.min_logit_micros is not None:
@@ -156,15 +157,17 @@ def compute_verdicts(
         # the frozen model with the quality_classifier op
         from ..ops.textstats import cls_weight
 
-        tok = tokens(signal_text())
-        extra["logit_micros"] = F.floor(
-            F.aggregate(
-                tok,
-                F.lit(0).cast("bigint"),
-                lambda acc, t: acc + cls_weight(t),
-            ).cast("double")
-            / F.size(tok)
-        ).cast("bigint")
+        def _logit(_text, tok):
+            return F.floor(
+                F.aggregate(
+                    tok,
+                    F.lit(0).cast("bigint"),
+                    lambda acc, t: acc + cls_weight(t),
+                ).cast("double")
+                / F.size(tok)
+            ).cast("bigint")
+
+        extra["logit_micros"] = _logit
     sig = compute_signals(extracted, extra=extra)
     lang_bad = (
         F.col("pred_lang") == "unknown"

@@ -81,43 +81,61 @@ def signal_text() -> Column:
 
 
 def compute_signals(
-    extracted: DataFrame, extra: dict[str, Column] | None = None
+    extracted: DataFrame, extra: dict[str, Column | object] | None = None
 ) -> DataFrame:
     """Per-document signal columns over extracted rows (doc_id, spans,
     part_id, ...). Pure projection — no shuffle, no Python. ``extra``
-    columns (computed from the SOURCE row, e.g. curate's content digest)
-    ride along the same single pass and come out after ``part_id``."""
+    columns ride along the same pass and come out after ``part_id``; an
+    entry may be a plain Column (evaluated from the SOURCE row) or a
+    callable receiving the staged ``(_text, _tok)`` columns.
+
+    The span-join and the token split are STAGED through their own selects
+    so each is evaluated once per row: they are interpreted higher-order
+    expressions (no codegen subexpression elimination), and inlining them
+    into every consumer — n_tokens, stopwords, Simpson, the language
+    argmax, curate's digest and classifier fold — re-runs the full
+    transform/split chain per consumer (the lang_marker_counts precedent:
+    measured ~2x). CollapseProject leaves non-cheap aliases staged."""
     from ..ops.textstats import _count_in
 
-    text = signal_text()
     extra = extra or {}
+    _text, _tok = F.col("_text"), F.col("_tok")
     d = extracted.select(
         "doc_id",
         "part_id",
-        *(expr.alias(name) for name, expr in extra.items()),
+        "spans",
+        signal_text().alias("_text"),
+    )
+    d = d.select(
+        "doc_id",
+        "part_id",
+        "spans",  # still visible to plain-Column extras below
         F.size(F.filter("spans", lambda s: s["kind"] == "text"))
         .cast("int")
         .alias("n_text_spans"),
         F.size(F.filter("spans", lambda s: s["kind"] == "media"))
         .cast("int")
         .alias("n_media_spans"),
-        # split('') is [''] — an empty doc must count 0 tokens, not 1
-        F.when(F.length(F.trim(text)) == 0, F.lit(0))
-        .otherwise(F.size(tokens(text)))
-        .cast("bigint")
-        .alias("n_tokens"),
-        tokens(text).alias("_tok"),
+        "_text",
+        tokens(_text).alias("_tok"),
     )
     d = d.select(
         "doc_id",
         "part_id",
-        *extra,
+        *(
+            (expr(_text, _tok) if callable(expr) else expr).alias(name)
+            for name, expr in extra.items()
+        ),
         "n_text_spans",
         "n_media_spans",
-        "n_tokens",
-        _count_in(F.col("_tok"), STOPWORDS).alias("_n_stop"),
-        simpson_pairs(F.col("_tok")).alias("_pairs"),
-        *lang_marker_counts(F.col("_tok")),
+        # split('') is [''] — an empty doc must count 0 tokens, not 1
+        F.when(F.length(F.trim(_text)) == 0, F.lit(0))
+        .otherwise(F.size(_tok))
+        .cast("bigint")
+        .alias("n_tokens"),
+        _count_in(_tok, STOPWORDS).alias("_n_stop"),
+        simpson_pairs(_tok).alias("_pairs"),
+        *lang_marker_counts(_tok),
     )
     return d.select(
         "doc_id",

@@ -201,6 +201,13 @@ AUDITS: list[tuple] = [
             lambda p: absent(p, "SortMergeJoin"),
             lambda p: absent(p, "MapInPandas"),
             lambda p: absent(p, "MapInArrow"),
+            # the interpreted span-join/token-split chain is STAGED through
+            # its own projections and evaluated once per row — inlining it
+            # into every consumer (n_tokens, stopwords, Simpson, lang
+            # argmax, digest) re-ran it 5-6x (no codegen subexpression
+            # elimination for higher-order functions)
+            lambda p: occurs_at_most(p, "split(", 1),
+            lambda p: occurs_at_most(p, "transform(", 1),
         ],
         False,
     ),
