@@ -25,7 +25,7 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .portable import (
@@ -235,28 +235,87 @@ MINHASH_SIGNATURES_SQL = _minhash_sig_sql()
 
 # --- MinHash + LSH candidate pairs -----------------------------------------
 
+def band_hash_expr(b: int) -> Column:
+    """Band ``b``'s hash over a signature row's mh00..mhNN columns — THE
+    band arithmetic, shared by :func:`_banded_from` (exploded long form)
+    and spark/neardup.py's stored wide ``bh*`` columns; one definition so
+    the incremental stage can never drift from the batch ops."""
+    rows_per_band = NUM_MINHASH // MINHASH_BANDS
+    return F.md5(
+        F.concat_ws(
+            ",",
+            *[
+                F.col(f"mh{b * rows_per_band + r:02d}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+    )
+
+
 def _banded_from(sig: DataFrame) -> DataFrame:
     """(doc_id, band_id, band_hash) LSH band table from a signature table."""
-    rows_per_band = NUM_MINHASH // MINHASH_BANDS
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"mh{b * rows_per_band + r:02d}").cast("string")
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                ).alias("band_hash"),
+                band_hash_expr(b).alias("band_hash"),
             )
             for b in range(MINHASH_BANDS)
         ]
     )
     return sig.select("doc_id", F.explode(bands).alias("band")).select(
         "doc_id", "band.band_id", "band.band_hash"
+    )
+
+
+def jaccard_ppb_for_pairs(
+    pairs: DataFrame,
+    sh_left: DataFrame,
+    sh_right: DataFrame,
+    left: str,
+    right: str,
+) -> DataFrame:
+    """Exact SHINGLE_K-gram Jaccard for candidate pairs — THE verification
+    join every banded near-dup path shares (q_dedup_verified_pairs,
+    q_decontaminate_fuzzy, spark/neardup.py): two doc_id-keyed hash joins
+    + one pair agg, never all-pairs. Returns ``pairs``' columns plus
+    ``common`` and floor-ppb ``jaccard_ppb`` (integer-exact on both
+    engines); a candidate with no shared shingle — a band false positive —
+    scores 0 rather than dropping out, so banding precision stays
+    observable downstream."""
+    sizes_l = sh_left.groupBy("doc_id").agg(F.count("*").alias("_n_l"))
+    sizes_r = sh_right.groupBy("doc_id").agg(F.count("*").alias("_n_r"))
+    s1, s2, pr = sh_left.alias("s1"), sh_right.alias("s2"), pairs.alias("pr")
+    common = (
+        pr.join(s1, F.col(f"pr.{left}") == F.col("s1.doc_id"))
+        .join(
+            s2,
+            (F.col(f"pr.{right}") == F.col("s2.doc_id"))
+            & (F.col("s1.shingle") == F.col("s2.shingle")),
+        )
+        .groupBy(
+            F.col(f"pr.{left}").alias(left), F.col(f"pr.{right}").alias(right)
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    c = F.coalesce("common", F.lit(0))
+    return (
+        pairs.join(common, [left, right], "left")
+        .join(
+            sizes_l.withColumnRenamed("doc_id", "_id_l"),
+            F.col(left) == F.col("_id_l"),
+        )
+        .join(
+            sizes_r.withColumnRenamed("doc_id", "_id_r"),
+            F.col(right) == F.col("_id_r"),
+        )
+        .select(
+            *pairs.columns,
+            c.alias("common"),
+            F.floor(c * F.lit(1_000_000_000) / (F.col("_n_l") + F.col("_n_r") - c))
+            .cast("bigint")
+            .alias("jaccard_ppb"),
+        )
     )
 
 
@@ -502,37 +561,8 @@ def q_dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _persisted(shingles(docs))
     cand = _persisted(_lsh_pairs_from(_signatures_from(sh)))
     cand.count()  # materialize the stage: one documents scan fills sh + cand
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    s1 = sh.alias("s1")
-    s2 = sh.alias("s2")
-    common = (
-        cand.join(s1, F.col("doc1") == F.col("s1.doc_id"))
-        .join(
-            s2,
-            (F.col("doc2") == F.col("s2.doc_id"))
-            & (F.col("s1.shingle") == F.col("s2.shingle")),
-        )
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     return (
-        cand.join(common, ["doc1", "doc2"], "left")
-        .join(sa, F.col("doc1") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc2") == F.col("sb.doc_id"))
-        .select(
-            "doc1",
-            "doc2",
-            F.coalesce("common", F.lit(0)).alias("common"),
-            F.floor(
-                F.coalesce("common", F.lit(0))
-                * F.lit(1_000_000_000)
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.coalesce("common", F.lit(0)))
-            )
-            .cast("bigint")
-            .alias("jaccard_ppb"),
-        )
+        jaccard_ppb_for_pairs(cand, sh, sh, "doc1", "doc2")
         .withColumn("is_dup", (F.col("jaccard_ppb") >= DUP_JACCARD_PPB).cast("int"))
         .orderBy("doc1", "doc2")
     )
@@ -1079,40 +1109,7 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    s1 = sh.alias("s1")
-    s2 = sh.alias("s2")
-    common = (
-        cand.join(s1, F.col("corpus_doc") == F.col("s1.doc_id"))
-        .join(
-            s2,
-            (F.col("bench_doc") == F.col("s2.doc_id"))
-            & (F.col("s1.shingle") == F.col("s2.shingle")),
-        )
-        .groupBy("corpus_doc", "bench_doc")
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    scored = (
-        cand.join(common, ["corpus_doc", "bench_doc"], "left")
-        .join(sa, F.col("corpus_doc") == F.col("sa.doc_id"))
-        .join(sb, F.col("bench_doc") == F.col("sb.doc_id"))
-        .select(
-            "corpus_doc",
-            F.floor(
-                F.coalesce("common", F.lit(0))
-                * F.lit(1_000_000_000)
-                / (
-                    F.col("sa.n_sh")
-                    + F.col("sb.n_sh")
-                    - F.coalesce("common", F.lit(0))
-                )
-            )
-            .cast("bigint")
-            .alias("jaccard_ppb"),
-        )
-    )
+    scored = jaccard_ppb_for_pairs(cand, sh, sh, "corpus_doc", "bench_doc")
     return (
         scored.groupBy("corpus_doc")
         .agg(

@@ -59,9 +59,10 @@ from pyspark.sql.types import (
 from ..ops.dedup import (
     DUP_JACCARD_PPB,
     MINHASH_BANDS,
-    NUM_MINHASH,
     _persisted,
     _signatures_from,
+    band_hash_expr,
+    jaccard_ppb_for_pairs,
     shingles,
 )
 from .derived import run_derived_stage
@@ -70,7 +71,6 @@ from .signals import signal_text
 
 NEARDUP_COMPUTE_VERSION = 1
 
-_ROWS_PER_BAND = NUM_MINHASH // MINHASH_BANDS
 _BAND_COLS = [f"bh{b}" for b in range(MINHASH_BANDS)]
 
 NEARDUP_SCHEMA = StructType(
@@ -82,20 +82,6 @@ NEARDUP_SCHEMA = StructType(
         StructField("part_id", IntegerType()),
     ]
 )
-
-
-def _band_hash(b: int):
-    """Band-b hash column over a signature row (same arithmetic as
-    ops/dedup._banded_from, as named columns instead of an explode)."""
-    return F.md5(
-        F.concat_ws(
-            ",",
-            *[
-                F.col(f"mh{b * _ROWS_PER_BAND + r:02d}").cast("string")
-                for r in range(_ROWS_PER_BAND)
-            ],
-        )
-    )
 
 
 def _band_table(wide: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -119,52 +105,6 @@ def prior_band_index(spark: SparkSession, out_log: CommitLog) -> DataFrame:
     return _band_table(read_neardup(spark, out_log))
 
 
-def _jaccard_verify(
-    pairs: DataFrame, sh_doc: DataFrame, sh_partner: DataFrame
-) -> DataFrame:
-    """Exact 3-gram Jaccard (ppb) for (doc_id, partner_id) pairs given each
-    side's (doc_id, shingle) table — q_dedup_verified_pairs' verification
-    join, parameterized by side."""
-    sizes_d = sh_doc.groupBy("doc_id").agg(F.count("*").alias("n_d"))
-    sizes_p = sh_partner.groupBy("doc_id").agg(F.count("*").alias("n_p"))
-    s1 = sh_doc.alias("s1")
-    s2 = sh_partner.alias("s2")
-    pr = pairs.alias("pr")
-    common = (
-        pr.join(s1, F.col("pr.doc_id") == F.col("s1.doc_id"))
-        .join(
-            s2,
-            (F.col("pr.partner_id") == F.col("s2.doc_id"))
-            & (F.col("s1.shingle") == F.col("s2.shingle")),
-        )
-        .select(
-            F.col("pr.doc_id").alias("doc_id"),
-            F.col("pr.partner_id").alias("partner_id"),
-        )
-        .groupBy("doc_id", "partner_id")
-        .agg(F.count("*").alias("common"))
-    )
-    return (
-        pairs.join(common, ["doc_id", "partner_id"], "left")
-        .join(sizes_d.withColumnRenamed("doc_id", "doc_id_d"),
-              F.col("doc_id") == F.col("doc_id_d"))
-        .join(sizes_p.withColumnRenamed("doc_id", "doc_id_p"),
-              F.col("partner_id") == F.col("doc_id_p"))
-        .select(
-            "doc_id",
-            "partner_id",
-            "src_rank",
-            F.floor(
-                F.coalesce("common", F.lit(0))
-                * F.lit(1_000_000_000)
-                / (F.col("n_d") + F.col("n_p") - F.coalesce("common", F.lit(0)))
-            )
-            .cast("bigint")
-            .alias("jaccard_ppb"),
-        )
-    )
-
-
 def compute_neardup(
     spark: SparkSession,
     delta: DataFrame,
@@ -180,7 +120,7 @@ def compute_neardup(
     sig = _signatures_from(sh)
     wide = _persisted(
         sig.select(
-            "doc_id", *[_band_hash(b).alias(c) for b, c in enumerate(_BAND_COLS)]
+            "doc_id", *[band_hash_expr(b).alias(c) for b, c in enumerate(_BAND_COLS)]
         )
     )
     wide.count()  # one pass fills d + sh + wide (no cross-branch CSE)
@@ -203,7 +143,9 @@ def compute_neardup(
         .withColumn("src_rank", F.lit(1))  # batch partners rank after prior
     )
     verified = [
-        _jaccard_verify(_persisted(cand_batch), sh, sh)
+        jaccard_ppb_for_pairs(
+            _persisted(cand_batch), sh, sh, "doc_id", "partner_id"
+        ).drop("common")
     ]
     if prior_bands is not None:
         pb = prior_bands.alias("pb")
@@ -230,7 +172,11 @@ def compute_neardup(
             .select("doc_id", signal_text().alias("text"))
         )
         sh_prior = shingles(prior_docs)
-        verified.append(_jaccard_verify(cand_prior, sh, sh_prior))
+        verified.append(
+            jaccard_ppb_for_pairs(
+                cand_prior, sh, sh_prior, "doc_id", "partner_id"
+            ).drop("common")
+        )
 
     allv = verified[0]
     for v in verified[1:]:
