@@ -46,6 +46,16 @@ from pyspark.sql.types import StructType
 from .lineage import CommitLog, RunReport, _chunk_dirname
 
 
+def _cursor_of(markers: list[dict]) -> int | None:
+    """Cursor from an already-parsed committed-marker list (commit order)."""
+    cursor = None
+    for c in markers:
+        src = (c.get("metrics") or {}).get("src_snapshot")
+        if src is not None:
+            cursor = src
+    return cursor
+
+
 def derived_cursor(out_log: CommitLog) -> int | None:
     """Source snapshot consumed by the stage's LAST committed chunk.
 
@@ -58,12 +68,7 @@ def derived_cursor(out_log: CommitLog) -> int | None:
     last run read up to — ``incremental_window`` anchors on it in source
     commit order, so nothing before it is ever re-read and nothing after it
     is skipped."""
-    cursor = None
-    for c in out_log.committed_chunks():  # commit order
-        src = (c.get("metrics") or {}).get("src_snapshot")
-        if src is not None:
-            cursor = src
-    return cursor
+    return _cursor_of(out_log.committed_chunks())
 
 
 def commit_derived_chunk(
@@ -76,9 +81,11 @@ def commit_derived_chunk(
     metrics: dict,
     n_parts: int | None,
     overwrite: bool = False,
+    validate=None,
 ) -> tuple[int, int, list[int]]:
     """Stage one derived chunk (append-mode write into the mkdir-reserved
-    dir, exactly like lineage._write_chunk) and flip its marker."""
+    dir, exactly like lineage._write_chunk) and flip its marker.
+    ``validate`` runs under the commit lock (see CommitLog.commit_chunk)."""
     chunk_id = out_log.reserve_chunk_id()
     data_path = os.path.join(out_log.data_dir, _chunk_dirname(chunk_id))
     df.write.partitionBy("part_id").mode("append").parquet(data_path)
@@ -92,6 +99,7 @@ def commit_derived_chunk(
         {**metrics, "docs": n_docs, "stage": stage},
         n_parts=n_parts,
         overwrite=overwrite,
+        validate=validate,
     )
     return chunk_id, n_docs, touched
 
@@ -116,15 +124,23 @@ def run_derived_stage(
     stage whose incremental path consults its own prior output (e.g.
     curate's kept-digest index) passes a self-contained variant here.
     """
-    src_chunks = src_log.committed_chunks()  # commit order
+    src_chunks = src_log.committed_chunks()  # commit order; reused below
     if not src_chunks:
         return RunReport(0, 0, 0, 0)
     latest = src_chunks[-1]["chunk_id"]
-    n_parts = src_log.n_parts()
+    n_parts = src_log.n_parts(chunks=src_chunks)
 
     if rebuild:
-        out = (rebuild_compute or compute)(src_log.read_extracted(spark))
-        all_parts = sorted(src_log.committed_part_ids())
+        # markers=src_chunks pins the read to the SAME snapshot `latest`
+        # names: a source chunk committed between the listing above and the
+        # read would otherwise be folded into the rebuild output but not
+        # into the recorded cursor, so the next incremental run would
+        # consume it AGAIN — two derived rows per doc, and the earlier
+        # rebuild overwrite cannot shadow the later duplicate append
+        out = (rebuild_compute or compute)(
+            src_log.read_extracted(spark, markers=src_chunks)
+        )
+        all_parts = sorted({p for c in src_chunks for p in c["part_ids"]})
         _, n_docs, _ = commit_derived_chunk(
             spark,
             out_log,
@@ -145,7 +161,7 @@ def run_derived_stage(
     # reads it, so the overwrite guard below can never drift from what
     # read_incremental actually returns); until=latest additionally pins
     # the guard and the read to the same horizon under concurrent writers
-    window = src_log.incremental_window(cursor, until=latest)
+    window = src_log.incremental_window(cursor, until=latest, chunks=src_chunks)
     if not window:
         return RunReport(0, 0, 0, 0)
     if any(c.get("overwrite") for c in window):
@@ -154,10 +170,47 @@ def run_derived_stage(
             "delta would strand the untouched docs of the overwritten parts "
             f"— run with rebuild=True (job.py --{stage} --rebuild)"
         )
+    # a compaction + expire_replaced while this stage lagged deletes the
+    # window chunks' DATA while their markers survive — the chunk-pruned
+    # scan would then silently read EMPTY and the cursor would advance past
+    # the lost history (the same silent-empty class the legacy-layout guard
+    # catches); existence-check the bytes the window promises
+    reclaimed = [
+        c["chunk_id"]
+        for c in window
+        if not os.path.isdir(
+            os.path.join(src_log.data_dir, _chunk_dirname(c["chunk_id"]))
+        )
+    ]
+    if reclaimed:
+        raise ValueError(
+            f"source chunks {reclaimed} in the incremental window have no "
+            "data on disk (compacted and expired while this stage lagged); "
+            "the delta cannot be reconstructed incrementally — run with "
+            f"rebuild=True (job.py --{stage} --rebuild)"
+        )
     delta = src_log.read_incremental(
-        spark, after=cursor if cursor is not None else -1, until=latest
+        spark,
+        after=cursor if cursor is not None else -1,
+        until=latest,
+        window=window,
     )
     out = compute(delta)
+
+    def _cursor_unmoved(committed: list[dict]) -> None:
+        # optimistic concurrency, checked under the commit lock: a rival
+        # run of this stage that committed since we read the cursor has
+        # already consumed (some prefix of) this window — publishing ours
+        # too would duplicate every doc's derived row
+        from .lineage import CommitConflict
+
+        now = _cursor_of(committed)
+        if now != cursor:
+            raise CommitConflict(
+                f"stage {stage} cursor moved {cursor} -> {now} under a "
+                "concurrent run; not publishing a duplicate window"
+            )
+
     _, n_docs, touched = commit_derived_chunk(
         spark,
         out_log,
@@ -167,6 +220,7 @@ def run_derived_stage(
         None,
         {**(extra_metrics or {}), "src_snapshot": latest},
         n_parts,
+        validate=_cursor_unmoved,
     )
     return RunReport(1, len(touched), n_docs, 0)
 

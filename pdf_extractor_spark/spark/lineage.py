@@ -515,6 +515,7 @@ class CommitLog:
         exclusive_parts: bool = False,
         if_absent: bool = False,
         no_new_overwrites_since: set[int] | None = None,
+        validate=None,
     ) -> bool:
         """Atomic visibility flip: tmp write + no-clobber ``os.link``, all
         inside the commit lock so ``committed_at`` strictly orders
@@ -529,8 +530,13 @@ class CommitLog:
         instead of raising. ``no_new_overwrites_since``: the marker-id set
         the caller's data snapshot saw — a compaction must abort if any
         overwrite marker landed since, because its rewritten rows would
-        resurrect the pre-overwrite content. Returns True iff this call
-        published."""
+        resurrect the pre-overwrite content. ``validate``: called under the
+        commit lock with the already-committed marker list; raise
+        :class:`CommitConflict` to abort the publish — the generic
+        optimistic-concurrency hook for consumers whose conflict rule lives
+        outside this module (spark/derived.py: the stage cursor must not
+        have moved since the window was computed). Returns True iff this
+        call published."""
         marker = {
             "chunk_id": chunk_id,
             "part_ids": sorted(part_ids),
@@ -592,6 +598,8 @@ class CommitLog:
                             f"since this compaction's snapshot; chunk "
                             f"{chunk_id} not published"
                         )
+                if validate is not None:
+                    validate(committed)
                 # stamp inside the lock: publish order == committed_at order
                 marker["committed_at"] = time.time()
                 with open(tmp, "w") as f:
@@ -712,7 +720,11 @@ class CommitLog:
         return self._scan_chunks(spark, self.data_dir, schema, whole, partial)
 
     def read_incremental(
-        self, spark: SparkSession, after: int, until: int | None = None
+        self,
+        spark: SparkSession,
+        after: int,
+        until: int | None = None,
+        window: list[dict] | None = None,
     ) -> DataFrame:
         """Rows appended or overwritten by snapshots in (after, until] — the
         Iceberg incremental-scan analogue, the feed for downstream
@@ -731,16 +743,26 @@ class CommitLog:
         it forever (the consumer's cursor had already advanced past the
         id). ``after``/``until`` name committed snapshots; everything that
         COMMITTED after ``after`` did is in scope, exactly like an Iceberg
-        incremental scan walking snapshot history."""
+        incremental scan walking snapshot history.
+
+        ``window`` reuses a marker list the caller already computed via
+        :meth:`incremental_window` (the ``chunks=`` reuse pattern) — the
+        guard that inspected the window and the scan that reads it then
+        share one listing by construction."""
         from .pipeline import EXTRACTED_SCHEMA
 
-        ids = [c["chunk_id"] for c in self.incremental_window(after, until)]
+        if window is None:
+            window = self.incremental_window(after, until)
+        ids = [c["chunk_id"] for c in window]
         # each marker's data is read whole here (an overwrite's parts ARE
         # its current content), so the scan needs no part_id conditions
         return self._scan_chunks(spark, self.data_dir, EXTRACTED_SCHEMA, ids, [])
 
     def incremental_window(
-        self, after: int | None, until: int | None = None
+        self,
+        after: int | None,
+        until: int | None = None,
+        chunks: list[dict] | None = None,
     ) -> list[dict]:
         """The markers whose rows ``read_incremental(after, until)`` reads:
         committed strictly after ``after``'s marker in COMMIT order (id
@@ -751,7 +773,8 @@ class CommitLog:
         must DECIDE on it before reading (spark/derived.py inspects the
         markers for partition overwrites and refuses the append-shaped
         delta) can never drift from the scan that reads it."""
-        chunks = self.committed_chunks(until)  # commit order
+        if chunks is None:  # chunks= reuses a caller-parsed list
+            chunks = self.committed_chunks(until)  # commit order
         lo = next((c for c in chunks if c["chunk_id"] == after), None)
         lo_key = self._commit_order(lo) if lo is not None else None
         out = []

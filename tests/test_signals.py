@@ -191,3 +191,104 @@ def test_signals_late_low_id_source_commit_consumed_once(spark, tmp_path):
     rows = read_signals(spark, out).collect()
     assert len(rows) == 4
     assert len({r["doc_id"] for r in rows}) == 4
+
+
+def test_signals_refuses_expired_window_instead_of_empty_delta(spark, tmp_path):
+    """Compaction + expire_replaced while the stage LAGGED deletes the
+    window chunks' data but keeps their markers: the chunk-pruned delta
+    scan would silently read EMPTY and the cursor would advance past the
+    lost history. The stage must refuse and direct rebuild=True, and the
+    rebuild (reading the compacted current view) must recover every doc."""
+    sf_dir = _write_docs(tmp_path, {i: f"alpha beta w{i}" for i in range(20)})
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+    docs = wrap_documents(spark, sf_dir)
+    L.run_extraction(spark, docs, src, n_parts=8, parts_per_chunk=4)
+
+    # the stage never ran; compact the source and reclaim the victims
+    assert L.compact_chunks(spark, src) is not None
+    assert src.expire_replaced()
+
+    with pytest.raises(ValueError, match="rebuild=True"):
+        run_signals(spark, src, out)
+    assert read_signals(spark, out).count() == 0  # nothing committed
+
+    rep = run_signals(spark, src, out, rebuild=True)
+    assert rep.docs_processed == 20
+    rows = read_signals(spark, out).collect()
+    assert len(rows) == 20 and len({r["doc_id"] for r in rows}) == 20
+    # and the table is consumable incrementally again
+    assert run_signals(spark, src, out).docs_processed == 0
+
+
+def test_signals_rebuild_pins_its_marker_snapshot(spark, tmp_path):
+    """A source chunk committed between the rebuild's marker listing and
+    its table read must NOT be folded into the rebuild output: the marker
+    records the pre-chunk cursor, so the next incremental run consumes
+    that chunk — if the rebuild had read it too, every one of its docs
+    would carry two derived rows forever."""
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+    a = src.reserve_chunk_id()
+    _write_src_chunk(spark, src, a, ["d0", "d1"])
+    src.commit_chunk(a, [0], {"docs": 2}, n_parts=4)
+
+    real_read = L.CommitLog.read_extracted
+    raced = {"done": False}
+
+    def race_then_read(self, spark_, as_of=None, markers=None):
+        if self is src and not raced["done"]:
+            raced["done"] = True  # a rival writer lands chunk b mid-rebuild
+            b = src.reserve_chunk_id()
+            _write_src_chunk(spark_, src, b, ["d2", "d3"])
+            src.commit_chunk(b, [0], {"docs": 2}, n_parts=4)
+        return real_read(self, spark_, as_of=as_of, markers=markers)
+
+    import pdf_extractor_spark.spark.lineage as LL
+
+    orig = LL.CommitLog.read_extracted
+    LL.CommitLog.read_extracted = race_then_read
+    try:
+        run_signals(spark, src, out, rebuild=True)
+    finally:
+        LL.CommitLog.read_extracted = orig
+
+    # the rebuild shipped only the pinned snapshot; the racing chunk is
+    # consumed exactly once by the NEXT incremental run
+    assert read_signals(spark, out).count() == 2
+    r = run_signals(spark, src, out)
+    assert r.docs_processed == 2
+    rows = read_signals(spark, out).collect()
+    assert len(rows) == 4 and len({r["doc_id"] for r in rows}) == 4
+
+
+def test_signals_concurrent_runs_publish_once(spark, tmp_path):
+    """Two overlapping runs of one stage compute the same window; only the
+    first may publish — the loser must hit CommitConflict under the commit
+    lock (cursor moved), never a second copy of the delta."""
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+    a = src.reserve_chunk_id()
+    _write_src_chunk(spark, src, a, ["d0", "d1", "d2"])
+    src.commit_chunk(a, [0], {"docs": 3}, n_parts=4)
+
+    from pdf_extractor_spark.spark import signals as S
+
+    real_compute = S.compute_signals
+    rival = {"ran": False}
+
+    def compute_with_rival(extracted, extra=None):
+        if not rival["ran"]:
+            rival["ran"] = True  # rival run completes while ours computes
+            run_signals(spark, src, out)
+        return real_compute(extracted, extra=extra)
+
+    S.compute_signals = compute_with_rival
+    try:
+        with pytest.raises(L.CommitConflict, match="cursor moved"):
+            run_signals(spark, src, out)
+    finally:
+        S.compute_signals = real_compute
+
+    rows = read_signals(spark, out).collect()
+    assert len(rows) == 3 and len({r["doc_id"] for r in rows}) == 3
