@@ -110,9 +110,23 @@ def compute_neardup(
     delta: DataFrame,
     prior_bands: DataFrame | None,
     src_log: CommitLog | None,
+    src_as_of: int | None = None,
 ) -> DataFrame:
     """Near-dup verdict rows for one batch. ``prior_bands``/``src_log``
-    None = rebuild path (no prior index; batch-internal matching only)."""
+    None = rebuild path (no prior index; batch-internal matching only).
+
+    ``src_as_of`` pins the partner-text read to the stage's CURSOR
+    snapshot — the source state the prior band index actually describes.
+    Every indexed doc was committed at-or-before the cursor, and no
+    overwrite sits between any indexed doc and the cursor (an overwrite in
+    a consumed window forces rebuild, which re-decides index and verdicts
+    together) — so ``as_of=cursor`` reads exactly the bytes the index's
+    bands were computed from. An unpinned read-at-now would race a
+    concurrent partition overwrite committing mid-run: the verification
+    join would score new batch docs against REWRITTEN partner text while
+    the bands that nominated the candidates describe the old text, and the
+    mixed-state verdicts would stay visible until the overwrite finally
+    directs the next run to rebuild."""
     d = _persisted(
         delta.select("doc_id", signal_text().alias("text"), "part_id")
     )
@@ -167,7 +181,7 @@ def compute_neardup(
             F.col("partner_id").alias("doc_id")
         ).distinct()
         prior_docs = (
-            src_log.read_extracted(spark)
+            src_log.read_extracted(spark, as_of=src_as_of)
             .join(partner_ids, "doc_id", "left_semi")
             .select("doc_id", signal_text().alias("text"))
         )
@@ -203,8 +217,17 @@ def run_neardup(
     rebuild: bool = False,
 ) -> RunReport:
     def _incremental(delta: DataFrame) -> DataFrame:
+        from .derived import derived_cursor
+
+        # cursor re-read here can only differ from the stage's own if a
+        # rival run committed in between — whose publish-time validate
+        # hook (CommitConflict) then aborts ours anyway
         return compute_neardup(
-            spark, delta, prior_band_index(spark, out_log), src_log
+            spark,
+            delta,
+            prior_band_index(spark, out_log),
+            src_log,
+            src_as_of=derived_cursor(out_log),
         )
 
     def _rebuild(full: DataFrame) -> DataFrame:

@@ -170,6 +170,82 @@ def test_kept_view_and_export_drop_neardups(spark, tmp_path):
     assert n == len(kept_nodups) and names == kept_nodups
 
 
+def _write_text_chunk(spark, src, chunk_id: int, texts: dict[str, str],
+                      part_id: int) -> None:
+    """Hand-write one extraction chunk's data (marker published by the
+    caller) with CONTROLLED span text — the reextraction race below needs
+    the same doc_id to carry different text across two chunks."""
+    import os
+
+    from pdf_extractor_spark.spark.lineage import _chunk_dirname
+    from pdf_extractor_spark.spark.pipeline import EXTRACTED_SCHEMA
+
+    rows = [
+        (d, [("text", t, None, 0)], 1, 1, 0, 1, {}, part_id)
+        for d, t in texts.items()
+    ]
+    spark.createDataFrame(rows, EXTRACTED_SCHEMA).write.partitionBy(
+        "part_id"
+    ).mode("append").parquet(os.path.join(src.data_dir, _chunk_dirname(chunk_id)))
+
+
+def test_neardup_partner_text_pinned_to_cursor_snapshot(spark, tmp_path):
+    """A source partition-overwrite committing MID-RUN (after the stage
+    listed its window, before it fetched candidate partners' text) must not
+    leak into the verification join: the prior band index describes the
+    pre-overwrite bytes, so the partner read is pinned to the stage's
+    cursor snapshot. Unpinned, the batch doc here verifies against the
+    REWRITTEN partner text (no shared shingle -> verdict flips to unique)
+    even though the committed index nominated it from the original text."""
+    import pdf_extractor_spark.spark.lineage as LL
+
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+
+    a = src.reserve_chunk_id()
+    _write_text_chunk(spark, src, a, {"a1": BASE}, part_id=0)
+    src.commit_chunk(a, [0], {"docs": 1}, n_parts=4)
+    r1 = run_neardup(spark, src, out)
+    assert r1.docs_processed == 1
+
+    b = src.reserve_chunk_id()
+    _write_text_chunk(spark, src, b, {"b1": NEAR1}, part_id=1)
+    src.commit_chunk(b, [1], {"docs": 1}, n_parts=4)
+
+    real_read = L.CommitLog.read_extracted
+    raced = {"done": False}
+
+    def overwrite_then_read(self, spark_, as_of=None, markers=None):
+        # the partner-text fetch is the only read_extracted this stage
+        # makes on the SOURCE log; land the overwrite just before it
+        if self is src and not raced["done"]:
+            raced["done"] = True
+            c = src.reserve_chunk_id()
+            _write_text_chunk(spark_, src, c, {"a1": FAR}, part_id=0)
+            src.commit_chunk(c, [0], {"docs": 1}, n_parts=4, overwrite=True)
+        return real_read(self, spark_, as_of=as_of, markers=markers)
+
+    LL.CommitLog.read_extracted = overwrite_then_read
+    try:
+        r2 = run_neardup(spark, src, out)
+    finally:
+        LL.CommitLog.read_extracted = real_read
+    assert raced["done"] and r2.docs_processed == 1
+    got = _rows(spark, out)
+    assert got["b1"]["dup_of"] == "a1"  # verified against a1's INDEXED text
+    assert got["b1"]["jaccard_ppb"] >= 500_000_000
+
+    # the overwrite is now in the next window: the stage refuses the
+    # append-shaped delta and directs a rebuild, which re-decides both
+    # docs against the rewritten corpus (a1=FAR, so b1 is unique again)
+    with pytest.raises(ValueError, match="rebuild=True"):
+        run_neardup(spark, src, out)
+    r3 = run_neardup(spark, src, out, rebuild=True)
+    assert r3.docs_processed == 2
+    got = _rows(spark, out)
+    assert got["b1"]["dup_of"] is None and got["a1"]["dup_of"] is None
+
+
 def test_neardup_job_and_cli_guards(spark, tmp_path):
     """run_neardup_job (the --neardup body) end-to-end against a committed
     root, plus the argparse guards (which fire BEFORE JVM startup — main()
