@@ -128,6 +128,14 @@ def main(argv: list[str] | None = None) -> int:
                         "checked against the batch AND the accumulated band "
                         "index, exact-Jaccard verified; incremental and "
                         "exactly-once like --signals)")
+    p.add_argument("--over-kept", type=str, default=None, metavar="CURATE_ROOT",
+                   help="with --neardup --rebuild: scope the re-decision to "
+                        "the curate-KEPT corpus (the residual-cluster "
+                        "collapse pass: a full-scope flag whose partner was "
+                        "curate-rejected is revived by the kept view's "
+                        "validity rule; a kept-scoped table's flags name "
+                        "only kept partners, so composing it drops every "
+                        "residual)")
     p.add_argument("--rebuild", action="store_true",
                    help="with --signals/--curate/--neardup: full recompute "
                         "committed as one overwrite chunk (required after a "
@@ -201,6 +209,13 @@ def main(argv: list[str] | None = None) -> int:
                 "apply to stage-1 runs against the stage-1 --output")
     if args.rebuild and not (args.signals or args.curate or args.neardup):
         p.error("--rebuild only applies to --signals/--curate/--neardup")
+    if args.over_kept is not None:
+        if not args.neardup:
+            p.error("--over-kept only applies to --neardup")
+        if not args.rebuild:
+            p.error("--over-kept re-decides a filtered corpus; it requires "
+                    "--rebuild (the accumulated band index does not "
+                    "describe the kept subset)")
     if not args.curate and any(
         v is not None
         for v in (args.min_tokens, args.min_stopword_micros, args.accept_langs,
@@ -334,8 +349,18 @@ def main(argv: list[str] | None = None) -> int:
             elif args.neardup:
                 from pdf_extractor_spark.spark.neardup import run_neardup_job
 
+                if args.over_kept is not None and not _os.path.isdir(
+                    _os.path.join(args.over_kept, "commits")
+                ):
+                    p.error(f"--over-kept {args.over_kept} is not a "
+                            "committed curate table root (no commits/ "
+                            "directory)")
                 report, dt = run_neardup_job(
-                    spark, args.input, args.output, rebuild=args.rebuild
+                    spark,
+                    args.input,
+                    args.output,
+                    rebuild=args.rebuild,
+                    kept_from=args.over_kept,
                 )
                 verb = "NEARDUP_DONE"
             else:

@@ -308,8 +308,10 @@ def read_kept(
     verified PARTNER, see spark/neardup.py — B->A, C->B) the rule promotes
     the next member automatically: if A is rejected, B survives and C
     (whose partner B is kept) stays excluded. Residual near-dups among
-    survivors that shared a rejected partner are KEPT — collapsing those
-    requires re-running neardup over the kept corpus. Both exclusion
+    survivors that shared a rejected partner are KEPT — collapsing those is
+    the kept-scoped rerun (``run_neardup(kept_from=...)``, CLI
+    ``--neardup --over-kept <curate-root> --rebuild``): its flags name only
+    kept partners, so passing THAT table here drops every residual. Both exclusion
     inputs are doc_id-narrow: one semi join (flag validity) plus one anti
     join (the exclusion)."""
     kept = (

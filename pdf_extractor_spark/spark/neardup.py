@@ -31,6 +31,16 @@ marker, append-only windows, rebuild-as-overwrite). ``rebuild`` re-decides
 the whole table with an EMPTY prior index (within-"batch" matching over the
 full corpus — the overwrite chunk shadows every prior verdict).
 
+``kept_from`` (rebuild-only) scopes the run to the CURATE-KEPT corpus: the
+residual-cluster collapse pass spark/curate.read_kept documents. Near-dup
+over the full table flags every cluster member against its verified
+partner, but read_kept's flag-validity rule revives a member whose partner
+was curate-rejected — two kept survivors of one cluster can remain. A
+kept-scoped rerun re-decides matching among exactly the docs the composed
+view can ship, so its flags collapse those residuals. Scope is recorded in
+every chunk's marker and mixing is refused: the accumulated band index of
+one scope does not describe the other's corpus.
+
 Scale shape: signatures are the explode->md5->groupBy partial-agg pass
 (ops/dedup docstrings — measured faster than every "map-only" higher-order
 form); the candidate join is keyed on (band_id, band_hash) — O(colliding
@@ -210,12 +220,41 @@ def compute_neardup(
     )
 
 
+def table_scope(out_log: CommitLog) -> str | None:
+    """Corpus scope this table's verdicts were decided over ('full' |
+    'kept'; latest committed chunk's record — rebuilds may change it).
+    None on an empty or pre-scope table (implicitly 'full')."""
+    scope = None
+    for c in out_log.committed_chunks():
+        s = (c.get("metrics") or {}).get("scope")
+        if s is not None:
+            scope = s
+    return scope
+
+
 def run_neardup(
     spark: SparkSession,
     src_log: CommitLog,
     out_log: CommitLog,
     rebuild: bool = False,
+    kept_from: CommitLog | None = None,
 ) -> RunReport:
+    scope = "kept" if kept_from is not None else "full"
+    if kept_from is not None and not rebuild:
+        raise ValueError(
+            "kept-scoped near-dup is a re-decision over a FILTERED corpus "
+            "the accumulated band index does not describe — always run it "
+            "with rebuild=True (job.py --neardup --over-kept ... --rebuild)"
+        )
+    prior = table_scope(out_log)
+    if prior is not None and prior != scope and not rebuild:
+        raise ValueError(
+            f"near-dup table scope is '{prior}' but this run is '{scope}'; "
+            "an incremental delta matched against the other scope's band "
+            "index would be meaningless — run with rebuild=True to "
+            "re-decide the table under the new scope"
+        )
+
     def _incremental(delta: DataFrame) -> DataFrame:
         from .derived import derived_cursor
 
@@ -231,6 +270,15 @@ def run_neardup(
         )
 
     def _rebuild(full: DataFrame) -> DataFrame:
+        if kept_from is not None:
+            from .curate import read_curated
+
+            keep = (
+                read_curated(spark, kept_from)
+                .where(F.col("verdict") == "keep")
+                .select("doc_id")
+            )
+            full = full.join(keep, "doc_id", "left_semi")
         return compute_neardup(spark, full, None, None)
 
     return run_derived_stage(
@@ -242,7 +290,10 @@ def run_neardup(
         _incremental,
         rebuild=rebuild,
         rebuild_compute=_rebuild,
-        extra_metrics={"neardup_version": NEARDUP_COMPUTE_VERSION},
+        extra_metrics={
+            "neardup_version": NEARDUP_COMPUTE_VERSION,
+            "scope": scope,
+        },
     )
 
 
@@ -253,10 +304,18 @@ def read_neardup(
 
 
 def run_neardup_job(
-    spark: SparkSession, src_root: str, out_root: str, rebuild: bool = False
+    spark: SparkSession,
+    src_root: str,
+    out_root: str,
+    rebuild: bool = False,
+    kept_from: str | None = None,
 ) -> tuple[RunReport, float]:
     t0 = time.monotonic()
     report = run_neardup(
-        spark, CommitLog(src_root), CommitLog(out_root), rebuild=rebuild
+        spark,
+        CommitLog(src_root),
+        CommitLog(out_root),
+        rebuild=rebuild,
+        kept_from=None if kept_from is None else CommitLog(kept_from),
     )
     return report, time.monotonic() - t0

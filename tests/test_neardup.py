@@ -246,6 +246,66 @@ def test_neardup_partner_text_pinned_to_cursor_snapshot(spark, tmp_path):
     assert got["b1"]["dup_of"] is None and got["a1"]["dup_of"] is None
 
 
+def test_neardup_over_kept_collapses_residual_clusters(spark, tmp_path):
+    """A cluster whose full-scope partner was curate-rejected leaves TWO
+    kept survivors in the composed view (the flag-validity rule revives the
+    one whose partner is gone). The kept-scoped rerun re-decides matching
+    over exactly the kept corpus, and composing THAT table collapses the
+    residual to one representative. Scope mixing is refused."""
+    from pdf_extractor_spark.spark.curate import (
+        GateConfig,
+        read_kept,
+        run_curate,
+    )
+    from pdf_extractor_spark.spark.neardup import run_neardup_job, table_scope
+
+    src = L.CommitLog(str(tmp_path / "src"))
+    cur = L.CommitLog(str(tmp_path / "cur"))
+    nd = L.CommitLog(str(tmp_path / "nd"))
+    ndk = L.CommitLog(str(tmp_path / "ndk"))
+    a = src.reserve_chunk_id()
+    # 1=BASE (30 tokens), 5/9 = BASE + one tail token (31): min_tokens=31
+    # curate-rejects exactly the cluster's full-scope winner
+    _write_text_chunk(spark, src, a, {"1": BASE, "5": NEAR1, "9": NEAR2},
+                      part_id=0)
+    src.commit_chunk(a, [0], {"docs": 3}, n_parts=2)
+    run_curate(spark, src, cur, gates=GateConfig(
+        min_tokens=31, min_stopword_micros=0,
+        accept_langs=GateConfig.any_language()))
+
+    run_neardup(spark, src, nd)
+    got = _rows(spark, nd)
+    assert got["5"]["dup_of"] == "1" and got["9"]["dup_of"] == "1"
+    assert table_scope(nd) == "full"
+    # both survivors ship: their flags name the REJECTED doc 1
+    kept_full = {r["doc_id"]
+                 for r in read_kept(spark, src, cur, neardup_log=nd).collect()}
+    assert kept_full == {"5", "9"}
+
+    # the kept-scoped re-decision (job.py --neardup --over-kept --rebuild)
+    rep = run_neardup_job(spark, str(tmp_path / "src"), str(tmp_path / "ndk"),
+                          rebuild=True, kept_from=str(tmp_path / "cur"))[0]
+    assert rep.docs_processed == 2  # only the kept corpus
+    got = _rows(spark, ndk)
+    assert set(got) == {"5", "9"}
+    assert got["5"]["dup_of"] is None and got["9"]["dup_of"] == "5"
+    assert table_scope(ndk) == "kept"
+    kept_collapsed = {
+        r["doc_id"]
+        for r in read_kept(spark, src, cur, neardup_log=ndk).collect()
+    }
+    assert kept_collapsed == {"5"}  # residual collapsed to one rep
+
+    # scope guards: kept without rebuild, and incremental across scopes
+    with pytest.raises(ValueError, match="rebuild=True"):
+        run_neardup(spark, src, ndk, kept_from=cur)
+    with pytest.raises(ValueError, match="scope"):
+        run_neardup(spark, src, ndk)  # full-scope incremental on kept table
+    # a full-scope REBUILD legitimately re-scopes the table
+    run_neardup(spark, src, ndk, rebuild=True)
+    assert table_scope(ndk) == "full" and len(_rows(spark, ndk)) == 3
+
+
 def test_neardup_job_and_cli_guards(spark, tmp_path):
     """run_neardup_job (the --neardup body) end-to-end against a committed
     root, plus the argparse guards (which fire BEFORE JVM startup — main()
@@ -264,6 +324,12 @@ def test_neardup_job_and_cli_guards(spark, tmp_path):
     got = _rows(spark, L.CommitLog(out_root))
     assert got["2"]["dup_of"] == "1" and got["1"]["dup_of"] is None
 
+    with pytest.raises(SystemExit):  # --over-kept is a --neardup flag
+        main(["--signals", "--over-kept", src_root, "--input", src_root,
+              "--output", out_root])
+    with pytest.raises(SystemExit):  # kept scope is rebuild-only
+        main(["--neardup", "--over-kept", src_root, "--input", src_root,
+              "--output", out_root])
     with pytest.raises(SystemExit):
         main(["--neardup", "--signals", "--input", src_root,
               "--output", out_root])
