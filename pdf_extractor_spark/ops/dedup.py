@@ -118,12 +118,19 @@ def shingles(docs: DataFrame) -> DataFrame:
     return d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
-SHINGLES_SQL = f"""
+def shingles_sql(src: str = "documents") -> str:
+    """DuckDB form of :func:`shingles` over any ``(doc_id, text)`` source
+    relation — parametrized so composed oracles (the kept-scoped near-dup
+    chain in ops/extraction_queries.py) share THE shingle arithmetic."""
+    return f"""
   SELECT DISTINCT doc_id,
          t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-  FROM (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+  FROM (SELECT doc_id, {tokens_sql('text')} AS t FROM {src}),
        unnest(range(1, greatest(len(t) - {SHINGLE_K - 2}, 1))) AS u(i)
 """
+
+
+SHINGLES_SQL = shingles_sql()
 
 
 # --- n-gram Jaccard (exact pairwise verification) --------------------------
@@ -217,13 +224,13 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _signatures_from(shingles(_read_docs(spark, sf_dir))).orderBy("doc_id")
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(src: str = "documents") -> str:
     h = reduce_hash_sql(h64_sql("shingle"))
     mins = ",\n       ".join(
         f"min({minhash_term_sql(k, h)}) AS mh{k:02d}" for k in range(NUM_MINHASH)
     )
     return f"""
-WITH sh AS ({SHINGLES_SQL})
+WITH sh AS ({shingles_sql(src)})
 SELECT doc_id,
        {mins}
 FROM sh GROUP BY doc_id ORDER BY doc_id
@@ -343,9 +350,11 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_pairs_from(sig).orderBy("doc1", "doc2")
 
 
-def _minhash_lsh_sql() -> str:
+def band_rows_sql() -> str:
+    """UNION ALL band table over a ``sig`` CTE (doc_id, mh00..) — the SQL
+    mirror of :func:`band_hash_expr`, shared with composed oracles."""
     rows_per_band = NUM_MINHASH // MINHASH_BANDS
-    band_rows = " UNION ALL ".join(
+    return " UNION ALL ".join(
         "SELECT doc_id, {b} AS band_id, md5({concat}) AS band_hash FROM sig".format(
             b=b,
             concat=" || ',' || ".join(
@@ -355,9 +364,12 @@ def _minhash_lsh_sql() -> str:
         )
         for b in range(MINHASH_BANDS)
     )
+
+
+def _minhash_lsh_sql() -> str:
     return f"""
 WITH sig AS ({_minhash_sig_sql()}),
-banded AS ({band_rows})
+banded AS ({band_rows_sql()})
 SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
 FROM banded a JOIN banded b USING (band_id, band_hash)
 WHERE a.doc_id < b.doc_id ORDER BY doc1, doc2

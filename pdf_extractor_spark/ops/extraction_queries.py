@@ -882,10 +882,11 @@ def q_curated_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _curate_cte() -> str:
-    """The WITH chain predicting every curation verdict from the flat
-    documents table — shared by the curated_table and kept_corpus oracles
-    (final SELECTs differ)."""
+def _verdict_cte(base_sql: str) -> str:
+    """The WITH chain predicting every curation verdict over an arbitrary
+    ``base(doc_id, text)`` corpus definition — shared by the
+    curated_table / kept_corpus oracles (exact-clone corpus) and the
+    kept_collapsed oracle (near-clone corpus); final SELECTs differ."""
     from ..spark.curate import MIN_STOPWORD_MICROS, MIN_TOKENS
     from .textstats import (
         _PRIORITY,
@@ -902,11 +903,7 @@ def _curate_cte() -> str:
         f"WHEN c_{lg} = {best} THEN '{lg}'" for lg in _PRIORITY
     )
     return f"""
-WITH base AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + {_CURATE_CLONE_OFFSET}, text FROM documents
-  WHERE doc_id % 5 = 0),
+WITH base AS ({base_sql}),
 t AS (
   SELECT doc_id, {tokens_sql("text")} AS t,
          md5(array_to_string({tokens_sql("text")}, ' ')) AS digest
@@ -937,6 +934,17 @@ ranked AS (
          min(CAST(doc_id AS VARCHAR)) OVER (
              PARTITION BY digest, (gate IS NULL)) AS winner
   FROM reasons)"""
+
+
+def _curate_cte() -> str:
+    """_verdict_cte over the exact-clone curate-fixture corpus."""
+    return _verdict_cte(
+        f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CURATE_CLONE_OFFSET}, text FROM documents
+  WHERE doc_id % 5 = 0"""
+    )
 
 
 def _curated_oracle_sql() -> str:
@@ -989,11 +997,178 @@ ORDER BY r.doc_id
     )
 
 
+# --- kept corpus with near-dup collapse (--over-kept) --------------------
+
+# near-clone slices: doc_id offsets divisible by 51 (3 x 17) so a clone
+# keeps its base's wrap structure; the pad is 10 English marker stopwords,
+# so a clone of a gate-REJECTED base (quality/language/too_short) usually
+# PASSES — manufacturing kept near-dup clusters whose full-scope winner is
+# rejected, the residual case the kept-scoped rerun exists for. Distinct
+# tails keep the two clones off the exact-dedup path (different digests).
+_NEAR_OFF_A = 714_000
+_NEAR_OFF_B = 816_000
+_NEAR_PAD = " the of and is to in that it was for"
+_NEAR_TAIL_A = " alphaone"
+_NEAR_TAIL_B = " betatwo"
+_NEAR_MOD, _NEAR_REM = 7, 3
+
+
+def _neardup_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = base.where(F.col("doc_id") % _NEAR_MOD == _NEAR_REM)
+
+    def clone(off: int, tail: str) -> DataFrame:
+        return s.withColumn("doc_id", F.col("doc_id") + off).withColumn(
+            "text", F.concat(F.col("text"), F.lit(_NEAR_PAD + tail))
+        )
+
+    return base.unionByName(clone(_NEAR_OFF_A, _NEAR_TAIL_A)).unionByName(
+        clone(_NEAR_OFF_B, _NEAR_TAIL_B)
+    )
+
+
+def _neardup_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Committed extraction of the near-clone corpus, one curate pass, then
+    the KEPT-SCOPED near-dup re-decision (run_neardup(kept_from=...), the
+    job.py --neardup --over-kept --rebuild surface). Same idempotence/
+    keying contract as _curate_fixture; the rebuild leg is guarded by an
+    empty-table check because a rebuild always publishes a fresh overwrite
+    chunk (re-running it would still be CORRECT — the overwrite shadows —
+    but the fixture should not accrete chunks on every oracle run)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..spark.curate import CURATE_COMPUTE_VERSION, run_curate
+    from ..spark.lineage import CommitLog, run_extraction
+    from ..spark.neardup import NEARDUP_COMPUTE_VERSION, run_neardup
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{st.st_mtime_ns}:{st.st_size}"
+        f":curate-v{CURATE_COMPUTE_VERSION}:neardup-v{NEARDUP_COMPUTE_VERSION}"
+        ":kept-collapsed-v1".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), f"pes-neardup-{key}")
+    docs_dir = os.path.join(base, "docs")
+    if not os.path.exists(os.path.join(docs_dir, "documents.parquet")):
+        _neardup_corpus_df(spark, sf_dir).write.mode("overwrite").parquet(
+            os.path.join(docs_dir, "documents.parquet")
+        )
+    src_root = os.path.join(base, "src")
+    cur_root = os.path.join(base, "cur")
+    ndk_root = os.path.join(base, "ndk")
+    run_extraction(
+        spark,
+        wrap_documents(spark, docs_dir),
+        CommitLog(src_root),
+        n_parts=16,
+        parts_per_chunk=8,
+        num_partitions=8,
+    )
+    run_curate(spark, CommitLog(src_root), CommitLog(cur_root))
+    ndk = CommitLog(ndk_root)
+    if not ndk.committed_chunks():
+        run_neardup(
+            spark,
+            CommitLog(src_root),
+            ndk,
+            rebuild=True,
+            kept_from=CommitLog(cur_root),
+        )
+    return base
+
+
+def q_kept_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-collapsed training corpus: extraction ⋉ curate-keep ▷
+    kept-scoped near-dup flags (read_kept(neardup_log=<--over-kept
+    table>)). Every near-dup cluster WITHIN the kept corpus ships exactly
+    its smallest member — including residual clusters whose full-scope
+    winner was curate-rejected, the case a full-scope flag table cannot
+    collapse (spark/curate.read_kept's validity rule revives them). The
+    oracle re-derives the whole chain in closed form: verdict CTE over the
+    near-clone corpus, then THE MinHash band arithmetic + exact-Jaccard
+    verification (shared SQL builders from ops/dedup) over the kept docs,
+    then the anti join. A wrong gate, a drifted band hash, a verification
+    against the wrong corpus scope, or an unstable dup winner all flip the
+    value hash."""
+    import os
+
+    from ..spark.curate import read_kept
+    from ..spark.lineage import CommitLog
+
+    b = _neardup_fixture(spark, sf_dir)
+    df = read_kept(
+        spark,
+        CommitLog(os.path.join(b, "src")),
+        CommitLog(os.path.join(b, "cur")),
+        neardup_log=CommitLog(os.path.join(b, "ndk")),
+    )
+    first_text = F.element_at(
+        F.filter("spans", lambda s: s["kind"] == "text"), 1
+    )["text"]
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        first_text.alias("extracted_text"),
+    ).orderBy("doc_id")
+
+
+def _kept_collapsed_oracle_sql() -> str:
+    from .dedup import DUP_JACCARD_PPB, band_rows_sql, _minhash_sig_sql, shingles_sql
+
+    base_sql = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_NEAR_OFF_A}, text || '{_NEAR_PAD}{_NEAR_TAIL_A}'
+  FROM documents WHERE doc_id % {_NEAR_MOD} = {_NEAR_REM}
+  UNION ALL
+  SELECT doc_id + {_NEAR_OFF_B}, text || '{_NEAR_PAD}{_NEAR_TAIL_B}'
+  FROM documents WHERE doc_id % {_NEAR_MOD} = {_NEAR_REM}"""
+    return (
+        _verdict_cte(base_sql)
+        + f""",
+keepset AS (
+  SELECT doc_id FROM ranked WHERE gate IS NULL AND rn = 1),
+kept_docs AS (
+  SELECT b.doc_id, b.text FROM base b JOIN keepset USING (doc_id)),
+sig AS ({_minhash_sig_sql('kept_docs')}),
+banded AS ({band_rows_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc, b.doc_id AS partner
+  FROM banded a JOIN banded b USING (band_id, band_hash)
+  WHERE CAST(b.doc_id AS VARCHAR) < CAST(a.doc_id AS VARCHAR)),
+sh2 AS ({shingles_sql('kept_docs')}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+common AS (
+  SELECT c.doc, c.partner, count(*) AS common
+  FROM cand c
+  JOIN sh2 s1 ON c.doc = s1.doc_id
+  JOIN sh2 s2 ON c.partner = s2.doc_id AND s1.shingle = s2.shingle
+  GROUP BY c.doc, c.partner),
+flagged AS (
+  SELECT DISTINCT c.doc
+  FROM cand c
+  LEFT JOIN common USING (doc, partner)
+  JOIN sizes sa ON c.doc = sa.doc_id
+  JOIN sizes sb ON c.partner = sb.doc_id
+  WHERE CAST(floor(coalesce(common, 0) * 1000000000
+             / (sa.n_sh + sb.n_sh - coalesce(common, 0))) AS BIGINT)
+        >= {DUP_JACCARD_PPB})
+SELECT k.doc_id, b.text AS extracted_text
+FROM keepset k JOIN base b USING (doc_id)
+WHERE k.doc_id NOT IN (SELECT doc FROM flagged)
+ORDER BY k.doc_id
+"""
+    )
+
+
 QUERIES: dict[str, tuple] = {
     "ocr_roundtrip": (q_ocr_roundtrip, _ocr_roundtrip_oracle_sql),
     "signals_table": (q_signals_table, _signals_oracle_sql),
     "curated_table": (q_curated_table, _curated_oracle_sql),
     "kept_corpus": (q_kept_corpus, _kept_corpus_oracle_sql),
+    "kept_collapsed": (q_kept_collapsed, _kept_collapsed_oracle_sql),
     "pack_interleaved": (q_pack_interleaved, PACK_INTERLEAVED_SQL),
     "extract_clean": (q_extract_clean, EXTRACT_CLEAN_SQL),
     "snapshot_read": (q_snapshot_read, _snapshot_read_oracle_sql),

@@ -242,6 +242,24 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "kept_collapsed",
+        _query_df,
+        [
+            # kept_corpus's view plus the near-dup exclusion: one extra
+            # scan of the doc_id-narrow flag table, composed as SEMI
+            # (flag validity) + ANTI (the exclusion) — still no span-wide
+            # shuffle, no Python, and the flag table never ships its band
+            # columns into the join
+            lambda p: n_scans_at_most(p, 4),
+            lambda p: contains(p, "LeftSemi"),
+            lambda p: contains(p, "LeftAnti"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: absent(p, "MapInPandas"),
+            lambda p: never_reads(p, "bh0"),
+        ],
+        False,
+    ),
+    (
         "snapshot_scan_shape",
         _snapshot_scan_df,
         [
