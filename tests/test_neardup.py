@@ -306,6 +306,160 @@ def test_neardup_over_kept_collapses_residual_clusters(spark, tmp_path):
     assert table_scope(ndk) == "full" and len(_rows(spark, ndk)) == 3
 
 
+def _ref_doc(text: str):
+    """Pure-Python mirror of the stage's per-doc signature arithmetic
+    (ops/portable tokens -> shingles -> reduced md5 hash -> 16 minhash
+    permutations -> 4 band md5s). Returns (shingle_set, band_hashes) or
+    None for a shingle-less doc."""
+    import hashlib
+    import re
+
+    from pdf_extractor_spark.ops.portable import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_BANDS,
+        MINHASH_P,
+        NUM_MINHASH,
+    )
+
+    toks = re.split(r"\s+", text.strip().lower())
+    if len(toks) < 3:
+        return None
+    sh = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    hs = [
+        int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+        for s in sh
+    ]
+    mh = [
+        min((MINHASH_A[k] * h + MINHASH_B[k]) % MINHASH_P for h in hs)
+        for k in range(NUM_MINHASH)
+    ]
+    rpb = NUM_MINHASH // MINHASH_BANDS
+    bands = [
+        hashlib.md5(
+            ",".join(str(mh[b * rpb + r]) for r in range(rpb)).encode()
+        ).hexdigest()
+        for b in range(MINHASH_BANDS)
+    ]
+    return sh, bands
+
+
+def _ref_wave(prior: dict, batch: dict[str, str]) -> dict[str, dict]:
+    """Reference verdicts for one incremental wave against ``prior``
+    (doc_id -> (shingles, bands) of every previously committed doc),
+    implementing the documented semantics: band-collision candidates from
+    the prior index plus smaller-STRING-id batch docs, exact floor-ppb
+    Jaccard verification, prior partners outrank batch partners, ties on
+    the lexicographically smallest partner. Mutates ``prior``."""
+    from pdf_extractor_spark.ops.dedup import DUP_JACCARD_PPB
+
+    info = {d: _ref_doc(t) for d, t in batch.items()}
+    out = {}
+    for d, di in info.items():
+        if di is None:
+            out[d] = {"bands": [None] * 4, "dup_of": None, "jaccard_ppb": None}
+            continue
+        sh, bands = di
+
+        def jacc(other_sh):
+            common = len(sh & other_sh)
+            return common * 10**9 // (len(sh) + len(other_sh) - common)
+
+        def best(cands):
+            verified = {
+                p: jacc(psh)
+                for p, psh in cands
+                if jacc(psh) >= DUP_JACCARD_PPB
+            }
+            return min(verified.items()) if verified else None
+
+        def collides(other_bands):
+            # positional: the stage joins on (band_id, band_hash) pairs
+            return any(a == b for a, b in zip(bands, other_bands))
+
+        hit = best(
+            (p, psh)
+            for p, (psh, pbands) in prior.items()
+            if collides(pbands)
+        ) or best(
+            (p, info[p][0])
+            for p in batch
+            if p < d and info[p] is not None and collides(info[p][1])
+        )
+        out[d] = {
+            "bands": bands,
+            "dup_of": hit[0] if hit else None,
+            "jaccard_ppb": hit[1] if hit else None,
+        }
+    for d, di in info.items():
+        if di is not None:
+            prior[d] = di
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_neardup_incremental_matches_python_reference(spark, tmp_path, seed):
+    """Randomized differential test: 3 waves of a seeded corpus (random
+    docs + mutated copies + shingle-less shorts, shuffled string ids) run
+    through the real incremental stage, every row — band fingerprints,
+    dup_of, jaccard_ppb — compared against the pure-Python reference."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+
+    prior: dict = {}
+    expect: dict[str, dict] = {}
+    wave_of: dict[str, int] = {}
+    all_texts: list[str] = []
+    ids = list(range(40))
+    rng.shuffle(ids)  # "d0".."d39" arrive in shuffled string order
+    it = iter(ids)
+    for wave in range(3):
+        batch: dict[str, str] = {}
+        for _ in range(rng.randrange(8, 14)):
+            if all_texts and rng.random() < 0.35:
+                t = all_texts[rng.randrange(len(all_texts))].split()
+                if t and rng.random() < 0.5:
+                    t[rng.randrange(len(t))] = rng.choice(vocab)
+                else:
+                    t.append(rng.choice(vocab))
+                text = " ".join(t)
+            else:
+                text = " ".join(
+                    rng.choice(vocab) for _ in range(rng.randrange(0, 11))
+                )
+            batch[f"d{next(it)}"] = text
+            all_texts.append(text)
+        cid = src.reserve_chunk_id()
+        _write_text_chunk(spark, src, cid, batch, part_id=0)
+        src.commit_chunk(cid, [0], {"docs": len(batch)}, n_parts=2)
+        expect.update(_ref_wave(prior, batch))
+        rep = run_neardup(spark, src, out)
+        assert rep.docs_processed == len(batch)
+
+        wave_of.update({d: wave for d in batch})
+
+    got = _rows(spark, out)
+    assert set(got) == set(expect)
+    for d, e in expect.items():
+        g = got[d]
+        assert [g[f"bh{b}"] for b in range(4)] == e["bands"], d
+        assert g["dup_of"] == e["dup_of"], (d, g["dup_of"], e["dup_of"])
+        assert g["jaccard_ppb"] == e["jaccard_ppb"], d
+    # non-vacuity: the corpus must exercise prior-index hits, same-batch
+    # hits, and shingle-less docs — else the comparison proves nothing
+    dup_waves = {
+        (wave_of[e["dup_of"]] < wave_of[d])
+        for d, e in expect.items()
+        if e["dup_of"] is not None
+    }
+    assert dup_waves == {True, False}, dup_waves
+    assert any(e["bands"] == [None] * 4 for e in expect.values())
+
+
 def test_neardup_job_and_cli_guards(spark, tmp_path):
     """run_neardup_job (the --neardup body) end-to-end against a committed
     root, plus the argparse guards (which fire BEFORE JVM startup — main()
