@@ -299,6 +299,151 @@ def test_read_kept_and_kept_export(spark, tmp_path):
     assert sorted(names) == ["1.md", "4.md"]
 
 
+def _ref_verdicts(kept_index: dict[str, str], batch: dict[str, str]) -> dict:
+    """Pure-Python mirror of one incremental curate wave under the DEFAULT
+    gates: portable tokenization, marker-language argmax with the fixed
+    priority, floor-micros stopword ratio, gate order, and cross-run exact
+    dedup (prior kept-digest index beats the whole batch; within the batch
+    the smallest STRING doc_id among gate-passers wins). Mutates
+    ``kept_index`` exactly like a committed run accretes it."""
+    import hashlib
+    import re
+
+    from pdf_extractor_spark.ops.textstats import (
+        _PRIORITY,
+        LANG_MARKERS,
+        STOPWORDS,
+    )
+    from pdf_extractor_spark.spark.curate import (
+        MIN_STOPWORD_MICROS,
+        MIN_TOKENS,
+    )
+
+    info = {}
+    for d, text in batch.items():
+        toks = re.split(r"\s+", text.strip().lower())
+        n = 0 if text.strip() == "" else len(toks)
+        digest = hashlib.md5(" ".join(toks).encode()).hexdigest()
+        counts = {
+            lg: sum(1 for t in toks if t in LANG_MARKERS[lg])
+            for lg in _PRIORITY
+        }
+        best = max(counts.values())
+        lang = (
+            "unknown"
+            if n <= 0 or best <= 0
+            else next(lg for lg in _PRIORITY if counts[lg] == best)
+        )
+        n_stop = sum(1 for t in toks if t in STOPWORDS)
+        sw = n_stop * 10**6 // n if n > 0 else 0
+        gate = (
+            "too_short"
+            if n < MIN_TOKENS
+            else "language"
+            if lang == "unknown"
+            else "quality"
+            if sw < MIN_STOPWORD_MICROS
+            else None
+        )
+        info[d] = {"digest": digest, "n_tokens": n, "pred_lang": lang,
+                   "gate": gate}
+    passers: dict[str, list[str]] = {}
+    for d in sorted(batch):  # string order = the dedup window's order
+        if info[d]["gate"] is None:
+            passers.setdefault(info[d]["digest"], []).append(d)
+    out = {}
+    for d, i in info.items():
+        dup_of = None
+        if i["gate"] is None:
+            if i["digest"] in kept_index:
+                dup_of = kept_index[i["digest"]]
+            elif passers[i["digest"]][0] != d:
+                dup_of = passers[i["digest"]][0]
+        reason = i["gate"] or ("duplicate" if dup_of else None)
+        out[d] = {
+            "digest": i["digest"],
+            "n_tokens": i["n_tokens"],
+            "pred_lang": i["pred_lang"],
+            "verdict": "keep" if reason is None else "reject",
+            "reason": reason,
+            "dup_of": dup_of,
+        }
+    for dg, docs in passers.items():
+        if dg not in kept_index:
+            kept_index[dg] = docs[0]
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 24])
+def test_curate_incremental_matches_python_reference(spark, tmp_path, seed):
+    """Randomized differential test: 3 waves of a seeded corpus (marker/
+    stopword-rich, noise-only and marker-no-stopword slices, verbatim
+    copies within and across waves) through the real incremental stage;
+    every verdict row compared against the pure-Python reference."""
+    import random
+
+    from tests.test_neardup import _write_text_chunk
+
+    rng = random.Random(seed)
+    en = ["the", "and", "of", "to", "a", "is", "it", "in"]
+    es = ["el", "la", "que", "los", "y"]
+    noise = ["xray", "qqq", "zzz", "foo", "bar", "baz"]
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+
+    kept_index: dict[str, str] = {}
+    expect: dict[str, dict] = {}
+    wave_of: dict[str, int] = {}
+    all_texts: list[str] = []
+    ids = list(range(60))
+    rng.shuffle(ids)
+    it = iter(ids)
+    for wave in range(3):
+        batch: dict[str, str] = {}
+        for _ in range(rng.randrange(12, 20)):
+            r = rng.random()
+            if all_texts and r < 0.4:
+                text = all_texts[rng.randrange(len(all_texts))]  # exact copy
+            else:
+                vocab = (
+                    noise  # -> 'language' rejects
+                    if r < 0.55
+                    else es + noise  # lang es, zero stopwords -> 'quality'
+                    if r < 0.7
+                    else en + es + noise
+                )
+                text = " ".join(
+                    rng.choice(vocab) for _ in range(rng.randrange(0, 31))
+                )
+            batch[f"d{next(it)}"] = text
+            all_texts.append(text)
+        cid = src.reserve_chunk_id()
+        _write_text_chunk(spark, src, cid, batch, part_id=0)
+        src.commit_chunk(cid, [0], {"docs": len(batch)}, n_parts=2)
+        expect.update(_ref_verdicts(kept_index, batch))
+        rep = run_curate(spark, src, out)
+        assert rep.docs_processed == len(batch)
+        wave_of.update({d: wave for d in batch})
+
+    got = {r["doc_id"]: r.asDict() for r in read_curated(spark, out).collect()}
+    assert set(got) == set(expect)
+    for d, e in expect.items():
+        g = got[d]
+        for k in ("digest", "n_tokens", "pred_lang", "verdict", "reason",
+                  "dup_of"):
+            assert g[k] == e[k], (d, k, g[k], e[k])
+    # non-vacuity: every gate reason, keeps, and BOTH dup classes (the
+    # prior-run index beating the batch, and the within-batch window)
+    reasons = {e["reason"] for e in expect.values()}
+    assert reasons >= {"too_short", "language", "quality", "duplicate", None}
+    dup_waves = {
+        (wave_of[e["dup_of"]] < wave_of[d])
+        for d, e in expect.items()
+        if e["dup_of"] is not None
+    }
+    assert dup_waves == {True, False}, dup_waves
+
+
 def test_curate_job_and_cli_guards(spark, tmp_path):
     """run_curate_job (the --curate body) end-to-end against a committed
     root, plus the argparse guards for the new flag (all of which fire
