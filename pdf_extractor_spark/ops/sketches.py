@@ -253,7 +253,130 @@ ORDER BY p.true_n DESC, p.user_id
 """
 
 
+# --- HyperLogLog distinct estimator -------------------------------------------
+
+HLL_B = 8  # register-index bits
+HLL_M = 1 << HLL_B  # 256 registers; SE ~ 1.04/sqrt(m) ~= 6.5%
+HLL_WBITS = 52 - HLL_B  # 44 remaining hash bits feed rho
+# alpha_256 = 0.7213/(1 + 1.079/256), embedded as the identical integer-
+# micros literal in both engines (no float pow/log crosses the boundary).
+HLL_ALPHA_MICROS = 718273
+# E = alpha * m^2 / sum_j 2^(-M_j).  Scaling the harmonic sum by 2^44
+# keeps everything BIGINT: S = sum_j 2^(44 - M_j) (empty register => 2^44,
+# max rho 45 => 2^-1 scales to 0.5 — so we scale by 2^45 instead and the
+# smallest term is 2^0).  ENUM = m^2 * 2^45 = 2^61 < 2^63; the alpha
+# multiply happens after ENUM DIV 10^6 so nothing overflows (DuckDB errors
+# on BIGINT overflow, the JVM wraps — both are wrong answers).
+HLL_ENUM = HLL_M * HLL_M * (1 << 45)
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag (and merged-ALL) distinct orderkeys: exact vs HLL.
+
+    The 100 TB point of HLL over KMV/threshold: there is NO distinct and
+    NO shuffle on the key at all.  Each input row maps to (register j,
+    rank rho); ``groupBy(scope, j).max(rho)`` has at most groups*256
+    cells, so map-side combine collapses the entire scan to <= 768 rows
+    crossing the exchange — COUNT(DISTINCT) without deduplicating
+    anything.  Registers are mergeable by max: the ALL row is derived by
+    folding the per-flag register tables, demonstrating the property that
+    lets per-partition/per-day sketches roll up without rescanning
+    (Flajolet et al. 2007, HyperLogLog).
+
+    rho = leading zeros of the 44 low hash bits + 1, computed portably as
+    ``45 - length(bin(w))`` (w=0 => 45).  The estimate is the raw HLL
+    harmonic mean in integer micros; the small-range linear-counting
+    correction needs ln() (not portable bit-exactly), so the zero-register
+    count ``v_zero`` rides along — at scale a driver-side correction on
+    the 256-int summary is free, and the accuracy bound is pinned in
+    tests at sf0.01 where the raw regime (n >= 2.5m) holds.
+
+    Reference parity: like the KMV/CMS ops, the distributed sibling of
+    the reference's exact driver-side ``len(set(...))`` counters
+    (`app/utils/metrics.py`), per SURVEY.md §2.4.
+    """
+    li = _read(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_returnflag").alias("scope"),
+        _h52(F.col("l_orderkey").cast("string")).alias("h"),
+    ).select(
+        "scope",
+        (F.col("h") % HLL_M).alias("j"),
+        F.shiftright(F.col("h"), HLL_B).alias("w"),
+    ).select(
+        "scope",
+        "j",
+        F.when(F.col("w") == 0, F.lit(45))
+        .otherwise(F.lit(45) - F.length(F.bin(F.col("w"))))
+        .alias("rho"),
+    )
+    regs = _persisted(rows.groupBy("scope", "j").agg(F.max("rho").alias("m")))
+    regs_all = regs.groupBy("j").agg(F.max("m").alias("m")).select(
+        F.lit("ALL").alias("scope"), "j", "m"
+    )
+    est = (
+        regs.unionByName(regs_all)
+        .groupBy("scope")
+        .agg(
+            F.sum(F.expr("shiftleft(1L, 45 - m)")).alias("s_used"),
+            F.count("*").alias("n_regs"),
+        )
+        .select(
+            "scope",
+            (F.lit(HLL_M) - F.col("n_regs")).alias("v_zero"),
+            F.expr(
+                f"CAST({HLL_ALPHA_MICROS}L * {HLL_ENUM // 1_000_000}L"
+                f" DIV (s_used + ({HLL_M} - n_regs) * {1 << 45}L)"
+                " AS BIGINT)"
+            ).alias("hll_est"),
+        )
+    )
+    exact = (
+        li.rollup("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n_exact"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("scope"), "n_exact"
+        )
+    )
+    return exact.join(est, "scope").orderBy("scope")
+
+
+HLL_DISTINCT_SQL = f"""
+WITH rows_h AS (
+  SELECT l_returnflag AS scope,
+         {_h52_sql("CAST(l_orderkey AS VARCHAR)")} AS h
+  FROM lineitem),
+rows_jw AS (
+  SELECT scope, h % {HLL_M} AS j, h // {HLL_M} AS w FROM rows_h),
+rows_rho AS (
+  SELECT scope, j,
+         CASE WHEN w = 0 THEN 45 ELSE 45 - length(bin(w)) END AS rho
+  FROM rows_jw),
+regs AS (
+  SELECT scope, j, max(rho) AS m FROM rows_rho GROUP BY scope, j),
+regs_u AS (
+  SELECT scope, j, m FROM regs
+  UNION ALL
+  SELECT 'ALL' AS scope, j, max(m) AS m FROM regs GROUP BY j),
+est AS (
+  SELECT scope,
+         {HLL_M} - count(*) AS v_zero,
+         CAST({HLL_ALPHA_MICROS} * {HLL_ENUM // 1_000_000}
+              // (sum(1::BIGINT << (45 - m))
+                  + ({HLL_M} - count(*)) * {1 << 45}) AS BIGINT) AS hll_est
+  FROM regs_u GROUP BY scope),
+exact AS (
+  SELECT coalesce(l_returnflag, 'ALL') AS scope,
+         count(DISTINCT l_orderkey) AS n_exact
+  FROM lineitem GROUP BY ROLLUP (l_returnflag))
+SELECT e.scope, e.n_exact, s.v_zero, s.hll_est
+FROM exact e JOIN est s USING (scope)
+ORDER BY e.scope
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "approx_distinct_kmv": (q_approx_distinct_kmv, APPROX_DISTINCT_KMV_SQL),
     "heavy_hitters_cms": (q_heavy_hitters_cms, HEAVY_HITTERS_CMS_SQL),
+    "hll_distinct": (q_hll_distinct, HLL_DISTINCT_SQL),
 }

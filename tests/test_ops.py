@@ -35,6 +35,7 @@ SPOT_CHECK = [
     "kmeans_step",
     "approx_distinct_kmv",
     "heavy_hitters_cms",
+    "hll_distinct",
     "priority_waiting",
     "top_supplier",
     "returned_items",

@@ -13,6 +13,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pdf_extractor_spark.ops.sketches import (  # noqa: E402
     APPROX_DISTINCT_KMV_SQL,
     HEAVY_HITTERS_CMS_SQL,
+    HLL_DISTINCT_SQL,
+    HLL_M,
     KMV_K,
 )
 
@@ -59,6 +61,67 @@ def test_cms_never_undercounts_spark(spark):
     assert all(r.est_n >= r.true_n for r in rows)
     # 15 keys into 4x1024 counters: collision-free, every estimate exact
     assert all(r.est_n == r.true_n for r in rows)
+
+
+def _duck_li(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    return con
+
+
+def test_hll_error_bound_at_scale():
+    """At sf0.1 (>=110k distinct per flag, deep in the raw-estimator
+    regime n >= 2.5m) every estimate lands within 3 SE (~20%) of truth;
+    values are engine-identical by the oracle gate."""
+    rows = _duck_li(SF_BIG).execute(HLL_DISTINCT_SQL).fetchall()
+    assert len(rows) == 4  # A / ALL / N / R
+    for _scope, n_exact, v_zero, hll_est in rows:
+        assert n_exact >= 2.5 * HLL_M
+        assert v_zero == 0  # every register hit at this cardinality
+        assert abs(hll_est - n_exact) / n_exact < 0.20, (hll_est, n_exact)
+
+
+def test_hll_all_row_matches_python_rederivation():
+    """Independent pure-Python re-derivation of the merged ALL row: build
+    the 256 global registers from the raw keys with hashlib.md5 and the
+    integer estimate formula, and require the exact engine value. Pins
+    both the register arithmetic (hash split, rho, max-merge — the ALL
+    row is folded from per-flag registers, so max-associativity is what
+    makes this equality hold) and the fixed-point estimator."""
+    import hashlib
+
+    from pdf_extractor_spark.ops.sketches import HLL_ALPHA_MICROS, HLL_ENUM
+
+    con = _duck_li(SF_SMALL)
+    keys = [r[0] for r in con.execute("SELECT l_orderkey FROM lineitem").fetchall()]
+    regs = [0] * HLL_M
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:13], 16)
+        j, w = h % HLL_M, h >> 8
+        rho = 45 if w == 0 else 45 - w.bit_length()
+        regs[j] = max(regs[j], rho)
+    v_zero = regs.count(0)
+    s45 = sum(1 << (45 - m) for m in regs if m > 0) + v_zero * (1 << 45)
+    expect = HLL_ALPHA_MICROS * (HLL_ENUM // 1_000_000) // s45
+    rows = dict(
+        (r[0], (r[2], r[3]))
+        for r in con.execute(HLL_DISTINCT_SQL).fetchall()
+    )
+    assert rows["ALL"] == (v_zero, expect)
+
+
+def test_hll_spark_shape(spark):
+    from pdf_extractor_spark.ops.sketches import q_hll_distinct
+
+    rows = q_hll_distinct(spark, SF_SMALL).collect()
+    assert [r.scope for r in rows] == ["A", "ALL", "N", "R"]
+    for r in rows:
+        assert 0 <= r.v_zero < HLL_M
+        # sf0.001 sits near the raw-regime floor (~1k distinct vs
+        # 2.5m=640); measured error is <9%, pin a generous 25%
+        assert abs(r.hll_est - r.n_exact) / r.n_exact < 0.25
 
 
 def test_cms_one_sided_error_at_scale():

@@ -1106,6 +1106,26 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "hll_distinct",
+        _query_df,
+        [
+            # COUNT DISTINCT with no distinct: the register build is a
+            # map-side-combined max into <= groups*256 cells — the key
+            # itself never shuffles on the sketch side (the exact column
+            # is explicit calibration you drop at scale). Registers are
+            # staged once and reused by the per-flag and merged-ALL
+            # branches; exact rides ONE rollup scan.
+            lambda p: contains(p, "InMemoryTableScan"),  # regs staged
+            lambda p: occurs_at_most(p, "lineitem.parquet", 2),
+            lambda p: absent(p, "SortMergeJoin"),  # 4-row join broadcasts
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: never_reads(p, "l_extendedprice"),
+            lambda p: never_reads(p, "l_quantity"),
+            lambda p: never_reads(p, "l_comment"),
+        ],
+        False,
+    ),
+    (
         "semantic_dedup",
         _query_df,
         [
