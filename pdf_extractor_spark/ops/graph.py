@@ -1,0 +1,157 @@
+"""Iterative graph centrality — PageRank over the co-purchase graph.
+
+The third iterative-algorithm family in the engine (connected components
+in ops/dedup.py, Lloyd's k-means in ops/training.py): damped PageRank over
+the undirected customer↔supplier co-purchase graph derived from
+orders⨝lineitem. A curation pipeline uses exactly this shape for domain /
+host authority over a hyperlink graph (the classic quality prior for
+web-scale corpora); the TPC-H tables stand in for the link table so the
+loop is oracle-able on the driver's fixed testdata.
+
+Cross-engine exactness (CLAUDE.md rules): ranks are integer
+parts-per-billion. The teleport term is ``150 * (10^9 DIV N)`` and the
+damped term ``850 * contrib DIV 1000`` — all BIGINT, and every per-edge
+share is ``rank DIV degree`` (floor), so integer-sum associativity makes
+the result bit-reproducible across partitionings, engines, and retries.
+Mass lost to flooring is deterministic on both sides (PageRank consumers
+rank by the score; absolute normalization is irrelevant).
+
+Scale shape per iteration: ONE shuffle of per-edge shares on ``dst``
+(map-side-combined sum). The rank table is |V| rows vs |E| edges — at toy
+scale Spark broadcasts it onto the edge table; on a 10^11-edge web graph
+neither side broadcasts, so the edge table is bucketed/pre-partitioned on
+``src`` ONCE (it is loop-invariant — exactly the persisted `edges` here)
+and every iteration's ranks⨝edges join co-locates on that partitioning,
+leaving the dst-sum as the only data movement. Thousands of iterations
+would checkpoint ranks per iteration like the CC label loop
+(ops/dedup.py); the 3-iteration unroll here keeps the whole chain in one
+declarative plan with per-iteration persists.
+
+Reference parity: the reference has no graph op (SURVEY.md §2.4 "beyond
+reference" family, like dedup CC); this is the authority-score sibling of
+the dedup cluster loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import _persisted
+
+PR_ITERS = 3
+PR_TOPK = 20
+# damping 0.85 as the exact rational 850/1000 (no float crosses engines)
+PR_DAMP_MILLI = 850
+PR_ONE_PPB = 1_000_000_000
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 vertices by 3-iteration damped PageRank, integer ppb.
+
+    Vertices are 'c<custkey>' / 's<suppkey>'; an undirected edge links a
+    customer to every supplier it ordered from (distinct pairs — the
+    co-purchase multigraph collapses before any iteration touches it).
+    Degrees and the vertex count N are loop invariants computed once from
+    the persisted edge table; each iteration joins the previous ranks to
+    the edges on src, floors rank/degree per edge, and sums shares into
+    dst — one exchange per iteration.
+    """
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = _persisted(
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = _persisted(
+        pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+        .unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    )
+    # symmetric graph: out-degree == in-degree == degree, every vertex
+    # appears as a src, so `deg` doubles as the vertex table
+    deg = _persisted(edges.groupBy("src").agg(F.count("*").alias("degree")))
+    nv = deg.agg(F.count("*").alias("nv"))
+    ranks = deg.crossJoin(F.broadcast(nv)).select(
+        F.col("src").alias("vertex"),
+        "degree",
+        F.expr(f"{PR_ONE_PPB}L DIV nv").alias("r"),
+    )
+    for _i in range(PR_ITERS):
+        ctb = (
+            edges.join(ranks, edges.src == ranks.vertex)
+            .select(F.col("dst"), F.expr("r DIV degree").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("ctb"))
+        )
+        ranks = _persisted(
+            deg.crossJoin(F.broadcast(nv))
+            .join(ctb, deg.src == ctb.dst, "left")
+            .select(
+                F.col("src").alias("vertex"),
+                "degree",
+                F.expr(
+                    f"({1000 - PR_DAMP_MILLI} * ({PR_ONE_PPB}L DIV nv)"
+                    f" + {PR_DAMP_MILLI} * coalesce(ctb, 0L)) DIV 1000"
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.select("vertex", "degree", F.col("r").alias("rank_ppb"))
+        .orderBy(F.desc("rank_ppb"), "vertex")
+        .limit(PR_TOPK)
+    )
+
+
+def _pr_ctes(n_iters: int = PR_ITERS) -> str:
+    ctes = [
+        """pairs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                  's' || CAST(l_suppkey AS VARCHAR) AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
+        """edges AS (
+  SELECT c AS src, s AS dst FROM pairs
+  UNION ALL
+  SELECT s AS src, c AS dst FROM pairs)""",
+        """deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)""",
+        """n AS (SELECT count(*) AS nv FROM deg)""",
+        f"""r0 AS (
+  SELECT src AS vertex, degree, {PR_ONE_PPB} // nv AS r
+  FROM deg CROSS JOIN n)""",
+    ]
+    for i in range(n_iters):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT e.dst AS vertex, CAST(sum(r.r // r.degree) AS BIGINT) AS ctb
+  FROM edges e JOIN r{i} r ON e.src = r.vertex
+  GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""r{i + 1} AS (
+  SELECT d.src AS vertex, d.degree,
+         ({1000 - PR_DAMP_MILLI} * ({PR_ONE_PPB} // n.nv)
+          + {PR_DAMP_MILLI} * coalesce(c.ctb, 0)) // 1000 AS r
+  FROM deg d CROSS JOIN n LEFT JOIN c{i} c ON d.src = c.vertex)"""
+        )
+    return ",\n".join(ctes)
+
+
+PAGERANK_SQL = f"""
+WITH {_pr_ctes()}
+SELECT vertex, degree, r AS rank_ppb
+FROM r{PR_ITERS}
+ORDER BY rank_ppb DESC, vertex
+LIMIT {PR_TOPK}
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "pagerank": (q_pagerank, PAGERANK_SQL),
+}

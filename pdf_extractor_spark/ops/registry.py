@@ -19,6 +19,7 @@ from . import (
     analytics,
     dedup,
     extraction_queries,
+    graph,
     jsonl_source,
     multimodal,
     similarity,
@@ -37,6 +38,7 @@ _MODULES = (
     training,
     multimodal,
     sketches,
+    graph,
     jsonl_source,
 )
 

@@ -36,6 +36,7 @@ SPOT_CHECK = [
     "approx_distinct_kmv",
     "heavy_hitters_cms",
     "hll_distinct",
+    "pagerank",
     "priority_waiting",
     "top_supplier",
     "returned_items",

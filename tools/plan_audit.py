@@ -1106,6 +1106,28 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "pagerank",
+        _query_df,
+        [
+            # loop-invariant edge/degree tables are staged once: one scan
+            # each of orders/lineitem feeds all 3 iterations. The
+            # per-iteration ranks⨝edges equi-join on src is allowed to be
+            # a hash/SMJ join — at web scale the rank table does NOT
+            # broadcast; co-location comes from the reused edge
+            # partitioning (docstring). No all-pairs shapes anywhere; the
+            # only nested-loop joins are the 1-row N-broadcast.
+            lambda p: occurs_at_most(p, "orders.parquet", 1),
+            lambda p: occurs_at_most(p, "lineitem.parquet", 1),
+            lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: contains(p, "TakeOrderedAndProject"),  # top-k, no global sort
+            lambda p: never_reads(p, "o_totalprice"),
+            lambda p: never_reads(p, "l_extendedprice"),
+            lambda p: never_reads(p, "l_quantity"),
+        ],
+        False,
+    ),
+    (
         "hll_distinct",
         _query_df,
         [
