@@ -63,11 +63,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # vertex ids stay BIGINT through the loop (2k = customer, 2k+1 =
+    # supplier): every join/shuffle keys on an 8-byte int, not a varchar —
+    # at web scale you dictionary-encode vertex ids for the same reason.
+    # The readable 'c<k>'/'s<k>' form is decoded on the 20-row output only.
     pairs = _persisted(
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
@@ -84,6 +88,9 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "degree",
         F.expr(f"{PR_ONE_PPB}L DIV nv").alias("r"),
     )
+    # NOTE: ranks is consumed exactly ONCE per iteration (a linear chain),
+    # so unlike the staged edges/deg loop invariants it is NOT persisted —
+    # a cache there would cost a materialization and buy zero reuse.
     for _i in range(PR_ITERS):
         ctb = (
             edges.join(ranks, edges.src == ranks.vertex)
@@ -91,7 +98,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("share").alias("ctb"))
         )
-        ranks = _persisted(
+        ranks = (
             deg.crossJoin(F.broadcast(nv))
             .join(ctb, deg.src == ctb.dst, "left")
             .select(
@@ -104,7 +111,15 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return (
-        ranks.select("vertex", "degree", F.col("r").alias("rank_ppb"))
+        ranks.select(
+            F.expr(
+                "CASE WHEN vertex % 2 = 0"
+                " THEN 'c' || CAST(vertex DIV 2 AS STRING)"
+                " ELSE 's' || CAST(vertex DIV 2 AS STRING) END"
+            ).alias("vertex"),
+            "degree",
+            F.col("r").alias("rank_ppb"),
+        )
         .orderBy(F.desc("rank_ppb"), "vertex")
         .limit(PR_TOPK)
     )
@@ -113,8 +128,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pr_ctes(n_iters: int = PR_ITERS) -> str:
     ctes = [
         """pairs AS (
-  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
-                  's' || CAST(l_suppkey AS VARCHAR) AS s
+  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""",
         """edges AS (
   SELECT c AS src, s AS dst FROM pairs
@@ -145,7 +159,9 @@ def _pr_ctes(n_iters: int = PR_ITERS) -> str:
 
 PAGERANK_SQL = f"""
 WITH {_pr_ctes()}
-SELECT vertex, degree, r AS rank_ppb
+SELECT CASE WHEN vertex % 2 = 0 THEN 'c' || CAST(vertex // 2 AS VARCHAR)
+            ELSE 's' || CAST(vertex // 2 AS VARCHAR) END AS vertex,
+       degree, r AS rank_ppb
 FROM r{PR_ITERS}
 ORDER BY rank_ppb DESC, vertex
 LIMIT {PR_TOPK}
