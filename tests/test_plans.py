@@ -58,3 +58,39 @@ def test_bare_key_exchange_pin_detects_fat_stream():
     assert ok and "(1)" in detail, detail  # composite-key exchange not counted as bare
     ok, detail = bare_key_exchanges_are_count_tables(count_table + fat_stream, "w1", "doc_id")
     assert not ok and "doc_id" in detail, detail
+
+
+def test_runtime_bloom_filter_fires_on_selective_fact_join(spark):
+    """At 100 TB the selective fact–fact joins get a runtime bloom-filter
+    semi-join reduction for free: Spark 4.x injects might_contain() on the
+    application side when the creation side is small/filtering and the
+    probe scan exceeds applicationSideScanSizeThreshold (default 10 GiB —
+    i.e. exactly the regime this engine targets). Pin (a) the feature is ON
+    in the engine's session config, and (b) it actually fires on our join
+    shape once the probe-side threshold matches toy data — so a future
+    session-factory change that silently disables it fails here."""
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    old_thr, old_bcast = spark.conf.get(thr), spark.conf.get(bcast)
+    spark.conf.set(thr, "1MB")
+    spark.conf.set(bcast, "-1")  # force the shuffle join the filter serves
+    try:
+        sf = "/root/testdata/sf0.1"
+        o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.sum("l_quantity").alias("q"))
+        plan = plan_of(j)
+        assert plan.count("might_contain") >= 1, plan
+    finally:
+        spark.conf.set(thr, old_thr)
+        spark.conf.set(bcast, old_bcast)
