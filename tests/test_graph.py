@@ -80,3 +80,56 @@ def test_pagerank_spark_top20(spark):
     rows = q_pagerank(spark, SF_SMALL).collect()
     expected, _ = _python_pagerank(SF_SMALL)
     assert [(r.vertex, r.degree, r.rank_ppb) for r in rows] == expected
+
+
+def test_pagerank_oracle_matches_python_on_random_graphs():
+    """Randomized differential test: the chained-CTE oracle and the
+    pure-Python loop must agree on arbitrary bipartite co-purchase graphs,
+    not just the driver's fixed testdata (same convention as the
+    incremental curate/neardup differential tests)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 12), st.integers(1, 5)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(order_pairs):
+        con = duckdb.connect()
+        con.execute("CREATE TABLE orders (o_orderkey BIGINT, o_custkey BIGINT)")
+        con.execute("CREATE TABLE lineitem (l_orderkey BIGINT, l_suppkey BIGINT)")
+        for i, (c, s) in enumerate(order_pairs):
+            con.execute("INSERT INTO orders VALUES (?, ?)", [i, c])
+            con.execute("INSERT INTO lineitem VALUES (?, ?)", [i, s])
+        got = con.execute(PAGERANK_SQL).fetchall()
+        # python rederivation over the same integer-id encoding
+        adj = defaultdict(set)
+        for c, s in set(order_pairs):
+            adj[f"c{c}"].add(f"s{s}")
+            adj[f"s{s}"].add(f"c{c}")
+        adj = {v: sorted(o) for v, o in adj.items()}
+        nv = len(adj)
+        ranks = {v: PR_ONE_PPB // nv for v in adj}
+        for _ in range(PR_ITERS):
+            ctb = defaultdict(int)
+            for v, outs in adj.items():
+                share = ranks[v] // len(outs)
+                for d in outs:
+                    ctb[d] += share
+            ranks = {
+                v: (
+                    (1000 - PR_DAMP_MILLI) * (PR_ONE_PPB // nv)
+                    + PR_DAMP_MILLI * ctb[v]
+                )
+                // 1000
+                for v in adj
+            }
+        top = sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))[:PR_TOPK]
+        expected = [(v, len(adj[v]), r) for v, r in top]
+        assert got == expected
+
+    check()

@@ -3,6 +3,7 @@ the oracle spot check in test_ops.py and the driver's gate; these tests pin
 the *estimator* properties that equality alone can't see)."""
 
 import sys
+from collections import defaultdict
 from pathlib import Path
 
 import duckdb
@@ -132,3 +133,55 @@ def test_cms_one_sided_error_at_scale():
         # additive error bound: eps*N with eps=e/w, N=100k events ->
         # ~266; generous 2x headroom against future testdata regen
         assert est_n - true_n < 2 * 266, (true_n, est_n)
+
+
+def test_hll_oracle_matches_python_on_random_keys():
+    """Randomized differential: HLL_DISTINCT_SQL vs a pure-Python register
+    build over arbitrary key multisets and group labels."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractor_spark.ops.sketches import HLL_ALPHA_MICROS, HLL_ENUM
+
+    def py_est(keys):
+        regs = [0] * HLL_M
+        for k in keys:
+            h = int(hashlib.md5(str(k).encode()).hexdigest()[:13], 16)
+            j, w = h % HLL_M, h >> 8
+            rho = 45 if w == 0 else 45 - w.bit_length()
+            regs[j] = max(regs[j], rho)
+        v_zero = regs.count(0)
+        s45 = sum(1 << (45 - m) for m in regs if m > 0) + v_zero * (1 << 45)
+        return v_zero, HLL_ALPHA_MICROS * (HLL_ENUM // 1_000_000) // s45
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from("ANR"), st.integers(1, 500)),
+            min_size=1,
+            max_size=120,
+        )
+    )
+    def check(rows):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE lineitem (l_returnflag VARCHAR, l_orderkey BIGINT)"
+        )
+        con.executemany("INSERT INTO lineitem VALUES (?, ?)", rows)
+        got = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.execute(HLL_DISTINCT_SQL).fetchall()
+        }
+        by_flag = defaultdict(set)
+        for f, k in rows:
+            by_flag[f].add(k)
+        all_keys = set().union(*by_flag.values())
+        for flag, keys in by_flag.items():
+            v, e = py_est(keys)
+            assert got[flag] == (len(keys), v, e)
+        v, e = py_est(all_keys)
+        assert got["ALL"] == (len(all_keys), v, e)
+
+    check()
