@@ -128,6 +128,15 @@ def main(argv: list[str] | None = None) -> int:
                         "checked against the batch AND the accumulated band "
                         "index, exact-Jaccard verified; incremental and "
                         "exactly-once like --signals)")
+    p.add_argument("--pack", action="store_true",
+                   help="run the context-packing pass instead of extraction: "
+                        "--input is a committed extraction table root, "
+                        "--output receives per-doc placements in the "
+                        "512-token context stream (window-local packing, "
+                        "pack_epoch = consumed source snapshot; incremental "
+                        "and exactly-once like --signals). With --kept-from "
+                        "CURATE_ROOT [--drop-neardups-from NEARDUP_ROOT] "
+                        "and --rebuild, packs the composed kept corpus")
     p.add_argument("--over-kept", type=str, default=None, metavar="CURATE_ROOT",
                    help="with --neardup --rebuild: scope the re-decision to "
                         "the curate-KEPT corpus (the residual-cluster "
@@ -137,7 +146,7 @@ def main(argv: list[str] | None = None) -> int:
                         "only kept partners, so composing it drops every "
                         "residual)")
     p.add_argument("--rebuild", action="store_true",
-                   help="with --signals/--curate/--neardup: full recompute "
+                   help="with --signals/--curate/--neardup/--pack: full recompute "
                         "committed as one overwrite chunk (required after a "
                         "source partition overwrite; under --curate dedup — "
                         "and under --neardup near-dup matching — is "
@@ -207,8 +216,10 @@ def main(argv: list[str] | None = None) -> int:
     ):
         p.error("--ocr-stage runs alone; maintenance/extraction flags "
                 "apply to stage-1 runs against the stage-1 --output")
-    if args.rebuild and not (args.signals or args.curate or args.neardup):
-        p.error("--rebuild only applies to --signals/--curate/--neardup")
+    if args.rebuild and not (
+        args.signals or args.curate or args.neardup or args.pack
+    ):
+        p.error("--rebuild only applies to --signals/--curate/--neardup/--pack")
     if args.over_kept is not None:
         if not args.neardup:
             p.error("--over-kept only applies to --neardup")
@@ -223,11 +234,11 @@ def main(argv: list[str] | None = None) -> int:
     ):
         p.error("--min-tokens/--min-stopword-micros/--accept-langs/"
                 "--min-logit-micros only apply to --curate")
-    if sum((args.signals, args.curate, args.neardup)) > 1:
-        p.error("--signals/--curate/--neardup are separate passes; run "
-                "them against separate --output roots")
+    if sum((args.signals, args.curate, args.neardup, args.pack)) > 1:
+        p.error("--signals/--curate/--neardup/--pack are separate passes; "
+                "run them against separate --output roots")
     for flag, on in (("--signals", args.signals), ("--curate", args.curate),
-                     ("--neardup", args.neardup)):
+                     ("--neardup", args.neardup), ("--pack", args.pack)):
         if on and (
             args.watch
             or args.ocr_stage
@@ -261,10 +272,17 @@ def main(argv: list[str] | None = None) -> int:
                 "--ocr-stage")
     if args.with_ocr_text and not args.export_zip:
         p.error("--with-ocr-text only applies to --export-zip")
-    if args.kept_from and not args.export_zip:
-        p.error("--kept-from only applies to --export-zip")
-    if args.drop_neardups_from and not args.export_zip:
-        p.error("--drop-neardups-from only applies to --export-zip")
+    if args.kept_from and not (args.export_zip or args.pack):
+        p.error("--kept-from only applies to --export-zip or --pack")
+    if args.drop_neardups_from and not (args.export_zip or args.pack):
+        p.error("--drop-neardups-from only applies to --export-zip or --pack")
+    if args.pack and args.kept_from and not args.rebuild:
+        p.error("--pack --kept-from packs a corpus another table's verdicts "
+                "define; it requires --rebuild (no stable incremental "
+                "notion of 'the kept docs of this window')")
+    if args.pack and args.drop_neardups_from and not args.kept_from:
+        p.error("--drop-neardups-from composes the kept view's "
+                "flag-validity rule; with --pack it requires --kept-from")
     if args.shards is not None:
         if not args.export_zip:
             p.error("--shards only applies to --export-zip")
@@ -331,11 +349,12 @@ def main(argv: list[str] | None = None) -> int:
 
         configure_state_store(spark, args.state_store)
     try:
-        if args.signals or args.curate or args.neardup:
+        if args.signals or args.curate or args.neardup or args.pack:
             import os as _os
 
             flag = ("--signals" if args.signals
-                    else "--curate" if args.curate else "--neardup")
+                    else "--curate" if args.curate
+                    else "--neardup" if args.neardup else "--pack")
             if not _os.path.isdir(_os.path.join(args.input, "commits")):
                 p.error(f"{flag} --input {args.input} is not a committed "
                         "table root (no commits/ directory)")
@@ -363,6 +382,26 @@ def main(argv: list[str] | None = None) -> int:
                     kept_from=args.over_kept,
                 )
                 verb = "NEARDUP_DONE"
+            elif args.pack:
+                from pdf_extractor_spark.spark.pack import run_pack_job
+
+                for opt, root in (("--kept-from", args.kept_from),
+                                  ("--drop-neardups-from",
+                                   args.drop_neardups_from)):
+                    if root is not None and not _os.path.isdir(
+                        _os.path.join(root, "commits")
+                    ):
+                        p.error(f"{opt} {root} is not a committed table "
+                                "root (no commits/ directory)")
+                report, dt = run_pack_job(
+                    spark,
+                    args.input,
+                    args.output,
+                    rebuild=args.rebuild,
+                    kept_from=args.kept_from,
+                    neardup_from=args.drop_neardups_from,
+                )
+                verb = "PACK_DONE"
             else:
                 from pdf_extractor_spark.spark.curate import (
                     GateConfig,

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..spark.lineage import _chunk_dirname
 from ..spark.pipeline import extract_documents
-from .portable import tokens_sql
+from .portable import h64_sql, tokens_sql
 
 # HTML wrapper: nav/script/footer are boilerplate the DOM-density stripper
 # must drop; <article><p>text</p></article> is the main content it must keep.
@@ -803,6 +803,95 @@ ORDER BY c.doc_id
 """
 
 
+# --- context-packing table -----------------------------------------------
+
+
+def _pack_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Committed extraction of the wrapped corpus + ONE pack pass (the
+    first incremental run consumes the whole table as one window, so the
+    oracle predicts a single global packing). Same idempotence/keying
+    contract as _signals_fixture; the multi-window/kept-scope paths are
+    pytest-covered (tests/test_pack.py)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..spark.lineage import CommitLog, run_extraction
+    from ..spark.pack import PACK_COMPUTE_VERSION, run_pack
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{st.st_mtime_ns}:{st.st_size}"
+        f":packv{PACK_COMPUTE_VERSION}".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(tempfile.gettempdir(), f"pes-pack-{key}")
+    src_root = os.path.join(base, "src")
+    out_root = os.path.join(base, "out")
+    run_extraction(
+        spark,
+        wrap_documents(spark, sf_dir),
+        CommitLog(src_root),
+        n_parts=16,
+        parts_per_chunk=8,
+        num_partitions=8,
+    )
+    run_pack(spark, CommitLog(src_root), CommitLog(out_root))
+    return out_root
+
+
+def q_packed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The context-packing STAGE, value-hash gated end-to-end: extraction
+    (real kernel) -> commit log -> incremental pack pass (spark/pack.py:
+    md5 shuffle order, distributed exclusive prefix sum, 512-token context
+    ranges) -> committed snapshot read. The oracle predicts every
+    placement in closed form from the flat documents table (token counts
+    survive the wrap/clean round-trip — the signals_table precedent); a
+    doc dropped or double-placed by the window cursor, a prefix-sum shard
+    boundary leak, or an off-by-one in the context division flips the
+    hash. ``pack_epoch`` is projected out (it names the fixture's source
+    snapshot id, an infrastructure detail; uniqueness is pytest-pinned)."""
+    from ..spark.lineage import CommitLog
+    from ..spark.pack import read_packed
+
+    out_root = _pack_fixture(spark, sf_dir)
+    df = read_packed(spark, CommitLog(out_root))
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "start_off",
+        "first_chunk",
+        "last_chunk",
+        "n_chunks",
+    ).orderBy("doc_id")
+
+
+def _packed_oracle_sql() -> str:
+    from .training import CTX_TOKENS
+
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len({tokens_sql("text")}) AS BIGINT) END AS n_tokens,
+         {h64_sql("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(SUM(n_tokens) OVER (
+                ORDER BY h, CAST(doc_id AS VARCHAR)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_off
+  FROM t WHERE n_tokens > 0)
+SELECT doc_id, n_tokens, start_off,
+       start_off // {CTX_TOKENS} AS first_chunk,
+       (start_off + n_tokens - 1) // {CTX_TOKENS} AS last_chunk,
+       ((start_off + n_tokens - 1) // {CTX_TOKENS})
+         - (start_off // {CTX_TOKENS}) + 1 AS n_chunks
+FROM p ORDER BY doc_id
+"""
+
+
 # --- curation-verdict table ---------------------------------------------
 
 # clone-slice offset: divisible by 3 and 17, so a clone keeps the original's
@@ -1166,6 +1255,7 @@ ORDER BY k.doc_id
 QUERIES: dict[str, tuple] = {
     "ocr_roundtrip": (q_ocr_roundtrip, _ocr_roundtrip_oracle_sql),
     "signals_table": (q_signals_table, _signals_oracle_sql),
+    "packed_table": (q_packed_table, _packed_oracle_sql),
     "curated_table": (q_curated_table, _curated_oracle_sql),
     "kept_corpus": (q_kept_corpus, _kept_corpus_oracle_sql),
     "kept_collapsed": (q_kept_collapsed, _kept_collapsed_oracle_sql),

@@ -314,14 +314,33 @@ def read_kept(
     kept partners, so passing THAT table here drops every residual. Both exclusion
     inputs are doc_id-narrow: one semi join (flag validity) plus one anti
     join (the exclusion)."""
+    return apply_kept_filters(
+        spark,
+        src_log.read_extracted(spark, as_of=as_of),
+        curate_log,
+        curate_as_of=curate_as_of,
+        neardup_log=neardup_log,
+    )
+
+
+def apply_kept_filters(
+    spark: SparkSession,
+    docs: DataFrame,
+    curate_log: CommitLog,
+    curate_as_of: int | None = None,
+    neardup_log: CommitLog | None = None,
+) -> DataFrame:
+    """The kept-view filter chain over an ARBITRARY docs DataFrame (the
+    read_kept semantics — semi join on curate-keeps, anti join on
+    validly-flagged near-dups — factored out so stages that must pin their
+    source read to a captured marker set, e.g. pack's kept-scoped rebuild,
+    compose the same rule instead of re-deriving it)."""
     kept = (
         read_curated(spark, curate_log, as_of=curate_as_of)
         .where(F.col("verdict") == "keep")
         .select("doc_id")
     )
-    out = src_log.read_extracted(spark, as_of=as_of).join(
-        kept, "doc_id", "left_semi"
-    )
+    out = docs.join(kept, "doc_id", "left_semi")
     if neardup_log is not None:
         from .neardup import read_neardup
 

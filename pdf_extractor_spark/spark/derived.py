@@ -123,7 +123,23 @@ def run_derived_stage(
     ``rebuild_compute`` (default: ``compute``) maps the FULL table — a
     stage whose incremental path consults its own prior output (e.g.
     curate's kept-digest index) passes a self-contained variant here.
+
+    Either callable may declare a parameter NAMED ``horizon`` to receive
+    the window horizon (the source snapshot id this run consumes up to —
+    the same value the marker records as ``src_snapshot``): a stage whose
+    output rows must carry a window tag (e.g. pack's ``pack_epoch``)
+    takes it here rather than re-listing the source itself, which would
+    race a concurrent source commit and tag rows with a horizon the
+    marker does not record. Opt-in is BY NAME, not arity — stage computes
+    may carry unrelated optional parameters (signals' ``extra``).
     """
+    import inspect
+
+    def _call(fn: Callable, df: DataFrame, horizon: int) -> DataFrame:
+        if "horizon" in inspect.signature(fn).parameters:
+            return fn(df, horizon=horizon)
+        return fn(df)
+
     src_chunks = src_log.committed_chunks()  # commit order; reused below
     if not src_chunks:
         return RunReport(0, 0, 0, 0)
@@ -137,8 +153,10 @@ def run_derived_stage(
         # into the recorded cursor, so the next incremental run would
         # consume it AGAIN — two derived rows per doc, and the earlier
         # rebuild overwrite cannot shadow the later duplicate append
-        out = (rebuild_compute or compute)(
-            src_log.read_extracted(spark, markers=src_chunks)
+        out = _call(
+            rebuild_compute or compute,
+            src_log.read_extracted(spark, markers=src_chunks),
+            latest,
         )
         all_parts = sorted({p for c in src_chunks for p in c["part_ids"]})
         _, n_docs, _ = commit_derived_chunk(
@@ -195,7 +213,7 @@ def run_derived_stage(
         until=latest,
         window=window,
     )
-    out = compute(delta)
+    out = _call(compute, delta, latest)
 
     def _cursor_unmoved(committed: list[dict]) -> None:
         # optimistic concurrency, checked under the commit lock: a rival

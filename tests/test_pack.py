@@ -1,0 +1,146 @@
+"""Context-packing stage (spark/pack.py): window-local placement,
+incremental exactly-once, epoch tagging, kept-scoped rebuild, guards."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+import pdf_extractor_spark.spark.lineage as L
+from pdf_extractor_spark.ops.extraction_queries import wrap_documents
+from pdf_extractor_spark.ops.training import CTX_TOKENS
+from pdf_extractor_spark.spark.pack import read_packed, run_pack
+
+
+def _write_docs(tmp_path, texts: dict[int, str]) -> str:
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": [texts[k] for k in texts],
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(texts[k]) for k in texts],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def _expected_placements(texts: dict[str, str]) -> dict[str, tuple]:
+    """Pure-Python rederivation of one window's packing: md5 order,
+    exclusive prefix sum, context ranges; empty docs dropped."""
+    placed = [
+        (int(hashlib.md5(d.encode()).hexdigest()[:15], 16), d, len(t.split()))
+        for d, t in texts.items()
+        if t.split()
+    ]
+    placed.sort()
+    out, off = {}, 0
+    for _h, d, n in placed:
+        first, last = off // CTX_TOKENS, (off + n - 1) // CTX_TOKENS
+        out[d] = (n, off, first, last, last - first + 1)
+        off += n
+    return out
+
+
+def test_pack_incremental_window_local(spark, tmp_path):
+    """Two source waves, one pack run after each: every window packs ITS
+    OWN context stream from offset 0 (verified against the pure-Python
+    rederivation per window), pack_epoch distinguishes the windows, and a
+    third run is a no-op."""
+    texts = {
+        i: " ".join(f"w{i}x{j}" for j in range(60 * (i % 7 + 1)))
+        for i in range(30)
+    }
+    sf_dir = _write_docs(tmp_path, texts)
+    docs = wrap_documents(spark, sf_dir)
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        L.run_extraction(spark, docs, src, n_parts=8, parts_per_chunk=4,
+                         fail_after_chunks=1)
+    r1 = run_pack(spark, src, out)
+    assert r1.chunks_committed == 1
+    wave1 = {r["doc_id"] for r in read_packed(spark, out).collect()}
+
+    L.run_extraction(spark, docs, src, n_parts=8, parts_per_chunk=4)
+    r2 = run_pack(spark, src, out)
+    assert r2.chunks_committed == 1
+
+    rows = {r["doc_id"]: r for r in read_packed(spark, out).collect()}
+    assert len(rows) == 30
+    epochs = {r["pack_epoch"] for r in rows.values()}
+    assert len(epochs) == 2  # one per consumed window
+    for window_ids in (wave1, set(rows) - wave1):
+        expect = _expected_placements(
+            {d: texts[int(d)] for d in window_ids}
+        )
+        for d in window_ids:
+            r = rows[d]
+            assert (
+                r["n_tokens"], r["start_off"], r["first_chunk"],
+                r["last_chunk"], r["n_chunks"],
+            ) == expect[d], d
+        # each window is its own stream: starts at 0, dense in tokens
+        assert min(r["start_off"] for d, r in rows.items() if d in window_ids) == 0
+
+    r3 = run_pack(spark, src, out)
+    assert r3.chunks_committed == 0 and r3.docs_processed == 0
+
+
+def test_pack_drops_empty_docs(spark, tmp_path):
+    sf_dir = _write_docs(tmp_path, {1: "alpha beta", 2: "", 3: "gamma"})
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+    L.run_extraction(spark, wrap_documents(spark, sf_dir), src, n_parts=4,
+                     parts_per_chunk=4)
+    run_pack(spark, src, out)
+    rows = {r["doc_id"] for r in read_packed(spark, out).collect()}
+    assert rows == {"1", "3"}
+
+
+def test_pack_kept_scope_rebuild_and_guards(spark, tmp_path):
+    """Kept-scoped packing places exactly the curate-keep set, requires
+    rebuild, and a later incremental full-scope run against the kept table
+    is refused (scope mixing)."""
+    from pdf_extractor_spark.spark.curate import GateConfig, run_curate
+
+    texts = {i: " ".join(f"w{i}x{j}" for j in range(3 if i % 3 == 0 else 40))
+             for i in range(12)}
+    sf_dir = _write_docs(tmp_path, texts)
+    src = L.CommitLog(str(tmp_path / "src"))
+    cur = L.CommitLog(str(tmp_path / "cur"))
+    out = L.CommitLog(str(tmp_path / "out"))
+    L.run_extraction(spark, wrap_documents(spark, sf_dir), src, n_parts=4,
+                     parts_per_chunk=4)
+    run_curate(spark, src, cur,
+               gates=GateConfig(min_tokens=10, min_stopword_micros=0,
+                                accept_langs=GateConfig.any_language()))
+
+    with pytest.raises(ValueError, match="rebuild=True"):
+        run_pack(spark, src, out, kept_from=cur)
+    with pytest.raises(ValueError, match="kept_from"):
+        run_pack(spark, src, out, rebuild=True,
+                 neardup_from=L.CommitLog(str(tmp_path / "nd")))
+
+    run_pack(spark, src, out, rebuild=True, kept_from=cur)
+    rows = {r["doc_id"] for r in read_packed(spark, out).collect()}
+    assert rows == {str(i) for i in range(12) if i % 3 != 0}
+    expect = _expected_placements(
+        {str(i): texts[i] for i in range(12) if i % 3 != 0}
+    )
+    got = {r["doc_id"]: r for r in read_packed(spark, out).collect()}
+    for d, e in expect.items():
+        r = got[d]
+        assert (r["n_tokens"], r["start_off"], r["first_chunk"],
+                r["last_chunk"], r["n_chunks"]) == e
+
+    # a full-scope run against the kept-scoped table must be refused
+    # (checked before any window math, so it guards even a no-op window)
+    with pytest.raises(ValueError, match="scope"):
+        run_pack(spark, src, out)
+    # rebuild under the new scope is the prescribed path: all 12 docs
+    run_pack(spark, src, out, rebuild=True)
+    assert read_packed(spark, out).count() == 12

@@ -571,6 +571,22 @@ AUDITS: list[tuple] = [
         False,
     ),
     (
+        "packed_table",
+        _query_df,
+        [
+            # the committed placement table reads like any snapshot: ONE
+            # partition-filtered scan, no join, no Python — the prefix-sum
+            # work was spent at WRITE time (pinned on the write side by
+            # pack_interleaved/pack_contexts: never a single-partition
+            # global window over data rows)
+            lambda p: n_scans_at_most(p, 1),
+            lambda p: partition_filtered(p, "chunk"),
+            lambda p: absent(p, "Join"),
+            lambda p: absent(p, "MapInPandas"),
+        ],
+        False,
+    ),
+    (
         "pack_interleaved",
         _query_df,
         [
