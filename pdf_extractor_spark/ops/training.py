@@ -102,7 +102,11 @@ def exclusive_prefix_sum(
             ).withColumn("_shard", F.spark_partition_id())
         )
     else:
-        sharded = df.withColumn("_shard", shard_col)
+        # persisted for the SCAN BUDGET, not determinism (the explicit
+        # shard expression is pure): the totals pass and the placement
+        # pass both consume this frame, and un-staged each re-ran the
+        # source scan + token count (pinned <= 1 scan in plan_audit)
+        sharded = _persisted(df.withColumn("_shard", shard_col))
     shard_tot = sharded.groupBy("_shard").agg(F.sum(value_col).alias("_stok"))
     w_shard = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
     shard_off = shard_tot.select(
@@ -145,18 +149,7 @@ def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is still 4096 rows; recurse the same trick if shards
     themselves grow too large.
     """
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
-        h64(F.col("doc_id").cast("string")).alias("h"),
-    )
-    placed = exclusive_prefix_sum(
-        d,
-        ["h", "doc_id"],
-        "n_tokens",
-        "start_off",
-        shard_col=F.expr(f"h div {PACK_SHARDS_DIV}"),
-    )
+    placed = _pack_placements(spark, sf_dir)
     return (
         placed.select(
             "doc_id",
@@ -168,6 +161,94 @@ def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_chunks", F.col("last_chunk") - F.col("first_chunk") + F.lit(1))
         .orderBy("doc_id")
     )
+
+
+def _pack_placements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, start_off) placements shared by pack_contexts
+    and pack_slices — md5 shuffle order + distributed prefix sum."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+        h64(F.col("doc_id").cast("string")).alias("h"),
+    )
+    return exclusive_prefix_sum(
+        d,
+        ["h", "doc_id"],
+        "n_tokens",
+        "start_off",
+        shard_col=F.expr(f"h div {PACK_SHARDS_DIV}"),
+    )
+
+
+def q_pack_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-context GATHER map — the other half of packing: for every
+    512-token context, which documents contribute which token slices at
+    which offsets. This is exactly the join a byte materializer runs
+    (placements exploded to (ctx, doc slice), then grouped/shuffled on
+    ``ctx`` so each context is assembled from its <= k contributing
+    docs) — one map-only explode plus one ctx-keyed exchange at any
+    scale, no global ordering stage. Row counts: |docs| + |contexts| - 1
+    (each boundary straddle adds one row).
+
+    Invariants pinned in tests/test_training_ops.py: every context except
+    the last sums to exactly CTX_TOKENS, slices within a context are
+    contiguous from offset 0, and each doc's slices partition its tokens.
+    """
+    placed = _pack_placements(spark, sf_dir)
+    return (
+        placed.select(
+            "doc_id",
+            "n_tokens",
+            "start_off",
+            F.explode(
+                F.sequence(
+                    F.expr(f"start_off div {CTX_TOKENS}"),
+                    F.expr(f"(start_off + n_tokens - 1) div {CTX_TOKENS}"),
+                )
+            ).alias("ctx"),
+        )
+        .select(
+            "ctx",
+            "doc_id",
+            (F.expr(f"greatest(start_off, ctx * {CTX_TOKENS})") - F.col("start_off"))
+            .alias("off_in_doc"),
+            F.expr(f"greatest(start_off, ctx * {CTX_TOKENS}) - ctx * {CTX_TOKENS}")
+            .alias("off_in_ctx"),
+            F.expr(
+                f"least(start_off + n_tokens, (ctx + 1) * {CTX_TOKENS})"
+                f" - greatest(start_off, ctx * {CTX_TOKENS})"
+            ).alias("n_toks"),
+        )
+        .orderBy("ctx", "off_in_ctx")
+    )
+
+
+PACK_SLICES_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({tokens_sql("text")}) AS BIGINT) AS n_tokens,
+         {h64_sql("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents),
+p AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+                ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_off
+  FROM t),
+r AS (
+  SELECT doc_id, n_tokens, start_off,
+         unnest(generate_series(start_off // {CTX_TOKENS},
+                                (start_off + n_tokens - 1) // {CTX_TOKENS}))
+           AS ctx
+  FROM p)
+SELECT ctx, doc_id,
+       greatest(start_off, ctx * {CTX_TOKENS}) - start_off AS off_in_doc,
+       greatest(start_off, ctx * {CTX_TOKENS}) - ctx * {CTX_TOKENS} AS off_in_ctx,
+       least(start_off + n_tokens, (ctx + 1) * {CTX_TOKENS})
+         - greatest(start_off, ctx * {CTX_TOKENS}) AS n_toks
+FROM r ORDER BY ctx, off_in_ctx
+"""
 
 
 PACK_CONTEXTS_SQL = f"""
@@ -848,6 +929,7 @@ QUERIES: dict[str, tuple] = {
     "dsir_weights": (q_dsir_weights, DSIR_WEIGHTS_SQL),
     "chunk_windows": (q_chunk_windows, CHUNK_WINDOWS_SQL),
     "pack_contexts": (q_pack_contexts, PACK_CONTEXTS_SQL),
+    "pack_slices": (q_pack_slices, PACK_SLICES_SQL),
     "lm_score": (q_lm_score, LM_SCORE_SQL),
     "kmeans_step": (q_kmeans_step, _kmeans_step_sql()),
     "kmeans_train": (q_kmeans_train, _kmeans_train_sql()),

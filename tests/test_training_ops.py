@@ -39,6 +39,45 @@ def test_pack_contexts_tiles_token_stream(spark):
     assert [r["doc_id"] for r in by_off] != sorted(r["doc_id"] for r in rows)
 
 
+def test_pack_slices_assemble_every_context_exactly(spark):
+    """The gather map is a perfect tiling on BOTH axes: each context's
+    slices are contiguous from offset 0 and sum to CTX_TOKENS (except the
+    final partial context), and each document's slices partition its
+    tokens in order."""
+    from collections import defaultdict
+
+    from pdf_extractor_spark.ops.training import CTX_TOKENS
+
+    rows = _rows(spark, "pack_slices")
+    docs = {r["doc_id"]: r for r in _rows(spark, "pack_contexts")}
+    total = sum(r["n_tokens"] for r in docs.values())
+    by_ctx = defaultdict(list)
+    by_doc = defaultdict(list)
+    for r in rows:
+        assert r["n_toks"] >= 1
+        by_ctx[r["ctx"]].append(r)
+        by_doc[r["doc_id"]].append(r)
+    last_ctx = max(by_ctx)
+    assert set(by_ctx) == set(range(last_ctx + 1))  # no empty context
+    for ctx, slices in by_ctx.items():
+        slices.sort(key=lambda r: r["off_in_ctx"])
+        off = 0
+        for s in slices:
+            assert s["off_in_ctx"] == off, "gap inside a context"
+            off += s["n_toks"]
+        assert off == (CTX_TOKENS if ctx < last_ctx else total - last_ctx * CTX_TOKENS)
+    for doc_id, slices in by_doc.items():
+        slices.sort(key=lambda r: r["off_in_doc"])
+        off = 0
+        for s in slices:
+            assert s["off_in_doc"] == off, "gap inside a document"
+            off += s["n_toks"]
+        assert off == docs[doc_id]["n_tokens"]
+    # row-count bounds: one row per doc plus one per boundary that CUTS a
+    # doc (a doc ending exactly on a context boundary adds none)
+    assert len(docs) <= len(rows) <= len(docs) + last_ctx
+
+
 def test_lm_score_is_valid_probability(spark):
     """Every per-position score is a probability in micros: the per-doc sum
     is bounded by n_bigrams * 1e6 and strictly positive (add-one smoothing

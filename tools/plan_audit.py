@@ -914,6 +914,27 @@ AUDITS: list[tuple] = [
             lambda p: contains(p, "HashAggregate", 2),
             lambda p: contains(p, "BroadcastHashJoin"),
             lambda p: absent(p, "SortMergeJoin"),
+            # staged sharded frame: totals + placement passes share ONE
+            # source scan (was 2 before the helper persisted this branch)
+            lambda p: occurs_at_most(p, "documents.parquet", 1),
+            lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: never_reads(p, "lang"),
+            lambda p: never_reads(p, "source"),
+        ],
+        False,
+    ),
+    (
+        "pack_slices",
+        _query_df,
+        [
+            # the gather map rides the same placement subtree, then a
+            # map-only sequence/explode (Generate) — no extra scan, no
+            # join beyond the broadcast shard offsets, nothing Python
+            lambda p: contains(p, "Generate"),
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: occurs_at_most(p, "documents.parquet", 1),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: absent(p, "MapInPandas"),
             lambda p: never_reads(p, "lang"),
             lambda p: never_reads(p, "source"),
         ],
