@@ -132,7 +132,46 @@ def run_derived_stage(
     race a concurrent source commit and tag rows with a horizon the
     marker does not record. Opt-in is BY NAME, not arity — stage computes
     may carry unrelated optional parameters (signals' ``extra``).
+
+    Frames a stage's compute persists via ``ops/dedup._persisted``
+    (neardup's shingle/candidate tables, pack's sharded prefix-sum frame)
+    are fully consumed by the commit write, so they are released HERE,
+    scoped to the frames THIS call staged — on the job path (``job.py
+    --neardup/--pack``, a long-lived session chaining incremental runs)
+    nothing else ever releases them, and leaking one pinned
+    InMemoryRelation per window grows executor storage without bound.
     """
+    from ..ops.dedup import _DF_CACHE
+
+    mark = len(_DF_CACHE)
+    try:
+        return _run_derived_stage(
+            spark,
+            src_log,
+            out_log,
+            schema,
+            stage,
+            compute,
+            rebuild=rebuild,
+            rebuild_compute=rebuild_compute,
+            extra_metrics=extra_metrics,
+        )
+    finally:
+        while len(_DF_CACHE) > mark:
+            _DF_CACHE.pop().unpersist()
+
+
+def _run_derived_stage(
+    spark: SparkSession,
+    src_log: CommitLog,
+    out_log: CommitLog,
+    schema: StructType,
+    stage: str,
+    compute: Callable[[DataFrame], DataFrame],
+    rebuild: bool = False,
+    rebuild_compute: Callable[[DataFrame], DataFrame] | None = None,
+    extra_metrics: dict | None = None,
+) -> RunReport:
     import inspect
 
     def _call(fn: Callable, df: DataFrame, horizon: int) -> DataFrame:

@@ -144,3 +144,21 @@ def test_pack_kept_scope_rebuild_and_guards(spark, tmp_path):
     # rebuild under the new scope is the prescribed path: all 12 docs
     run_pack(spark, src, out, rebuild=True)
     assert read_packed(spark, out).count() == 12
+
+
+def test_pack_releases_staged_frames(spark, tmp_path):
+    """Job-path cache hygiene: the sharded prefix-sum frame run_pack
+    persists must be released when the run returns — a long-lived session
+    chaining incremental windows must not accumulate pinned
+    InMemoryRelations (review finding on the --pack job path)."""
+    from pdf_extractor_spark.ops.dedup import _DF_CACHE
+
+    sf_dir = _write_docs(tmp_path, {i: f"tok{i} " * 20 for i in range(10)})
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+    L.run_extraction(spark, wrap_documents(spark, sf_dir), src, n_parts=4,
+                     parts_per_chunk=4)
+    before = len(_DF_CACHE)
+    run_pack(spark, src, out)
+    assert len(_DF_CACHE) == before
+    assert read_packed(spark, out).count() == 10
