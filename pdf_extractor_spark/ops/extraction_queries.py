@@ -867,29 +867,12 @@ def q_packed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _packed_oracle_sql() -> str:
-    from .training import CTX_TOKENS
+    from .training import PACK_CONTEXTS_SELECT, pack_placement_ctes
 
-    return f"""
-WITH t AS (
-  SELECT doc_id,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE CAST(len({tokens_sql("text")}) AS BIGINT) END AS n_tokens,
-         {h64_sql("CAST(doc_id AS VARCHAR)")} AS h
-  FROM documents),
-p AS (
-  SELECT doc_id, n_tokens,
-         CAST(coalesce(SUM(n_tokens) OVER (
-                ORDER BY h, CAST(doc_id AS VARCHAR)
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS start_off
-  FROM t WHERE n_tokens > 0)
-SELECT doc_id, n_tokens, start_off,
-       start_off // {CTX_TOKENS} AS first_chunk,
-       (start_off + n_tokens - 1) // {CTX_TOKENS} AS last_chunk,
-       ((start_off + n_tokens - 1) // {CTX_TOKENS})
-         - (start_off // {CTX_TOKENS}) + 1 AS n_chunks
-FROM p ORDER BY doc_id
-"""
+    return (
+        f"\nWITH {pack_placement_ctes(empty_guard=True, varchar_tiebreak=True)}"
+        f"\n{PACK_CONTEXTS_SELECT}\n"
+    )
 
 
 # --- curation-verdict table ---------------------------------------------

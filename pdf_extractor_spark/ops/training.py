@@ -223,19 +223,47 @@ def q_pack_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PACK_SLICES_SQL = f"""
-WITH t AS (
+def pack_placement_ctes(*, empty_guard: bool = False,
+                        varchar_tiebreak: bool = False) -> str:
+    """Shared placement prelude for every packing oracle: CTEs
+    ``t(doc_id, n_tokens, h)`` and ``p(doc_id, n_tokens, start_off)`` —
+    the md5 shuffle order and the exclusive prefix sum over it. The two
+    knobs are the only ways the three consumers (PACK_CONTEXTS_SQL,
+    PACK_SLICES_SQL, extraction_queries._packed_oracle_sql) differ:
+    ``empty_guard`` zeroes then drops blank-text docs (the staged
+    packed_table path packs the EXTRACTED corpus, where empty docs never
+    reach placement); ``varchar_tiebreak`` breaks prefix-sum ties on the
+    stringified doc_id (the committed table's doc_id is a string).
+    """
+    n_tokens = f"CAST(len({tokens_sql('text')}) AS BIGINT)"
+    if empty_guard:
+        n_tokens = f"CASE WHEN trim(text) = '' THEN 0 ELSE {n_tokens} END"
+    tiebreak = "CAST(doc_id AS VARCHAR)" if varchar_tiebreak else "doc_id"
+    where = "\n  WHERE n_tokens > 0" if empty_guard else ""
+    return f"""t AS (
   SELECT doc_id,
-         CAST(len({tokens_sql("text")}) AS BIGINT) AS n_tokens,
+         {n_tokens} AS n_tokens,
          {h64_sql("CAST(doc_id AS VARCHAR)")} AS h
   FROM documents),
 p AS (
   SELECT doc_id, n_tokens,
          CAST(COALESCE(SUM(n_tokens) OVER (
-                ORDER BY h, doc_id
+                ORDER BY h, {tiebreak}
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
               AS BIGINT) AS start_off
-  FROM t),
+  FROM t{where})"""
+
+
+PACK_CONTEXTS_SELECT = f"""SELECT doc_id, n_tokens, start_off,
+       start_off // {CTX_TOKENS} AS first_chunk,
+       (start_off + n_tokens - 1) // {CTX_TOKENS} AS last_chunk,
+       ((start_off + n_tokens - 1) // {CTX_TOKENS})
+         - (start_off // {CTX_TOKENS}) + 1 AS n_chunks
+FROM p ORDER BY doc_id"""
+
+
+PACK_SLICES_SQL = f"""
+WITH {pack_placement_ctes()},
 r AS (
   SELECT doc_id, n_tokens, start_off,
          unnest(generate_series(start_off // {CTX_TOKENS},
@@ -252,24 +280,8 @@ FROM r ORDER BY ctx, off_in_ctx
 
 
 PACK_CONTEXTS_SQL = f"""
-WITH t AS (
-  SELECT doc_id,
-         CAST(len({tokens_sql("text")}) AS BIGINT) AS n_tokens,
-         {h64_sql("CAST(doc_id AS VARCHAR)")} AS h
-  FROM documents),
-p AS (
-  SELECT doc_id, n_tokens,
-         CAST(COALESCE(SUM(n_tokens) OVER (
-                ORDER BY h, doc_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS start_off
-  FROM t)
-SELECT doc_id, n_tokens, start_off,
-       start_off // {CTX_TOKENS} AS first_chunk,
-       (start_off + n_tokens - 1) // {CTX_TOKENS} AS last_chunk,
-       ((start_off + n_tokens - 1) // {CTX_TOKENS})
-         - (start_off // {CTX_TOKENS}) + 1 AS n_chunks
-FROM p ORDER BY doc_id
+WITH {pack_placement_ctes()}
+{PACK_CONTEXTS_SELECT}
 """
 
 
