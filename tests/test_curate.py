@@ -3,7 +3,6 @@ cross-run exact dedup, overwrite refusal + global-dedup rebuild, CLI."""
 
 from __future__ import annotations
 
-import pandas as pd
 import pytest
 
 import pdf_extractor_spark.spark.lineage as L
@@ -14,21 +13,9 @@ from pdf_extractor_spark.spark.curate import (
     read_curated,
     run_curate,
 )
+from tests.helpers import write_docs
 
 KEEP_TEXT = "the and of to a " * 5  # 25 tokens, all stopwords, en markers
-
-
-def _write_docs(tmp_path, texts: dict[int, str]) -> str:
-    pd.DataFrame(
-        {
-            "doc_id": list(texts),
-            "text": [texts[k] for k in texts],
-            "lang": ["en"] * len(texts),
-            "source": ["s"] * len(texts),
-            "n_chars": [len(texts[k]) for k in texts],
-        }
-    ).to_parquet(tmp_path / "documents.parquet")
-    return str(tmp_path)
 
 
 def _verdicts(spark, out) -> dict[str, dict]:
@@ -51,7 +38,7 @@ def test_gate_reasons_and_batch_dedup(spark, tmp_path):
         #   dedup among rejects — each keeps its own too_short reason
     }
     assert len(KEEP_TEXT.split()) >= MIN_TOKENS
-    sf_dir = _write_docs(tmp_path, texts)
+    sf_dir = write_docs(tmp_path, texts)
     src = L.CommitLog(str(tmp_path / "src"))
     out = L.CommitLog(str(tmp_path / "out"))
     L.run_extraction(spark, wrap_documents(spark, sf_dir), src, n_parts=4,
@@ -84,7 +71,7 @@ def test_classifier_gate_opt_in(spark, tmp_path):
     from pdf_extractor_spark.spark.curate import GateConfig
 
     texts = {1: KEEP_TEXT, 2: "the cat", 7: KEEP_TEXT + " extra tail words"}
-    sf_dir = _write_docs(tmp_path, texts)
+    sf_dir = write_docs(tmp_path, texts)
     src = L.CommitLog(str(tmp_path / "src"))
     L.run_extraction(spark, wrap_documents(spark, sf_dir), src, n_parts=2,
                      parts_per_chunk=2)
@@ -118,7 +105,7 @@ def test_cross_run_dedup_is_exactly_once(spark, tmp_path):
     # 12 clones of one text scattered across parts + unique fillers
     texts = {i: KEEP_TEXT for i in range(12)}
     texts.update({100 + i: f"unique{i} " + KEEP_TEXT for i in range(20)})
-    sf_dir = _write_docs(tmp_path, texts)
+    sf_dir = write_docs(tmp_path, texts)
     docs = wrap_documents(spark, sf_dir)
     src = L.CommitLog(str(tmp_path / "src"))
     out = L.CommitLog(str(tmp_path / "out"))
@@ -162,7 +149,7 @@ def test_overwrite_refused_then_rebuild_redecides_globally(spark, tmp_path):
     recomputes ONE overwrite chunk with dedup re-decided globally — the
     keeper is the global lexicographic minimum, not run-1's incumbent."""
     texts = {i: KEEP_TEXT for i in range(8)}
-    sf_dir = _write_docs(tmp_path, texts)
+    sf_dir = write_docs(tmp_path, texts)
     docs = wrap_documents(spark, sf_dir)
     src = L.CommitLog(str(tmp_path / "src"))
     out = L.CommitLog(str(tmp_path / "out"))
@@ -192,7 +179,7 @@ def test_compute_verdicts_index_beats_batch(spark, tmp_path):
     """Unit shape: a kept-digest index entry outranks even the batch's
     smallest doc_id — every batch contender becomes a duplicate of the
     index keeper."""
-    sf_dir = _write_docs(tmp_path, {7: KEEP_TEXT, 8: KEEP_TEXT})
+    sf_dir = write_docs(tmp_path, {7: KEEP_TEXT, 8: KEEP_TEXT})
     src = L.CommitLog(str(tmp_path / "src"))
     L.run_extraction(spark, wrap_documents(spark, sf_dir), src, n_parts=2,
                      parts_per_chunk=2)
@@ -221,7 +208,7 @@ def test_gate_config_recorded_and_pinned(spark, tmp_path):
     # markerless (pred_lang unknown) but long: rejected by defaults,
     # kept once the language gate is open and the quality gate is off
     texts = {i: " ".join(f"w{i}x{j}" for j in range(30)) for i in range(6)}
-    sf_dir = _write_docs(tmp_path, texts)
+    sf_dir = write_docs(tmp_path, texts)
     src = L.CommitLog(str(tmp_path / "src"))
     out = L.CommitLog(str(tmp_path / "out"))
     docs = wrap_documents(spark, sf_dir)
@@ -267,7 +254,7 @@ def test_read_kept_and_kept_export(spark, tmp_path):
 
     texts = {1: KEEP_TEXT, 2: KEEP_TEXT, 3: "the cat",
              4: "keep2 " + KEEP_TEXT}
-    sf_dir = _write_docs(tmp_path, texts)
+    sf_dir = write_docs(tmp_path, texts)
     src = L.CommitLog(str(tmp_path / "src"))
     out = L.CommitLog(str(tmp_path / "out"))
     L.run_extraction(spark, wrap_documents(spark, sf_dir), src, n_parts=4,
@@ -453,7 +440,7 @@ def test_curate_job_and_cli_guards(spark, tmp_path):
     from pdf_extractor_spark.spark.curate import run_curate_job
 
     texts = {1: KEEP_TEXT, 2: KEEP_TEXT, 3: "the cat"}
-    sf_dir = _write_docs(tmp_path, texts)
+    sf_dir = write_docs(tmp_path, texts)
     src_root = str(tmp_path / "src")
     out_root = str(tmp_path / "out")
     L.run_extraction(spark, wrap_documents(spark, sf_dir),

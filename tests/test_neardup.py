@@ -3,12 +3,12 @@ matching, band fingerprints, rebuild semantics."""
 
 from __future__ import annotations
 
-import pandas as pd
 import pytest
 
 import pdf_extractor_spark.spark.lineage as L
 from pdf_extractor_spark.ops.extraction_queries import wrap_documents
 from pdf_extractor_spark.spark.neardup import read_neardup, run_neardup
+from tests.helpers import write_docs
 
 # 30 distinct words; the tail-appended variants share >=0.9 of their 3-gram
 # shingles pairwise (well above the 0.5 Jaccard duplicate threshold)
@@ -19,21 +19,6 @@ FAR = " ".join(f"other{i:02d}" for i in range(30))
 GROUP = ("1", "5", "9")  # the near-dup cluster's doc ids
 
 TEXTS = {1: BASE, 5: NEAR1, 7: FAR, 8: "ab", 9: NEAR2, 3: "zz " * 40}
-
-
-def _write_docs(tmp_path, name: str, texts: dict[int, str]) -> str:
-    d = tmp_path / name
-    d.mkdir()
-    pd.DataFrame(
-        {
-            "doc_id": list(texts),
-            "text": [texts[k] for k in texts],
-            "lang": ["en"] * len(texts),
-            "source": ["s"] * len(texts),
-            "n_chars": [len(texts[k]) for k in texts],
-        }
-    ).to_parquet(d / "documents.parquet")
-    return str(d)
 
 
 def _rows(spark, out) -> dict[str, dict]:
@@ -55,7 +40,7 @@ def _check_invariants(got: dict[str, dict]) -> None:
 def test_single_batch_neardup(spark, tmp_path):
     """All docs in one snapshot: within-batch matching, smallest verified
     partner wins, shingle-less and unrelated docs stay unique."""
-    sf = _write_docs(tmp_path, "b1", TEXTS)
+    sf = write_docs(tmp_path / "b1", TEXTS)
     src = L.CommitLog(str(tmp_path / "src"))
     out = L.CommitLog(str(tmp_path / "out"))
     L.run_extraction(spark, wrap_documents(spark, sf), src, n_parts=2,
@@ -77,7 +62,7 @@ def test_incremental_neardup_across_waves(spark, tmp_path):
     """Crash-split waves: run 2 consumes only the delta and matches its docs
     against run 1's committed BAND INDEX (prior partners outrank batch
     ones); the prior corpus is only re-read for the candidate partners."""
-    sf = _write_docs(tmp_path, "waves", TEXTS)
+    sf = write_docs(tmp_path / "waves", TEXTS)
     docs = wrap_documents(spark, sf)
     src = L.CommitLog(str(tmp_path / "src"))
     out = L.CommitLog(str(tmp_path / "out"))
@@ -136,7 +121,7 @@ def test_kept_view_and_export_drop_neardups(spark, tmp_path):
     from pdf_extractor_spark.spark.export import export_markdown_zip
     from pdf_extractor_spark.spark.neardup import run_neardup_job
 
-    sf = _write_docs(tmp_path, "kept", TEXTS)
+    sf = write_docs(tmp_path / "kept", TEXTS)
     src = L.CommitLog(str(tmp_path / "src"))
     cur = L.CommitLog(str(tmp_path / "cur"))
     L.run_extraction(spark, wrap_documents(spark, sf), src, n_parts=2,
@@ -468,7 +453,7 @@ def test_neardup_job_and_cli_guards(spark, tmp_path):
     from pdf_extractor_spark.job import main
     from pdf_extractor_spark.spark.neardup import run_neardup_job
 
-    sf = _write_docs(tmp_path, "cli", {1: BASE, 2: NEAR1})
+    sf = write_docs(tmp_path / "cli", {1: BASE, 2: NEAR1})
     src_root = str(tmp_path / "cli_src")
     out_root = str(tmp_path / "cli_out")
     L.run_extraction(spark, wrap_documents(spark, sf),

@@ -5,26 +5,13 @@ from __future__ import annotations
 
 import hashlib
 
-import pandas as pd
 import pytest
 
 import pdf_extractor_spark.spark.lineage as L
 from pdf_extractor_spark.ops.extraction_queries import wrap_documents
 from pdf_extractor_spark.ops.training import CTX_TOKENS
 from pdf_extractor_spark.spark.pack import read_packed, run_pack
-
-
-def _write_docs(tmp_path, texts: dict[int, str]) -> str:
-    pd.DataFrame(
-        {
-            "doc_id": list(texts),
-            "text": [texts[k] for k in texts],
-            "lang": ["en"] * len(texts),
-            "source": ["s"] * len(texts),
-            "n_chars": [len(texts[k]) for k in texts],
-        }
-    ).to_parquet(tmp_path / "documents.parquet")
-    return str(tmp_path)
+from tests.helpers import write_docs
 
 
 def _expected_placements(texts: dict[str, str]) -> dict[str, tuple]:
@@ -53,7 +40,7 @@ def test_pack_incremental_window_local(spark, tmp_path):
         i: " ".join(f"w{i}x{j}" for j in range(60 * (i % 7 + 1)))
         for i in range(30)
     }
-    sf_dir = _write_docs(tmp_path, texts)
+    sf_dir = write_docs(tmp_path, texts)
     docs = wrap_documents(spark, sf_dir)
     src = L.CommitLog(str(tmp_path / "src"))
     out = L.CommitLog(str(tmp_path / "out"))
@@ -91,7 +78,7 @@ def test_pack_incremental_window_local(spark, tmp_path):
 
 
 def test_pack_drops_empty_docs(spark, tmp_path):
-    sf_dir = _write_docs(tmp_path, {1: "alpha beta", 2: "", 3: "gamma"})
+    sf_dir = write_docs(tmp_path, {1: "alpha beta", 2: "", 3: "gamma"})
     src = L.CommitLog(str(tmp_path / "src"))
     out = L.CommitLog(str(tmp_path / "out"))
     L.run_extraction(spark, wrap_documents(spark, sf_dir), src, n_parts=4,
@@ -109,7 +96,7 @@ def test_pack_kept_scope_rebuild_and_guards(spark, tmp_path):
 
     texts = {i: " ".join(f"w{i}x{j}" for j in range(3 if i % 3 == 0 else 40))
              for i in range(12)}
-    sf_dir = _write_docs(tmp_path, texts)
+    sf_dir = write_docs(tmp_path, texts)
     src = L.CommitLog(str(tmp_path / "src"))
     cur = L.CommitLog(str(tmp_path / "cur"))
     out = L.CommitLog(str(tmp_path / "out"))
@@ -153,7 +140,7 @@ def test_pack_releases_staged_frames(spark, tmp_path):
     InMemoryRelations (review finding on the --pack job path)."""
     from pdf_extractor_spark.ops.dedup import _DF_CACHE
 
-    sf_dir = _write_docs(tmp_path, {i: f"tok{i} " * 20 for i in range(10)})
+    sf_dir = write_docs(tmp_path, {i: f"tok{i} " * 20 for i in range(10)})
     src = L.CommitLog(str(tmp_path / "src"))
     out = L.CommitLog(str(tmp_path / "out"))
     L.run_extraction(spark, wrap_documents(spark, sf_dir), src, n_parts=4,

@@ -3,7 +3,6 @@ exactly-once visibility, overwrite refusal + rebuild, value correctness."""
 
 from __future__ import annotations
 
-import pandas as pd
 import pytest
 
 import pdf_extractor_spark.spark.lineage as L
@@ -13,26 +12,14 @@ from pdf_extractor_spark.spark.signals import (
     read_signals,
     run_signals,
 )
-
-
-def _write_docs(tmp_path, texts: dict[int, str]) -> str:
-    pd.DataFrame(
-        {
-            "doc_id": list(texts),
-            "text": [texts[k] for k in texts],
-            "lang": ["en"] * len(texts),
-            "source": ["s"] * len(texts),
-            "n_chars": [len(texts[k]) for k in texts],
-        }
-    ).to_parquet(tmp_path / "documents.parquet")
-    return str(tmp_path)
+from tests.helpers import write_docs
 
 
 def test_signals_incremental_exactly_once(spark, tmp_path):
     """Two source waves (crash-injected first run), one signals run after
     each: the second consumes ONLY the delta, every doc gets exactly one
     visible signals row, and a third run is a no-op."""
-    sf_dir = _write_docs(
+    sf_dir = write_docs(
         tmp_path, {i: " ".join(f"tok{i}x{j}" for j in range(i % 5 + 2)) for i in range(40)}
     )
     docs = wrap_documents(spark, sf_dir)
@@ -70,7 +57,7 @@ def test_signals_values_match_python_reference(spark, tmp_path):
         2: "aaa aaa aaa bbb",
         3: "",  # empty: extracted span text '', all signals zero
     }
-    sf_dir = _write_docs(tmp_path, texts)
+    sf_dir = write_docs(tmp_path, texts)
     src = L.CommitLog(str(tmp_path / "src"))
     out = L.CommitLog(str(tmp_path / "out"))
     L.run_extraction(spark, wrap_documents(spark, sf_dir), src, n_parts=4,
@@ -105,7 +92,7 @@ def test_signals_overwrite_refused_then_rebuild(spark, tmp_path):
     incremental run refuses loudly; rebuild recomputes everything as one
     overwrite chunk and every doc has exactly one visible, fresh row."""
     texts = {i: f"alpha beta w{i}" for i in range(20)}
-    sf_dir = _write_docs(tmp_path, texts)
+    sf_dir = write_docs(tmp_path, texts)
     src = L.CommitLog(str(tmp_path / "src"))
     out = L.CommitLog(str(tmp_path / "out"))
     docs = wrap_documents(spark, sf_dir)
@@ -129,7 +116,7 @@ def test_signals_overwrite_refused_then_rebuild(spark, tmp_path):
 def test_compute_signals_is_projection_only(spark, tmp_path):
     """Plan shape: the signal expressions are JVM projections over the scan
     — no exchange, no Python stage."""
-    sf_dir = _write_docs(tmp_path, {i: f"a b c{i}" for i in range(5)})
+    sf_dir = write_docs(tmp_path, {i: f"a b c{i}" for i in range(5)})
     src = L.CommitLog(str(tmp_path / "src"))
     L.run_extraction(spark, wrap_documents(spark, sf_dir), src, n_parts=2,
                      parts_per_chunk=2)
@@ -199,7 +186,7 @@ def test_signals_refuses_expired_window_instead_of_empty_delta(spark, tmp_path):
     scan would silently read EMPTY and the cursor would advance past the
     lost history. The stage must refuse and direct rebuild=True, and the
     rebuild (reading the compacted current view) must recover every doc."""
-    sf_dir = _write_docs(tmp_path, {i: f"alpha beta w{i}" for i in range(20)})
+    sf_dir = write_docs(tmp_path, {i: f"alpha beta w{i}" for i in range(20)})
     src = L.CommitLog(str(tmp_path / "src"))
     out = L.CommitLog(str(tmp_path / "out"))
     docs = wrap_documents(spark, sf_dir)
