@@ -133,6 +133,54 @@ def test_pack_kept_scope_rebuild_and_guards(spark, tmp_path):
     assert read_packed(spark, out).count() == 12
 
 
+def test_pack_composed_kept_neardup_success(spark, tmp_path):
+    """The composed kept+neardup pack (kept_from AND neardup_from) packs
+    exactly the docs read_kept would ship: curate-kept, minus near-dups
+    whose dup_of partner is itself kept — a flag pointing at a
+    curate-REJECTED partner is invalid and the flagged doc stays. Every
+    surviving placement matches the pure-Python rederivation."""
+    from pdf_extractor_spark.spark.curate import GateConfig, run_curate
+    from pdf_extractor_spark.spark.neardup import read_neardup, run_neardup
+
+    base = " ".join(f"word{i:02d}" for i in range(30))
+    short9 = " ".join(f"s{i}" for i in range(9))  # < min_tokens: rejected
+    texts = {
+        1: base,                  # kept, cluster representative
+        5: base + " tailone",     # kept, flagged dup_of=1 (kept) -> dropped
+        9: base + " tailtwo",     # kept, flagged dup_of=1 (kept) -> dropped
+        4: short9,                # curate-rejected (min_tokens)
+        6: short9 + " extraone",  # kept; flagged dup_of=4, 4 NOT kept -> stays
+        7: " ".join(f"other{i:02d}" for i in range(30)),  # kept, distinct
+        8: "ab",                  # too short for shingles AND for curate
+    }
+    sf_dir = write_docs(tmp_path, texts)
+    src = L.CommitLog(str(tmp_path / "src"))
+    cur = L.CommitLog(str(tmp_path / "cur"))
+    nd = L.CommitLog(str(tmp_path / "nd"))
+    out = L.CommitLog(str(tmp_path / "out"))
+    L.run_extraction(spark, wrap_documents(spark, sf_dir), src, n_parts=4,
+                     parts_per_chunk=4)
+    run_curate(spark, src, cur,
+               gates=GateConfig(min_tokens=10, min_stopword_micros=0,
+                                accept_langs=GateConfig.any_language()))
+    run_neardup(spark, src, nd)  # FULL scope: sees the rejected doc 4
+
+    # the fixture delivered the intended verdicts (else the test is vacuous)
+    flags = {r["doc_id"]: r["dup_of"]
+             for r in read_neardup(spark, nd).collect()}
+    assert flags["5"] == "1" and flags["9"] == "1" and flags["6"] == "4"
+    assert flags["1"] is None and flags["7"] is None
+
+    run_pack(spark, src, out, rebuild=True, kept_from=cur, neardup_from=nd)
+    got = {r["doc_id"]: r for r in read_packed(spark, out).collect()}
+    assert set(got) == {"1", "6", "7"}
+    expect = _expected_placements({d: texts[int(d)] for d in got})
+    for d, e in expect.items():
+        r = got[d]
+        assert (r["n_tokens"], r["start_off"], r["first_chunk"],
+                r["last_chunk"], r["n_chunks"]) == e
+
+
 def test_pack_releases_staged_frames(spark, tmp_path):
     """Job-path cache hygiene: the sharded prefix-sum frame run_pack
     persists must be released when the run returns — a long-lived session
