@@ -36,7 +36,7 @@ composed rebuild is.
 Empty documents (no text tokens after span join) are NOT placed — a
 zero-length doc occupies no tokens and would only manufacture degenerate
 context ranges. Dropped rows are deterministic on both engines (the
-``trim = ''`` guard, shared with ops/training.pack_interleaved).
+``trim = ''`` guard, shared with extraction_queries.q_pack_interleaved).
 
 Scale shape: token counting is a map-only projection; placement is the
 two-phase distributed prefix scan from ops/training.exclusive_prefix_sum
