@@ -14,7 +14,7 @@ PERMISSIVE mode turns each corrupt line into an all-null row captured by
 ``columnNameOfCorruptRecord`` instead of failing the task.
 
 Corrupt-flag semantics, measured on this Spark 4.1.2 (they are
-PRUNING-DEPENDENT, which is why the fixture pins five line classes):
+PRUNING-DEPENDENT, which is why the fixture pins six line classes):
 - truncated JSON: all data fields null, ``_corrupt`` set — always.
 - valid JSON with an unconvertible field (``"spans": 23``, a bad nested
   ``offset``): when the spans column is actually PARSED, Spark sets
@@ -55,10 +55,17 @@ def jsonl_fixture_root() -> str:
     """Deterministic JSONL corpus: 3 files x 120 docs with interleaved
     text/media spans, plus per file one of each non-clean line class whose
     cross-engine handling the oracle pins: metadata-only (no spans key),
-    bad-typed spans (not an array), bad nested field (unconvertible
-    offset), and a truncated-JSON line. Content is formula-driven — bytes
-    depend on nothing but this code."""
-    root = os.path.join(tempfile.gettempdir(), "pes-jsonl-fixture-v2")
+    text-less span (media span with no text key — the null inside an
+    otherwise-valid array), bad-typed spans (not an array), bad nested
+    field (unconvertible offset), and a truncated-JSON line. Content is
+    formula-driven — bytes depend on nothing but this code.
+
+    Concurrent-builder safe: each part is written to a pid-unique tmp name
+    and atomically renamed, so a reader started by one process never sees
+    a file a second cold-start builder is mid-truncating; the ``.complete``
+    marker is renamed into place the same way (content is deterministic,
+    so the last rename winning is harmless)."""
+    root = os.path.join(tempfile.gettempdir(), "pes-jsonl-fixture-v3")
     done = os.path.join(root, ".complete")
     if os.path.exists(done):
         return root
@@ -82,6 +89,15 @@ def jsonl_fixture_root() -> str:
             )
         # one metadata-only doc (valid JSON, no spans key)
         lines.append('{"doc_id":"j-meta-%d","source":"s%d"}' % (f, f))
+        # schema-valid doc whose media span has NO text key: the null
+        # element inside an otherwise-valid array — pins that the
+        # text_chars fold skips nulls identically on both engines
+        lines.append(
+            '{"doc_id":"j-notext-%d","source":"s%d","spans":'
+            '[{"kind":"media","media_ref":"media://nt%d","offset":1},'
+            '{"kind":"text","text":"nt %d","media_ref":"","offset":0}]}'
+            % (f, f, f, f)
+        )
         # valid JSON, spans not an array: both engines null-ize the field
         lines.append('{"doc_id":"j-badtype-%d","source":"s%d","spans":23}' % (f, f))
         # valid JSON, unconvertible nested field: both engines null-ize
@@ -93,10 +109,14 @@ def jsonl_fixture_root() -> str:
         )
         # one corrupt line (truncated) — must quarantine, never abort
         lines.append('{"doc_id":"j-trunc-%d","source":' % f)
-        with open(os.path.join(root, f"part-{f}.jsonl"), "w") as fh:
+        tmp = os.path.join(root, f".part-{f}.jsonl.tmp-{os.getpid()}")
+        with open(tmp, "w") as fh:
             fh.write("\n".join(lines) + "\n")
-    with open(done, "w") as fh:
+        os.rename(tmp, os.path.join(root, f"part-{f}.jsonl"))
+    tmp = os.path.join(root, f".complete.tmp-{os.getpid()}")
+    with open(tmp, "w") as fh:
         fh.write("ok")
+    os.rename(tmp, done)
     return root
 
 
@@ -104,21 +124,31 @@ def detect_input_format(path: str) -> str:
     """Resolve a documents input path to ``"jsonl"`` or ``"parquet"`` —
     the ONE sniffing rule shared by the batch driver and watch mode (they
     previously each had their own, and disagreed on single files). A
-    single ``*.jsonl`` file or a directory holding only jsonl drops is
-    jsonl; a directory holding BOTH jsonl and parquet is ambiguous and
-    fails loudly — sniffing a whole stream's format from whichever file
-    landed first would silently misparse every drop of the other kind."""
+    single ``*.jsonl``/``*.parquet`` FILE resolves by its own extension
+    (a directory merely NAMED ``x.jsonl`` is still scanned by contents);
+    a directory holding only jsonl drops is jsonl; a directory holding
+    BOTH jsonl and parquet is ambiguous and fails loudly — sniffing a
+    whole stream's format from whichever file landed first would silently
+    misparse every drop of the other kind."""
     import glob as _glob
 
-    if path.endswith(".jsonl"):
-        return "jsonl"
+    if os.path.isfile(path):
+        if path.endswith(".jsonl"):
+            return "jsonl"
+        if path.endswith(".parquet"):
+            return "parquet"
+        raise ValueError(
+            f"{path!r} is a file but neither *.jsonl nor *.parquet; pass "
+            f"an explicit --input-format"
+        )
 
     def _has(ext: str) -> bool:
         # flat first (the landing-dir layout), then recursive for nested
         # parquet tables (Hive partition dirs); iglob short-circuits on the
-        # first hit so populated dirs never pay for the deep walk
-        flat = os.path.join(path, f"*.{ext}")
-        deep = os.path.join(path, "**", f"*.{ext}")
+        # first hit so populated dirs never pay for the deep walk. The base
+        # path is escaped — a landing dir named 'drops[1]' must not glob.
+        flat = os.path.join(_glob.escape(path), f"*.{ext}")
+        deep = os.path.join(_glob.escape(path), "**", f"*.{ext}")
         return (
             next(_glob.iglob(flat), None) is not None
             or next(_glob.iglob(deep, recursive=True), None) is not None
@@ -178,7 +208,11 @@ def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.aggregate(
                     "spans",
                     F.lit(0).cast("bigint"),
-                    lambda acc, s: acc + F.length(s["text"]),
+                    # null text (a span with no text key) must not poison
+                    # the whole fold: DuckDB's list_sum SKIPS nulls, so the
+                    # fold skips them too — pinned by the j-notext-* lines
+                    lambda acc, s: acc
+                    + F.coalesce(F.length(s["text"]), F.lit(0).cast("bigint")),
                 ),
                 F.lit(0),
             ).alias("text_chars"),

@@ -226,12 +226,13 @@ def test_xlsx_data_row_wider_than_header(spark, tmp_path):
 
 
 def test_jsonl_corrupt_lines_quarantined(spark):
-    """PERMISSIVE JSONL ingest over the five fixture line classes: the 3
+    """PERMISSIVE JSONL ingest over the six fixture line classes: the 3
     truncated lines land in _corrupt (all data fields null); bad-TYPED
     lines (spans not an array / unconvertible nested offset) are NOT
     corrupt on this Spark — the field alone null-izes, matching DuckDB —
-    and ingest as zero/partial-span docs. Cached before touching _corrupt
-    (the documented Spark corrupt-column contract)."""
+    and ingest as zero/partial-span docs; text-less spans (no text key)
+    are clean partial rows. Cached before touching _corrupt (the
+    documented Spark corrupt-column contract)."""
     import pyspark.sql.functions as F
 
     from pdf_extractor_spark.ops.jsonl_source import (
@@ -256,10 +257,16 @@ def test_jsonl_corrupt_lines_quarantined(spark):
         for r in badnest:  # struct kept, only the unconvertible offset nulled
             assert r["spans"][0]["kind"] == "text"
             assert r["spans"][0]["offset"] is None
-        # the INGEST policy gate drops all 9; metadata-only docs stay
+        # the INGEST policy gate drops all 9; metadata-only and
+        # text-less-span docs stay
         kept = df.where("doc_id IS NOT NULL AND _corrupt IS NULL")
-        assert kept.count() == 363  # 360 docs + 3 meta
+        assert kept.count() == 366  # 360 docs + 3 meta + 3 notext
         assert kept.where(df.doc_id.startswith("j-meta-")).count() == 3
+        notext = kept.where(df.doc_id.startswith("j-notext-")).collect()
+        assert len(notext) == 3
+        for r in notext:  # missing text key -> null field, row stays clean
+            assert r["spans"][0]["text"] is None
+            assert r["spans"][1]["text"] is not None
     finally:
         df.unpersist()
 
@@ -281,6 +288,23 @@ def test_detect_input_format_refuses_mixed_dirs(tmp_path):
     (d / "b.parquet").write_bytes(b"PAR1")
     with pytest.raises(ValueError, match="mixes"):
         detect_input_format(str(d))
+    # single parquet FILE resolves by extension (review finding: used to
+    # hit the dir scan and fail with the misleading empty-dir error)
+    assert detect_input_format(str(d / "b.parquet")) == "parquet"
+    # a file of neither extension must fail loudly, not scan-as-dir
+    (d / "c.csv").write_text("x\n")
+    with pytest.raises(ValueError, match="is a file"):
+        detect_input_format(str(d / "c.csv"))
+    # a DIRECTORY named *.jsonl is scanned by contents, not by its name
+    dj = tmp_path / "table.jsonl"
+    dj.mkdir()
+    (dj / "part-0.parquet").write_bytes(b"PAR1")
+    assert detect_input_format(str(dj)) == "parquet"
+    # glob metacharacters in the landing-dir path must not break the scan
+    dg = tmp_path / "drops[1]"
+    dg.mkdir()
+    (dg / "a.jsonl").write_text("{}\n")
+    assert detect_input_format(str(dg)) == "jsonl"
 
 
 def test_migrate_layout_cli_runs_without_input(tmp_path):
