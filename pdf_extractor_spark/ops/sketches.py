@@ -257,17 +257,18 @@ ORDER BY p.true_n DESC, p.user_id
 
 HLL_B = 8  # register-index bits
 HLL_M = 1 << HLL_B  # 256 registers; SE ~ 1.04/sqrt(m) ~= 6.5%
-HLL_WBITS = 52 - HLL_B  # 44 remaining hash bits feed rho
+HLL_WBITS = 52 - HLL_B  # 44 remaining hash bits feed rho (the _h52 width)
+HLL_RHO_MAX = HLL_WBITS + 1  # rho(w) = WBITS - bitlen(w) + 1; w=0 => RHO_MAX
 # alpha_256 = 0.7213/(1 + 1.079/256), embedded as the identical integer-
 # micros literal in both engines (no float pow/log crosses the boundary).
 HLL_ALPHA_MICROS = 718273
-# E = alpha * m^2 / sum_j 2^(-M_j).  Scaling the harmonic sum by 2^44
-# keeps everything BIGINT: S = sum_j 2^(44 - M_j) (empty register => 2^44,
-# max rho 45 => 2^-1 scales to 0.5 — so we scale by 2^45 instead and the
-# smallest term is 2^0).  ENUM = m^2 * 2^45 = 2^61 < 2^63; the alpha
+# E = alpha * m^2 / sum_j 2^(-M_j).  Scaling the harmonic sum by 2^WBITS
+# would leave the max-rho register at 2^-1 = 0.5, so scale by 2^RHO_MAX
+# instead: S = sum_j 2^(RHO_MAX - M_j), empty register => 2^RHO_MAX,
+# smallest term 2^0.  ENUM = m^2 * 2^RHO_MAX = 2^61 < 2^63; the alpha
 # multiply happens after ENUM DIV 10^6 so nothing overflows (DuckDB errors
 # on BIGINT overflow, the JVM wraps — both are wrong answers).
-HLL_ENUM = HLL_M * HLL_M * (1 << 45)
+HLL_ENUM = HLL_M * HLL_M * (1 << HLL_RHO_MAX)
 
 
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,8 +284,9 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     lets per-partition/per-day sketches roll up without rescanning
     (Flajolet et al. 2007, HyperLogLog).
 
-    rho = leading zeros of the 44 low hash bits + 1, computed portably as
-    ``45 - length(bin(w))`` (w=0 => 45).  The estimate is the raw HLL
+    rho = leading zeros of the WBITS (44) low hash bits + 1, computed
+    portably as ``RHO_MAX - length(bin(w))`` (w=0 => RHO_MAX, i.e. 45).
+    The estimate is the raw HLL
     harmonic mean in integer micros; the small-range linear-counting
     correction needs ln() (not portable bit-exactly), so the zero-register
     count ``v_zero`` rides along — at scale a driver-side correction on
@@ -306,8 +308,8 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "scope",
         "j",
-        F.when(F.col("w") == 0, F.lit(45))
-        .otherwise(F.lit(45) - F.length(F.bin(F.col("w"))))
+        F.when(F.col("w") == 0, F.lit(HLL_RHO_MAX))
+        .otherwise(F.lit(HLL_RHO_MAX) - F.length(F.bin(F.col("w"))))
         .alias("rho"),
     )
     regs = _persisted(rows.groupBy("scope", "j").agg(F.max("rho").alias("m")))
@@ -318,7 +320,7 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         regs.unionByName(regs_all)
         .groupBy("scope")
         .agg(
-            F.sum(F.expr("shiftleft(1L, 45 - m)")).alias("s_used"),
+            F.sum(F.expr(f"shiftleft(1L, {HLL_RHO_MAX} - m)")).alias("s_used"),
             F.count("*").alias("n_regs"),
         )
         .select(
@@ -326,7 +328,7 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(HLL_M) - F.col("n_regs")).alias("v_zero"),
             F.expr(
                 f"CAST({HLL_ALPHA_MICROS}L * {HLL_ENUM // 1_000_000}L"
-                f" DIV (s_used + ({HLL_M} - n_regs) * {1 << 45}L)"
+                f" DIV (s_used + ({HLL_M} - n_regs) * {1 << HLL_RHO_MAX}L)"
                 " AS BIGINT)"
             ).alias("hll_est"),
         )
@@ -350,7 +352,7 @@ rows_jw AS (
   SELECT scope, h % {HLL_M} AS j, h // {HLL_M} AS w FROM rows_h),
 rows_rho AS (
   SELECT scope, j,
-         CASE WHEN w = 0 THEN 45 ELSE 45 - length(bin(w)) END AS rho
+         CASE WHEN w = 0 THEN {HLL_RHO_MAX} ELSE {HLL_RHO_MAX} - length(bin(w)) END AS rho
   FROM rows_jw),
 regs AS (
   SELECT scope, j, max(rho) AS m FROM rows_rho GROUP BY scope, j),
@@ -362,8 +364,8 @@ est AS (
   SELECT scope,
          {HLL_M} - count(*) AS v_zero,
          CAST({HLL_ALPHA_MICROS} * {HLL_ENUM // 1_000_000}
-              // (sum(1::BIGINT << (45 - m))
-                  + ({HLL_M} - count(*)) * {1 << 45}) AS BIGINT) AS hll_est
+              // (sum(1::BIGINT << ({HLL_RHO_MAX} - m))
+                  + ({HLL_M} - count(*)) * {1 << HLL_RHO_MAX}) AS BIGINT) AS hll_est
   FROM regs_u GROUP BY scope),
 exact AS (
   SELECT coalesce(l_returnflag, 'ALL') AS scope,

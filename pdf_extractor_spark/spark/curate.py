@@ -232,12 +232,9 @@ def compute_verdicts(
 def table_gates(out_log: CommitLog) -> dict | None:
     """Gate config the table's verdicts were decided under (latest
     committed chunk's record — rebuilds may legitimately change it)."""
-    gates = None
-    for c in out_log.committed_chunks():
-        m = (c.get("metrics") or {}).get("gates")
-        if m is not None:
-            gates = m
-    return gates
+    from .derived import latest_metric
+
+    return latest_metric(out_log.committed_chunks(), "gates")
 
 
 def run_curate(

@@ -46,14 +46,24 @@ from pyspark.sql.types import StructType
 from .lineage import CommitLog, RunReport, _chunk_dirname
 
 
+def latest_metric(markers: list[dict], key: str):
+    """Last non-null ``metrics[key]`` over an already-parsed
+    committed-marker list, in COMMIT order. Every stage-table property
+    recovered from markers (the cursor's ``src_snapshot``, neardup/pack's
+    ``scope``, curate's ``gates``) derives through this one scan, so the
+    commit-order-not-id-order semantics (see :func:`derived_cursor`) can
+    never drift between them."""
+    out = None
+    for c in markers:
+        v = (c.get("metrics") or {}).get(key)
+        if v is not None:
+            out = v
+    return out
+
+
 def _cursor_of(markers: list[dict]) -> int | None:
     """Cursor from an already-parsed committed-marker list (commit order)."""
-    cursor = None
-    for c in markers:
-        src = (c.get("metrics") or {}).get("src_snapshot")
-        if src is not None:
-            cursor = src
-    return cursor
+    return latest_metric(markers, "src_snapshot")
 
 
 def derived_cursor(out_log: CommitLog) -> int | None:
@@ -216,9 +226,11 @@ def _run_derived_stage(
         return RunReport(0, 0, 0, 0)
     # THE window definition lives on CommitLog (shared with the scan that
     # reads it, so the overwrite guard below can never drift from what
-    # read_incremental actually returns); until=latest additionally pins
-    # the guard and the read to the same horizon under concurrent writers
-    window = src_log.incremental_window(cursor, until=latest, chunks=src_chunks)
+    # read_incremental actually returns). The horizon is pinned by
+    # chunks=src_chunks — ONE marker listing feeds `latest`, the window,
+    # and the read, so a source chunk committing mid-run can appear in
+    # none of them or all of them, never a mix.
+    window = src_log.incremental_window(cursor, chunks=src_chunks)
     if not window:
         return RunReport(0, 0, 0, 0)
     if any(c.get("overwrite") for c in window):
@@ -249,7 +261,6 @@ def _run_derived_stage(
     delta = src_log.read_incremental(
         spark,
         after=cursor if cursor is not None else -1,
-        until=latest,
         window=window,
     )
     out = _call(compute, delta, latest)

@@ -224,12 +224,9 @@ def table_scope(out_log: CommitLog) -> str | None:
     """Corpus scope this table's verdicts were decided over ('full' |
     'kept'; latest committed chunk's record — rebuilds may change it).
     None on an empty or pre-scope table (implicitly 'full')."""
-    scope = None
-    for c in out_log.committed_chunks():
-        s = (c.get("metrics") or {}).get("scope")
-        if s is not None:
-            scope = s
-    return scope
+    from .derived import latest_metric
+
+    return latest_metric(out_log.committed_chunks(), "scope")
 
 
 def run_neardup(
