@@ -46,7 +46,14 @@ def markdown_expr(spans: Column | str) -> Column:
     links — followed by a blockquote of the span's text when one exists
     (recovered OCR text folded in by ``merge_ocr_text``; extraction itself
     always leaves media text empty, so plain pipelines render
-    byte-identically to before). JVM-side, no Python."""
+    byte-identically to before). JVM-side, no Python.
+
+    Nullable fields are coalesced to '' (the kernel's own ``or ""``): the
+    kernel never emits null text/media_ref, but this expression also runs
+    over ANY committed table (an externally-written or hand-repaired row)
+    — without the coalesce, F.concat propagates the NULL and array_join
+    then silently DROPS the whole span from the archive bytes, with only
+    a skipped '## Span N' number as evidence."""
     return F.array_join(
         F.transform(
             spans,
@@ -56,7 +63,7 @@ def markdown_expr(spans: Column | str) -> Column:
                     F.lit("!["),
                     s["kind"],
                     F.lit("]("),
-                    s["media_ref"],
+                    F.coalesce(s["media_ref"], F.lit("")),
                     F.lit(")"),
                     F.when(
                         s["text"].isNotNull() & (s["text"] != ""),
@@ -68,7 +75,7 @@ def markdown_expr(spans: Column | str) -> Column:
                     F.lit("## Span "),
                     (s["offset"] + 1).cast("string"),
                     F.lit("\n\n"),
-                    s["text"],
+                    F.coalesce(s["text"], F.lit("")),
                 )
             ),
         ),
@@ -80,7 +87,6 @@ def _kept_ids(spark: SparkSession, kept_from: str) -> DataFrame:
     """The doc_id-narrow curate-keep set of the verdict table at
     ``kept_from``."""
     from .curate import read_curated
-    from .lineage import CommitLog
 
     return (
         read_curated(spark, CommitLog(kept_from))
@@ -89,7 +95,7 @@ def _kept_ids(spark: SparkSession, kept_from: str) -> DataFrame:
     )
 
 
-def _kept_filter(spark: SparkSession, df: DataFrame, kept: DataFrame) -> DataFrame:
+def _kept_filter(df: DataFrame, kept: DataFrame) -> DataFrame:
     """Restrict an extraction read to documents the curation stage KEPT:
     left-semi join against the doc_id-narrow keep set. Applied BEFORE any
     OCR merge — recovering text for a doc the export is about to drop is
@@ -111,7 +117,6 @@ def _neardup_filter(
     member from the shipped corpus (see spark/curate.read_kept, the same
     rule). Without curation every partner survives by construction, so the
     plain anti join is already safe."""
-    from .lineage import CommitLog
     from .neardup import read_neardup
 
     flagged = read_neardup(spark, CommitLog(neardup_from)).where(
@@ -148,7 +153,7 @@ def export_markdown_zip(
     df: DataFrame = log.read_extracted(spark, as_of=as_of)
     kept = _kept_ids(spark, kept_from) if kept_from is not None else None
     if kept is not None:
-        df = _kept_filter(spark, df, kept)
+        df = _kept_filter(df, kept)
     if drop_neardups_from is not None:
         df = _neardup_filter(spark, df, drop_neardups_from, kept=kept)
     if ocr_text_dir is not None:
@@ -249,7 +254,7 @@ def export_markdown_zip_sharded(
     df: DataFrame = log.read_extracted(spark, as_of=as_of)
     kept = _kept_ids(spark, kept_from) if kept_from is not None else None
     if kept is not None:
-        df = _kept_filter(spark, df, kept)
+        df = _kept_filter(df, kept)
     if drop_neardups_from is not None:
         df = _neardup_filter(spark, df, drop_neardups_from, kept=kept)
     if ocr_text_dir is not None:
@@ -324,8 +329,20 @@ def _publish_dir(stage: str, out_dir: str, attempts: int = 20) -> None:
         try:
             os.rename(out_dir, retired)
         except FileNotFoundError:
-            pass  # a racing publisher is mid-swap; back off and retry
-        else:
+            retired = None  # a racing publisher is mid-swap; back off, retry
+        if retired is not None:
+            # publish BEFORE deleting the retired previous export: a crash
+            # right here leaves the old bytes recoverable at *.retired-*
+            # (litter), never a destroyed-old-export + unpublished-new hole
+            # with nothing at out_dir at all
+            published = False
+            try:
+                os.rename(stage, out_dir)
+                published = True
+            except OSError:
+                pass  # a rival republished first; out_dir is theirs now
+            # out_dir is occupied again (ours or a rival's) — the retired
+            # previous export is litter either way
             if os.path.isdir(retired):
                 shutil.rmtree(retired, ignore_errors=True)
             else:
@@ -333,6 +350,8 @@ def _publish_dir(stage: str, out_dir: str, attempts: int = 20) -> None:
                 # file; rmtree would silently leave it behind as litter
                 with contextlib_suppress(OSError):
                     os.unlink(retired)
+            if published:
+                return
         if attempt:
             _time.sleep(random.uniform(0, 0.01 * attempt))
     raise RuntimeError(

@@ -49,8 +49,8 @@ def doc_spans(spark: SparkSession, log: CommitLog, doc_id: str, n_parts: int | N
         )
         ext = ext.where(F.col("part_id") == part)
     return (
-        ext.where(F.col("doc_id") == doc_id)
-        .select("doc_id", F.posexplode("spans").alias("pos", "span"))
+        _canonical_row(ext, doc_id)
+        .select("doc_id", F.explode("spans").alias("span"))
         .select(
             "doc_id",
             F.col("span.kind").alias("kind"),
@@ -59,6 +59,22 @@ def doc_spans(spark: SparkSession, log: CommitLog, doc_id: str, n_parts: int | N
             F.col("span.offset").alias("offset"),
         )
         .orderBy("offset")
+    )
+
+
+def _canonical_row(ext: DataFrame, doc_id: str) -> DataFrame:
+    """ONE deterministic row for a doc_id the table may legitimately hold
+    twice (streaming appends can deliver a doc in two epochs —
+    spark/export.py sorts defensively for the same reason). Without this,
+    which copy a point query answered from depended on partition arrival
+    order: ``doc_spans`` interleaved both copies' spans (every offset
+    twice) and ``read_page`` could answer None from a shorter copy while a
+    longer one held the page. Canonical = most spans, ties broken by the
+    spans' JSON serialization — a pure function of the data."""
+    return (
+        ext.where(F.col("doc_id") == doc_id)
+        .orderBy(F.desc(F.size("spans")), F.to_json("spans"))
+        .limit(1)
     )
 
 
@@ -76,12 +92,11 @@ def read_page(
         )
         ext = ext.where(F.col("part_id") == part)
     rows = (
-        ext.where(F.col("doc_id") == doc_id)
+        _canonical_row(ext, doc_id)
         .select(
             # try_element_at: out-of-range page -> NULL, not an ANSI error
             F.try_element_at("spans", F.lit(page)).alias("span"),
             "scores",
-            "pages_parsed",
             "spans_emitted",
         )
         .collect()

@@ -142,7 +142,18 @@ def _stage_batches_arrow(batches):
         list_offsets = [0]
         for ln in lengths:
             list_offsets.append(list_offsets[-1] + (ln or 0))
-        spans_out = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()), struct)
+        # a NULL spans row (allowed by DOCUMENTS_SCHEMA, e.g. a JSONL
+        # metadata-only doc) must stage as NULL, not as an empty array —
+        # the staging table pledges zero semantic change, and `spans IS
+        # NULL` predicates must answer the same on staged and direct input
+        mask = (
+            pa.array([ln is None for ln in lengths])
+            if spans_col.null_count
+            else None
+        )
+        spans_out = pa.ListArray.from_arrays(
+            pa.array(list_offsets, pa.int32()), struct, mask=mask
+        )
         yield pa.RecordBatch.from_arrays([doc_ids, spans_out], names=["doc_id", "spans"])
 
 

@@ -72,7 +72,15 @@ def queue_root_for(table_root: str) -> str:
 
 
 def ocr_queue_root(log: CommitLog) -> str:
-    return queue_root_for(os.path.dirname(log.data_dir.rstrip("/")))
+    return queue_root_for(log.root)
+
+
+def _ns_token(stream_ns: str) -> str:
+    """Filesystem-safe owner token a routed stream stamps on its staging
+    dirs, so a sweep can be scoped to the ONE stream that owns them."""
+    import hashlib
+
+    return hashlib.md5(stream_ns.encode()).hexdigest()[:8]
 
 
 def needs_ocr_pred() -> "F.Column":
@@ -98,7 +106,7 @@ def ocr_candidate_refs() -> "F.Column":
     )
 
 
-def _ocr_queue_router(log: CommitLog, chunk_id: int):
+def _ocr_queue_router(log: CommitLog, chunk_id: int, stream_ns: str):
     """Side-output callback for _write_chunk: scanned documents (text-free
     pages with images) land in ``ocr_queue/chunk-*`` with their pdf:// refs,
     so a downstream OCR stage consumes the queue without rescanning the
@@ -106,8 +114,8 @@ def _ocr_queue_router(log: CommitLog, chunk_id: int):
     as a routed pipeline stage).
 
     Two-phase so a visible queue directory always implies a COMMITTED
-    chunk: the parquet is staged at ``.staging-chunk-N`` (hidden from
-    consumers globbing ``chunk-*``) before the marker, then atomically
+    chunk: the parquet is staged at ``.staging-<owner>-chunk-N`` (hidden
+    from consumers globbing ``chunk-*``) before the marker, then atomically
     renamed after the commit flips. A crash before the marker leaves only
     the hidden staging dir (its epoch replays under a NEW chunk id, so the
     stale dir can never shadow real output; ``maintain_ocr_queue`` sweeps
@@ -116,7 +124,13 @@ def _ocr_queue_router(log: CommitLog, chunk_id: int):
 
     def side(written: DataFrame):
         queue_root = ocr_queue_root(log)
-        staging = os.path.join(queue_root, f".staging-chunk-{chunk_id:06d}")
+        # the owner token scopes stream-start sweeps to THIS stream's
+        # staging dirs: another routed stream on the same table must never
+        # sweep a dir whose writer is merely stalled (see maintain_ocr_queue)
+        staging = os.path.join(
+            queue_root,
+            f".staging-{_ns_token(stream_ns)}-chunk-{chunk_id:06d}",
+        )
         final = os.path.join(queue_root, f"chunk-{chunk_id:06d}")
         (
             written.where(needs_ocr_pred())
@@ -151,25 +165,35 @@ def _ocr_queue_router(log: CommitLog, chunk_id: int):
 
 
 def maintain_ocr_queue(
-    log: CommitLog, grace_s: float = 3600.0, sweep_staging: bool = False
+    log: CommitLog,
+    grace_s: float = 3600.0,
+    sweep_staging: bool = False,
+    owner_ns: str | None = None,
 ) -> dict:
     """Self-heal the OCR side-output queue against crash windows:
 
-    - a ``.staging-chunk-N`` whose marker EXISTS is promoted (the writer
+    - a ``.staging-*chunk-N`` whose marker EXISTS is promoted (the writer
       died between commit and publish — the chunk is committed, so its
-      queue entry must become visible);
-    - a ``.staging-chunk-N`` with NO marker and older than ``grace_s`` is
-      deleted (crashed before commit; its epoch replayed under a new
-      chunk id, so the content is duplicated elsewhere) — ONLY when
-      ``sweep_staging`` is true (OFF by default): an unmarked staging dir
-      can belong to a LIVE stage-1 writer mid-commit — a micro-batch
-      stalled past ``grace_s`` between staging write and marker commit
-      would have its dir swept, then commit, then fail publish, and on
-      restart the epoch is skipped as done, losing that committed chunk's
-      queue entry permanently. Only the routed stream's own start
-      (serialized against other writers of that stream by Spark's
-      checkpoint lock) opts in; maintenance jobs and the stage-2 consumer
-      keep the default;
+      queue entry must become visible); any stream's staging qualifies,
+      promotion is ownership-blind;
+    - a staging dir with NO marker and older than ``grace_s`` is deleted
+      (crashed before commit; its epoch replayed under a new chunk id, so
+      the content is duplicated elsewhere) — ONLY when ``sweep_staging``
+      is true (OFF by default) AND the dir is sweepable by THIS caller:
+      an unmarked staging dir can belong to a LIVE stage-1 writer
+      mid-commit — a micro-batch stalled past ``grace_s`` between staging
+      write and marker commit would have its dir swept, then commit, then
+      fail publish, and on restart the epoch is skipped as done, losing
+      that committed chunk's queue entry permanently. Staging dirs are
+      stamped with their stream's owner token (``_ns_token``), and a sweep
+      only touches dirs carrying the token of ``owner_ns`` — the routed
+      stream's own start (serialized against other writers of that SAME
+      stream by Spark's checkpoint lock) passes its namespace and can
+      only ever sweep its own dead dirs, never a DIFFERENT live routed
+      stream's on the same table. Legacy pre-token ``.staging-chunk-N``
+      dirs are swept by any ``sweep_staging=True`` caller (their writers
+      predate the upgrade and are gone). Maintenance jobs and the stage-2
+      consumer keep the default (no staging sweep at all);
     - a visible ``chunk-N`` with NO marker (legacy pre-two-phase leftover)
       is deleted after the grace period regardless — the current producer
       only ever makes a dir visible AFTER its marker commits, so a visible
@@ -178,14 +202,12 @@ def maintain_ocr_queue(
 
     Promotion on marker existence alone is sound because chunk ids are
     never reused (``reserve_chunk_id``'s highwater survives
-    ``gc_orphans``): marker N and ``.staging-chunk-N`` can only come from
-    the same reservation, never from an unrelated later writer adopting a
-    dead chunk's id. Called at stream start (make_batch_processor, the one
-    ``sweep_staging=True`` caller); with the default ``sweep_staging=False``
-    the promote/legacy-sweep parts are additionally safe from any
-    maintenance job alongside ``CommitLog.gc_orphans`` — promotion races
-    with the live writer's publish() are benign (both sides tolerate
-    already-published)."""
+    ``gc_orphans``): marker N and staging N can only come from the same
+    reservation, never from an unrelated later writer adopting a dead
+    chunk's id. Concurrent maintainers/publishers are tolerated
+    throughout: promotion races are benign (both sides tolerate
+    already-published) and an entry renamed away between the listdir
+    snapshot and its mtime stat is simply skipped."""
     import shutil
     import time as _time
 
@@ -195,6 +217,16 @@ def maintain_ocr_queue(
         return out
     marked = {c["chunk_id"] for c in log.committed_chunks()}
     cutoff = _time.time() - grace_s
+    own = _ns_token(owner_ns) if owner_ns is not None else None
+
+    def _stale(path: str) -> bool:
+        # a racing promoter/publisher may rename the entry away between
+        # our listdir snapshot and this stat: the entry is healed, skip it
+        try:
+            return os.path.getmtime(path) < cutoff
+        except FileNotFoundError:
+            return False
+
     for name in sorted(os.listdir(queue_root)):
         path = os.path.join(queue_root, name)
         try:
@@ -203,7 +235,13 @@ def maintain_ocr_queue(
             # stray entry (editor backup, manual copy) — not ours to manage,
             # and it must not abort stream start (same guard as gc_orphans)
             continue
-        if name.startswith(".staging-chunk-"):
+        if name.startswith(".staging-"):
+            # ".staging-<token>-chunk-N" (owned) or ".staging-chunk-N"
+            # (legacy pre-token)
+            mid = name[len(".staging-"):]
+            if not ("-chunk-" in mid or mid.startswith("chunk-")):
+                continue
+            token = mid.split("-chunk-", 1)[0] if "-chunk-" in mid else None
             if cid in marked:
                 final = os.path.join(queue_root, f"chunk-{cid:06d}")
                 try:
@@ -217,12 +255,16 @@ def maintain_ocr_queue(
                         raise
                     if os.path.exists(path):
                         shutil.rmtree(path)
-            elif sweep_staging and os.path.getmtime(path) < cutoff:
-                shutil.rmtree(path)
+            elif (
+                sweep_staging
+                and (token is None or token == own)
+                and _stale(path)
+            ):
+                shutil.rmtree(path, ignore_errors=True)
                 out["removed"].append(path)
         elif name.startswith("chunk-"):
-            if cid not in marked and os.path.getmtime(path) < cutoff:
-                shutil.rmtree(path)
+            if cid not in marked and _stale(path):
+                shutil.rmtree(path, ignore_errors=True)
                 out["removed"].append(path)
     return out
 
@@ -266,8 +308,10 @@ def make_batch_processor(
     if route_needs_ocr:
         # heal the commit->publish crash window before processing anything;
         # this is the stream's own start (serialized by the checkpoint
-        # lock), the ONLY place allowed to sweep stale unmarked staging dirs
-        maintain_ocr_queue(log, sweep_staging=True)
+        # lock), the ONLY caller allowed to sweep stale unmarked staging
+        # dirs — and only its OWN (owner_ns scopes the sweep, so a second
+        # routed stream's live staging on the same table is never touched)
+        maintain_ocr_queue(log, sweep_staging=True, owner_ns=stream_ns)
     done_epochs = {
         m["epoch"]
         for c in log.committed_chunks()
@@ -283,7 +327,11 @@ def make_batch_processor(
             batch_df, n_parts=n_parts, num_partitions=num_partitions
         )
         chunk_id = log.reserve_chunk_id()
-        side = _ocr_queue_router(log, chunk_id) if route_needs_ocr else None
+        side = (
+            _ocr_queue_router(log, chunk_id, stream_ns)
+            if route_needs_ocr
+            else None
+        )
         _write_chunk(
             spark,
             log,

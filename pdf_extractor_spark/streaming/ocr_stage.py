@@ -172,13 +172,17 @@ def merge_ocr_text(extracted: DataFrame, ocr_text: DataFrame) -> DataFrame:
         "spans",
         lambda s: F.struct(
             s["kind"].alias("kind"),
-            F.when(
-                (s["kind"] == "media")
-                & F.element_at("_ocr", s["media_ref"]).isNotNull(),
-                F.element_at("_ocr", s["media_ref"]),
-            )
-            .otherwise(s["text"])
-            .alias("text"),
+            # ONE map probe per span: transform() runs interpreted outside
+            # codegen with no guaranteed CSE (CLAUDE.md), so the
+            # probe-in-condition + probe-in-value form would pay two map
+            # lookups per span of the whole corpus
+            F.coalesce(
+                F.when(
+                    s["kind"] == "media",
+                    F.element_at("_ocr", s["media_ref"]),
+                ),
+                s["text"],
+            ).alias("text"),
             s["media_ref"].alias("media_ref"),
             s["offset"].alias("offset"),
         ),

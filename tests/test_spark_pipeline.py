@@ -428,6 +428,62 @@ def test_preview_point_lookup(spark, tmp_path):
     assert read_page(spark, log, "no-such-doc", 1) is None
 
 
+def test_preview_duplicate_doc_resolves_to_canonical_copy(spark, tmp_path):
+    """A doc committed in two epochs (legitimate under streaming appends)
+    has two rows; the preview point queries must answer from ONE canonical
+    copy (most spans) — not interleave both copies' spans, and not answer
+    None for a page only the longer copy holds (review finding)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from pdf_extractor_spark.corpus import corpus_df, gen_documents
+    from pdf_extractor_spark.core.extractor import extract_document
+    from pdf_extractor_spark.spark.lineage import (
+        CommitLog,
+        _chunk_dirname,
+        run_extraction,
+    )
+    from pdf_extractor_spark.spark.preview import doc_spans, read_page
+
+    log = CommitLog(str(tmp_path / "log"))
+    run_extraction(spark, corpus_df(spark, 20, seed=5), log, n_parts=16,
+                   parts_per_chunk=16, num_partitions=4)
+    rows = gen_documents(20, seed=5)
+    target = next(
+        r for r in rows if len(extract_document(r["spans"]).spans) >= 3
+    )
+    want = extract_document(target["spans"]).spans
+
+    # commit a second, TRUNCATED copy of the doc as a later chunk
+    dup = (
+        log.read_extracted(spark)
+        .where(F.col("doc_id") == target["doc_id"])
+        .withColumn("spans", F.slice("spans", 1, 1))
+    )
+    part = dup.select("part_id").collect()[0]["part_id"]
+    cid = log.reserve_chunk_id()
+    dup.write.partitionBy("part_id").mode("append").parquet(
+        os.path.join(log.data_dir, _chunk_dirname(cid))
+    )
+    log.commit_chunk(cid, [part], {"docs": 1}, n_parts=16)
+    assert (
+        log.read_extracted(spark)
+        .where(F.col("doc_id") == target["doc_id"])
+        .count()
+        == 2
+    )
+
+    got = [
+        (r["kind"], r["text"], r["media_ref"], r["offset"])
+        for r in doc_spans(spark, log, target["doc_id"]).collect()
+    ]
+    assert got == want  # full copy, each offset exactly once
+    # a page only the LONG copy holds must still resolve
+    last = read_page(spark, log, target["doc_id"], len(want))
+    assert last is not None and last["content"] == want[-1][1]
+
+
 def test_preview_n_parts_recorded_and_validated(spark, tmp_path):
     """ADVICE r01: the writer's n_parts is recorded in the commit log, the
     reader uses it without being told, and a mismatched caller value fails

@@ -156,6 +156,39 @@ def test_staging_preserves_offsets_and_order(spark):
     assert [bytes(s["payload"]) for s in r["spans"]] == [b"b", b"", b"a"]
 
 
+def test_staging_preserves_null_spans(spark):
+    """A NULL spans row (DOCUMENTS_SCHEMA allows it — e.g. a JSONL
+    metadata-only doc) must stage as NULL, not as an empty array: the
+    staging table is 'never a semantic change', so `spans IS NULL`
+    predicates answer identically on staged and direct input (review
+    finding)."""
+    rows = [
+        ("d-null", None),
+        ("d-empty", []),
+        ("d-one", [("text", "x", "", 0)]),
+    ]
+    docs = spark.createDataFrame(rows, DOCUMENTS_SCHEMA)
+    got = {r["doc_id"]: r["spans"] for r in stage_documents(docs).collect()}
+    assert got["d-null"] is None
+    assert got["d-empty"] == []
+    assert len(got["d-one"]) == 1
+    # and the extraction result over the staged form matches the direct path
+    direct = {
+        r["doc_id"]: r
+        for r in extract_documents(docs, n_parts=4, num_partitions=2).collect()
+    }
+    staged = {
+        r["doc_id"]: r
+        for r in extract_documents_staged(
+            stage_documents(docs), n_parts=4, num_partitions=2
+        ).collect()
+    }
+    assert set(direct) == set(staged)
+    for d in direct:
+        assert staged[d]["spans"] == direct[d]["spans"], d
+        assert staged[d]["scores"] == direct[d]["scores"], d
+
+
 def test_staged_parquet_smaller_on_pdf_corpus(spark, tmp_path):
     """The staging table's reason to exist at 100 TB: a PDF corpus staged as
     binary must be materially smaller on disk than its base64-in-string

@@ -284,6 +284,16 @@ def test_ocr_queue_two_phase_crash_windows(spark, tmp_path):
     live = os.path.join(qroot, ".staging-chunk-000011")
     os.makedirs(live)
 
+    # window C: ANOTHER routed stream's stalled-but-live staging (owner
+    # token differs) — a rival stream's start sweep must never touch it
+    from pdf_extractor_spark.streaming.ingest import _ns_token
+
+    rival = os.path.join(
+        qroot, f".staging-{_ns_token('/ckpt/B')}-chunk-000013"
+    )
+    os.makedirs(rival)
+    os.utime(rival, (0, 0))
+
     # default (maintenance-job) mode: promote, but NEVER sweep staging —
     # an unmarked dir could be a live writer stalled past the grace window
     out = maintain_ocr_queue(log, grace_s=3600.0)
@@ -291,9 +301,18 @@ def test_ocr_queue_two_phase_crash_windows(spark, tmp_path):
     assert os.path.isdir(os.path.join(qroot, "chunk-000007"))
     assert os.path.exists(stale)
     # stream-start mode (the only sweep_staging=True caller): sweep stale
-    out = maintain_ocr_queue(log, grace_s=3600.0, sweep_staging=True)
+    # LEGACY dirs and this stream's OWN dead dirs; stream B's dir survives
+    out = maintain_ocr_queue(
+        log, grace_s=3600.0, sweep_staging=True, owner_ns="/ckpt/A"
+    )
     assert not os.path.exists(stale)
     assert os.path.isdir(live)  # a LIVE writer's staging is never swept
+    assert os.path.isdir(rival)  # another stream's staging is not ours
+    # B's own start MAY sweep its own stale staging
+    out = maintain_ocr_queue(
+        log, grace_s=3600.0, sweep_staging=True, owner_ns="/ckpt/B"
+    )
+    assert not os.path.exists(rival)
 
 
 def test_maintain_ocr_queue_tolerates_already_published(tmp_path):
