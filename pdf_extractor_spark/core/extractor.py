@@ -77,6 +77,13 @@ def _compute_scores(
     }
 
 
+def _offset_sort_key(s) -> tuple[bool, int]:
+    """Offset-order sort key tolerating a null offset: damaged spans sort
+    after every real offset, stably in input order (sort is stable), so
+    the kernels stay deterministic and never TypeError on None < int."""
+    return (s[3] is None, s[3] if s[3] is not None else 0)
+
+
 def extract_document(
     spans: list[tuple[str, str, str, int]] | list[dict],
 ) -> ExtractResult:
@@ -93,7 +100,11 @@ def extract_document(
             norm.append((s["kind"], s["text"] or "", s["media_ref"] or "", s["offset"]))
         else:
             norm.append((s[0], s[1] or "", s[2] or "", s[3]))
-    norm.sort(key=lambda s: s[3])
+    # a null offset (a JSONL line whose span is missing the key is schema-
+    # valid and NOT _corrupt-flagged) must quarantine as a span failure,
+    # never TypeError the sort and abort the whole batch; damaged spans
+    # order deterministically after all real offsets, stably by input order
+    norm.sort(key=_offset_sort_key)
 
     out: list[tuple[str, str, str, int]] = []
     pages = 0
@@ -104,7 +115,10 @@ def extract_document(
         out.append((kind, text, media_ref, len(out)))
 
     for kind, text, media_ref, off in norm:
-        if kind == KIND_MEDIA:
+        if off is None:  # damaged input: position unknowable
+            failures += 1
+            emit(KIND_TEXT, "")
+        elif kind == KIND_MEDIA:
             emit(KIND_MEDIA, "", media_ref)
         elif kind == KIND_TEXT:
             emit(KIND_TEXT, clean_text(text))
@@ -182,7 +196,7 @@ def extract_document_staged(
             norm.append((s["kind"], s["payload"], s["media_ref"] or "", s["offset"]))
         else:
             norm.append((s[0], s[1], s[2] or "", s[3]))
-    norm.sort(key=lambda s: s[3])
+    norm.sort(key=_offset_sort_key)  # same null-offset quarantine as direct
 
     out: list[tuple[str, str, str, int]] = []
     pages = 0
@@ -193,7 +207,10 @@ def extract_document_staged(
         out.append((kind, text, media_ref, len(out)))
 
     for kind, payload, media_ref, off in norm:
-        if kind == KIND_MEDIA:
+        if off is None:  # damaged input: position unknowable
+            failures += 1
+            emit(KIND_TEXT, "")
+        elif kind == KIND_MEDIA:
             emit(KIND_MEDIA, "", media_ref)
         elif kind == KIND_TEXT:
             emit(KIND_TEXT, clean_text((payload or b"").decode("utf-8")))

@@ -186,7 +186,8 @@ def main(argv: list[str] | None = None) -> int:
         if (
             args.watch or args.ocr_stage or args.compact or args.refresh_parts
             or args.export_zip or args.route_needs_ocr
-            or args.signals or args.curate or args.neardup or args.rebuild
+            or args.signals or args.curate or args.neardup or args.pack
+            or args.rebuild
             or args.expire_older_than is not None
             or args.gc_orphans_older_than is not None
         ):
@@ -295,6 +296,31 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--state-store only applies to streaming modes "
                 "(--watch / --ocr-stage)")
 
+    # Pre-JVM table-root validation, for EVERY flag that names a committed
+    # table: a typo'd root must fail instantly and loudly, never after
+    # paying JVM startup (the --ocr-stage precedent below) — and never
+    # silently: handing a nonexistent root to a reader CREATES an empty
+    # CommitLog there, so a --kept-from typo would export 0 docs and a
+    # --drop-neardups-from typo would ship every near-duplicate, both with
+    # exit 0 (review finding).
+    import os as _os
+
+    def _require_table_root(opt: str, root: str) -> None:
+        if not _os.path.isdir(_os.path.join(root, "commits")):
+            p.error(f"{opt} {root} is not a committed table root "
+                    "(no commits/ directory)")
+
+    if args.signals or args.curate or args.neardup or args.pack:
+        flag = ("--signals" if args.signals else "--curate" if args.curate
+                else "--neardup" if args.neardup else "--pack")
+        _require_table_root(f"{flag} --input", args.input)
+    if args.over_kept is not None:
+        _require_table_root("--over-kept", args.over_kept)
+    if args.kept_from is not None:
+        _require_table_root("--kept-from", args.kept_from)
+    if args.drop_neardups_from is not None:
+        _require_table_root("--drop-neardups-from", args.drop_neardups_from)
+
     from pdf_extractor_spark.spark.session import get_spark
     from pdf_extractor_spark.spark.lineage import (
         CommitLog,
@@ -350,14 +376,7 @@ def main(argv: list[str] | None = None) -> int:
         configure_state_store(spark, args.state_store)
     try:
         if args.signals or args.curate or args.neardup or args.pack:
-            import os as _os
-
-            flag = ("--signals" if args.signals
-                    else "--curate" if args.curate
-                    else "--neardup" if args.neardup else "--pack")
-            if not _os.path.isdir(_os.path.join(args.input, "commits")):
-                p.error(f"{flag} --input {args.input} is not a committed "
-                        "table root (no commits/ directory)")
+            # table roots already validated pre-JVM (above)
             if args.signals:
                 from pdf_extractor_spark.spark.signals import run_signals_job
 
@@ -368,12 +387,6 @@ def main(argv: list[str] | None = None) -> int:
             elif args.neardup:
                 from pdf_extractor_spark.spark.neardup import run_neardup_job
 
-                if args.over_kept is not None and not _os.path.isdir(
-                    _os.path.join(args.over_kept, "commits")
-                ):
-                    p.error(f"--over-kept {args.over_kept} is not a "
-                            "committed curate table root (no commits/ "
-                            "directory)")
                 report, dt = run_neardup_job(
                     spark,
                     args.input,
@@ -385,14 +398,6 @@ def main(argv: list[str] | None = None) -> int:
             elif args.pack:
                 from pdf_extractor_spark.spark.pack import run_pack_job
 
-                for opt, root in (("--kept-from", args.kept_from),
-                                  ("--drop-neardups-from",
-                                   args.drop_neardups_from)):
-                    if root is not None and not _os.path.isdir(
-                        _os.path.join(root, "commits")
-                    ):
-                        p.error(f"{opt} {root} is not a committed table "
-                                "root (no commits/ directory)")
                 report, dt = run_pack_job(
                     spark,
                     args.input,

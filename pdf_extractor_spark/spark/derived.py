@@ -110,6 +110,7 @@ def commit_derived_chunk(
         n_parts=n_parts,
         overwrite=overwrite,
         validate=validate,
+        expect_data=True,
     )
     return chunk_id, n_docs, touched
 

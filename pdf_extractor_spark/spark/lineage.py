@@ -378,7 +378,19 @@ class CommitLog:
         let a legacy visible ``ocr_queue/chunk-N`` be adopted by an
         unrelated new chunk N — ``maintain_ocr_queue``'s promotion
         soundness assumes ids are never reused. Bump-then-delete ordering
-        makes a crash mid-GC safe (the id is burned either way)."""
+        makes a crash mid-GC safe (the id is burned either way).
+
+        The delete itself runs UNDER the commit lock, after re-checking the
+        marker set (review finding): a slow writer can reserve a chunk,
+        take longer than ``grace_s`` to finish its Spark write (top-dir
+        mtime stays at reservation time while files land under
+        ``_temporary``), and commit in the window between the unlocked
+        listing and the rmtree — deleting then would leave a committed
+        marker pointing at no data, which reads silently as zero rows and
+        resume skips forever. Under the lock, either its marker is already
+        visible (the re-check spares the chunk) or its commit happens
+        after our rmtree and fails loudly on ``commit_chunk``'s
+        ``expect_data`` existence check — never a silent loss."""
         import shutil
 
         marked = {c["chunk_id"] for c in self.committed_chunks()}
@@ -395,13 +407,18 @@ class CommitLog:
                 path = os.path.join(base, name)
                 if cid not in marked and os.path.getmtime(path) < cutoff:
                     doomed.append((cid, path))
+        removed: list[str] = []
         if doomed:
             with self._commit_lock():
                 self._bump_highwater(max(cid for cid, _ in doomed))
-        removed: list[str] = []
-        for _cid, path in doomed:
-            shutil.rmtree(path)
-            removed.append(path)
+                committed_now = {
+                    c["chunk_id"] for c in self.committed_chunks()
+                }
+                for cid, path in doomed:
+                    if cid in committed_now:
+                        continue  # committed since the unlocked listing
+                    shutil.rmtree(path, ignore_errors=True)
+                    removed.append(path)
         return removed
 
     def n_parts(self, chunks: list[dict] | None = None) -> int | None:
@@ -516,6 +533,7 @@ class CommitLog:
         if_absent: bool = False,
         no_new_overwrites_since: set[int] | None = None,
         validate=None,
+        expect_data: bool = False,
     ) -> bool:
         """Atomic visibility flip: tmp write + no-clobber ``os.link``, all
         inside the commit lock so ``committed_at`` strictly orders
@@ -535,7 +553,13 @@ class CommitLog:
         :class:`CommitConflict` to abort the publish — the generic
         optimistic-concurrency hook for consumers whose conflict rule lives
         outside this module (spark/derived.py: the stage cursor must not
-        have moved since the window was computed). Returns True iff this
+        have moved since the window was computed). ``expect_data``: the
+        caller wrote ``data/chunk=K`` and the marker must not publish if
+        that directory vanished — a writer slower than a concurrent
+        ``gc_orphans`` grace period can have its reserved dir reclaimed
+        (the GC deletes under this same lock, so the check is race-free);
+        publishing anyway would create a committed marker over no data,
+        which reads silently as zero rows forever. Returns True iff this
         call published."""
         marker = {
             "chunk_id": chunk_id,
@@ -600,6 +624,15 @@ class CommitLog:
                         )
                 if validate is not None:
                     validate(committed)
+                if expect_data and not os.path.isdir(
+                    os.path.join(self.data_dir, _chunk_dirname(chunk_id))
+                ):
+                    raise CommitConflict(
+                        f"chunk {chunk_id} data directory vanished before "
+                        "publish (reclaimed by a concurrent gc_orphans?); "
+                        "not committing a marker over deleted data — rerun "
+                        "re-extracts this chunk's parts"
+                    )
                 # stamp inside the lock: publish order == committed_at order
                 marker["committed_at"] = time.time()
                 with open(tmp, "w") as f:
@@ -879,6 +912,7 @@ def compact_chunks(
         n_parts=log.n_parts(),
         replaces=victim_ids,
         no_new_overwrites_since=snapshot_ids,
+        expect_data=True,
     )
     return new_id
 
@@ -967,6 +1001,7 @@ def _write_chunk(
         n_parts=n_parts,
         overwrite=overwrite,
         exclusive_parts=exclusive_parts,
+        expect_data=True,
     )
     if callable(side_publish):
         side_publish()  # two-phase side output: visible only once committed

@@ -50,6 +50,11 @@ def get_spark(
         # serialize the whole parse stage (measured: 3x headline speedup).
         .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_SPLIT_BYTES", "8388608"))
         .config("spark.ui.enabled", "false")
+        # Effective only for plain `python` launches (pytest, tools/): under
+        # spark-submit the driver JVM already exists when this builder runs
+        # and the setting is silently ignored — pass --driver-memory on the
+        # spark-submit line there (the 1g submit default is too small for
+        # wide lineage collects and driver-side zip export).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()

@@ -73,6 +73,34 @@ def test_unknown_kind_counts_failure():
     assert res.parse_failures == 1
 
 
+def test_null_offset_quarantines_span_not_crash():
+    """A span with a null offset (a JSONL line missing the key is
+    schema-valid and unflagged) must count as a span failure — never
+    TypeError the offset sort and abort the batch (review finding). Damaged
+    spans order deterministically after all real offsets, in input order;
+    the staged kernel mirrors the rule exactly."""
+    from pdf_extractor_spark.core.extractor import (
+        extract_document_staged,
+        stage_span,
+    )
+
+    spans = [
+        ("text", "beta", "", None),
+        ("text", "alpha", "", 0),
+        ("media", "", "m://x", None),
+    ]
+    res = extract_document(spans)
+    assert res.parse_failures == 2
+    assert [s[1] for s in res.spans] == ["alpha", "", ""]
+    assert [s[3] for s in res.spans] == [0, 1, 2]  # dense, deterministic
+    staged = extract_document_staged(
+        [(k, stage_span(k, t), m, o) for k, t, m, o in spans]
+    )
+    assert staged.spans == res.spans
+    assert staged.parse_failures == res.parse_failures
+    assert staged.scores == res.scores
+
+
 @given(
     st.lists(
         st.tuples(

@@ -145,6 +145,61 @@ def test_gc_orphans(tmp_path):
     assert os.path.isdir(fresh)
 
 
+def test_gc_orphans_spares_chunk_committed_after_listing(tmp_path):
+    """Check-then-act closure (review finding): a writer that commits in
+    the window between gc_orphans' unlocked listing and the locked delete
+    must keep its data — the locked re-check sees the fresh marker."""
+    log = L.CommitLog(str(tmp_path / "t"))
+    slow = os.path.join(log.data_dir, "chunk=000005")
+    os.mkdir(slow)
+    old = time.time() - 7200
+    os.utime(slow, (old, old))
+
+    # simulate the racing writer landing its marker AFTER the unlocked
+    # listing but BEFORE the locked re-check: _bump_highwater runs under
+    # the lock right before the re-check, so hook the marker write there
+    real_bump = L.CommitLog._bump_highwater
+
+    def bump_and_commit(self, cid):
+        import json
+
+        with open(
+            os.path.join(self.commits_dir, "commit-000005.json"), "w"
+        ) as f:
+            json.dump({"chunk_id": 5, "part_ids": [0], "metrics": {},
+                       "committed_at": time.time()}, f)
+        return real_bump(self, cid)
+
+    L.CommitLog._bump_highwater = bump_and_commit
+    try:
+        removed = log.gc_orphans(grace_s=3600)
+    finally:
+        L.CommitLog._bump_highwater = real_bump
+    assert removed == []
+    assert os.path.isdir(slow)  # the committed chunk's data survived
+
+
+def test_commit_refuses_marker_over_reclaimed_data(tmp_path):
+    """expect_data (review finding): a writer whose reserved data dir was
+    reclaimed by a concurrent gc_orphans must fail its commit loudly —
+    never publish a marker that reads as zero rows forever."""
+    log = L.CommitLog(str(tmp_path / "t"))
+    cid = log.reserve_chunk_id()
+    ddir = os.path.join(log.data_dir, f"chunk={cid:06d}")
+    assert os.path.isdir(ddir)  # reserve_chunk_id mkdir'd it
+    import shutil
+
+    shutil.rmtree(ddir)  # the concurrent GC
+    with pytest.raises(L.CommitConflict, match="vanished"):
+        log.commit_chunk(cid, [0], {"docs": 1}, expect_data=True)
+    assert not os.path.exists(
+        os.path.join(log.commits_dir, f"commit-{cid:06d}.json")
+    )
+    # with the dir present the same commit publishes
+    os.makedirs(ddir)
+    assert log.commit_chunk(cid, [0], {"docs": 1}, expect_data=True)
+
+
 def test_two_concurrent_writers_exactly_once(spark, tmp_path):
     """Two drivers append the same corpus to one table root simultaneously:
     the table must end with every doc exactly once and every part committed
