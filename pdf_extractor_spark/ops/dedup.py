@@ -289,7 +289,10 @@ def jaccard_ppb_for_pairs(
     ``common`` and floor-ppb ``jaccard_ppb`` (integer-exact on both
     engines); a candidate with no shared shingle — a band false positive —
     scores 0 rather than dropping out, so banding precision stays
-    observable downstream."""
+    observable downstream. The sizes joins are LEFT joins for the same
+    reason: a candidate pair whose doc is too short to shingle at all
+    (possible when candidates come from OUTSIDE the shingle table, e.g.
+    semantic_dedup's embedding pairs) scores 0 instead of vanishing."""
     sizes_l = sh_left.groupBy("doc_id").agg(F.count("*").alias("_n_l"))
     sizes_r = sh_right.groupBy("doc_id").agg(F.count("*").alias("_n_r"))
     s1, s2, pr = sh_left.alias("s1"), sh_right.alias("s2"), pairs.alias("pr")
@@ -306,20 +309,26 @@ def jaccard_ppb_for_pairs(
         .agg(F.count("*").alias("common"))
     )
     c = F.coalesce("common", F.lit(0))
+    denom = (
+        F.coalesce("_n_l", F.lit(0)) + F.coalesce("_n_r", F.lit(0)) - c
+    )
     return (
         pairs.join(common, [left, right], "left")
         .join(
             sizes_l.withColumnRenamed("doc_id", "_id_l"),
             F.col(left) == F.col("_id_l"),
+            "left",
         )
         .join(
             sizes_r.withColumnRenamed("doc_id", "_id_r"),
             F.col(right) == F.col("_id_r"),
+            "left",
         )
         .select(
             *pairs.columns,
             c.alias("common"),
-            F.floor(c * F.lit(1_000_000_000) / (F.col("_n_l") + F.col("_n_r") - c))
+            F.when(denom > 0, F.floor(c * F.lit(1_000_000_000) / denom))
+            .otherwise(F.lit(0))
             .cast("bigint")
             .alias("jaccard_ppb"),
         )
@@ -613,14 +622,23 @@ DEDUP_VERIFIED_PAIRS_SQL = _dedup_verified_sql()
 
 # --- embedding-cosine near-dup ---------------------------------------------
 
-def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate embedding pairs: cosine >= 0.4 within the same label.
+NEARDUP_COS = 0.4  # cosine candidate threshold (embed_neardup + semantic)
 
-    Blocking on `label` (the coarse cell) keeps the pairwise join per-block.
-    Scores stay exact doubles until the final 6dp rounding; per-pair dot/norm
+
+def cosine_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    left: str = "doc1",
+    right: str = "doc2",
+    threshold: float = NEARDUP_COS,
+) -> DataFrame:
+    """Label-blocked embedding-cosine candidate pairs — THE one candidate
+    generator shared by ``embed_neardup`` and ``semantic_dedup`` (a
+    threshold or arithmetic change must hit both). Blocking on ``label``
+    (the coarse cell) keeps the pairwise join per-block, never global.
+    Scores stay exact doubles until the final 6dp floor; per-pair dot/norm
     fold over the array in index order, so both engines compute identical
-    IEEE sequences.
-    """
+    IEEE sequences. Returns (left, right, cosine_micros)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     withnorm = emb.select(
@@ -640,17 +658,24 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "label")
         .where(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
-            F.col("a.vec_id").alias("vec1"),
-            F.col("b.vec_id").alias("vec2"),
+            F.col("a.vec_id").alias(left),
+            F.col("b.vec_id").alias(right),
             (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cos"),
         )
-        .where(F.col("cos") >= 0.4)
+        .where(F.col("cos") >= threshold)
         .select(
-            "vec1",
-            "vec2",
+            left,
+            right,
             F.floor(F.col("cos") * 1000000.0).cast("bigint").alias("cosine_micros"),
         )
-        .orderBy("vec1", "vec2")
+    )
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate embedding pairs: cosine >= 0.4 within the same label
+    (see :func:`cosine_candidates` for the blocking/arithmetic contract)."""
+    return cosine_candidates(spark, sf_dir, "vec1", "vec2").orderBy(
+        "vec1", "vec2"
     )
 
 
@@ -820,7 +845,18 @@ def star_contract_components(edges: DataFrame, max_rounds: int = MAX_CC_ITERS):
         .distinct()
         .persist()
     )
-    cur = _large_star(edges).localCheckpoint(eager=True)
+    # canonicalize only (u > v, no self-loops): the loop's first
+    # _large_star symmetrizes anyway, so a full star pass here was a
+    # redundant extra shuffle round over the whole edge list (review
+    # finding) — the cheap rewrite costs one distinct, not a star round
+    sym0 = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    cur = (
+        sym0.where(F.col("u") > F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     rounds = 0
     converged = False
     for _ in range(max_rounds):
@@ -1034,8 +1070,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on doc_id with map-side partial aggregation. Never a join shuffled
     on the gram itself: a heavy-hitter gram would hot-spot a reducer, and
     the gram side of the join is the 100 TB side.
+
+    The shingle table feeds BOTH the bench and corpus branches, so it is
+    staged via ``_persisted`` (Catalyst does no cross-branch CSE — unstaged,
+    the corpus was scanned, tokenized, and shingled twice; scan budget
+    pinned in tools/plan_audit.py like the fuzzy sibling).
     """
-    sh = shingles(_read_docs(spark, sf_dir))
+    sh = _persisted(shingles(_read_docs(spark, sf_dir)))
     bench = (
         sh.where(F.col("doc_id") % BENCH_DOC_MOD == 0)
         .select("shingle")
@@ -1139,17 +1180,7 @@ def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decontaminate_fuzzy_sql() -> str:
-    rows_per_band = NUM_MINHASH // MINHASH_BANDS
-    band_rows = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band_id, md5({concat}) AS band_hash FROM sig".format(
-            b=b,
-            concat=" || ',' || ".join(
-                f"CAST(mh{b * rows_per_band + r:02d} AS VARCHAR)"
-                for r in range(rows_per_band)
-            ),
-        )
-        for b in range(MINHASH_BANDS)
-    )
+    band_rows = band_rows_sql()  # THE shared banding definition
     return f"""
 WITH sig AS ({_minhash_sig_sql()}),
 banded AS ({band_rows}),
@@ -1252,17 +1283,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_incremental_sql() -> str:
-    rows_per_band = NUM_MINHASH // MINHASH_BANDS
-    band_rows = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band_id, md5({concat}) AS band_hash FROM sig".format(
-            b=b,
-            concat=" || ',' || ".join(
-                f"CAST(mh{b * rows_per_band + r:02d} AS VARCHAR)"
-                for r in range(rows_per_band)
-            ),
-        )
-        for b in range(MINHASH_BANDS)
-    )
+    band_rows = band_rows_sql()  # THE shared banding definition
     return f"""
 WITH sig AS ({_minhash_sig_sql()}),
 banded AS ({band_rows}),
@@ -1287,7 +1308,7 @@ ORDER BY ids.doc_id
 
 # --- semantic dedup: embedding candidates, text verification ---------------
 
-SEMANTIC_COS = 0.4  # candidate threshold (matches embed_neardup)
+SEMANTIC_COS = NEARDUP_COS  # one threshold: a change must hit both paths
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1300,12 +1321,14 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     score high — so a pipeline that deletes data verifies candidates
     against the text before acting. This operator is that composition:
 
-    - candidates: cosine >= 0.4 within the same coarse cell (label-
-      blocked pairwise join — per-block, never global, exactly
-      ``embed_neardup``);
+    - candidates: cosine >= 0.4 within the same coarse cell
+      (:func:`cosine_candidates` — the exact ``embed_neardup`` generator);
     - verification: exact Jaccard over word-3-gram shingles computed ONLY
-      for candidate pairs (the candidate-bounded join of
-      ``dedup_verified_pairs``, keyed on doc_id — well-distributed);
+      for candidate pairs (:func:`jaccard_ppb_for_pairs` — the one
+      verification join every near-dup path shares, keyed on doc_id).
+      A candidate whose doc is too short to shingle scores 0, it does NOT
+      drop out (the helper's left-join contract) — a deletion pipeline
+      must see every candidate it declined to verify;
     - the shingle table feeds three branches (two join sides + sizes), so
       it is staged via ``_persisted`` (Catalyst does no cross-branch CSE).
 
@@ -1314,63 +1337,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding space, which is exactly what you tune the cosine threshold
     against.
     """
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    withnorm = emb.select(
-        "vec_id",
-        "label",
-        v.alias("v"),
-        F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)).alias("norm"),
-    )
-    a = withnorm.alias("a")
-    b = withnorm.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cand = (
-        a.join(b, "label")
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("doc1"),
-            F.col("b.vec_id").alias("doc2"),
-            (dot / (F.col("a.norm") * F.col("b.norm"))).alias("cos"),
-        )
-        .where(F.col("cos") >= SEMANTIC_COS)
-        .select(
-            "doc1",
-            "doc2",
-            F.floor(F.col("cos") * 1000000.0).cast("bigint").alias("cosine_micros"),
-        )
-    )
+    cand = cosine_candidates(spark, sf_dir, "doc1", "doc2", SEMANTIC_COS)
     sh = _persisted(shingles(_read_docs(spark, sf_dir)))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    s1 = sh.select(F.col("doc_id").alias("doc1"), "shingle")
-    s2 = sh.select(F.col("doc_id").alias("doc2"), "shingle")
-    common = (
-        cand.select("doc1", "doc2")
-        .join(s1, "doc1")
-        .join(s2, ["doc2", "shingle"])
-        .groupBy("doc1", "doc2")
-        .agg(F.count("*").alias("common"))
-    )
-    jac = F.floor(
-        F.col("common") * F.lit(1000000000)
-        / (F.col("na") + F.col("nb") - F.col("common"))
-    ).cast("bigint")
+    verified = jaccard_ppb_for_pairs(cand, sh, sh, "doc1", "doc2")
     return (
-        cand.join(common, ["doc1", "doc2"], "left")
-        .na.fill({"common": 0})
-        .join(sizes.select(F.col("doc_id").alias("doc1"), F.col("n_sh").alias("na")), "doc1")
-        .join(sizes.select(F.col("doc_id").alias("doc2"), F.col("n_sh").alias("nb")), "doc2")
-        .select(
+        verified.select(
             "doc1",
             "doc2",
             "cosine_micros",
             "common",
-            jac.alias("jaccard_ppb"),
-            (jac >= F.lit(500000000)).cast("int").alias("text_dup"),
+            "jaccard_ppb",
+            (F.col("jaccard_ppb") >= F.lit(DUP_JACCARD_PPB))
+            .cast("int")
+            .alias("text_dup"),
         )
         .orderBy("doc1", "doc2")
     )
@@ -1394,19 +1373,24 @@ common AS (
   FROM cand c
   JOIN sh s1 ON c.doc1 = s1.doc_id
   JOIN sh s2 ON c.doc2 = s2.doc_id AND s1.shingle = s2.shingle
-  GROUP BY c.doc1, c.doc2)
-SELECT c.doc1, c.doc2, c.cosine_micros,
-       coalesce(m.common, 0) AS common,
-       CAST(floor(coalesce(m.common, 0) * 1000000000
-                  / (sa.n_sh + sb.n_sh - coalesce(m.common, 0))) AS BIGINT)
-         AS jaccard_ppb,
-       CAST(CAST(floor(coalesce(m.common, 0) * 1000000000
-                  / (sa.n_sh + sb.n_sh - coalesce(m.common, 0))) AS BIGINT)
-            >= 500000000 AS INT) AS text_dup
-FROM cand c
-LEFT JOIN common m USING (doc1, doc2)
-JOIN sizes sa ON c.doc1 = sa.doc_id
-JOIN sizes sb ON c.doc2 = sb.doc_id
+  GROUP BY c.doc1, c.doc2),
+scored AS (
+  SELECT c.doc1, c.doc2, c.cosine_micros,
+         coalesce(m.common, 0) AS common,
+         coalesce(sa.n_sh, 0) + coalesce(sb.n_sh, 0)
+           - coalesce(m.common, 0) AS denom
+  FROM cand c
+  LEFT JOIN common m USING (doc1, doc2)
+  LEFT JOIN sizes sa ON c.doc1 = sa.doc_id
+  LEFT JOIN sizes sb ON c.doc2 = sb.doc_id)
+SELECT doc1, doc2, cosine_micros, common,
+       CASE WHEN denom > 0
+            THEN CAST(floor(common * 1000000000 / denom) AS BIGINT)
+            ELSE 0 END AS jaccard_ppb,
+       CAST(CASE WHEN denom > 0
+                 THEN CAST(floor(common * 1000000000 / denom) AS BIGINT)
+                 ELSE 0 END >= {DUP_JACCARD_PPB} AS INT) AS text_dup
+FROM scored
 ORDER BY doc1, doc2
 """
 

@@ -653,26 +653,37 @@ PQ_ITERS = 2
 PQ_TOP_K = 5
 
 
-def _pq_train(spark: SparkSession, sf_dir: str):
+def _pq_train(spark: SparkSession, sf_dir: str, base_pts: DataFrame | None = None):
     """Train the PQ codebook and encode the corpus; returns (pts, codes,
     cent) — the staged long-form micros points table (vec_id, dim, sub,
     val), the code table (vec_id, sub, cell), and the final codebook
-    (dim, cell, c). Shared by ``ann_pq`` and ``ann_ivfpq``."""
+    (dim, cell, c). Shared by ``ann_pq`` and ``ann_ivfpq``.
+
+    ``base_pts``: an ALREADY-STAGED (vec_id, dim, val) micros table to
+    reuse (ivfpq passes kmeans_loop's pts — identical floor(x*1e6)
+    arithmetic by construction); the ``sub`` column is a narrow projection
+    on top of the shared InMemoryRelation, so the composed index trains
+    both quantizers off ONE scan and ONE cached copy of the largest
+    intermediate instead of two (review finding)."""
     from .dedup import _persisted
     from .training import _floordiv
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    vm = F.transform(
-        "embedding", lambda x: F.floor(x.cast("double") * 1000000.0).cast("bigint")
-    )
-    e = emb.select("vec_id", vm.alias("vm"))
-    # staged: feeds every iteration's assignment + update, the encode pass,
-    # and the query LUT (Catalyst does no cross-branch CSE; CLAUDE.md)
-    pts = _persisted(
-        e.select("vec_id", F.posexplode("vm").alias("dim", "val")).withColumn(
-            "sub", F.expr(f"dim DIV {PQ_SUBDIM}")
+    if base_pts is not None:
+        pts = base_pts.withColumn("sub", F.expr(f"dim DIV {PQ_SUBDIM}"))
+    else:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        vm = F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000.0).cast("bigint"),
         )
-    )
+        e = emb.select("vec_id", vm.alias("vm"))
+        # staged: feeds every iteration's assignment + update, the encode
+        # pass, and the query LUT (no cross-branch CSE; CLAUDE.md)
+        pts = _persisted(
+            e.select("vec_id", F.posexplode("vm").alias("dim", "val")).withColumn(
+                "sub", F.expr(f"dim DIV {PQ_SUBDIM}")
+            )
+        )
     # seeds: the first PQ_K vectors' subvectors (cell id = seed vec_id)
     cent = pts.where(F.col("vec_id") < PQ_K).select(
         "dim", F.col("vec_id").alias("cell"), F.col("val").alias("c")
@@ -833,7 +844,7 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .training import KMEANS_ITERS, kmeans_loop
 
     k_pts, members, k_cent = kmeans_loop(spark, sf_dir, KMEANS_ITERS)
-    pq_pts, codes, pq_cent = _pq_train(spark, sf_dir)
+    pq_pts, codes, pq_cent = _pq_train(spark, sf_dir, base_pts=k_pts)
     # query -> NPROBE nearest trained coarse cells
     diff = F.col("val") - F.col("c")
     qd = (

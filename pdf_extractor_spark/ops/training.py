@@ -93,8 +93,6 @@ def exclusive_prefix_sum(
     Shard count is free for correctness; production sizes it to O(cluster
     cores) and persists to disk-backed storage at corpus scale.
     """
-    from .dedup import _persisted
-
     if shard_col is None:
         sharded = _persisted(
             df.repartitionByRange(

@@ -835,6 +835,10 @@ AUDITS: list[tuple] = [
             lambda p: contains(p, "BroadcastHashJoin"),
             lambda p: absent(p, "SortMergeJoin"),
             lambda p: occurs_at_most(p, "hashpartitioning(shingle", 1),
+            # the shingle subtree feeds bench AND corpus branches: staged
+            # via _persisted, so the raw corpus is scanned/shingled ONCE
+            lambda p: occurs_at_most(p, "documents.parquet", 1),
+            lambda p: contains(p, "InMemoryTableScan"),
             lambda p: never_reads(p, "source"),
             lambda p: never_reads(p, "lang"),
         ],
