@@ -567,8 +567,6 @@ def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mix calls for, and the hash salt makes reruns/backfills
     bit-reproducible at any cluster size. Rate exactness: same single
     IEEE double division as corpus_mix, floored to ppm on both engines."""
-    from pyspark.sql import Window
-
     docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
     counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
     expr = None

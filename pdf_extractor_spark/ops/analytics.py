@@ -229,8 +229,6 @@ def q_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     move for any mutable-entity feed (the reference applies it to artifact
     files by mtime). event_id breaks ts ties deterministically."""
     ev = _read(spark, sf_dir, "events")
-    from .portable import epoch_s
-
     w = Window.partitionBy("user_id").orderBy(
         F.desc("ts"), F.desc("event_id")
     )

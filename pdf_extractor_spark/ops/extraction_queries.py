@@ -418,22 +418,30 @@ def _snapshot_fixture_root() -> str:
     directory with NO commit marker — present on disk, invisible to every
     read, which is the uncommitted-work contract a crashed writer leaves
     behind.
+
+    Concurrent-builder safe: the whole tree is built under a pid-unique
+    staging root and atomically renamed into place, so a reader started by
+    one process can never observe a second cold-start builder truncating
+    parquet files mid-read (review finding; a visible root therefore
+    always carries ``.complete``).
     """
     import json
     import os
+    import shutil
     import tempfile
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    root = os.path.join(tempfile.gettempdir(), "pes-snapshot-fixture-v4")
+    root = os.path.join(tempfile.gettempdir(), "pes-snapshot-fixture-v5")
     done = os.path.join(root, ".complete")
     if os.path.exists(done):
         return root
+    build = f"{root}.build-{os.getpid()}"
     for chunk in range(_SNAPFIX_CHUNKS + 1):  # +1: the uncommitted chunk
         for part in range(chunk * 3, chunk * 3 + 3):
             pdir = os.path.join(
-                root, "data", _chunk_dirname(chunk), f"part_id={part}"
+                build, "data", _chunk_dirname(chunk), f"part_id={part}"
             )
             os.makedirs(pdir, exist_ok=True)
             rows = {
@@ -447,7 +455,7 @@ def _snapshot_fixture_root() -> str:
                 ),
             }
             pq.write_table(pa.table(rows), os.path.join(pdir, "part-0.parquet"))
-    os.makedirs(os.path.join(root, "commits"), exist_ok=True)
+    os.makedirs(os.path.join(build, "commits"), exist_ok=True)
     for chunk in range(_SNAPFIX_CHUNKS):  # chunk 3 gets NO marker
         marker = {
             "chunk_id": chunk,
@@ -456,12 +464,18 @@ def _snapshot_fixture_root() -> str:
             "metrics": {"docs": 12},
             "committed_at": 1700000000.0 + chunk,
         }
-        path = os.path.join(root, "commits", f"commit-{chunk:06d}.json")
-        with open(path + ".tmp", "w") as f:
+        with open(os.path.join(build, "commits", f"commit-{chunk:06d}.json"), "w") as f:
             json.dump(marker, f)
-        os.rename(path + ".tmp", path)
-    with open(done, "w") as f:
+    with open(os.path.join(build, ".complete"), "w") as f:
         f.write("ok")
+    try:
+        os.rename(build, root)
+    except OSError:
+        # a rival builder published first; its tree is complete (the
+        # rename-last protocol guarantees it) — ours is redundant
+        shutil.rmtree(build, ignore_errors=True)
+        if not os.path.exists(done):
+            raise
     return root
 
 
@@ -698,37 +712,67 @@ FROM p ORDER BY doc_id, span_idx
 # --- derived quality-signals table -------------------------------------------
 
 
-def _signals_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Build (idempotently, commit-protocol-resumable) a committed source
-    extraction of the wrapped corpus plus its derived signals table, keyed
-    by the documents parquet's identity so regenerated testdata can never
-    hit a stale fixture. Reruns are no-ops: run_extraction resumes past
-    committed parts and run_signals sees cursor == latest."""
+def _stage_fixture_base(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    version_tag: str,
+    corpus_df_fn=None,
+):
+    """Shared scaffold for the derived-stage fixtures (signals / pack /
+    curate / neardup — review finding: the identity-keying and extraction
+    contract lived in four copies): identity-keyed tempdir (the documents
+    parquet's realpath+mtime+size plus the stage's ``version_tag``, so
+    regenerated testdata or a compute-version bump can never hit a stale
+    fixture), optional derived-corpus materialization (``corpus_df_fn``),
+    and the committed source extraction. Idempotent and commit-protocol-
+    resumable: run_extraction resumes past committed parts, stage runs see
+    cursor == latest. Returns ``(base_dir, src CommitLog)``."""
     import hashlib
     import os
     import tempfile
 
     from ..spark.lineage import CommitLog, run_extraction
-    from ..spark.signals import SIGNALS_COMPUTE_VERSION, run_signals
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
     key = hashlib.md5(
         f"{os.path.realpath(src)}:{st.st_mtime_ns}:{st.st_size}"
-        f":v{SIGNALS_COMPUTE_VERSION}".encode()
+        f":{version_tag}".encode()
     ).hexdigest()[:16]
-    base = os.path.join(tempfile.gettempdir(), f"pes-signals-{key}")
-    src_root = os.path.join(base, "src")
-    out_root = os.path.join(base, "out")
+    base = os.path.join(tempfile.gettempdir(), f"pes-{name}-{key}")
+    docs_dir = sf_dir
+    if corpus_df_fn is not None:
+        docs_dir = os.path.join(base, "docs")
+        if not os.path.exists(os.path.join(docs_dir, "documents.parquet")):
+            corpus_df_fn(spark, sf_dir).write.mode("overwrite").parquet(
+                os.path.join(docs_dir, "documents.parquet")
+            )
+    src_log = CommitLog(os.path.join(base, "src"))
     run_extraction(
         spark,
-        wrap_documents(spark, sf_dir),
-        CommitLog(src_root),
+        wrap_documents(spark, docs_dir),
+        src_log,
         n_parts=16,
         parts_per_chunk=8,
         num_partitions=8,
     )
-    run_signals(spark, CommitLog(src_root), CommitLog(out_root))
+    return base, src_log
+
+
+def _signals_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Committed source extraction of the wrapped corpus plus its derived
+    signals table (idempotence/keying: _stage_fixture_base)."""
+    import os
+
+    from ..spark.lineage import CommitLog
+    from ..spark.signals import SIGNALS_COMPUTE_VERSION, run_signals
+
+    base, src_log = _stage_fixture_base(
+        spark, sf_dir, "signals", f"v{SIGNALS_COMPUTE_VERSION}"
+    )
+    out_root = os.path.join(base, "out")
+    run_signals(spark, src_log, CommitLog(out_root))
     return out_root
 
 
@@ -809,34 +853,19 @@ ORDER BY c.doc_id
 def _pack_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Committed extraction of the wrapped corpus + ONE pack pass (the
     first incremental run consumes the whole table as one window, so the
-    oracle predicts a single global packing). Same idempotence/keying
-    contract as _signals_fixture; the multi-window/kept-scope paths are
-    pytest-covered (tests/test_pack.py)."""
-    import hashlib
+    oracle predicts a single global packing). Idempotence/keying:
+    _stage_fixture_base; multi-window/kept-scope paths are pytest-covered
+    (tests/test_pack.py)."""
     import os
-    import tempfile
 
-    from ..spark.lineage import CommitLog, run_extraction
+    from ..spark.lineage import CommitLog
     from ..spark.pack import PACK_COMPUTE_VERSION, run_pack
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.realpath(src)}:{st.st_mtime_ns}:{st.st_size}"
-        f":packv{PACK_COMPUTE_VERSION}".encode()
-    ).hexdigest()[:16]
-    base = os.path.join(tempfile.gettempdir(), f"pes-pack-{key}")
-    src_root = os.path.join(base, "src")
-    out_root = os.path.join(base, "out")
-    run_extraction(
-        spark,
-        wrap_documents(spark, sf_dir),
-        CommitLog(src_root),
-        n_parts=16,
-        parts_per_chunk=8,
-        num_partitions=8,
+    base, src_log = _stage_fixture_base(
+        spark, sf_dir, "pack", f"packv{PACK_COMPUTE_VERSION}"
     )
-    run_pack(spark, CommitLog(src_root), CommitLog(out_root))
+    out_root = os.path.join(base, "out")
+    run_pack(spark, src_log, CommitLog(out_root))
     return out_root
 
 
@@ -894,39 +923,23 @@ def _curate_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _curate_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Committed extraction of the wrapped corpus + its +510000 clone
-    slice, then ONE curate pass. Same idempotence/keying contract as
-    _signals_fixture; the cross-RUN index path is pytest-covered
-    (tests/test_curate.py), the oracle value-hashes gates + global dedup."""
-    import hashlib
+    slice, then ONE curate pass. Idempotence/keying: _stage_fixture_base;
+    the cross-RUN index path is pytest-covered (tests/test_curate.py), the
+    oracle value-hashes gates + global dedup."""
     import os
-    import tempfile
 
     from ..spark.curate import CURATE_COMPUTE_VERSION, run_curate
-    from ..spark.lineage import CommitLog, run_extraction
+    from ..spark.lineage import CommitLog
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.realpath(src)}:{st.st_mtime_ns}:{st.st_size}"
-        f":curate-v{CURATE_COMPUTE_VERSION}".encode()
-    ).hexdigest()[:16]
-    base = os.path.join(tempfile.gettempdir(), f"pes-curate-{key}")
-    docs_dir = os.path.join(base, "docs")
-    if not os.path.exists(os.path.join(docs_dir, "documents.parquet")):
-        _curate_corpus_df(spark, sf_dir).write.mode("overwrite").parquet(
-            os.path.join(docs_dir, "documents.parquet")
-        )
-    src_root = os.path.join(base, "src")
-    out_root = os.path.join(base, "out")
-    run_extraction(
+    base, src_log = _stage_fixture_base(
         spark,
-        wrap_documents(spark, docs_dir),
-        CommitLog(src_root),
-        n_parts=16,
-        parts_per_chunk=8,
-        num_partitions=8,
+        sf_dir,
+        "curate",
+        f"curate-v{CURATE_COMPUTE_VERSION}",
+        corpus_df_fn=_curate_corpus_df,
     )
-    run_curate(spark, CommitLog(src_root), CommitLog(out_root))
+    out_root = os.path.join(base, "out")
+    run_curate(spark, src_log, CommitLog(out_root))
     return out_root
 
 
@@ -1107,44 +1120,27 @@ def _neardup_fixture(spark: SparkSession, sf_dir: str) -> str:
     empty-table check because a rebuild always publishes a fresh overwrite
     chunk (re-running it would still be CORRECT — the overwrite shadows —
     but the fixture should not accrete chunks on every oracle run)."""
-    import hashlib
     import os
-    import tempfile
 
     from ..spark.curate import CURATE_COMPUTE_VERSION, run_curate
-    from ..spark.lineage import CommitLog, run_extraction
+    from ..spark.lineage import CommitLog
     from ..spark.neardup import NEARDUP_COMPUTE_VERSION, run_neardup
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{os.path.realpath(src)}:{st.st_mtime_ns}:{st.st_size}"
-        f":curate-v{CURATE_COMPUTE_VERSION}:neardup-v{NEARDUP_COMPUTE_VERSION}"
-        ":kept-collapsed-v1".encode()
-    ).hexdigest()[:16]
-    base = os.path.join(tempfile.gettempdir(), f"pes-neardup-{key}")
-    docs_dir = os.path.join(base, "docs")
-    if not os.path.exists(os.path.join(docs_dir, "documents.parquet")):
-        _neardup_corpus_df(spark, sf_dir).write.mode("overwrite").parquet(
-            os.path.join(docs_dir, "documents.parquet")
-        )
-    src_root = os.path.join(base, "src")
-    cur_root = os.path.join(base, "cur")
-    ndk_root = os.path.join(base, "ndk")
-    run_extraction(
+    base, src_log = _stage_fixture_base(
         spark,
-        wrap_documents(spark, docs_dir),
-        CommitLog(src_root),
-        n_parts=16,
-        parts_per_chunk=8,
-        num_partitions=8,
+        sf_dir,
+        "neardup",
+        f"curate-v{CURATE_COMPUTE_VERSION}:neardup-v{NEARDUP_COMPUTE_VERSION}"
+        ":kept-collapsed-v1",
+        corpus_df_fn=_neardup_corpus_df,
     )
-    run_curate(spark, CommitLog(src_root), CommitLog(cur_root))
-    ndk = CommitLog(ndk_root)
+    cur_root = os.path.join(base, "cur")
+    run_curate(spark, src_log, CommitLog(cur_root))
+    ndk = CommitLog(os.path.join(base, "ndk"))
     if not ndk.committed_chunks():
         run_neardup(
             spark,
-            CommitLog(src_root),
+            src_log,
             ndk,
             rebuild=True,
             kept_from=CommitLog(cur_root),

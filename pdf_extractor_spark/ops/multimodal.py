@@ -66,9 +66,20 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for b in batches:
         rows = {k: [] for k in MEDIA_FEATURES_SCHEMA.fieldNames()}
         for i in range(len(b)):
-            payload: bytes = bytes(b["payload"].iat[i])
-            w, h = decode_image(payload)
+            raw = b["payload"].iat[i]
             rows["doc_id"].append(int(b["doc_id"].iat[i]))
+            if raw is None:
+                # a NULL payload (NULL text upstream) must yield a
+                # null-featured ROW, matching the SQL oracle — bytes(None)
+                # used to TypeError the whole task (review finding)
+                rows["n_bytes"].append(None)
+                rows["content_md5"].append(None)
+                rows["stub_width"].append(None)
+                rows["stub_height"].append(None)
+                rows["decode_status"].append("null")
+                continue
+            payload = bytes(raw)
+            w, h = decode_image(payload)
             rows["n_bytes"].append(len(payload))
             rows["content_md5"].append(hashlib.md5(payload).hexdigest())
             rows["stub_width"].append(w)
@@ -89,7 +100,10 @@ def _frame_sample_batches(every: int):
         for b in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_bytes": []}
             for i in range(len(b)):
-                payload = bytes(b["payload"].iat[i])
+                raw = b["payload"].iat[i]
+                if raw is None:
+                    continue  # NULL payload: no frames, like an empty one
+                payload = bytes(raw)
                 # frame-sample STUB: a real build hands payload to a video
                 # demuxer; here every Nth 16-byte block stands in for a frame
                 for idx, start in enumerate(range(0, len(payload), 16 * every)):
@@ -139,11 +153,16 @@ def _resize_batches(width: int, height: int):
         for b in batches:
             rows = {k: [] for k in RESIZE_SCHEMA.fieldNames()}
             for i in range(len(b)):
-                payload = bytes(b["payload"].iat[i])
-                resized = resize_image_stub(payload, width, height)
+                raw = b["payload"].iat[i]
                 rows["doc_id"].append(int(b["doc_id"].iat[i]))
                 rows["out_width"].append(width)
                 rows["out_height"].append(height)
+                if raw is None:  # null-featured row, matching the oracle
+                    rows["resized_md5"].append(None)
+                    rows["resize_status"].append("null")
+                    continue
+                payload = bytes(raw)
+                resized = resize_image_stub(payload, width, height)
                 rows["resized_md5"].append(hashlib.md5(resized).hexdigest())
                 rows["resize_status"].append("stub")
             yield pd.DataFrame(rows)
@@ -177,7 +196,7 @@ SELECT doc_id,
          AS stub_width,
        CAST(64 + (('0x' || substr(md5(text), 3, 2))::INTEGER % 192) AS INTEGER)
          AS stub_height,
-       'stub' AS decode_status
+       CASE WHEN text IS NULL THEN 'null' ELSE 'stub' END AS decode_status
 FROM documents ORDER BY doc_id
 """
 
@@ -209,7 +228,11 @@ FROM (
          (CASE WHEN n % 64 = 0 OR n % 64 >= 16
                THEN (n // 64) * 16 + (CASE WHEN n % 64 >= 16 THEN 16 ELSE 0 END)
                ELSE (n // 64) * 16 + n % 64 END) AS sum_bytes
-  FROM documents WHERE doc_id < 50)
+  FROM documents
+  -- a NULL or zero-byte payload samples NO frames on the Spark side
+  -- (the kernel's range is empty), so it must yield no row here either,
+  -- not an (n_frames=0) row (review finding)
+  WHERE doc_id < 50 AND text IS NOT NULL AND octet_length(encode(text)) > 0)
 ORDER BY doc_id
 """
 
@@ -226,7 +249,7 @@ SELECT doc_id,
        CAST(32 AS INTEGER) AS out_width,
        CAST(32 AS INTEGER) AS out_height,
        md5(md5(text) || '|32x32') AS resized_md5,
-       'stub' AS resize_status
+       CASE WHEN text IS NULL THEN 'null' ELSE 'stub' END AS resize_status
 FROM documents ORDER BY doc_id
 """
 

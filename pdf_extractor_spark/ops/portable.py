@@ -66,14 +66,24 @@ def reduce_hash_sql(expr: str) -> str:
 
 # --- tokenization ----------------------------------------------------------
 # One canonical tokenizer for dedup/textstats: lowercase, split on whitespace.
+#
+# The whitespace class is EXPLICIT, not `\s`, because the engines' `\s`
+# classes differ on vertical tab: Java regex \s = [ \t\n\x0B\f\r] while
+# DuckDB/RE2 \s = [ \t\n\f\r] (probed live on this build) — a document
+# containing \x0B would tokenize differently per engine and flip every
+# tokens-based value hash. The explicit class below is Java's definition,
+# matching the Python kernels' [ \t\n\v\f\r] (core BPE, signals).
+
+WS_CLASS = r" \t\n\x0B\f\r"  # identical meaning in Java regex and RE2
+
 
 def tokens(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
-    return F.split(F.lower(F.trim(c)), r"\s+")
+    return F.split(F.lower(F.trim(c)), rf"[{WS_CLASS}]+")
 
 
 def tokens_sql(expr: str) -> str:
-    return rf"string_split_regex(lower(trim({expr})), '\s+')"
+    return rf"string_split_regex(lower(trim({expr})), '[{WS_CLASS}]+')"
 
 
 def epoch_s(col: Column | str) -> Column:

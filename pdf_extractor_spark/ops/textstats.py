@@ -34,7 +34,9 @@ _PRIORITY = ("en", "de", "es", "fr", "zh")
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 
 # word-piece-ish lexer: alpha runs, digit runs, single other non-space
-TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# explicit whitespace class, not \s: Java and RE2 \s disagree on \x0B
+# (see portable.WS_CLASS) and this ONE string feeds BOTH engines' counters
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1209,10 +1211,10 @@ def _bpe_encode_batches(rules: list[str]):
 
         import pyarrow as pa
 
-        # EXACT portable.tokens() semantics (split(lower(trim(text)),'\s+')
-        # on both engines): ASCII-only whitespace class — Java regex \s and
-        # DuckDB/RE2 \s are [ \t\n\v\f\r], while Python's str.split()/\s are
-        # UNICODE-whitespace-aware — trim() strips SPACES only, and leading/
+        # EXACT portable.tokens() semantics (explicit [ \t\n\v\f\r]+ class
+        # on both engines — NOT \s: Java's \s includes \x0B, RE2's does
+        # not, and Python's str.split()/\s are UNICODE-whitespace-aware;
+        # see portable.WS_CLASS) — trim() strips SPACES only, and leading/
         # trailing separators yield EMPTY tokens (split keeps them; '' in,
         # e.g., a whitespace-only doc is ONE empty token, not zero tokens)
         ws = re.compile(r"[ \t\n\v\f\r]+")

@@ -231,6 +231,91 @@ def test_ann_recall_vs_bruteforce(spark):
         assert cos == sorted(cos, reverse=True), (q, rows)  # ranked by cosine
 
 
+def test_multimodal_kernels_null_and_empty_payload_parity(spark, tmp_path):
+    """NULL text rows (legal in the documents schema) must yield
+    null-featured ROWS from the pandas kernels — bytes(None) used to
+    TypeError the whole task — and frame_sample must omit null/empty docs
+    on BOTH engines (review finding)."""
+    import duckdb
+    import pandas as pd
+
+    from pdf_extractor_spark.ops.multimodal import (
+        FRAME_SAMPLE_SQL,
+        MEDIA_FEATURES_SQL,
+        MEDIA_RESIZE_SQL,
+        q_frame_sample,
+        q_media_features,
+        q_media_resize,
+    )
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["hello world", None, ""],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [11, 0, 0],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+
+    for q, sql in (
+        (q_media_features, MEDIA_FEATURES_SQL),
+        (q_media_resize, MEDIA_RESIZE_SQL),
+        (q_frame_sample, FRAME_SAMPLE_SQL),
+    ):
+        srows = [tuple(r) for r in q(spark, str(tmp_path)).collect()]
+        drows = [tuple(r) for r in con.execute(sql).fetchall()]
+        assert srows == drows, (q.__name__, srows, drows)
+    feats = {r["doc_id"]: r for r in q_media_features(spark, str(tmp_path)).collect()}
+    assert feats[2]["content_md5"] is None and feats[2]["decode_status"] == "null"
+    assert feats[3]["n_bytes"] == 0  # empty string is a real 0-byte payload
+    frame_docs = {r["doc_id"] for r in q_frame_sample(spark, str(tmp_path)).collect()}
+    assert frame_docs == {1}  # null and empty docs sample no frames
+
+
+def test_tokenizer_whitespace_class_cross_engine_on_vertical_tab(spark):
+    """Java regex \\s includes \\x0B; this build's DuckDB/RE2 \\s does not
+    (probed live — review finding). The shared tokenizer therefore uses an
+    EXPLICIT whitespace class on both engines; this pins the parity on the
+    one character the engines' \\s classes disagree about, which the
+    generated testdata never contains."""
+    import duckdb
+
+    import pyspark.sql.functions as F
+
+    from pdf_extractor_spark.ops.portable import tokens, tokens_sql
+    from pdf_extractor_spark.ops.textstats import TOKEN_REGEX
+
+    text = "A\x0bb  c\td-e"
+    srow = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(
+            tokens("text").alias("t"),
+            F.regexp_count("text", F.lit(TOKEN_REGEX)).alias("n"),
+        )
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    drow = con.execute(
+        f"SELECT {tokens_sql('?')} AS t,"
+        f" len(regexp_extract_all(?, '{TOKEN_REGEX}')) AS n",
+        [text, text],
+    ).fetchone()
+    assert list(srow["t"]) == list(drow[0]) == ["a", "b", "c", "d-e"]
+    assert srow["n"] == drow[1] == 6  # A b c d - e
+
+    # and the Python BPE kernel's class agrees (core is the test oracle)
+    import re
+
+    assert re.split(r"[ \t\n\v\f\r]+", text.lower().strip(" ")) == [
+        "a", "b", "c", "d-e",
+    ]
+
+
 def test_timestamp_queries_timezone_independent(spark):
     """The driver runs queries in ITS session, whose timezone we don't
     control. Every timestamp-arithmetic query must match its oracle under a
