@@ -86,12 +86,16 @@ def _offset_sort_key(s) -> tuple[bool, int]:
 
 def extract_document(
     spans: list[tuple[str, str, str, int]] | list[dict],
+    passwords: tuple[bytes, ...] = (),
 ) -> ExtractResult:
     """Rebuild one document's ordered output span sequence.
 
     Input spans are (kind, text, media_ref, offset); processed in offset
     order. Output offsets are reassigned densely 0..n-1 — computed inside the
     kernel, never from partition order (SURVEY.md §7.4 determinism note).
+    ``passwords`` are candidate user/owner passwords for encrypted pdf spans
+    (tried after the empty password); non-matching documents still
+    quarantine as parse failures.
     """
     t0 = time.monotonic()
     norm: list[tuple[str, str, str, int]] = []
@@ -130,7 +134,7 @@ def extract_document(
                 # media_ref prefix = the INPUT span offset: stable per doc,
                 # known to the generator oracle, no doc_id needed in-kernel
                 page_spans, n_pages, n_empty = extract_pdf_spans(
-                    pdf_bytes, ref_prefix=str(off)
+                    pdf_bytes, ref_prefix=str(off), passwords=passwords
                 )
             except (PdfParseError, ValueError, UnicodeEncodeError):
                 # binascii.Error (bad base64) subclasses ValueError
@@ -178,6 +182,7 @@ def stage_span(kind: str, text: str | None) -> bytes | None:
 
 def extract_document_staged(
     spans: list[tuple[str, bytes | None, str, int]] | list[dict],
+    passwords: tuple[bytes, ...] = (),
 ) -> ExtractResult:
     """``extract_document`` over STAGED spans (kind, payload, media_ref, offset).
 
@@ -223,7 +228,7 @@ def extract_document_staged(
                 continue
             try:
                 page_spans, n_pages, n_empty = extract_pdf_spans(
-                    payload, ref_prefix=str(off)
+                    payload, ref_prefix=str(off), passwords=passwords
                 )
             except (PdfParseError, ValueError):
                 failures += 1

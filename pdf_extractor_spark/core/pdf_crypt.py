@@ -475,16 +475,60 @@ def hash_2b(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
             return k[:32]
 
 
-def v5_file_key(u_entry: bytes, ue_entry: bytes, r: int) -> bytes:
-    """Algorithm 2.A for the EMPTY user password: authenticate against /U
-    (hash + validation salt + key salt), then unwrap the file key from /UE."""
+def v5_file_key(
+    u_entry: bytes, ue_entry: bytes, r: int, password: bytes = b""
+) -> bytes:
+    """Algorithm 2.A, USER-password path: authenticate against /U (hash +
+    validation salt + key salt), then unwrap the file key from /UE. The
+    default empty password is the owner-password-only case the reference
+    opens transparently; callers may supply a real user password (truncated
+    to 127 bytes per ISO 32000-2 7.6.4.3.3)."""
     if len(u_entry) < 48 or len(ue_entry) < 32:
         raise PdfCryptError("bad /U or /UE entry")
+    pw = password[:127]
     vsalt, ksalt = u_entry[32:40], u_entry[40:48]
-    if hash_2b(b"", vsalt, b"", r) != u_entry[:32]:
+    if hash_2b(pw, vsalt, b"", r) != u_entry[:32]:
         raise PdfCryptError("password required (empty user password rejected)")
-    ikey = hash_2b(b"", ksalt, b"", r)
+    ikey = hash_2b(pw, ksalt, b"", r)
     return _cbc_decrypt_raw(ikey, b"\x00" * 16, ue_entry[:32])
+
+
+def v5_owner_file_key(
+    o_entry: bytes, oe_entry: bytes, u_entry: bytes, r: int, password: bytes
+) -> bytes:
+    """Algorithm 2.A, OWNER-password path: the owner hash salts come from
+    /O and the full 48-byte /U participates as udata (ISO 32000-2
+    7.6.4.4.7); the file key unwraps from /OE."""
+    if len(o_entry) < 48 or len(oe_entry) < 32 or len(u_entry) < 48:
+        raise PdfCryptError("bad /O, /OE, or /U entry")
+    pw = password[:127]
+    udata = u_entry[:48]
+    vsalt, ksalt = o_entry[32:40], o_entry[40:48]
+    if hash_2b(pw, vsalt, udata, r) != o_entry[:32]:
+        raise PdfCryptError("owner password rejected")
+    ikey = hash_2b(pw, ksalt, udata, r)
+    return _cbc_decrypt_raw(ikey, b"\x00" * 16, oe_entry[:32])
+
+
+def owner_to_user_pw(owner_pw: bytes, o_entry: bytes, r: int, n: int) -> bytes:
+    """Algorithm 7 (legacy /V 1-4): invert /O with the owner-password key to
+    recover the PADDED user password (32 bytes). The result feeds Algorithm
+    2 directly — ``_pad`` truncates at 32 so the padded form round-trips —
+    and a wrong owner password simply yields garbage that then fails the
+    /U check, so no separate validation step exists (per spec)."""
+    key = hashlib.md5(_pad(owner_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    key = key[:n]
+    data = o_entry[:32]
+    if r == 2:
+        return rc4(key, data)
+    # inverse of compute_o's forward loop (i = 1..19 ascending): peel with
+    # key^19 .. key^1, then the unXORed key (i = 0)
+    for i in range(19, -1, -1):
+        data = rc4(bytes(b ^ i for b in key), data)
+    return data
 
 
 def compute_v5_entries(
@@ -541,6 +585,19 @@ class StandardCrypt:
         return rc4(k, data)
 
 
+def _candidate_seq(passwords: tuple[bytes, ...]) -> tuple[bytes, ...]:
+    """Empty password first (reference parity), then the caller's
+    candidates, deduplicated in order — hash_2b's R6 work factor makes a
+    repeated V5 derivation worth skipping."""
+    seen = {b""}
+    out = [b""]
+    for pw in passwords:
+        if pw not in seen:
+            seen.add(pw)
+            out.append(pw)
+    return tuple(out)
+
+
 MODES = {
     # mode -> (V, R, key bits, aes)
     "rc4-40": (1, 2, 40, False),
@@ -551,10 +608,21 @@ MODES = {
 }
 
 
-def make_decryptor(enc: dict, file_id: bytes, resolve) -> StandardCrypt:
-    """Build a decryptor from a resolved /Encrypt dict, authenticating the
-    EMPTY user password; raises PdfCryptError for unsupported handlers or
-    when a real user password is required (-> parse-failure quarantine)."""
+def make_decryptor(
+    enc: dict,
+    file_id: bytes,
+    resolve,
+    passwords: tuple[bytes, ...] = (),
+) -> StandardCrypt:
+    """Build a decryptor from a resolved /Encrypt dict.
+
+    Authenticates the EMPTY user password first (the owner-password-only
+    case the reference opens transparently), then each candidate in
+    ``passwords`` as a USER password, then each as an OWNER password
+    (Algorithm 7 for /V 1-4; the /O + /OE path for /V 5) — the password-list
+    workflow of a real ingest manifest. Raises PdfCryptError for unsupported
+    handlers or when no candidate authenticates (-> parse-failure
+    quarantine)."""
     filt = str(resolve(enc.get("Filter")) or "")
     if filt != "Standard":
         raise PdfCryptError(f"unsupported security handler {filt!r}")
@@ -575,7 +643,29 @@ def make_decryptor(enc: dict, file_id: bytes, resolve) -> StandardCrypt:
             raise PdfCryptError(f"unsupported /CFM {cfm!r} for /V 5")
         u_entry = str(resolve(enc.get("U")) or "").encode("latin-1")
         ue_entry = str(resolve(enc.get("UE")) or "").encode("latin-1")
-        key = v5_file_key(u_entry, ue_entry, r)
+        key = None
+        last_err: PdfCryptError | None = None
+        for pw in _candidate_seq(passwords):
+            try:
+                key = v5_file_key(u_entry, ue_entry, r, pw)
+                break
+            except PdfCryptError as e:
+                last_err = e
+        if key is None and passwords:
+            o_entry = str(resolve(enc.get("O")) or "").encode("latin-1")
+            oe_entry = str(resolve(enc.get("OE")) or "").encode("latin-1")
+            for pw in _candidate_seq(passwords):
+                try:
+                    key = v5_owner_file_key(o_entry, oe_entry, u_entry, r, pw)
+                    break
+                except PdfCryptError as e:
+                    last_err = e
+        if key is None:
+            if passwords:
+                raise PdfCryptError(
+                    "password required (no supplied candidate matched)"
+                )
+            raise last_err or PdfCryptError("password required")
         perms = str(resolve(enc.get("Perms")) or "").encode("latin-1")
         if len(perms) >= 16:
             clear = _cbc_decrypt_raw(key, b"\x00" * 16, perms[:16])
@@ -605,10 +695,24 @@ def make_decryptor(enc: dict, file_id: bytes, resolve) -> StandardCrypt:
     p = int(resolve(enc.get("P", -1)))
     em = resolve(enc.get("EncryptMetadata", True))
     em = True if em is None else bool(em)
-    key = file_key(b"", o_entry, p, file_id, r, n, encrypt_metadata=em)
-    expect_u = compute_u(key, file_id, r)
-    got = u_entry[:32] if r == 2 else u_entry[:16]
-    want = expect_u if r == 2 else expect_u[:16]
-    if got != want:
-        raise PdfCryptError("password required (empty user password rejected)")
-    return StandardCrypt(key, aes)
+    def _user_key(pw: bytes) -> bytes | None:
+        key = file_key(pw, o_entry, p, file_id, r, n, encrypt_metadata=em)
+        expect_u = compute_u(key, file_id, r)
+        got = u_entry[:32] if r == 2 else u_entry[:16]
+        want = expect_u if r == 2 else expect_u[:16]
+        return key if got == want else None
+
+    for pw in _candidate_seq(passwords):
+        key = _user_key(pw)
+        if key is not None:
+            return StandardCrypt(key, aes)
+    # owner-password candidates: Algorithm 7 recovers the padded user
+    # password, which must then pass the normal /U check (a wrong owner
+    # password yields garbage that fails it)
+    for pw in passwords:
+        key = _user_key(owner_to_user_pw(pw, o_entry, r, n))
+        if key is not None:
+            return StandardCrypt(key, aes)
+    if passwords:
+        raise PdfCryptError("password required (no supplied candidate matched)")
+    raise PdfCryptError("password required (empty user password rejected)")

@@ -411,8 +411,9 @@ class PdfDoc:
     scan fallback for files with damaged xref machinery (the reference's
     pymupdf.open repairs such files too)."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, passwords: tuple[bytes, ...] = ()):
         self.data = data
+        self._passwords = passwords
         # num -> ("n", offset) | ("s", objstm_num, index_in_stream) | ("f",)
         self.xref: dict[int, tuple] = {}
         self.trailer: dict = {}
@@ -450,7 +451,9 @@ class PdfDoc:
                 first = self.resolve(ids[0])
                 if isinstance(first, str):
                     fid = first.encode("latin-1")
-            self._crypt = make_decryptor(enc, fid, self.resolve)
+            self._crypt = make_decryptor(
+                enc, fid, self.resolve, passwords=self._passwords
+            )
         except (PdfCryptError, PdfParseError) as e:
             raise PdfParseError(f"encrypted PDF ({e})") from e
         # drop anything parsed before the key existed (raw-encrypted streams)
@@ -1791,15 +1794,23 @@ def _page_content(doc: PdfDoc, page: dict) -> bytes:
     return b"\n".join(parts)
 
 
-def parse_pdf(data: bytes) -> list[PageOut]:
-    """Parse a PDF byte string into per-page textboxes + tables."""
+def parse_pdf(
+    data: bytes, passwords: tuple[bytes, ...] = ()
+) -> list[PageOut]:
+    """Parse a PDF byte string into per-page textboxes + tables.
+
+    ``passwords`` are candidate user/owner passwords (bytes; the caller
+    encodes) tried after the empty password — the ingest-manifest
+    password-list workflow. Documents none of them open still raise
+    PdfParseError -> parse_failures quarantine."""
     if not data.startswith(b"%PDF"):
         raise PdfParseError("not a PDF (bad header)")
     try:
         # encrypted files: PdfDoc transparently decrypts the empty-user-
-        # password case (RC4-40/128, AES-128/256); password-protected or
-        # unsupported handlers raise PdfParseError -> parse_failures
-        doc = PdfDoc(data)
+        # password case (RC4-40/128, AES-128/256) and tries the caller's
+        # candidate passwords (user then owner); otherwise PdfParseError
+        # -> parse_failures
+        doc = PdfDoc(data, passwords=passwords)
         page_nodes = _page_list(doc)
 
         pages: list[PageOut] = []
@@ -1913,7 +1924,9 @@ def extract_pdf_text(data: bytes) -> list[str]:
     return [page_to_text(p) for p in parse_pdf(data)]
 
 
-def extract_pdf_spans(data: bytes, ref_prefix: str = "") -> tuple[list, int, int]:
+def extract_pdf_spans(
+    data: bytes, ref_prefix: str = "", passwords: tuple[bytes, ...] = ()
+) -> tuple[list, int, int]:
     """bytes -> (per-page span-sequence lists, n_pages, n_empty_with_images).
 
     ``n_empty_with_images`` counts pages with zero text regions but >= 1
@@ -1921,7 +1934,7 @@ def extract_pdf_spans(data: bytes, ref_prefix: str = "") -> tuple[list, int, int
     trigger, docling_processor.py:235-239) surfaced as a metric so
     downstream can route scanned documents to an OCR stage.
     """
-    pages = parse_pdf(data)
+    pages = parse_pdf(data, passwords=passwords)
     page_spans = [page_to_spans(p, i, ref_prefix) for i, p in enumerate(pages)]
     n_empty_with_images = sum(
         1 for p in pages if not p.boxes and not p.tables and p.images

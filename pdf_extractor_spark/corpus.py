@@ -519,14 +519,24 @@ def _page_kind_seq(spec: PageSpec) -> list[tuple[str, str]]:
     return seq
 
 
-def expected_extraction_rows(n_docs: int, seed: int = 42, profile: str = "mixed") -> list[dict]:
+def expected_extraction_rows(
+    n_docs: int,
+    seed: int = 42,
+    profile: str = "mixed",
+    unlock_passworded: bool = False,
+) -> list[dict]:
     """Closed-form expected (pages_parsed, spans_emitted, parse_failures,
     output kind sequence, media_refs, needs-OCR page count) per doc, derived
     from the deterministic generator — NOT by running the extraction kernel.
     Every generated span is valid, so parse_failures is identically 0; a pdf
     span emits its per-page region sequence (text groups + media spans for
     embedded images), media passes through with its ref, text/html emit one
-    text span each (the extract_document contract, core/extractor.py)."""
+    text span each (the extract_document contract, core/extractor.py).
+
+    ``unlock_passworded=True`` is the expectation when the extraction runs
+    with the corpus's user password in its candidate list: the
+    ``_pw_protected`` docs parse from their page specs instead of
+    quarantining (the ``extract_passworded_corpus`` oracle)."""
     out: list[dict] = []
     for row in gen_documents(n_docs, seed, profile=profile):
         kinds: list[str] = []
@@ -539,7 +549,7 @@ def expected_extraction_rows(n_docs: int, seed: int = 42, profile: str = "mixed"
                 kinds.append("media")
                 refs.append(s["media_ref"])
             elif s["kind"] == "pdf":
-                if s.get("_pw_protected"):
+                if s.get("_pw_protected") and not unlock_passworded:
                     # user-password-protected: quarantines as a parse
                     # failure with one empty placeholder span
                     failures += 1
@@ -579,23 +589,33 @@ def expected_extraction_rows(n_docs: int, seed: int = 42, profile: str = "mixed"
     return out
 
 
-def expected_corpus_parquet(n_docs: int, seed: int = 42, profile: str = "mixed") -> str:
-    """Materialize the expected-results table (cached by (n, seed, profile));
-    returns the parquet file path for a DuckDB ``read_parquet`` oracle."""
+def expected_corpus_parquet(
+    n_docs: int,
+    seed: int = 42,
+    profile: str = "mixed",
+    unlock_passworded: bool = False,
+) -> str:
+    """Materialize the expected-results table (cached by (n, seed, profile,
+    unlock)); returns the parquet file path for a DuckDB ``read_parquet``
+    oracle."""
     import tempfile
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    tag = "-unlocked" if unlock_passworded else ""
     out_dir = os.path.join(
-        tempfile.gettempdir(), f"pes-expected-v{_GEN_VERSION}-{profile}-{n_docs}-{seed}"
+        tempfile.gettempdir(),
+        f"pes-expected-v{_GEN_VERSION}-{profile}{tag}-{n_docs}-{seed}",
     )
     path = os.path.join(out_dir, "expected.parquet")
     done = os.path.join(out_dir, "_SUCCESS")
     if os.path.exists(done):
         return path
     os.makedirs(out_dir, exist_ok=True)
-    rows = expected_extraction_rows(n_docs, seed, profile=profile)
+    rows = expected_extraction_rows(
+        n_docs, seed, profile=profile, unlock_passworded=unlock_passworded
+    )
     table = pa.table(
         {
             "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),

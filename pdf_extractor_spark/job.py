@@ -100,6 +100,13 @@ def main(argv: list[str] | None = None) -> int:
                         "table's recovered text into the spans before "
                         "rendering, so scanned documents export with their "
                         "recovered content")
+    p.add_argument("--passwords", type=str, default=None, metavar="PW[,PW...]",
+                   help="candidate passwords for encrypted PDFs, tried "
+                        "after the empty password (user then owner path; "
+                        "UTF-8 encoded). Applies to batch extraction, "
+                        "--refresh-parts, and --watch; documents no "
+                        "candidate opens still quarantine as parse "
+                        "failures")
     p.add_argument("--state-store", choices=["hdfs", "rocksdb"], default=None,
                    help="state-store backend for stateful streaming "
                         "(--watch / --ocr-stage): rocksdb keeps state "
@@ -178,6 +185,9 @@ def main(argv: list[str] | None = None) -> int:
                         "engine itself is a declared deterministic stub in "
                         "this container)")
     args = p.parse_args(argv)
+    passwords = tuple(
+        pw.encode("utf-8") for pw in (args.passwords or "").split(",") if pw
+    )
 
     # modes and flags that would otherwise be silent no-ops fail loudly
     if not args.migrate_layout and not args.input:
@@ -496,6 +506,7 @@ def main(argv: list[str] | None = None) -> int:
                 num_partitions=args.num_partitions or 32,
                 route_needs_ocr=args.route_needs_ocr,
                 fmt=fmt,
+                passwords=passwords,
             )
             q.awaitTermination()
             # attribute only THIS stream's chunks (metrics.stream carries
@@ -553,13 +564,15 @@ def main(argv: list[str] | None = None) -> int:
             if args.refresh_parts:
                 parts = [int(x) for x in args.refresh_parts.split(",") if x != ""]
                 report = reextract_parts(
-                    spark, docs, log, parts, num_partitions=args.num_partitions
+                    spark, docs, log, parts,
+                    num_partitions=args.num_partitions, passwords=passwords,
                 )
             else:
                 report = run_extraction(
                     spark,
                     docs,
                     log,
+                    passwords=passwords,
                     n_parts=args.n_parts,
                     parts_per_chunk=(
                         64 if args.parts_per_chunk is None

@@ -359,6 +359,40 @@ def _encrypted_corpus_oracle_sql() -> str:
     )
 
 
+def q_extract_passworded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME encrypted corpus as ``extract_encrypted_corpus``, extracted
+    WITH a candidate password list (the ingest-manifest workflow; the
+    reference's pymupdf path would call ``doc.authenticate(pw)``): the
+    every-7th user-passworded docs must now parse from their page specs —
+    the wrong first candidate exercises the candidate-iteration path on
+    every worker — while the empty-password docs decrypt exactly as before.
+    Contrast pair: the listless query above pins that the same docs
+    QUARANTINE without the password."""
+    from ..corpus import corpus_df
+
+    docs = corpus_df(spark, n_docs=24, seed=7, profile="encrypted")
+    ext = extract_documents(
+        docs,
+        n_parts=8,
+        num_partitions=8,
+        passwords=(b"wrong-guess", b"real-password"),
+    )
+    return _corpus_projection(ext)
+
+
+def _passworded_corpus_oracle_sql() -> str:
+    from ..corpus import expected_corpus_parquet
+
+    path = expected_corpus_parquet(
+        24, seed=7, profile="encrypted", unlock_passworded=True
+    )
+    return (
+        "SELECT doc_id, pages_parsed, spans_emitted, parse_failures, kinds, "
+        "media_refs, empty_pages "
+        f"FROM read_parquet('{path}') ORDER BY doc_id"
+    )
+
+
 def q_extract_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME flagship extraction, but through the internal binary-payload
     staging table (spark/staging.py): ingest -> ``stage_documents`` (one
@@ -1252,5 +1286,9 @@ QUERIES: dict[str, tuple] = {
     "extract_encrypted_corpus": (
         q_extract_encrypted_corpus,
         _encrypted_corpus_oracle_sql,
+    ),
+    "extract_passworded_corpus": (
+        q_extract_passworded_corpus,
+        _passworded_corpus_oracle_sql,
     ),
 }

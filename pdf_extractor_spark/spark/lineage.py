@@ -1014,6 +1014,7 @@ def reextract_parts(
     log: CommitLog,
     parts: list[int],
     num_partitions: int | None = None,
+    passwords: tuple[bytes, ...] = (),
 ) -> RunReport:
     """Re-extract CHANGED partitions in place — the dynamic-partition-
     overwrite analogue (Iceberg ``overwritePartitions``).
@@ -1040,7 +1041,9 @@ def reextract_parts(
     docs = assign_part_id(documents.select("doc_id", "spans"), n_parts).filter(
         F.col("part_id").isin(list(parts))
     )
-    extracted = extract_documents(docs, n_parts=n_parts, num_partitions=num_partitions)
+    extracted = extract_documents(
+        docs, n_parts=n_parts, num_partitions=num_partitions, passwords=passwords
+    )
     chunk_id = log.reserve_chunk_id()
     metrics = _write_chunk(
         spark, log, extracted, chunk_id, sorted(parts), n_parts, overwrite=True
@@ -1056,6 +1059,7 @@ def run_extraction(
     parts_per_chunk: int = 64,
     num_partitions: int | None = None,
     fail_after_chunks: int | None = None,
+    passwords: tuple[bytes, ...] = (),
 ) -> RunReport:
     """Resumable driver: process uncommitted part_ids in chunk-sized jobs.
 
@@ -1114,7 +1118,10 @@ def run_extraction(
             pending = pending[parts_per_chunk:]
             chunk_docs = docs.filter(F.col("part_id").isin(chunk_parts))
             extracted = extract_documents(
-                chunk_docs, n_parts=n_parts, num_partitions=num_partitions
+                chunk_docs,
+                n_parts=n_parts,
+                num_partitions=num_partitions,
+                passwords=passwords,
             )
             chunk_id = log.reserve_chunk_id()
             try:

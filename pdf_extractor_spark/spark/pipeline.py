@@ -153,7 +153,9 @@ def balance_partitions(
     return df.repartition(num_partitions, F.col("doc_id"))
 
 
-def _make_extract_batches_arrow(kernel_name: str):
+def _make_extract_batches_arrow(
+    kernel_name: str, passwords: tuple[bytes, ...] = ()
+):
     """Columnar Arrow kernel wrapper factory (mapInArrow).
 
     One builder serves both input encodings — ``kernel_name`` selects the
@@ -180,7 +182,12 @@ def _make_extract_batches_arrow(kernel_name: str):
 
         from pdf_extractor_spark.core import extractor
 
-        extract_fn = getattr(extractor, kernel_name)
+        kernel = getattr(extractor, kernel_name)
+        extract_fn = (
+            kernel
+            if not passwords
+            else (lambda spans: kernel(spans, passwords=passwords))
+        )
 
         span_type = pa.struct(
             [
@@ -295,7 +302,9 @@ def _extract_record_batches(pa, extract_fn, span_type, batches):
 _extract_batches_arrow = _make_extract_batches_arrow("extract_document")
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches(
+    batches: Iterator[pd.DataFrame], passwords: tuple[bytes, ...] = ()
+) -> Iterator[pd.DataFrame]:
     # imported inside the worker so the Python workers only need core/
     from pdf_extractor_spark.core.extractor import extract_document
 
@@ -314,7 +323,9 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for i in range(len(pdf_batch)):
             doc_id = pdf_batch["doc_id"].iat[i]
             spans = pdf_batch["spans"].iat[i]
-            res = extract_document(list(spans) if spans is not None else [])
+            res = extract_document(
+                list(spans) if spans is not None else [], passwords=passwords
+            )
             out["doc_id"].append(doc_id)
             out["spans"].append(
                 [
@@ -337,6 +348,7 @@ def extract_documents(
     num_partitions: int | None = None,
     balance: bool = True,
     use_arrow: bool = True,
+    passwords: tuple[bytes, ...] = (),
 ) -> DataFrame:
     """documents(doc_id, spans) -> extracted(doc_id, spans, metrics..., part_id).
 
@@ -349,5 +361,16 @@ def extract_documents(
     if balance:
         df = balance_partitions(df, num_partitions or max(n_parts // 2, 32))
     if use_arrow:
-        return df.mapInArrow(_extract_batches_arrow, schema=EXTRACTED_SCHEMA)
+        kernel = (
+            _extract_batches_arrow
+            if not passwords
+            else _make_extract_batches_arrow("extract_document", passwords)
+        )
+        return df.mapInArrow(kernel, schema=EXTRACTED_SCHEMA)
+    if passwords:
+        pw = tuple(passwords)
+        return df.mapInPandas(
+            lambda it: _extract_batches(it, passwords=pw),
+            schema=EXTRACTED_SCHEMA,
+        )
     return df.mapInPandas(_extract_batches, schema=EXTRACTED_SCHEMA)

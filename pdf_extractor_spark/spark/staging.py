@@ -181,6 +181,7 @@ def extract_documents_staged(
     n_parts: int = 256,
     num_partitions: int | None = None,
     balance: bool = True,
+    passwords: tuple[bytes, ...] = (),
 ) -> DataFrame:
     """staged(doc_id, spans<binary>) -> extracted(...) — same output schema
     and byte-identical values as ``pipeline.extract_documents`` on the
@@ -192,7 +193,12 @@ def extract_documents_staged(
         df = balance_partitions(
             df, num_partitions or max(n_parts // 2, 32), payload_field="payload"
         )
-    return df.mapInArrow(_extract_staged_batches_arrow, schema=EXTRACTED_SCHEMA)
+    kernel = (
+        _extract_staged_batches_arrow
+        if not passwords
+        else _make_extract_batches_arrow("extract_document_staged", passwords)
+    )
+    return df.mapInArrow(kernel, schema=EXTRACTED_SCHEMA)
 
 
 def read_staged(spark: SparkSession, path: str) -> DataFrame:

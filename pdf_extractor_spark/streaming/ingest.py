@@ -276,6 +276,7 @@ def make_batch_processor(
     num_partitions: int = 32,
     route_needs_ocr: bool = False,
     stream_ns: str = "stream",
+    passwords: tuple[bytes, ...] = (),
 ):
     """foreachBatch callable: (batch_df, epoch_id) -> one committed chunk.
 
@@ -324,7 +325,10 @@ def make_batch_processor(
         if eid in done_epochs:  # replayed epoch after restart
             return
         extracted = extract_documents(
-            batch_df, n_parts=n_parts, num_partitions=num_partitions
+            batch_df,
+            n_parts=n_parts,
+            num_partitions=num_partitions,
+            passwords=passwords,
         )
         chunk_id = log.reserve_chunk_id()
         side = (
@@ -357,6 +361,7 @@ def start_extraction_stream(
     max_files_per_trigger: int = 4,
     route_needs_ocr: bool = False,
     fmt: str = "parquet",
+    passwords: tuple[bytes, ...] = (),
 ) -> StreamingQuery:
     """Incremental extraction: each micro-batch becomes one committed chunk.
 
@@ -367,6 +372,7 @@ def start_extraction_stream(
     process_batch = make_batch_processor(
         spark, log, n_parts=n_parts,
         num_partitions=num_partitions, route_needs_ocr=route_needs_ocr,
+        passwords=passwords,
         stream_ns=os.path.realpath(checkpoint_dir),
     )
     return (
