@@ -107,6 +107,13 @@ def main(argv: list[str] | None = None) -> int:
                         "--refresh-parts, and --watch; documents no "
                         "candidate opens still quarantine as parse "
                         "failures")
+    p.add_argument("--password-manifest", type=str, default=None,
+                   metavar="CSV",
+                   help="CSV with header columns doc_id,password: per-"
+                        "document passwords left-joined onto the input "
+                        "before extraction (each locked doc tries its own "
+                        "password first, then the --passwords list); "
+                        "batch modes only")
     p.add_argument("--state-store", choices=["hdfs", "rocksdb"], default=None,
                    help="state-store backend for stateful streaming "
                         "(--watch / --ocr-stage): rocksdb keeps state "
@@ -559,6 +566,27 @@ def main(argv: list[str] | None = None) -> int:
                 else:
                     docs = spark.read.parquet(args.input).select("doc_id", "spans")
 
+            password_col = None
+            if args.password_manifest:
+                from pyspark.sql import functions as _F
+
+                from pdf_extractor_spark.sources.manifest import (
+                    sniff_delimiter,
+                )
+
+                pw_df = spark.read.csv(
+                    args.password_manifest,
+                    header=True,
+                    sep=sniff_delimiter(args.password_manifest),
+                    schema="doc_id STRING, password STRING",
+                )
+                if pw_df.columns != ["doc_id", "password"]:
+                    p.error(
+                        "--password-manifest needs header columns "
+                        f"doc_id,password; got {pw_df.columns}"
+                    )
+                docs = docs.join(_F.broadcast(pw_df), "doc_id", "left")
+                password_col = "password"
             log = CommitLog(args.output)
             t0 = time.monotonic()
             if args.refresh_parts:
@@ -566,6 +594,7 @@ def main(argv: list[str] | None = None) -> int:
                 report = reextract_parts(
                     spark, docs, log, parts,
                     num_partitions=args.num_partitions, passwords=passwords,
+                    password_col=password_col,
                 )
             else:
                 report = run_extraction(
@@ -573,6 +602,7 @@ def main(argv: list[str] | None = None) -> int:
                     docs,
                     log,
                     passwords=passwords,
+                    password_col=password_col,
                     n_parts=args.n_parts,
                     parts_per_chunk=(
                         64 if args.parts_per_chunk is None

@@ -380,6 +380,34 @@ def q_extract_passworded_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _corpus_projection(ext)
 
 
+def q_extract_pw_manifest_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document password manifest (round 4): a (doc_id, password) table
+    left-joined onto the encrypted corpus and consumed via
+    ``extract_documents(password_col=...)`` — each locked doc pays exactly
+    ONE key derivation for its own password (the V5/R6 hash is a ~0.3 s
+    work factor by design, so a global candidate list multiplies it by
+    list length on every locked doc; the manifest is the shape that scales).
+    The manifest is derived from the generator rule (every 7th doc carries
+    the password — doc ids are ``doc-<seed>-<d:08d>``), so docs outside it
+    get a null password and decrypt via the empty-password path exactly as
+    in ``extract_encrypted_corpus``. Same unlocked oracle as
+    ``extract_passworded_corpus``: the two distributed password paths
+    (global list, per-doc column) must agree value-for-value."""
+    from ..corpus import corpus_df
+
+    docs = corpus_df(spark, n_docs=24, seed=7, profile="encrypted")
+    manifest = (
+        docs.select("doc_id")
+        .where(F.substring("doc_id", -8, 8).cast("int") % 7 == 0)
+        .withColumn("password", F.lit("real-password"))
+    )
+    joined = docs.join(F.broadcast(manifest), "doc_id", "left")
+    ext = extract_documents(
+        joined, n_parts=8, num_partitions=8, password_col="password"
+    )
+    return _corpus_projection(ext)
+
+
 def _passworded_corpus_oracle_sql() -> str:
     from ..corpus import expected_corpus_parquet
 
@@ -1289,6 +1317,10 @@ QUERIES: dict[str, tuple] = {
     ),
     "extract_passworded_corpus": (
         q_extract_passworded_corpus,
+        _passworded_corpus_oracle_sql,
+    ),
+    "extract_pw_manifest_corpus": (
+        q_extract_pw_manifest_corpus,
         _passworded_corpus_oracle_sql,
     ),
 }

@@ -834,19 +834,27 @@ class CommitLog:
         )
 
 
-def resume_filter(documents: DataFrame, log: CommitLog, n_parts: int) -> DataFrame:
+def resume_filter(
+    documents: DataFrame,
+    log: CommitLog,
+    n_parts: int,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Drop documents whose logical partition is already committed.
 
     The left-anti join from SURVEY.md §2.2-P3 (the reference's
     skip-if-complete check, helper.py:51-70, lifted to partition granularity).
     The committed set is tiny (one int per partition) so Spark broadcasts it —
-    no shuffle of the 10^12-row input.
+    no shuffle of the 10^12-row input. ``keep_cols`` preserves extra input
+    columns through the early projection (e.g. a per-doc password column).
     """
     from .pipeline import assign_part_id
 
     spark = documents.sparkSession
     done = sorted(log.committed_part_ids())
-    docs = assign_part_id(documents.select("doc_id", "spans"), n_parts)
+    docs = assign_part_id(
+        documents.select("doc_id", "spans", *keep_cols), n_parts
+    )
     if not done:
         return docs
     done_df = spark.createDataFrame([(p,) for p in done], "part_id int")
@@ -1015,6 +1023,7 @@ def reextract_parts(
     parts: list[int],
     num_partitions: int | None = None,
     passwords: tuple[bytes, ...] = (),
+    password_col: str | None = None,
 ) -> RunReport:
     """Re-extract CHANGED partitions in place — the dynamic-partition-
     overwrite analogue (Iceberg ``overwritePartitions``).
@@ -1042,7 +1051,11 @@ def reextract_parts(
         F.col("part_id").isin(list(parts))
     )
     extracted = extract_documents(
-        docs, n_parts=n_parts, num_partitions=num_partitions, passwords=passwords
+        docs,
+        n_parts=n_parts,
+        num_partitions=num_partitions,
+        passwords=passwords,
+        password_col=password_col,
     )
     chunk_id = log.reserve_chunk_id()
     metrics = _write_chunk(
@@ -1060,6 +1073,7 @@ def run_extraction(
     num_partitions: int | None = None,
     fail_after_chunks: int | None = None,
     passwords: tuple[bytes, ...] = (),
+    password_col: str | None = None,
 ) -> RunReport:
     """Resumable driver: process uncommitted part_ids in chunk-sized jobs.
 
@@ -1093,7 +1107,12 @@ def run_extraction(
     if not todo:
         return report
 
-    docs = resume_filter(documents, log, n_parts)
+    docs = resume_filter(
+        documents,
+        log,
+        n_parts,
+        keep_cols=() if password_col is None else (password_col,),
+    )
     multi_chunk = len(todo) > parts_per_chunk
     if multi_chunk:
         # Each chunk filters the same input; persist once instead of
@@ -1122,6 +1141,7 @@ def run_extraction(
                 n_parts=n_parts,
                 num_partitions=num_partitions,
                 passwords=passwords,
+                password_col=password_col,
             )
             chunk_id = log.reserve_chunk_id()
             try:

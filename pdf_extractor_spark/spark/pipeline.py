@@ -158,6 +158,11 @@ def _make_extract_batches_arrow(
 ):
     """Columnar Arrow kernel wrapper factory (mapInArrow).
 
+    A "_password" input column (see ``extract_documents`` password_col)
+    supplies PER-DOCUMENT candidates tried before the global list — the
+    manifest workflow that avoids paying every candidate's V5 key
+    derivation on every locked doc.
+
     One builder serves both input encodings — ``kernel_name`` selects the
     per-document kernel: ``"extract_document"`` (ingest spans, string
     payload) or ``"extract_document_staged"`` (staging-table spans, binary
@@ -183,11 +188,16 @@ def _make_extract_batches_arrow(
         from pdf_extractor_spark.core import extractor
 
         kernel = getattr(extractor, kernel_name)
-        extract_fn = (
-            kernel
-            if not passwords
-            else (lambda spans: kernel(spans, passwords=passwords))
-        )
+
+        def extract_fn(spans, doc_pw=None):
+            cands = (
+                passwords
+                if doc_pw is None
+                else (doc_pw.encode("utf-8"), *passwords)
+            )
+            if cands:
+                return kernel(spans, passwords=cands)
+            return kernel(spans)
 
         span_type = pa.struct(
             [
@@ -210,6 +220,11 @@ def _extract_record_batches(pa, extract_fn, span_type, batches):
         spans_col = rb.column(names.index("spans"))
         has_part = "part_id" in names
         parts = rb.column(names.index("part_id")).to_pylist() if has_part else None
+        pw_col = (
+            rb.column(names.index("_password")).to_pylist()
+            if "_password" in names
+            else None
+        )
         n = len(doc_ids)
 
         lengths = spans_col.value_lengths().to_pylist()
@@ -244,7 +259,7 @@ def _extract_record_batches(pa, extract_fn, span_type, batches):
                 )
             )
             pos += ln
-            res = extract_fn(spans)
+            res = extract_fn(spans, pw_col[i] if pw_col is not None else None)
             for k, t, m, o in res.spans:
                 out_kind.append(k)
                 out_text.append(t)
@@ -320,11 +335,18 @@ def _extract_batches(
             "part_id": [],
         }
         has_part = "part_id" in pdf_batch.columns
+        has_pw = "_password" in pdf_batch.columns
         for i in range(len(pdf_batch)):
             doc_id = pdf_batch["doc_id"].iat[i]
             spans = pdf_batch["spans"].iat[i]
+            doc_pw = pdf_batch["_password"].iat[i] if has_pw else None
+            cands = (
+                passwords
+                if doc_pw is None
+                else (doc_pw.encode("utf-8"), *passwords)
+            )
             res = extract_document(
-                list(spans) if spans is not None else [], passwords=passwords
+                list(spans) if spans is not None else [], passwords=cands
             )
             out["doc_id"].append(doc_id)
             out["spans"].append(
@@ -349,25 +371,39 @@ def extract_documents(
     balance: bool = True,
     use_arrow: bool = True,
     passwords: tuple[bytes, ...] = (),
+    password_col: str | None = None,
 ) -> DataFrame:
     """documents(doc_id, spans) -> extracted(doc_id, spans, metrics..., part_id).
 
     The whole reference extraction loop (dashboard.py:588 + processor page
     loops) as one declarative stage. Lazy — call .write / lineage.commit to
     execute.
+
+    ``passwords`` are GLOBAL candidate passwords for encrypted pdf spans;
+    ``password_col`` names an input column carrying a PER-DOCUMENT
+    candidate (null = none — a manifest of (doc_id, password) left-joined
+    onto the corpus), tried before the global list. Per-doc is the shape
+    that scales: the V5/R6 key derivation is a deliberate ~0.3 s work
+    factor, so trying a global list of N candidates on every locked doc
+    costs N derivations where the manifest pays one.
     """
-    df = df.select("doc_id", "spans")
+    if password_col is not None:
+        df = df.select(
+            "doc_id", "spans", F.col(password_col).alias("_password")
+        )
+    else:
+        df = df.select("doc_id", "spans")
     df = assign_part_id(df, n_parts)
     if balance:
         df = balance_partitions(df, num_partitions or max(n_parts // 2, 32))
     if use_arrow:
         kernel = (
             _extract_batches_arrow
-            if not passwords
+            if not passwords and password_col is None
             else _make_extract_batches_arrow("extract_document", passwords)
         )
         return df.mapInArrow(kernel, schema=EXTRACTED_SCHEMA)
-    if passwords:
+    if passwords or password_col is not None:
         pw = tuple(passwords)
         return df.mapInPandas(
             lambda it: _extract_batches(it, passwords=pw),

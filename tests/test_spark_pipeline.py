@@ -816,3 +816,47 @@ def test_schema_evolution_add_and_drop_column(spark, tmp_path):
     at0 = log.read_table(spark, v2, as_of=0).collect()
     assert {r["doc_id"] for r in at0} == {"a", "b"}
     assert all(r["quality_micros"] is None for r in at0)
+
+
+def test_per_doc_password_column_both_paths(spark):
+    """``password_col`` (round 4): a (doc_id, password) manifest left-joined
+    onto the encrypted corpus unlocks exactly the passworded docs — per-doc
+    candidates beat a global list at scale because each locked doc pays ONE
+    V5 key derivation. Arrow and pandas kernels must agree with the
+    closed-form unlocked expectation; docs outside the manifest (null
+    password) still decrypt via the empty-password path."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.corpus import (
+        corpus_parquet,
+        expected_extraction_rows,
+    )
+    from pdf_extractor_spark.spark.pipeline import extract_documents
+
+    docs = spark.read.parquet(corpus_parquet(24, seed=7, profile="encrypted"))
+    manifest = (
+        docs.select("doc_id")
+        .where(F.substring("doc_id", -8, 8).cast("int") % 7 == 0)
+        .withColumn("password", F.lit("real-password"))
+    )
+    joined = docs.join(F.broadcast(manifest), "doc_id", "left")
+    exp = {
+        r["doc_id"]: r["parse_failures"]
+        for r in expected_extraction_rows(
+            24, seed=7, profile="encrypted", unlock_passworded=True
+        )
+    }
+    assert sum(exp.values()) == 0  # every doc unlocks under the manifest
+    for use_arrow in (True, False):
+        ext = extract_documents(
+            joined,
+            n_parts=8,
+            num_partitions=4,
+            password_col="password",
+            use_arrow=use_arrow,
+        )
+        got = {
+            r["doc_id"]: r["parse_failures"]
+            for r in ext.select("doc_id", "parse_failures").collect()
+        }
+        assert got == exp, use_arrow
