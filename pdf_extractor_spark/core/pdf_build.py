@@ -47,7 +47,7 @@ class TextBox:
     leading: float = 14.0
     # which operator family the builder uses to place the box — exercises
     # different parser paths while producing identical layout
-    style: str = "td"  # td | tm | quote | tj_array | hex
+    style: str = "td"  # td | tm | quote | tj_array | tex | hex | words
     font: str = "F1"  # F2 = /Differences remap; F4 = named base encoding
     # optional CTM (a, b, c, d, e, f) applied via "q ... cm ... Q"; the
     # builder emits pre-transformed coordinates so the DEVICE-space layout
@@ -285,6 +285,13 @@ def _textbox_ops(
                 # split the line across a TJ array with kerning numbers
                 mid = max(1, len(line) // 2)
                 ops.append(f"[{tok(line[:mid])} -20 {tok(line[mid:])}] TJ")
+            elif box.style == "tex":
+                # pdfTeX shape: NO space glyphs — inter-word spacing is
+                # pure TJ kerning ("[(This)-371(man)28(ual)]TJ"); the
+                # parser's _join_tj_array must read the wide gaps back as
+                # spaces for the roundtrip to hold byte-exact
+                parts = " -350 ".join(tok(w) for w in line.split(" "))
+                ops.append(f"[{parts}] TJ")
             else:
                 ops.append(f"{tok(line)} Tj")
     ops.append("ET")

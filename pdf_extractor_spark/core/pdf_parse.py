@@ -1131,7 +1131,7 @@ def _tokenize(stream: bytes, stack: list | None = None):
             if push is None:
                 yield ("arr", arr)
             else:
-                push("".join(v for k, v in arr if k == "str"))
+                push(_join_tj_array(arr))
             i += 1  # past ']'
         elif c == 0x2F:  # /
             m = bare_match(stream, i + 1)
@@ -1175,6 +1175,37 @@ def _tokenize(stream: bytes, stack: list | None = None):
                 continue
             yield ("op", op) if push is None else op
             i = m.end()
+
+
+# A TJ element number is SUBTRACTED from the glyph displacement (ISO
+# 32000-1 9.4.3, thousandths of text-space units): a large negative value
+# is a rightward gap. Real writers — pdfTeX foremost — encode inter-word
+# spaces this way instead of space glyphs ("[(This)-371(man)28(ual)]TJ"),
+# so dropping the numbers fuses words. A space glyph is ~250/1000 em in
+# common fonts and TeX kerns stay within ~±100, so a gap beyond 180
+# (≈0.7 space widths; same decision rule family as pdftotext/pdfminer's
+# word-margin) reads as a word break.
+_TJ_SPACE_KERN = -180.0
+
+
+def _join_tj_array(arr: list) -> str:
+    """Concatenate a TJ operand array's strings, inserting a space at each
+    kern gap wide enough to be an encoded word break (never leading, never
+    doubled; a trailing gap emits nothing)."""
+    buf: list[str] = []
+    for k, v in arr:
+        if k == "str":
+            buf.append(v)
+        elif (
+            k == "num"
+            and v <= _TJ_SPACE_KERN
+            and buf
+            and not buf[-1].endswith(" ")
+        ):
+            buf.append(" ")
+    if buf and buf[-1] == " ":
+        buf.pop()
+    return "".join(buf)
 
 
 def _tokenize_until(stream: bytes, start: int):

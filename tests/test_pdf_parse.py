@@ -178,3 +178,63 @@ def test_roundtrip_property_arbitrary_text():
         assert text == "\n".join(lines)
 
     inner()
+
+
+def test_tj_kern_word_spacing():
+    """pdfTeX-style text carries NO space glyphs — inter-word spacing is
+    encoded as wide negative TJ kerns ("[(This)-371(man)28(ual)]TJ").
+    _join_tj_array must read gaps beyond the space threshold back as
+    spaces (round 4; verified against real pdfTeX documents), while small
+    typographic kerns like the builder's intra-word -20 stay fused."""
+    from pdf_extractor_spark.core.pdf_build import PageSpec, TextBox, build_pdf
+    from pdf_extractor_spark.core.pdf_parse import (
+        _join_tj_array,
+        extract_pdf_text,
+    )
+
+    # unit semantics: threshold, no leading/doubled/trailing inserts
+    assert _join_tj_array(
+        [("str", "This"), ("num", -371.0), ("str", "man"),
+         ("num", 28.0), ("str", "ual")]
+    ) == "This manual"
+    cases = [
+        ([("str", "a"), ("num", -350.0), ("str", "b")], "a b"),
+        ([("str", "a"), ("num", -20.0), ("str", "b")], "ab"),
+        ([("str", "a"), ("num", 350.0), ("str", "b")], "ab"),  # leftward
+        ([("num", -350.0), ("str", "a")], "a"),  # never leading
+        ([("str", "a"), ("num", -350.0), ("num", -350.0), ("str", "b")], "a b"),
+        ([("str", "a"), ("num", -350.0)], "a"),  # trailing gap dropped
+        ([("str", "a "), ("num", -350.0), ("str", "b")], "a b"),  # no double
+    ]
+    for arr, want in cases:
+        assert _join_tj_array(arr) == want, arr
+
+    # build -> parse roundtrip: the "tex" builder style emits kern-only
+    # word gaps and must come back byte-exact
+    lines = ["This manual is for GNU Libtasn1.", "Second line here."]
+    page = PageSpec(boxes=[TextBox(x=72, y_top=100, lines=lines, style="tex")])
+    [text] = extract_pdf_text(build_pdf([page]))
+    assert text == "\n".join(lines)
+
+
+def test_real_pdftex_documents_parse_with_word_spacing():
+    """Golden check against genuinely foreign PDFs (pdfTeX / docbook output
+    shipped with the OS) — not this repo's builder: multi-page parse, real
+    word boundaries recovered from TJ kerning. Skipped where the files
+    don't exist."""
+    import os
+
+    import pytest as _pytest
+
+    from pdf_extractor_spark.core.pdf_parse import extract_pdf_spans
+
+    path = "/usr/share/doc/libtasn1-doc/libtasn1.pdf"
+    if not os.path.exists(path):
+        _pytest.skip("system PDF not present")
+    spans, n_pages, _ = extract_pdf_spans(open(path, "rb").read())
+    assert n_pages == 36
+    all_text = "\n".join(t for ps in spans for _, t, _ in ps)
+    assert "Abstract Syntax Notation One" in all_text
+    assert "version 4.19.0" in all_text
+    # the pre-fix failure mode: fused words
+    assert "AbstractSyntaxNotation" not in all_text
