@@ -754,7 +754,11 @@ _GLYPHS: dict[str, str] = {
     "oslash": "ø", "Oslash": "Ø", "ae": "æ", "AE": "Æ",
     "Euro": "€", "sterling": "£", "yen": "¥", "cent": "¢",
     "degree": "°", "plusminus": "±", "section": "§",
-    "ellipsis": "…", "dagger": "†",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "copyright": "©", "registered": "®", "trademark": "™",
+    # AGL f-ligatures (TeX Type1 fonts place these via /Differences)
+    "fi": "\ufb01", "fl": "\ufb02", "ff": "\ufb00",
+    "ffi": "\ufb03", "ffl": "\ufb04",
 }
 for _ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz":
     _GLYPHS[_ch] = _ch
@@ -977,6 +981,21 @@ def _build_font(doc: PdfDoc, font_obj) -> _Font:
             return _Font(is_cid=True, cid_map=cid_map, ucs2_codes=True)
         raise PdfParseError(f"unsupported Type0 encoding {enc!r}")
     enc = doc.resolve(fd.get("Encoding"))
+    # simple-font /ToUnicode (round 4): the author's declared code->unicode
+    # CMap, the mapping pdftotext/pymupdf prefer; layered OVER the
+    # glyph-name decode so e.g. a TeX font's /Differences [2 /fi /fl] with
+    # "<02> <fb01>" (or a decomposed "fi") reads as the author wrote it —
+    # previously these fonts fell back to glyph names only
+    tu = doc.resolve(fd.get("ToUnicode"))
+    tu_map: dict[int, str] = {}
+    if isinstance(tu, Stream):
+        try:
+            raw = _apply_filters(tu.raw, tu.dict, doc.resolve)
+            tu_map = {
+                k: v for k, v in _parse_tounicode(raw).items() if 0 <= k <= 0xFF
+            }
+        except PdfParseError:
+            tu_map = {}  # a damaged ToUnicode never fails the document
     base_map: dict[int, str] | None = None
     diffs = None
     if isinstance(enc, Name):
@@ -991,7 +1010,7 @@ def _build_font(doc: PdfDoc, font_obj) -> _Font:
         diffs = doc.resolve(enc.get("Differences"))
     if not isinstance(diffs, list):
         diffs = None
-    if base_map is None and diffs is None:
+    if base_map is None and diffs is None and not tu_map:
         return _Font()
     # /Differences layer ON TOP of the base encoding (ISO 32000 9.6.5.1)
     dmap: dict[int, str] = dict(base_map or {})
@@ -1005,6 +1024,7 @@ def _build_font(doc: PdfDoc, font_obj) -> _Font:
             code += 1
         else:
             raise PdfParseError("bad /Differences entry")
+    dmap.update(tu_map)
     return _Font(decode_map=dmap or None)
 
 

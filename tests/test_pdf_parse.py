@@ -238,3 +238,14 @@ def test_real_pdftex_documents_parse_with_word_spacing():
     assert "version 4.19.0" in all_text
     # the pre-fix failure mode: fused words
     assert "AbstractSyntaxNotation" not in all_text
+
+    path2 = "/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf"
+    if not os.path.exists(path2):
+        return
+    spans2, n2, _ = extract_pdf_spans(open(path2, "rb").read())
+    txt2 = "\n".join(t for ps in spans2 for _, t, _ in ps)
+    assert n2 == 17
+    # TeX Type1 f-ligatures decode through the simple-font ToUnicode CMap
+    # (pre-fix: 197 U+FFFD from /Differences [2 /fi /fl])
+    assert "�" not in txt2
+    assert "specification" in txt2
