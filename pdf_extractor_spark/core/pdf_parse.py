@@ -803,6 +803,12 @@ class _Font:
     """
 
     decode_map: dict[int, str] | None = None
+    # simple-font /Widths (code -> glyph width in 1/1000 text units, round
+    # 4): real advances for the line assembler's end-of-item estimate —
+    # the 0.5 em/char model accumulates enough error over a long show
+    # string to misjudge same-baseline continuation vs column gutter
+    widths: dict[int, float] | None = None
+    missing_width: float = 0.0
     is_cid: bool = False
     cid_map: dict[int, str] | None = None
     code_ranges: list[tuple[int, int, int]] | None = None  # (lo, hi, nbytes)
@@ -980,6 +986,24 @@ def _build_font(doc: PdfDoc, font_obj) -> _Font:
             # so text decodes without any ToUnicode (common CJK subset)
             return _Font(is_cid=True, cid_map=cid_map, ucs2_codes=True)
         raise PdfParseError(f"unsupported Type0 encoding {enc!r}")
+    widths: dict[int, float] | None = None
+    missing_width = 0.0
+    try:
+        first = doc.resolve(fd.get("FirstChar"))
+        warr = doc.resolve(fd.get("Widths"))
+        if isinstance(first, (int, float)) and isinstance(warr, list):
+            widths = {
+                int(first) + i: float(doc.resolve(w))
+                for i, w in enumerate(warr)
+                if isinstance(doc.resolve(w), (int, float))
+            }
+            desc = doc.resolve(fd.get("FontDescriptor"))
+            if isinstance(desc, dict):
+                mw = doc.resolve(desc.get("MissingWidth"))
+                if isinstance(mw, (int, float)):
+                    missing_width = float(mw)
+    except PdfParseError:
+        widths = None  # damaged width machinery never fails the font
     enc = doc.resolve(fd.get("Encoding"))
     # simple-font /ToUnicode (round 4): the author's declared code->unicode
     # CMap, the mapping pdftotext/pymupdf prefer; layered OVER the
@@ -1011,7 +1035,7 @@ def _build_font(doc: PdfDoc, font_obj) -> _Font:
     if not isinstance(diffs, list):
         diffs = None
     if base_map is None and diffs is None and not tu_map:
-        return _Font()
+        return _Font(widths=widths, missing_width=missing_width)
     # /Differences layer ON TOP of the base encoding (ISO 32000 9.6.5.1)
     dmap: dict[int, str] = dict(base_map or {})
     code = 0
@@ -1025,7 +1049,9 @@ def _build_font(doc: PdfDoc, font_obj) -> _Font:
         else:
             raise PdfParseError("bad /Differences entry")
     dmap.update(tu_map)
-    return _Font(decode_map=dmap or None)
+    return _Font(
+        decode_map=dmap or None, widths=widths, missing_width=missing_width
+    )
 
 
 def _page_fonts(doc: PdfDoc, resources) -> dict[str, _Font]:
@@ -1266,6 +1292,7 @@ class _TextItem:
     y_top: float
     text: str
     size: float = 12.0  # effective font size (Tf x text/CTM vertical scale)
+    width: float = 0.0  # device-space advance from /Widths; 0 = unknown
 
 
 @dataclass(slots=True)
@@ -1367,6 +1394,16 @@ def _interpret(
     def show(s) -> None:
         if not isinstance(s, str):  # e.g. `5 Tj` in a malformed stream
             raise PdfParseError(f"show operator on non-string operand {s!r}")
+        # real advance from /Widths, summed over the RAW codes (the show
+        # string's latin-1 bytes) BEFORE any decode remaps them; text-space
+        # 1/1000 units -> device via the x scales. Unknown fonts report 0
+        # and the line assembler falls back to its width model.
+        adv_1000 = 0.0
+        if font is not None and font.widths is not None and not font.is_cid:
+            w = font.widths
+            mw = font.missing_width
+            for ch in s:
+                adv_1000 += w.get(ord(ch), mw)
         if font is not None:
             if font.is_cid:
                 raw = s.encode("latin-1")
@@ -1405,11 +1442,19 @@ def _interpret(
         if ctm is _IDENTITY:
             x, y = tm[4], tm[5]
             vscale = abs(tm[3])
+            hscale = abs(tm[0])
         else:
             x, y = _mat_apply(ctm, tm[4], tm[5])
             vscale = abs(tm[3] * ctm[3])  # axis-aligned approximation
+            hscale = abs(tm[0] * ctm[0])
         items.append(
-            _TextItem(x=x, y_top=page_h - y, text=s, size=font_size * vscale)
+            _TextItem(
+                x=x,
+                y_top=page_h - y,
+                text=s,
+                size=font_size * vscale,
+                width=adv_1000 / 1000.0 * font_size * hscale,
+            )
         )
 
     # stack mode: the tokenizer pushes operand values directly and yields
@@ -1708,38 +1753,68 @@ def _group_textboxes(items: list[_TextItem]) -> list[TextBoxOut]:
     # The width model is 0.5 em per char (Helvetica-ish average); the window
     # is deliberately narrow and only applies after SHORT items, so the
     # estimate's error can never reach across a column gutter.
-    items = sorted(items, key=lambda it: (it.y_top, it.x))
-    lines: list[tuple[float, float, str]] = []  # (y_top, x0, text)
-    first = items[0]
-    cur_y, cur_x, parts = first.y_top, first.x, [first.text]
-    cur_end = first.x + 0.5 * first.size * len(first.text)
-    cur_len = len(first.text)
-    cur_size = first.size
+    # end-of-item estimate: the font's real /Widths advance when the
+    # interpreter had one (width > 0), else the 0.5 em/char model. With a
+    # real advance the estimate is exact, so the continuation window needs
+    # no length guard — the guard exists only to bound the MODEL's
+    # accumulated error (round 4; a 25-char item under the model drifts
+    # ~15 device units, past the window, splitting one visual line).
+    def _end(it: _TextItem) -> tuple[float, bool]:
+        if it.width > 0:
+            return it.x + it.width, True
+        return it.x + 0.5 * it.size * len(it.text), False
+
+    # Phase 1 — cluster into baselines by y alone (round 4): sorting by
+    # (y, x) breaks on sub-ULP baseline jitter — 679.323 vs
+    # 679.3230000000001 puts a line's LEFTMOST item after its rightmost
+    # neighbors and the single-pass walk splits the visual line. Cluster
+    # consecutive y's within _LINE_Y_TOL first, THEN order each baseline
+    # left-to-right.
+    items = sorted(items, key=lambda it: it.y_top)
+    clusters: list[list[_TextItem]] = [[items[0]]]
+    anchor_y = items[0].y_top
     for it in items[1:]:
-        if abs(it.y_top - cur_y) <= _LINE_Y_TOL:
+        if abs(it.y_top - anchor_y) <= _LINE_Y_TOL:
+            clusters[-1].append(it)
+        else:
+            clusters.append([it])
+            anchor_y = it.y_top
+
+    # Phase 2 — word assembly left-to-right within each baseline; a gap the
+    # continuation window rejects (a column gutter) starts a separate line
+    # at the same y.
+    lines: list[tuple[float, float, str]] = []  # (y_top, x0, text)
+    for cluster in clusters:
+        cluster.sort(key=lambda it: it.x)
+        first = cluster[0]
+        cur_y, cur_x, parts = first.y_top, first.x, [first.text]
+        cur_end, cur_exact = _end(first)
+        cur_len = len(first.text)
+        cur_size = first.size
+        for it in cluster[1:]:
             gap = it.x - cur_end
             if abs(it.x - cur_x) <= 1.0:
                 parts.append(it.text)
-                cur_end = it.x + 0.5 * it.size * len(it.text)
+                cur_end, cur_exact = _end(it)
                 cur_len += len(it.text)
                 continue
             if (
-                cur_len <= _WORD_MERGE_MAX_CHARS
+                (cur_exact or cur_len <= _WORD_MERGE_MAX_CHARS)
                 and -0.15 * cur_size <= gap <= 0.45 * cur_size
             ):
                 if gap > 0.12 * cur_size:
                     parts.append(" ")
                 parts.append(it.text)
-                cur_end = it.x + 0.5 * it.size * len(it.text)
+                cur_end, cur_exact = _end(it)
                 cur_len = len(it.text)
                 cur_size = it.size
                 continue
+            lines.append((cur_y, cur_x, "".join(parts)))
+            cur_y, cur_x, parts = it.y_top, it.x, [it.text]
+            cur_end, cur_exact = _end(it)
+            cur_len = len(it.text)
+            cur_size = it.size
         lines.append((cur_y, cur_x, "".join(parts)))
-        cur_y, cur_x, parts = it.y_top, it.x, [it.text]
-        cur_end = it.x + 0.5 * it.size * len(it.text)
-        cur_len = len(it.text)
-        cur_size = it.size
-    lines.append((cur_y, cur_x, "".join(parts)))
 
     # 2. boxes: a line joins a box sharing its column (x within tol) whose last
     # line is vertically adjacent

@@ -249,3 +249,56 @@ def test_real_pdftex_documents_parse_with_word_spacing():
     # (pre-fix: 197 U+FFFD from /Differences [2 /fi /fl])
     assert "�" not in txt2
     assert "specification" in txt2
+
+
+def test_line_assembly_baseline_jitter_and_exact_widths():
+    """Round-4 line-assembly hardening, pinned at the unit level:
+
+    (a) sub-ULP baseline jitter (679.323 vs 679.3230000000001 — real
+        pdfTeX output) must not reorder a line's items: clustering by y
+        happens BEFORE the left-to-right walk;
+    (b) an item with a real /Widths advance (width > 0) joins its
+        same-baseline continuation regardless of length — the
+        _WORD_MERGE_MAX_CHARS guard only bounds the 0.5 em/char model's
+        accumulated error."""
+    from pdf_extractor_spark.core.pdf_parse import _TextItem, _group_textboxes
+
+    # (a): leftmost item carries the jittered y; naive (y, x) sort puts it
+    # last and splits the line
+    items = [
+        _TextItem(x=90.0, y_top=679.3230000000001, text="Nikos Mavro (",
+                  size=14.0, width=193.0),
+        _TextItem(x=284.3, y_top=679.323, text="mail@example.org",
+                  size=14.0, width=155.0),
+        _TextItem(x=439.33, y_top=679.323, text=")", size=14.0, width=6.3),
+    ]
+    [box] = _group_textboxes(items)
+    assert box.lines == ["Nikos Mavro (mail@example.org)"]
+
+    # (b): 25-char first item — beyond the model guard — still joins when
+    # its advance is exact; with only the model estimate it must split
+    # (the 0.5 em model drifts ~15 units here, outside the window)
+    long_exact = [
+        _TextItem(x=90.0, y_top=100.0, text="abcdefghij klmnopqrst uvw",
+                  size=14.0, width=191.0),  # ends at 281; gap 4 = word space
+        _TextItem(x=285.0, y_top=100.0, text="tail", size=14.0, width=30.0),
+    ]
+    [box] = _group_textboxes(long_exact)
+    assert box.lines == ["abcdefghij klmnopqrst uvw tail"]
+    long_model = [
+        _TextItem(x=90.0, y_top=100.0, text="abcdefghij klmnopqrst uvw",
+                  size=14.0),
+        _TextItem(x=285.0, y_top=100.0, text="tail", size=14.0),
+    ]
+    boxes = _group_textboxes(long_model)
+    assert sum(len(b.lines) for b in boxes) == 2  # stays split (guarded)
+
+    # column-gutter protection survives exact widths: a wide gap never joins
+    cols = [
+        _TextItem(x=50.0, y_top=100.0, text="left column", size=12.0,
+                  width=60.0),
+        _TextItem(x=320.0, y_top=100.0, text="right column", size=12.0,
+                  width=66.0),
+    ]
+    boxes = _group_textboxes(cols)
+    assert {l for b in boxes for l in b.lines} == {"left column", "right column"}
