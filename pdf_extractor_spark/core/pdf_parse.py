@@ -41,6 +41,13 @@ from .textclean import clean_text, frame_region, frame_table
 # layout constants
 _LINE_Y_TOL = 2.0  # show-ops within this y distance belong to one line
 _WORD_MERGE_MAX_CHARS = 24  # word-assembly only continues after short items
+# with a REAL /Widths advance the end estimate is exact, so a same-baseline
+# continuation can be accepted up to a couple of ems — TeX emits stretched
+# glue (~0.8 em) around inline verbatim/font switches, while true column
+# gutters and right-aligned tags sit far beyond 2 em (pdftotext/pymupdf
+# join the same way); the MODEL path keeps the tight window because its
+# error grows with item length
+_EXACT_JOIN_MAX_EM = 2.0
 _BOX_GAP_FACTOR = 1.8  # vertical gap > factor*leading starts a new textbox
 _RECT_SNAP = 1.0  # grid-line coordinate snapping tolerance
 
@@ -1798,9 +1805,10 @@ def _group_textboxes(items: list[_TextItem]) -> list[TextBoxOut]:
                 cur_end, cur_exact = _end(it)
                 cur_len += len(it.text)
                 continue
+            hi = (_EXACT_JOIN_MAX_EM if cur_exact else 0.45) * cur_size
             if (
                 (cur_exact or cur_len <= _WORD_MERGE_MAX_CHARS)
-                and -0.15 * cur_size <= gap <= 0.45 * cur_size
+                and -0.15 * cur_size <= gap <= hi
             ):
                 if gap > 0.12 * cur_size:
                     parts.append(" ")

@@ -302,3 +302,36 @@ def test_line_assembly_baseline_jitter_and_exact_widths():
     ]
     boxes = _group_textboxes(cols)
     assert {l for b in boxes for l in b.lines} == {"left column", "right column"}
+
+
+def test_exact_width_join_window_spans_tex_glue():
+    """With a real /Widths advance the continuation window widens to
+    _EXACT_JOIN_MAX_EM (TeX stretches ~0.8 em of glue around inline
+    verbatim/font switches) while gaps beyond it — right-aligned tags,
+    column gutters — still split; the model path keeps the tight window."""
+    from pdf_extractor_spark.core.pdf_parse import _TextItem, _group_textboxes
+
+    glue = [  # 9.1-unit gap at size 10.91 (the real libtasn1 shape)
+        _TextItem(x=90.0, y_top=167.8, text="comments begin with",
+                  size=10.91, width=255.9),
+        _TextItem(x=355.0, y_top=167.8, text="--", size=10.91, width=11.5),
+    ]
+    [box] = _group_textboxes(glue)
+    assert box.lines == ["comments begin with --"]
+    # beyond 2 em: split even with exact widths
+    far = [
+        _TextItem(x=90.0, y_top=100.0, text="signature(...)", size=10.91,
+                  width=100.0),
+        _TextItem(x=480.0, y_top=100.0, text="[Function]", size=10.91,
+                  width=50.0),
+    ]
+    boxes = _group_textboxes(far)
+    assert sum(len(b.lines) for b in boxes) == 2
+    # model path unchanged: same 9.1-unit gap without widths stays split
+    model = [
+        _TextItem(x=90.0, y_top=167.8, text="comments begin with extra pad",
+                  size=10.91),
+        _TextItem(x=355.0, y_top=167.8, text="--", size=10.91),
+    ]
+    boxes = _group_textboxes(model)
+    assert sum(len(b.lines) for b in boxes) == 2
