@@ -85,3 +85,45 @@ def test_fast_scanner_matches_stdlib_builder():
             for _ in range(500)]
     for h in cases + htmls + fuzz:
         assert _run(H._scan_build, h) == _run(H._stdlib_build, h), h[:200]
+
+
+def test_real_os_html_corpus_extracts_clean():
+    """Robustness sweep over genuinely foreign HTML (OS-shipped package
+    docs — texinfo, Sphinx, docbook output; none produced by this repo):
+    every file must extract without an exception and substantial docs must
+    yield substantial main text. Skipped where the docs tree is absent."""
+    import glob
+    import os
+
+    import pytest
+
+    from pdf_extractor_spark.core.html_extract import extract_main_text
+    from pdf_extractor_spark.core.textclean import clean_text
+
+    paths = [
+        p
+        for p in sorted(glob.glob("/usr/share/doc/**/*.html", recursive=True))
+        if os.path.isfile(p)
+    ][:150]
+    if len(paths) < 10:
+        pytest.skip("no OS html docs present")
+    import re
+
+    thin: list[str] = []
+    for p in paths:
+        raw = open(p, "rb").read().decode("utf-8", errors="replace")
+        txt = clean_text(extract_main_text(raw))
+        if len(raw) <= 20_000:
+            continue
+        # link-farm pages (API indexes, TOCs: most text inside <a>) are
+        # EXPECTED to come back near-empty — dropping link-dense blocks IS
+        # the boilerplate heuristic; only prose-dominated pages must yield
+        link_chars = sum(
+            len(m) for m in re.findall(r"<a [^>]*>(.*?)</a>", raw, re.S)
+        )
+        body_chars = len(re.sub(r"\s+", " ", re.sub(r"<[^>]+>", " ", raw)))
+        if body_chars and link_chars / body_chars > 0.5:
+            continue
+        if len(txt) <= 500:
+            thin.append(p)
+    assert not thin, thin
