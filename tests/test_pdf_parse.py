@@ -335,3 +335,43 @@ def test_exact_width_join_window_spans_tex_glue():
     ]
     boxes = _group_textboxes(model)
     assert sum(len(b.lines) for b in boxes) == 2
+
+
+def test_group_textboxes_preserves_all_text_property():
+    """Property: line/box assembly may reorder and join items (inserting
+    spaces) but must never drop or duplicate a character — over random
+    geometries including jittered baselines, overlapping x, exact and
+    model-estimated widths."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_extractor_spark.core.pdf_parse import _TextItem, _group_textboxes
+
+    item_st = st.builds(
+        _TextItem,
+        x=st.floats(0, 600, allow_nan=False),
+        y_top=st.floats(0, 790, allow_nan=False).map(
+            lambda y: y + 1e-13 * (y % 3)  # sub-ULP-ish jitter
+        ),
+        text=st.text(
+            alphabet=st.characters(codec="ascii", categories=("L", "N", "P")),
+            min_size=1,
+            max_size=12,
+        ),
+        size=st.floats(6, 24, allow_nan=False),
+        width=st.one_of(st.just(0.0), st.floats(1, 300, allow_nan=False)),
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.lists(item_st, min_size=1, max_size=12))
+    def inner(items):
+        boxes = _group_textboxes(list(items))
+        got = Counter(
+            c for b in boxes for ln in b.lines for c in ln if c != " "
+        )
+        want = Counter(c for it in items for c in it.text if c != " ")
+        assert got == want
+
+    inner()
