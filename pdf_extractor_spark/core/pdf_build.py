@@ -57,13 +57,19 @@ class TextBox:
 
 @dataclass
 class Table:
-    """Ruled-line grid at (x, y_top); rows of cell strings ('' = empty cell)."""
+    """Ruled-line grid at (x, y_top); rows of cell strings ('' = empty cell).
+
+    ``ruled=True`` draws the grid as m/l/S stroked RULE lines (the
+    docbook/passivetex/LaTeX shape) instead of per-cell ``re`` rectangles —
+    the parser must reconstruct cells from rule intersections
+    (``_cells_from_rule_segments``) and extract the identical table."""
 
     x: float
     y_top: float
     rows: list[list[str]]
     col_width: float = 90.0
     row_height: float = 22.0
+    ruled: bool = False
 
 
 @dataclass
@@ -356,6 +362,28 @@ def _table_ops(tbl: Table) -> str:
     ops = []
     n_rows = len(tbl.rows)
     n_cols = max(len(r) for r in tbl.rows)
+    if tbl.ruled:
+        # grid as stroked rules: n_rows+1 horizontal + n_cols+1 vertical
+        x0 = tbl.x
+        x1 = tbl.x + n_cols * tbl.col_width
+        for r in range(n_rows + 1):
+            y = PAGE_H - (tbl.y_top + r * tbl.row_height)
+            ops.append(f"{x0:g} {y:g} m {x1:g} {y:g} l S")
+        y_hi = PAGE_H - tbl.y_top
+        y_lo = PAGE_H - (tbl.y_top + n_rows * tbl.row_height)
+        for c in range(n_cols + 1):
+            x = tbl.x + c * tbl.col_width
+            ops.append(f"{x:g} {y_lo:g} m {x:g} {y_hi:g} l S")
+        for r in range(n_rows):
+            for c in range(n_cols):
+                text = tbl.rows[r][c] if c < len(tbl.rows[r]) else ""
+                if text:
+                    tx = tbl.x + c * tbl.col_width + 3
+                    ty = PAGE_H - (tbl.y_top + (r + 1) * tbl.row_height) + 6
+                    ops.append(
+                        f"BT /F1 9 Tf {tx:g} {ty:g} Td ({_esc(text)}) Tj ET"
+                    )
+        return "\n".join(ops)
     for r in range(n_rows):
         for c in range(n_cols):
             cx = tbl.x + c * tbl.col_width

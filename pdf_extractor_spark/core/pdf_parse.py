@@ -1377,6 +1377,7 @@ def _interpret(
     rects: list[_Rect] | None = None,
     images: list[ImageOut] | None = None,
     form_depth: int = 0,
+    segs: list | None = None,
 ) -> tuple[list[_TextItem], list[_Rect], list[ImageOut]]:
     """Execute the text/graphics subset, collecting show-ops, rects, and
     placed images in top-down device coordinates. Full CTM composition
@@ -1388,6 +1389,11 @@ def _interpret(
     items = [] if items is None else items
     rects = [] if rects is None else rects
     images = [] if images is None else images
+    # stroked-path segments in device space (real writers draw table rules
+    # as m/l/S line paths, not re cell grids — round 4); filled to `segs`
+    # when the caller passes a list
+    path_pts: list = []  # current path: list of device-space points, or None separators
+    segs = segs if segs is not None else None
     fonts = fonts or {}
     xobjects = xobjects or {}
     stack: list = []
@@ -1562,6 +1568,7 @@ def _interpret(
                             rects=rects,
                             images=images,
                             form_depth=form_depth + 1,
+                            segs=segs,
                         )
                     elif sub == "Image":
                         # image XObject: the unit square through the CTM is
@@ -1574,7 +1581,28 @@ def _interpret(
                 images.append(
                     _image_region(ctm, page_h, f"inline-{len(images)}")
                 )
-            # ET, S, f, W, n, w, m, l, h, gs, rg, g, BMC/BDC/EMC: no tracked state
+            elif op == "m":
+                if segs is not None:
+                    path_pts.append(None)  # subpath break
+                    path_pts.append(_mat_apply(ctm, stack[-2], stack[-1]))
+            elif op == "l":
+                if segs is not None:
+                    path_pts.append(_mat_apply(ctm, stack[-2], stack[-1]))
+            elif op in ("S", "s", "B", "B*", "b", "b*"):
+                if segs is not None:
+                    prev = None
+                    for pt in path_pts:
+                        if pt is None:
+                            prev = None
+                            continue
+                        if prev is not None:
+                            segs.append((prev, pt))
+                        prev = pt
+                    path_pts.clear()
+            elif op in ("f", "f*", "n"):
+                if segs is not None:
+                    path_pts.clear()
+            # ET, W, w, h, c, v, y, gs, rg, g, BMC/BDC/EMC: no tracked state
         except (IndexError, TypeError) as e:
             raise PdfParseError(f"malformed operands for {op}: {e}") from e
         stack.clear()
@@ -1672,6 +1700,96 @@ def _snap(vals: list[float]) -> list[float]:
         if not out or v - out[-1] > _RECT_SNAP:
             out.append(v)
     return out
+
+
+# vector-art pages stroke thousands of segments; rule-drawn tables use tens
+_MAX_RULE_SEGS = 500
+
+
+def _cells_from_rule_segments(segs: list, page_h: float) -> list[_Rect]:
+    """Synthesize table-cell rects from stroked RULE segments (round 4).
+
+    Real writers (docbook/passivetex, LaTeX booktabs, many office exports)
+    draw table grids as m/l/S line paths, not ``re`` cell rectangles — the
+    shape ``_detect_tables`` was built for. This pass reconstructs cells:
+    axis-aligned segments -> collinear merge -> intersection-connected
+    clusters -> the cross product of consecutive rule lines. A cluster must
+    form at least TWO cells (>= 3 distinct rule lines on one axis): a
+    single framed box (2 H x 2 V — docbook example/note frames) is prose
+    decoration, not a table, and claiming its text would swallow code
+    blocks into 1x1 grids. The synthesized cells feed the SAME
+    ``_detect_tables`` clustering/claiming as ``re`` cells, so the two
+    drawing styles can never diverge in downstream semantics."""
+    if not segs or len(segs) > _MAX_RULE_SEGS:
+        return []
+    snap = _RECT_SNAP
+    hs: list[tuple[float, float, float]] = []  # (y_top, x_lo, x_hi)
+    vs: list[tuple[float, float, float]] = []  # (x, yt_lo, yt_hi)
+    for (x0, y0), (x1, y1) in segs:
+        if abs(y1 - y0) <= 0.5 and abs(x1 - x0) > 2.0:
+            yt = page_h - (y0 + y1) / 2.0
+            hs.append((yt, min(x0, x1), max(x0, x1)))
+        elif abs(x1 - x0) <= 0.5 and abs(y1 - y0) > 2.0:
+            x = (x0 + x1) / 2.0
+            vs.append((x, page_h - max(y0, y1), page_h - min(y0, y1)))
+    if not hs or not vs:
+        return []
+
+    def _merge(lines, tol):
+        """Merge collinear runs: group by the fixed coordinate, then fuse
+        overlapping/adjacent extents (docbook strokes one border as many
+        short ticks)."""
+        lines.sort()
+        out: list[list[float]] = []
+        for c, lo, hi in lines:
+            if out and abs(c - out[-1][0]) <= tol and lo <= out[-1][2] + tol:
+                out[-1][2] = max(out[-1][2], hi)
+            else:
+                out.append([c, lo, hi])
+        return out
+
+    hls = _merge(hs, snap)
+    vls = _merge(vs, snap)
+
+    # cluster by intersection-connectivity (an H and V meet within snap)
+    n_h, n_v = len(hls), len(vls)
+    parent = list(range(n_h + n_v))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i, (y, x_lo, x_hi) in enumerate(hls):
+        for j, (x, y_lo, y_hi) in enumerate(vls):
+            if x_lo - snap <= x <= x_hi + snap and y_lo - snap <= y <= y_hi + snap:
+                parent[find(i)] = find(n_h + j)
+
+    clusters: dict[int, tuple[list, list]] = {}
+    for i, hl in enumerate(hls):
+        clusters.setdefault(find(i), ([], []))[0].append(hl)
+    for j, vl in enumerate(vls):
+        clusters.setdefault(find(n_h + j), ([], []))[1].append(vl)
+
+    cells: list[_Rect] = []
+    for ch, cv in clusters.values():
+        ys = sorted(y for y, _, _ in ch)
+        xs = sorted(x for x, _, _ in cv)
+        rows, cols = len(ys) - 1, len(xs) - 1
+        if rows < 1 or cols < 1 or rows * cols < 2 or rows * cols > 4096:
+            continue
+        for r in range(rows):
+            for c in range(cols):
+                cells.append(
+                    _Rect(
+                        x0=xs[c],
+                        y0_top=ys[r],
+                        x1=xs[c + 1],
+                        y1_top=ys[r + 1],
+                    )
+                )
+    return cells
 
 
 def _detect_tables(rects: list[_Rect], items: list[_TextItem]) -> tuple[list[TableOut], set[int]]:
@@ -1971,9 +2089,12 @@ def parse_pdf(
                 _IDENTITY if mb_x0 == 0.0 and mb_y0 == 0.0
                 else (1.0, 0.0, 0.0, 1.0, -mb_x0, -mb_y0)
             )
+            segs: list = []
             items, rects, images = _interpret(
-                stream, page_h, fonts=fonts, xobjects=xobjects, doc=doc, ctm=base_ctm
+                stream, page_h, fonts=fonts, xobjects=xobjects, doc=doc,
+                ctm=base_ctm, segs=segs,
             )
+            rects = rects + _cells_from_rule_segments(segs, page_h)
             if rot:
                 items, rects, images = _apply_rotation(
                     items, rects, images, rot, page_w, page_h

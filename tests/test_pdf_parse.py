@@ -375,3 +375,66 @@ def test_group_textboxes_preserves_all_text_property():
         assert got == want
 
     inner()
+
+
+def test_rule_drawn_tables_match_re_drawn():
+    """Real writers (docbook/passivetex, LaTeX) draw table grids as m/l/S
+    stroked RULES, not per-cell `re` rects; _cells_from_rule_segments must
+    reconstruct the identical table from rule intersections (round 4)."""
+    rows = [["alpha", "beta"], ["gamma", ""], ["", "delta"]]
+    texts = {}
+    for ruled in (False, True):
+        page = PageSpec(
+            boxes=[TextBox(x=60, y_top=80, lines=["Intro."])],
+            tables=[Table(x=60, y_top=400, rows=rows, ruled=ruled)],
+        )
+        [texts[ruled]] = extract_pdf_text(build_pdf([page]))
+    assert texts[True] == texts[False]
+    assert "Table:" in texts[True]
+
+
+def test_ruled_frame_box_is_not_a_table():
+    """A single framed box (2 H x 2 V rules — the docbook example/note
+    frame) is prose decoration: its text must NOT be swallowed into a 1x1
+    table. Only grids forming >= 2 cells qualify."""
+    frame = (
+        "60 300 m 400 300 l S\n"  # top rule (y=300 device)
+        "60 200 m 400 200 l S\n"  # bottom rule
+        "60 200 m 60 300 l S\n"  # left border
+        "400 200 m 400 300 l S\n"  # right border
+        "BT /F1 12 Tf 80 250 Td (boxed code) Tj ET"
+    )
+    from pdf_extractor_spark.core.pdf_build import PAGE_H  # noqa: F401
+    import zlib as _zlib  # noqa: F401
+
+    # hand-assemble a minimal one-page PDF around the raw content stream
+    page = PageSpec(boxes=[TextBox(x=60, y_top=80, lines=["Before."])])
+    pdf = build_pdf([page])
+    # splice: append the frame ops into the content stream (uncompressed)
+    marker = b"stream\n"
+    i = pdf.find(marker)
+    j = pdf.find(b"\nendstream", i)
+    body = pdf[i + len(marker):j] + b"\n" + frame.encode()
+    new = pdf[:i + len(marker)] + body + pdf[j:]
+    # fix the stream /Length
+    import re as _re
+
+    new = _re.sub(
+        rb"/Length \d+", b"/Length %d" % len(body), new, count=1
+    )
+    pages = parse_pdf(new)
+    assert not pages[0].tables
+    text = extract_pdf_text(new)[0]
+    assert "boxed code" in text and "Table" not in text
+
+
+def test_rule_segment_vector_art_cap():
+    """Pages stroking hundreds of segments (vector art) skip rule-table
+    synthesis entirely instead of running the O(H*V) grid pass."""
+    from pdf_extractor_spark.core.pdf_parse import (
+        _MAX_RULE_SEGS,
+        _cells_from_rule_segments,
+    )
+
+    segs = [((float(i), 0.0), (float(i), 50.0)) for i in range(_MAX_RULE_SEGS + 1)]
+    assert _cells_from_rule_segments(segs, 792.0) == []
