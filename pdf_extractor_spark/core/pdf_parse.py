@@ -1184,7 +1184,7 @@ def _tokenize(stream: bytes, stack: list | None = None):
             if push is None:
                 yield ("arr", arr)
             else:
-                push(_join_tj_array(arr))
+                push(_split_tj_array(arr))
             i += 1  # past ']'
         elif c == 0x2F:  # /
             m = bare_match(stream, i + 1)
@@ -1241,24 +1241,22 @@ def _tokenize(stream: bytes, stack: list | None = None):
 _TJ_SPACE_KERN = -180.0
 
 
-def _join_tj_array(arr: list) -> str:
-    """Concatenate a TJ operand array's strings, inserting a space at each
-    kern gap wide enough to be an encoded word break (never leading, never
-    doubled; a trailing gap emits nothing)."""
-    buf: list[str] = []
+def _split_tj_array(arr: list) -> list[str]:
+    """Split a TJ operand array into RAW string segments at kern gaps wide
+    enough to be encoded word breaks (never a leading, trailing, or empty
+    segment). Small kerns concatenate their neighbors. The interpreter's
+    ``show`` decodes each segment through the font and joins with spaces —
+    splitting at the raw level and inserting a literal space byte instead
+    would shift every following 2-byte CID code off alignment."""
+    segs: list[str] = [""]
     for k, v in arr:
         if k == "str":
-            buf.append(v)
-        elif (
-            k == "num"
-            and v <= _TJ_SPACE_KERN
-            and buf
-            and not buf[-1].endswith(" ")
-        ):
-            buf.append(" ")
-    if buf and buf[-1] == " ":
-        buf.pop()
-    return "".join(buf)
+            segs[-1] += v
+        elif k == "num" and v <= _TJ_SPACE_KERN and segs[-1]:
+            segs.append("")
+    if segs and segs[-1] == "":
+        segs.pop()
+    return segs
 
 
 def _tokenize_until(stream: bytes, start: int):
@@ -1404,19 +1402,11 @@ def _interpret(
     font: _Font | None = None
     font_size = 12.0
 
-    def show(s) -> None:
-        if not isinstance(s, str):  # e.g. `5 Tj` in a malformed stream
-            raise PdfParseError(f"show operator on non-string operand {s!r}")
-        # real advance from /Widths, summed over the RAW codes (the show
-        # string's latin-1 bytes) BEFORE any decode remaps them; text-space
-        # 1/1000 units -> device via the x scales. Unknown fonts report 0
-        # and the line assembler falls back to its width model.
-        adv_1000 = 0.0
-        if font is not None and font.widths is not None and not font.is_cid:
-            w = font.widths
-            mw = font.missing_width
-            for ch in s:
-                adv_1000 += w.get(ord(ch), mw)
+    def _decode_segment(s: str) -> str:
+        """One raw show-string segment through the current font's decode
+        pipeline. TJ kern-gap spaces are joined AFTER this per-segment
+        decode — inserting a space byte into the RAW string would shift
+        every following 2-byte CID code off alignment."""
         if font is not None:
             if font.is_cid:
                 raw = s.encode("latin-1")
@@ -1450,6 +1440,27 @@ def _interpret(
                     )
             elif font.decode_map is not None:
                 s = s.translate(font.decode_map)
+        return s
+
+    def show(s) -> None:
+        if isinstance(s, list):  # TJ operand: segments split at kern gaps
+            parts = s
+        elif isinstance(s, str):
+            parts = [s]
+        else:  # e.g. `5 Tj` in a malformed stream
+            raise PdfParseError(f"show operator on non-string operand {s!r}")
+        # real advance from /Widths, summed over the RAW codes (the show
+        # string's latin-1 bytes) BEFORE any decode remaps them; text-space
+        # 1/1000 units -> device via the x scales. Unknown fonts report 0
+        # and the line assembler falls back to its width model.
+        adv_1000 = 0.0
+        if font is not None and font.widths is not None and not font.is_cid:
+            w = font.widths
+            mw = font.missing_width
+            for part in parts:
+                for ch in part:
+                    adv_1000 += w.get(ord(ch), mw)
+        s = " ".join(_decode_segment(part) for part in parts if part)
         # device position of the text origin: (tm.e, tm.f) through the CTM;
         # identity CTM (the overwhelmingly common case) skips the transform
         if ctm is _IDENTITY:

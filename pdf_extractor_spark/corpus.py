@@ -17,7 +17,7 @@ import random
 
 # bump when gen_documents/make_pdf_bytes output changes: the parquet cache
 # in tempdir is keyed by it, so stale corpora are never reused across edits
-_GEN_VERSION = 9
+_GEN_VERSION = 10
 
 from .core.pdf_build import (
     ImageBox,
@@ -111,10 +111,13 @@ def _html_doc(rng: random.Random) -> str:
 
 
 def _pdf_page(
-    rng: random.Random, two_col: bool, with_table: bool, features: int = 6
+    rng: random.Random, two_col: bool, with_table: bool, features: int = 7
 ) -> PageSpec:
     page = PageSpec()
     styles = ["td", "tm", "quote", "tj_array", "hex", "words"]
+    if features >= 7:
+        # v10: pdfTeX shape — word spacing as TJ kern gaps, no space glyphs
+        styles = styles + ["tex"]
     y = 60.0
     # v6 keeps every box's LAST line above the table zone (y >= 560): a box
     # landing entirely inside a table's ruled bbox would be absorbed into the
@@ -153,7 +156,16 @@ def _pdf_page(
             for _ in range(n_rows)
         ]
         page.tables.append(
-            Table(x=60, y_top=560 + rng.randint(0, 60), rows=rows)
+            Table(
+                x=60,
+                y_top=560 + rng.randint(0, 60),
+                rows=rows,
+                # v10: half the grids draw as m/l/S stroked rules (the
+                # docbook/LaTeX shape) instead of re cells; short-circuit
+                # BEFORE the rng draw so pinned profiles (features=5) keep
+                # their byte stream
+                ruled=features >= 7 and rng.random() < 0.5,
+            )
         )
     # v6: embedded figures — Image XObjects and inline images become media
     # spans at their reading-order position. y gets a .5 offset so an image
@@ -176,7 +188,7 @@ def _pdf_page(
 def make_pdf(
     rng: random.Random,
     n_pages: int,
-    features: int = 6,
+    features: int = 7,
     encrypt: str | None = None,
     user_pw: bytes = b"",
 ) -> tuple[bytes, list[PageSpec]]:
@@ -185,9 +197,11 @@ def make_pdf(
     cm translates, classic xref (optionally physically shuffled), PDF 1.5
     xref streams / object streams / PNG predictor, incremental updates, and
     (features >= 6) embedded Image XObjects / inline images incl. text-free
-    "scanned" pages, non-Identity CID encodings (v7), and named
-    WinAnsi/MacRoman base encodings (v9, F4 boxes) — all deterministic from
-    the rng stream.
+    "scanned" pages, non-Identity CID encodings (v7), named
+    WinAnsi/MacRoman base encodings (v9, F4 boxes), and (features >= 7,
+    v10) pdfTeX-style "tex" boxes (word spacing as TJ kern gaps) plus
+    rule-drawn table grids (m/l/S strokes, the docbook/LaTeX shape) — all
+    deterministic from the rng stream.
 
     Returns (bytes, effective page specs) — the specs are the
     parser-independent ground truth ``expected_extraction_rows`` derives the
@@ -290,7 +304,7 @@ def make_pdf(
     return data, pages
 
 
-def make_pdf_bytes(rng: random.Random, n_pages: int, features: int = 6) -> bytes:
+def make_pdf_bytes(rng: random.Random, n_pages: int, features: int = 7) -> bytes:
     return make_pdf(rng, n_pages, features=features)[0]
 
 

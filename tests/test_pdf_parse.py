@@ -188,26 +188,28 @@ def test_tj_kern_word_spacing():
     typographic kerns like the builder's intra-word -20 stay fused."""
     from pdf_extractor_spark.core.pdf_build import PageSpec, TextBox, build_pdf
     from pdf_extractor_spark.core.pdf_parse import (
-        _join_tj_array,
+        _split_tj_array,
         extract_pdf_text,
     )
 
-    # unit semantics: threshold, no leading/doubled/trailing inserts
-    assert _join_tj_array(
+    # unit semantics: threshold, no leading/trailing/empty segments; show()
+    # joins the RAW segments with spaces only after per-segment font decode
+    assert _split_tj_array(
         [("str", "This"), ("num", -371.0), ("str", "man"),
          ("num", 28.0), ("str", "ual")]
-    ) == "This manual"
+    ) == ["This", "manual"]
     cases = [
-        ([("str", "a"), ("num", -350.0), ("str", "b")], "a b"),
-        ([("str", "a"), ("num", -20.0), ("str", "b")], "ab"),
-        ([("str", "a"), ("num", 350.0), ("str", "b")], "ab"),  # leftward
-        ([("num", -350.0), ("str", "a")], "a"),  # never leading
-        ([("str", "a"), ("num", -350.0), ("num", -350.0), ("str", "b")], "a b"),
-        ([("str", "a"), ("num", -350.0)], "a"),  # trailing gap dropped
-        ([("str", "a "), ("num", -350.0), ("str", "b")], "a b"),  # no double
+        ([("str", "a"), ("num", -350.0), ("str", "b")], ["a", "b"]),
+        ([("str", "a"), ("num", -20.0), ("str", "b")], ["ab"]),
+        ([("str", "a"), ("num", 350.0), ("str", "b")], ["ab"]),  # leftward
+        ([("num", -350.0), ("str", "a")], ["a"]),  # never leading
+        ([("str", "a"), ("num", -350.0), ("num", -350.0), ("str", "b")],
+         ["a", "b"]),
+        ([("str", "a"), ("num", -350.0)], ["a"]),  # trailing gap dropped
+        ([], []),
     ]
     for arr, want in cases:
-        assert _join_tj_array(arr) == want, arr
+        assert _split_tj_array(arr) == want, arr
 
     # build -> parse roundtrip: the "tex" builder style emits kern-only
     # word gaps and must come back byte-exact
@@ -438,3 +440,31 @@ def test_rule_segment_vector_art_cap():
 
     segs = [((float(i), 0.0), (float(i), 50.0)) for i in range(_MAX_RULE_SEGS + 1)]
     assert _cells_from_rule_segments(segs, 792.0) == []
+
+
+def test_corpus_spec_lines_survive_extraction():
+    """Every generated box line must appear verbatim in its page's parsed
+    text (post clean-text), across the full v10 style matrix — notably the
+    "tex" kern-gap boxes and rule-drawn tables, whose joins/cell claims
+    must not mangle neighbouring prose. Pages whose boxes can be absorbed
+    into table regions are skipped (the kind-sequence oracle covers those;
+    here we pin raw TEXT fidelity)."""
+    from pdf_extractor_spark.core.textclean import clean_text
+    from pdf_extractor_spark.corpus import make_pdf
+
+    rng = random.Random(77)
+    checked_lines = tex_lines = 0
+    for _ in range(40):
+        pdf, specs = make_pdf(rng, rng.randint(1, 3))
+        texts = extract_pdf_text(pdf)
+        for spec, text in zip(specs, texts):
+            if spec.tables:
+                continue
+            for b in spec.boxes:
+                for ln in b.lines:
+                    want = clean_text(ln)
+                    assert want in text, (b.style, ln, text[:200])
+                    checked_lines += 1
+                    if b.style == "tex":
+                        tex_lines += 1
+    assert checked_lines > 200 and tex_lines > 20
