@@ -1469,6 +1469,27 @@ AUDITS: list[tuple] = [
         ],
         False,
     ),
+    (
+        "extract_pw_manifest_corpus",
+        _query_df,
+        [
+            # per-doc password manifest (round 4): the (doc_id, password)
+            # side joins BROADCAST onto the corpus before the parse stage —
+            # never a sort-merge shuffle of the document payloads on
+            # doc_id — and the stage keeps its one hash-scatter exchange +
+            # Arrow kernel shape with the password column riding through
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: contains(p, "hashpartitioning(doc_id"),
+            # the single rangepartitioning is the query's FINAL
+            # orderBy(doc_id) presentation sort (oracle row order), never
+            # the parse-stage scatter (the r3 skew lesson)
+            lambda p: occurs_at_most(p, "rangepartitioning", 1),
+            lambda p: contains(p, "MapInArrow"),
+            lambda p: absent(p, "MapInPandas"),
+        ],
+        False,
+    ),
 ]
 
 
