@@ -1401,6 +1401,13 @@ def _interpret(
     leading = 0.0
     font: _Font | None = None
     font_size = 12.0
+    # text-state spacing params (ISO 32000-1 9.3): graphics state, saved by
+    # q/Q, NOT reset at BT. They enter the /Widths advance — office-style
+    # writers justify lines with Tw, and ignoring it would re-break the
+    # exact-width same-baseline joins the assembler relies on.
+    char_spacing = 0.0  # Tc, unscaled text units per glyph
+    word_spacing = 0.0  # Tw, unscaled text units per code-32 byte
+    h_scale = 1.0  # Tz / 100
 
     def _decode_segment(s: str) -> str:
         """One raw show-string segment through the current font's decode
@@ -1453,13 +1460,19 @@ def _interpret(
         # string's latin-1 bytes) BEFORE any decode remaps them; text-space
         # 1/1000 units -> device via the x scales. Unknown fonts report 0
         # and the line assembler falls back to its width model.
-        adv_1000 = 0.0
+        adv = 0.0
         if font is not None and font.widths is not None and not font.is_cid:
             w = font.widths
             mw = font.missing_width
             for part in parts:
                 for ch in part:
-                    adv_1000 += w.get(ord(ch), mw)
+                    code = ord(ch)
+                    # per glyph: w0/1000*Tfs + Tc (+ Tw on the space code),
+                    # ISO 32000-1 9.4.4; Tz applies to the whole advance
+                    adv += w.get(code, mw) / 1000.0 * font_size + char_spacing
+                    if code == 32:
+                        adv += word_spacing
+            adv *= h_scale
         s = " ".join(_decode_segment(part) for part in parts if part)
         # device position of the text origin: (tm.e, tm.f) through the CTM;
         # identity CTM (the overwhelmingly common case) skips the transform
@@ -1477,7 +1490,7 @@ def _interpret(
                 y_top=page_h - y,
                 text=s,
                 size=font_size * vscale,
-                width=adv_1000 / 1000.0 * font_size * hscale,
+                width=adv * hscale,
             )
         )
 
@@ -1506,6 +1519,12 @@ def _interpret(
                 tlm = tm = (a, b, c, d, e - leading * c, f - leading * d)
             elif op == "TL":
                 leading = stack[-1]
+            elif op == "Tc":
+                char_spacing = float(stack[-1])
+            elif op == "Tw":
+                word_spacing = float(stack[-1])
+            elif op == "Tz":
+                h_scale = float(stack[-1]) / 100.0
             elif op == "Tj":
                 show(stack[-1])
             elif op == "'":
@@ -1530,12 +1549,16 @@ def _interpret(
                 m = (stack[-6], stack[-5], stack[-4], stack[-3], stack[-2], stack[-1])
                 ctm = _mat_mul(m, ctm)
             elif op == "q":
-                gs_stack.append((ctm, font, leading, font_size))
+                gs_stack.append(
+                    (ctm, font, leading, font_size,
+                     char_spacing, word_spacing, h_scale)
+                )
                 if len(gs_stack) > 256:
                     raise PdfParseError("graphics state stack too deep")
             elif op == "Q":
                 if gs_stack:
-                    ctm, font, leading, font_size = gs_stack.pop()
+                    (ctm, font, leading, font_size,
+                     char_spacing, word_spacing, h_scale) = gs_stack.pop()
             elif op == "re":
                 h = stack[-1]
                 w = stack[-2]

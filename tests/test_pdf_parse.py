@@ -468,3 +468,30 @@ def test_corpus_spec_lines_survive_extraction():
                     if b.style == "tex":
                         tex_lines += 1
     assert checked_lines > 200 and tex_lines > 20
+
+
+def test_char_word_spacing_enter_width_advance():
+    """Tc / Tw / Tz (ISO 32000-1 9.3) enter the /Widths advance — office
+    writers justify lines with Tw, and an advance that ignored it would
+    re-break the exact-width same-baseline joins. Also pinned: q/Q
+    save/restore the spacing params."""
+    from pdf_extractor_spark.core.pdf_parse import _Font, _interpret
+
+    fonts = {"F1": _Font(widths={c: 500.0 for c in range(32, 127)})}
+    base = b"BT /F1 10 Tf 100 700 Td (ab cd) Tj ET"
+    [it], _, _ = _interpret(base, 792.0, fonts=fonts)
+    assert it.width == pytest.approx(5 * 0.5 * 10)  # 5 glyphs at 500/1000
+
+    spaced = b"2 Tc 3 Tw BT /F1 10 Tf 100 700 Td (ab cd) Tj ET"
+    [it2], _, _ = _interpret(spaced, 792.0, fonts=fonts)
+    assert it2.width == pytest.approx(25 + 5 * 2 + 1 * 3)  # +Tc/glyph +Tw/space
+
+    scaled = b"50 Tz BT /F1 10 Tf 100 700 Td (ab cd) Tj ET"
+    [it3], _, _ = _interpret(scaled, 792.0, fonts=fonts)
+    assert it3.width == pytest.approx(25 * 0.5)
+
+    saved = (
+        b"2 Tc q 9 Tc Q BT /F1 10 Tf 100 700 Td (ab cd) Tj ET"
+    )
+    [it4], _, _ = _interpret(saved, 792.0, fonts=fonts)
+    assert it4.width == pytest.approx(25 + 5 * 2)  # Q restored Tc=2
