@@ -1241,22 +1241,32 @@ def _tokenize(stream: bytes, stack: list | None = None):
 _TJ_SPACE_KERN = -180.0
 
 
-def _split_tj_array(arr: list) -> list[str]:
+def _split_tj_array(arr: list) -> tuple[list[str], float]:
     """Split a TJ operand array into RAW string segments at kern gaps wide
     enough to be encoded word breaks (never a leading, trailing, or empty
     segment). Small kerns concatenate their neighbors. The interpreter's
     ``show`` decodes each segment through the font and joins with spaces —
     splitting at the raw level and inserting a literal space byte instead
-    would shift every following 2-byte CID code off alignment."""
+    would shift every following 2-byte CID code off alignment.
+
+    Also returns the SUMMED kern displacement (thousandths, sign as
+    written): every TJ number moves the pen by -v/1000*Tfs*Tz (ISO
+    32000-1 9.4.3) whether or not it splits a word, so ``show`` must fold
+    it into the advance — a kerned pdfTeX line otherwise reports a width
+    short by the summed gaps while the assembler treats width>0 as exact.
+    """
     segs: list[str] = [""]
+    kern_total = 0.0
     for k, v in arr:
         if k == "str":
             segs[-1] += v
-        elif k == "num" and v <= _TJ_SPACE_KERN and segs[-1]:
-            segs.append("")
+        elif k == "num":
+            kern_total += v
+            if v <= _TJ_SPACE_KERN and segs[-1]:
+                segs.append("")
     if segs and segs[-1] == "":
         segs.pop()
-    return segs
+    return segs, kern_total
 
 
 def _tokenize_until(stream: bytes, start: int):
@@ -1450,8 +1460,9 @@ def _interpret(
         return s
 
     def show(s) -> None:
-        if isinstance(s, list):  # TJ operand: segments split at kern gaps
-            parts = s
+        kern_total = 0.0
+        if isinstance(s, tuple):  # TJ operand: (kern-split segments, kerns)
+            parts, kern_total = s
         elif isinstance(s, str):
             parts = [s]
         else:  # e.g. `5 Tj` in a malformed stream
@@ -1472,6 +1483,9 @@ def _interpret(
                     adv += w.get(code, mw) / 1000.0 * font_size + char_spacing
                     if code == 32:
                         adv += word_spacing
+            # each TJ number displaces the pen by -v/1000*Tfs (no Tc/Tw);
+            # a pdfTeX word gap is a large NEGATIVE v, i.e. extra width
+            adv -= kern_total / 1000.0 * font_size
             adv *= h_scale
         s = " ".join(_decode_segment(part) for part in parts if part)
         # device position of the text origin: (tm.e, tm.f) through the CTM;

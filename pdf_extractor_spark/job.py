@@ -275,6 +275,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.route_needs_ocr and not args.watch:
         p.error("--route-needs-ocr requires --watch (the batch path has no "
                 "side-output router)")
+    if args.watch and args.password_manifest:
+        p.error("--password-manifest is batch-only (the manifest is joined "
+                "onto a static input); use --passwords with --watch")
     if args.watch and args.refresh_parts:
         p.error("--refresh-parts is a batch partition overwrite; "
                 "not valid with --watch")
@@ -571,20 +574,27 @@ def main(argv: list[str] | None = None) -> int:
                 from pyspark.sql import functions as _F
 
                 from pdf_extractor_spark.sources.manifest import (
+                    _header_columns,
                     sniff_delimiter,
                 )
 
+                pw_delim = sniff_delimiter(args.password_manifest)
+                # spark.read.csv with an explicit schema names columns by
+                # POSITION regardless of the file header — validate the real
+                # header so swapped/renamed columns fail loudly instead of
+                # silently quarantining every locked doc
+                pw_header = _header_columns(args.password_manifest, pw_delim)
+                if pw_header != ["doc_id", "password"]:
+                    p.error(
+                        "--password-manifest needs header columns "
+                        f"doc_id,password; got {pw_header}"
+                    )
                 pw_df = spark.read.csv(
                     args.password_manifest,
                     header=True,
-                    sep=sniff_delimiter(args.password_manifest),
+                    sep=pw_delim,
                     schema="doc_id STRING, password STRING",
                 )
-                if pw_df.columns != ["doc_id", "password"]:
-                    p.error(
-                        "--password-manifest needs header columns "
-                        f"doc_id,password; got {pw_df.columns}"
-                    )
                 docs = docs.join(_F.broadcast(pw_df), "doc_id", "left")
                 password_col = "password"
             log = CommitLog(args.output)

@@ -1047,7 +1047,13 @@ def reextract_parts(
         )
     from .pipeline import assign_part_id
 
-    docs = assign_part_id(documents.select("doc_id", "spans"), n_parts).filter(
+    # keep the joined manifest password column through the projection
+    # (mirrors resume_filter's keep_cols) — dropping it broke
+    # --refresh-parts --password-manifest with an unresolved column
+    keep_cols = ("doc_id", "spans") + (
+        () if password_col is None else (password_col,)
+    )
+    docs = assign_part_id(documents.select(*keep_cols), n_parts).filter(
         F.col("part_id").isin(list(parts))
     )
     extracted = extract_documents(

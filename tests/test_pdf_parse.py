@@ -197,19 +197,21 @@ def test_tj_kern_word_spacing():
     assert _split_tj_array(
         [("str", "This"), ("num", -371.0), ("str", "man"),
          ("num", 28.0), ("str", "ual")]
-    ) == ["This", "manual"]
+    ) == (["This", "manual"], -343.0)
     cases = [
-        ([("str", "a"), ("num", -350.0), ("str", "b")], ["a", "b"]),
-        ([("str", "a"), ("num", -20.0), ("str", "b")], ["ab"]),
-        ([("str", "a"), ("num", 350.0), ("str", "b")], ["ab"]),  # leftward
-        ([("num", -350.0), ("str", "a")], ["a"]),  # never leading
+        ([("str", "a"), ("num", -350.0), ("str", "b")], ["a", "b"], -350.0),
+        ([("str", "a"), ("num", -20.0), ("str", "b")], ["ab"], -20.0),
+        # leftward displacement still totals (it shortens the advance)
+        ([("str", "a"), ("num", 350.0), ("str", "b")], ["ab"], 350.0),
+        ([("num", -350.0), ("str", "a")], ["a"], -350.0),  # never leading
         ([("str", "a"), ("num", -350.0), ("num", -350.0), ("str", "b")],
-         ["a", "b"]),
-        ([("str", "a"), ("num", -350.0)], ["a"]),  # trailing gap dropped
-        ([], []),
+         ["a", "b"], -700.0),
+        # trailing gap segment dropped, its displacement still counted
+        ([("str", "a"), ("num", -350.0)], ["a"], -350.0),
+        ([], [], 0.0),
     ]
-    for arr, want in cases:
-        assert _split_tj_array(arr) == want, arr
+    for arr, want, want_kern in cases:
+        assert _split_tj_array(arr) == (want, want_kern), arr
 
     # build -> parse roundtrip: the "tex" builder style emits kern-only
     # word gaps and must come back byte-exact
@@ -495,3 +497,32 @@ def test_char_word_spacing_enter_width_advance():
     )
     [it4], _, _ = _interpret(saved, 792.0, fonts=fonts)
     assert it4.width == pytest.approx(25 + 5 * 2)  # Q restored Tc=2
+
+
+def test_tj_kern_displacement_enters_width_advance():
+    """TJ numbers displace the pen by -v/1000*Tfs*Tz (ISO 32000-1 9.4.3)
+    whether or not they split a word — the pdfTeX case writes every word
+    gap this way, and a kerned show string that dropped the kerns would
+    report a width short by the summed gaps while _group_textboxes treats
+    width>0 as exact (round-5 ADVICE fix)."""
+    from pdf_extractor_spark.core.pdf_parse import _Font, _interpret
+
+    fonts = {"F1": _Font(widths={c: 500.0 for c in range(32, 127)})}
+
+    # word-break kern: 8 glyphs at 500/1000*10 = 40, plus gap 371/1000*10
+    kerned = b"BT /F1 10 Tf 100 700 Td [(This)-371(test)] TJ ET"
+    [it], _, _ = _interpret(kerned, 792.0, fonts=fonts)
+    assert it.text == "This test"
+    assert it.width == pytest.approx(8 * 5.0 + 0.371 * 10)
+
+    # small intra-word kerns (below the word threshold) count too,
+    # including positive (leftward) ones
+    tight = b"BT /F1 10 Tf 100 700 Td [(ma)-20(nu)28(al)] TJ ET"
+    [it2], _, _ = _interpret(tight, 792.0, fonts=fonts)
+    assert it2.text == "manual"
+    assert it2.width == pytest.approx(6 * 5.0 + (20 - 28) / 1000 * 10)
+
+    # Tz scales the kern displacement like every other advance component
+    scaled = b"50 Tz BT /F1 10 Tf 100 700 Td [(This)-371(test)] TJ ET"
+    [it3], _, _ = _interpret(scaled, 792.0, fonts=fonts)
+    assert it3.width == pytest.approx((8 * 5.0 + 0.371 * 10) * 0.5)

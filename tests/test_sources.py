@@ -339,3 +339,40 @@ def test_migrate_layout_refuses_mode_flags(tmp_path):
         with pytest.raises(SystemExit) as e:
             main(["--output", str(root), "--migrate-layout", *extra])
         assert e.value.code == 2  # argparse error, not a silent no-op
+
+
+def test_watch_rejects_password_manifest(tmp_path):
+    """--password-manifest is batch-only (the manifest joins onto a static
+    input); with --watch it was a silent no-op — the round-5 ADVICE fix
+    makes the inapplicable combination fail loudly like the others."""
+    import pytest
+
+    from pdf_extractor_spark.job import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["--input", str(tmp_path / "drop"), "--output",
+              str(tmp_path / "out"), "--watch",
+              "--password-manifest", str(tmp_path / "pw.csv")])
+    assert e.value.code == 2
+
+
+def test_password_manifest_header_validated(tmp_path, spark):
+    """spark.read.csv with an explicit schema names columns by POSITION —
+    a manifest with swapped/renamed header columns must p.error, not be
+    silently misread (round-5 ADVICE fix: the old check compared the
+    schema's own names and could never fire)."""
+    import pytest
+
+    from pdf_extractor_spark.job import main
+
+    docs = tmp_path / "docs"
+    spark.createDataFrame(
+        [("d1", [])], "doc_id string, spans array<struct<kind:string,"
+        "text:string,media_ref:string,offset:int>>"
+    ).write.parquet(str(docs))
+    bad = tmp_path / "pw.csv"
+    bad.write_text("password,doc_id\nhunter2,d1\n")
+    with pytest.raises(SystemExit) as e:
+        main(["--input", str(docs), "--output", str(tmp_path / "out"),
+              "--password-manifest", str(bad)])
+    assert e.value.code == 2

@@ -860,3 +860,54 @@ def test_per_doc_password_column_both_paths(spark):
             for r in ext.select("doc_id", "parse_failures").collect()
         }
         assert got == exp, use_arrow
+
+
+def test_reextract_parts_keeps_password_column(spark, tmp_path):
+    """--refresh-parts --password-manifest (round-5 ADVICE fix):
+    ``reextract_parts`` must keep the joined manifest password column
+    through its (doc_id, spans) projection — dropping it crashed
+    ``extract_documents(password_col=...)`` with an unresolved-column
+    AnalysisException. Refreshed parts must unlock their passworded docs."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.corpus import (
+        corpus_parquet,
+        expected_extraction_rows,
+    )
+    from pdf_extractor_spark.spark import lineage as L
+
+    docs = spark.read.parquet(corpus_parquet(24, seed=7, profile="encrypted"))
+    manifest = (
+        docs.select("doc_id")
+        .where(F.substring("doc_id", -8, 8).cast("int") % 7 == 0)
+        .withColumn("password", F.lit("real-password"))
+    )
+    joined = docs.join(F.broadcast(manifest), "doc_id", "left")
+
+    log = L.CommitLog(str(tmp_path / "tbl"))
+    # baseline commit WITHOUT the manifest: passworded docs fail to parse
+    L.run_extraction(spark, docs, log, n_parts=8, parts_per_chunk=8,
+                     num_partitions=4)
+    before = dict(
+        log.read_extracted(spark)
+        .select("doc_id", "parse_failures").collect()
+    )
+    assert sum(before.values()) > 0  # some docs locked without passwords
+
+    # overwrite every part WITH the per-doc passwords flowing through
+    report = L.reextract_parts(
+        spark, joined, log, parts=list(range(8)),
+        num_partitions=4, password_col="password",
+    )
+    assert report.parts_processed == 8
+    exp = {
+        r["doc_id"]: r["parse_failures"]
+        for r in expected_extraction_rows(
+            24, seed=7, profile="encrypted", unlock_passworded=True
+        )
+    }
+    after = dict(
+        log.read_extracted(spark)
+        .select("doc_id", "parse_failures").collect()
+    )
+    assert after == exp and sum(after.values()) == 0
