@@ -151,6 +151,17 @@ def main(argv: list[str] | None = None) -> int:
                         "and exactly-once like --signals). With --kept-from "
                         "CURATE_ROOT [--drop-neardups-from NEARDUP_ROOT] "
                         "and --rebuild, packs the composed kept corpus")
+    p.add_argument("--materialize", action="store_true",
+                   help="run the shard-materialization pass instead of "
+                        "extraction: --input is a committed extraction "
+                        "table root, --pack-table the committed placement "
+                        "table a prior --pack run produced over it, "
+                        "--output receives the assembled (pack_epoch, ctx, "
+                        "text) context rows (snapshot-pinned gather join; "
+                        "incremental and exactly-once like --signals)")
+    p.add_argument("--pack-table", type=str, default=None, metavar="DIR",
+                   help="with --materialize: the committed pack placement "
+                        "table root to gather from")
     p.add_argument("--over-kept", type=str, default=None, metavar="CURATE_ROOT",
                    help="with --neardup --rebuild: scope the re-decision to "
                         "the curate-KEPT corpus (the residual-cluster "
@@ -204,6 +215,7 @@ def main(argv: list[str] | None = None) -> int:
             args.watch or args.ocr_stage or args.compact or args.refresh_parts
             or args.export_zip or args.route_needs_ocr
             or args.signals or args.curate or args.neardup or args.pack
+            or args.materialize
             or args.rebuild
             or args.expire_older_than is not None
             or args.gc_orphans_older_than is not None
@@ -236,8 +248,10 @@ def main(argv: list[str] | None = None) -> int:
                 "apply to stage-1 runs against the stage-1 --output")
     if args.rebuild and not (
         args.signals or args.curate or args.neardup or args.pack
+        or args.materialize
     ):
-        p.error("--rebuild only applies to --signals/--curate/--neardup/--pack")
+        p.error("--rebuild only applies to "
+                "--signals/--curate/--neardup/--pack/--materialize")
     if args.over_kept is not None:
         if not args.neardup:
             p.error("--over-kept only applies to --neardup")
@@ -252,11 +266,18 @@ def main(argv: list[str] | None = None) -> int:
     ):
         p.error("--min-tokens/--min-stopword-micros/--accept-langs/"
                 "--min-logit-micros only apply to --curate")
-    if sum((args.signals, args.curate, args.neardup, args.pack)) > 1:
-        p.error("--signals/--curate/--neardup/--pack are separate passes; "
-                "run them against separate --output roots")
+    if sum((args.signals, args.curate, args.neardup, args.pack,
+            args.materialize)) > 1:
+        p.error("--signals/--curate/--neardup/--pack/--materialize are "
+                "separate passes; run them against separate --output roots")
+    if args.materialize and not args.pack_table:
+        p.error("--materialize gathers a committed placement table; "
+                "pass --pack-table DIR")
+    if args.pack_table and not args.materialize:
+        p.error("--pack-table only applies to --materialize")
     for flag, on in (("--signals", args.signals), ("--curate", args.curate),
-                     ("--neardup", args.neardup), ("--pack", args.pack)):
+                     ("--neardup", args.neardup), ("--pack", args.pack),
+                     ("--materialize", args.materialize)):
         if on and (
             args.watch
             or args.ocr_stage
@@ -330,10 +351,14 @@ def main(argv: list[str] | None = None) -> int:
             p.error(f"{opt} {root} is not a committed table root "
                     "(no commits/ directory)")
 
-    if args.signals or args.curate or args.neardup or args.pack:
+    if (args.signals or args.curate or args.neardup or args.pack
+            or args.materialize):
         flag = ("--signals" if args.signals else "--curate" if args.curate
-                else "--neardup" if args.neardup else "--pack")
+                else "--neardup" if args.neardup else "--pack" if args.pack
+                else "--materialize")
         _require_table_root(f"{flag} --input", args.input)
+    if args.pack_table is not None:
+        _require_table_root("--pack-table", args.pack_table)
     if args.over_kept is not None:
         _require_table_root("--over-kept", args.over_kept)
     if args.kept_from is not None:
@@ -395,7 +420,8 @@ def main(argv: list[str] | None = None) -> int:
 
         configure_state_store(spark, args.state_store)
     try:
-        if args.signals or args.curate or args.neardup or args.pack:
+        if (args.signals or args.curate or args.neardup or args.pack
+                or args.materialize):
             # table roots already validated pre-JVM (above)
             if args.signals:
                 from pdf_extractor_spark.spark.signals import run_signals_job
@@ -415,6 +441,19 @@ def main(argv: list[str] | None = None) -> int:
                     kept_from=args.over_kept,
                 )
                 verb = "NEARDUP_DONE"
+            elif args.materialize:
+                from pdf_extractor_spark.spark.materialize import (
+                    run_materialize_job,
+                )
+
+                report, dt = run_materialize_job(
+                    spark,
+                    args.input,
+                    args.pack_table,
+                    args.output,
+                    rebuild=args.rebuild,
+                )
+                verb = "MATERIALIZE_DONE"
             elif args.pack:
                 from pdf_extractor_spark.spark.pack import run_pack_job
 

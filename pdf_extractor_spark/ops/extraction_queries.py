@@ -966,6 +966,59 @@ def _packed_oracle_sql() -> str:
     )
 
 
+def _materialize_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """The pack fixture extended one stage: its committed placements
+    gathered into actual context rows by spark/materialize.py. Shares the
+    pack fixture's identity-keyed base (same source extraction + pack
+    table); the materialize table lives in a version-suffixed subdir so a
+    MATERIALIZE_COMPUTE_VERSION bump can never hit a stale output while
+    the pack half stays cached."""
+    import os
+
+    from ..spark.lineage import CommitLog
+    from ..spark.materialize import (
+        MATERIALIZE_COMPUTE_VERSION,
+        run_materialize,
+    )
+    from ..spark.pack import PACK_COMPUTE_VERSION, run_pack
+
+    base, src_log = _stage_fixture_base(
+        spark, sf_dir, "pack", f"packv{PACK_COMPUTE_VERSION}"
+    )
+    pack_root = os.path.join(base, "out")
+    run_pack(spark, src_log, CommitLog(pack_root))
+    mat_root = os.path.join(base, f"mat-v{MATERIALIZE_COMPUTE_VERSION}")
+    run_materialize(
+        spark, src_log, CommitLog(pack_root), CommitLog(mat_root)
+    )
+    return mat_root
+
+
+def q_materialized_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-shard STAGE, value-hash gated end-to-end:
+    extraction (real kernel) -> commit log -> pack pass (placements) ->
+    materialize pass (spark/materialize.py: snapshot-pinned gather join)
+    -> committed snapshot read. The oracle predicts every context's
+    ASSEMBLED TEXT in closed form from the flat documents table (the
+    extracted text is byte-equal to the raw text — EXTRACT_CLEAN_SQL —
+    so the token stream is predictable end to end); a slice off-by-one,
+    a mis-ordered gather, or a doc dropped/duplicated anywhere in the
+    two-stage chain flips the hash. ``pack_epoch`` is projected out
+    (single-window fixture; uniqueness is pytest-pinned)."""
+    from ..spark.lineage import CommitLog
+    from ..spark.materialize import read_materialized
+
+    out_root = _materialize_fixture(spark, sf_dir)
+    df = read_materialized(spark, CommitLog(out_root))
+    return df.select("ctx", "n_docs", "n_tokens", "text").orderBy("ctx")
+
+
+def _materialized_oracle_sql() -> str:
+    from .training import pack_materialize_sql
+
+    return pack_materialize_sql(empty_guard=True, varchar_tiebreak=True)
+
+
 # --- curation-verdict table ---------------------------------------------
 
 # clone-slice offset: divisible by 3 and 17, so a clone keeps the original's
@@ -1297,6 +1350,7 @@ QUERIES: dict[str, tuple] = {
     "ocr_roundtrip": (q_ocr_roundtrip, _ocr_roundtrip_oracle_sql),
     "signals_table": (q_signals_table, _signals_oracle_sql),
     "packed_table": (q_packed_table, _packed_oracle_sql),
+    "materialized_table": (q_materialized_table, _materialized_oracle_sql),
     "curated_table": (q_curated_table, _curated_oracle_sql),
     "kept_corpus": (q_kept_corpus, _kept_corpus_oracle_sql),
     "kept_collapsed": (q_kept_collapsed, _kept_collapsed_oracle_sql),

@@ -283,6 +283,119 @@ WITH {pack_placement_ctes()}
 """
 
 
+def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED contexts — the training-shard end product: every
+    512-token context's actual assembled text (space-joined tokens drawn
+    across its contributing documents in stream order), not just the
+    gather map. This is ``pack_slices``' consumer run to completion: the
+    placement explode, a doc_id-keyed join against the token arrays, a
+    map-only array slice per (ctx, doc) contribution, and ONE ctx-keyed
+    exchange where each context's <= k slices are ordered and
+    concatenated. Per-context state is bounded by CTX_TOKENS regardless
+    of corpus size, so the gather never builds a large group.
+
+    Scale shape: the only shuffles are the placement prefix-scan's
+    4096-shard machinery (shared with pack_contexts), the doc_id join,
+    and the final ctx groupBy; no global ordering stage, no driver-side
+    assembly. The incremental/committed twin is spark/materialize.py
+    (stage over the committed pack table); this closed-form query is its
+    value-hash oracle shape on the flat corpus.
+    """
+    placed = _pack_placements(spark, sf_dir)
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", tokens("text").alias("_tok")
+    )
+    sl = (
+        placed.join(toks, "doc_id")
+        .select(
+            "doc_id",
+            "_tok",
+            "n_tokens",
+            "start_off",
+            F.explode(
+                F.sequence(
+                    F.expr(f"start_off div {CTX_TOKENS}"),
+                    F.expr(f"(start_off + n_tokens - 1) div {CTX_TOKENS}"),
+                )
+            ).alias("ctx"),
+        )
+        .select(
+            "ctx",
+            F.expr(
+                f"greatest(start_off, ctx * {CTX_TOKENS}) - ctx * {CTX_TOKENS}"
+            ).alias("off_in_ctx"),
+            F.expr(
+                f"least(start_off + n_tokens, (ctx + 1) * {CTX_TOKENS})"
+                f" - greatest(start_off, ctx * {CTX_TOKENS})"
+            ).alias("n_toks"),
+            F.expr(
+                f"slice(_tok, int(greatest(start_off, ctx * {CTX_TOKENS})"
+                f" - start_off) + 1, int(least(start_off + n_tokens,"
+                f" (ctx + 1) * {CTX_TOKENS})"
+                f" - greatest(start_off, ctx * {CTX_TOKENS})))"
+            ).alias("_piece"),
+        )
+    )
+    return (
+        sl.groupBy("ctx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_tokens"),
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("off_in_ctx", "_piece"))
+                        ),
+                        lambda s: s["_piece"],
+                    )
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .orderBy("ctx")
+    )
+
+
+def pack_materialize_sql(*, empty_guard: bool = False,
+                         varchar_tiebreak: bool = False) -> str:
+    """Closed-form materialized-context oracle: the placement CTEs
+    (knobs as in :func:`pack_placement_ctes`) exploded to per-(ctx, doc)
+    slices of the token arrays, assembled per context ordered by
+    off_in_ctx. Shared by the flat `pack_materialize` query and the
+    staged `materialized_table` oracle (extraction_queries)."""
+    return f"""
+WITH {pack_placement_ctes(empty_guard=empty_guard,
+                          varchar_tiebreak=varchar_tiebreak)},
+tok AS (
+  SELECT doc_id, {tokens_sql('text')} AS tk FROM documents),
+r AS (
+  SELECT doc_id, n_tokens, start_off,
+         unnest(generate_series(start_off // {CTX_TOKENS},
+                                (start_off + n_tokens - 1) // {CTX_TOKENS}))
+           AS ctx
+  FROM p),
+s AS (
+  SELECT ctx,
+         greatest(start_off, ctx * {CTX_TOKENS}) - ctx * {CTX_TOKENS}
+           AS off_in_ctx,
+         least(start_off + n_tokens, (ctx + 1) * {CTX_TOKENS})
+           - greatest(start_off, ctx * {CTX_TOKENS}) AS n_toks,
+         array_to_string(list_slice(tk,
+             greatest(start_off, ctx * {CTX_TOKENS}) - start_off + 1,
+             least(start_off + n_tokens, (ctx + 1) * {CTX_TOKENS})
+               - start_off), ' ') AS piece
+  FROM r JOIN tok USING (doc_id))
+SELECT ctx, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       string_agg(piece, ' ' ORDER BY off_in_ctx) AS text
+FROM s GROUP BY ctx ORDER BY ctx
+"""
+
+
+PACK_MATERIALIZE_SQL = pack_materialize_sql()
+
+
 # --- bigram LM scoring ------------------------------------------------------
 
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -940,6 +1053,7 @@ QUERIES: dict[str, tuple] = {
     "chunk_windows": (q_chunk_windows, CHUNK_WINDOWS_SQL),
     "pack_contexts": (q_pack_contexts, PACK_CONTEXTS_SQL),
     "pack_slices": (q_pack_slices, PACK_SLICES_SQL),
+    "pack_materialize": (q_pack_materialize, PACK_MATERIALIZE_SQL),
     "lm_score": (q_lm_score, LM_SCORE_SQL),
     "kmeans_step": (q_kmeans_step, _kmeans_step_sql()),
     "kmeans_train": (q_kmeans_train, _kmeans_train_sql()),

@@ -125,10 +125,26 @@ def run_derived_stage(
     rebuild: bool = False,
     rebuild_compute: Callable[[DataFrame], DataFrame] | None = None,
     extra_metrics: dict | None = None,
+    src_schema: StructType | None = None,
+    rebuild_all_parts: bool = False,
 ) -> RunReport:
     """One incremental pass of a derived stage: consume the source
     snapshots committed since the cursor, or (``rebuild=True``) recompute
     everything as one overwrite chunk.
+
+    ``src_schema`` names the SOURCE table's row shape when the source is
+    itself a derived table (materialize consumes the pack table); default
+    is the extraction schema. The cursor/window/overwrite semantics are
+    schema-independent — derived-on-derived chains inherit them whole.
+
+    ``rebuild_all_parts``: a rebuild's overwrite marker normally owns the
+    union of the SOURCE chunks' part_ids — correct when output rows keep
+    their source doc's part_id (signals/curate/neardup/pack). A stage
+    whose output is keyed on something ELSE (materialize's contexts land
+    on ``ctx % n_parts``) must own the FULL part range instead: an
+    overwrite shadows prior chunks only for the parts it lists, and a
+    shrunken rebuild (kept scope) could otherwise leave stale context
+    rows visible in parts its own output no longer touches.
 
     ``compute`` maps the DELTA extraction rows to the stage's schema;
     ``rebuild_compute`` (default: ``compute``) maps the FULL table — a
@@ -166,6 +182,8 @@ def run_derived_stage(
             rebuild=rebuild,
             rebuild_compute=rebuild_compute,
             extra_metrics=extra_metrics,
+            src_schema=src_schema,
+            rebuild_all_parts=rebuild_all_parts,
         )
     finally:
         while len(_DF_CACHE) > mark:
@@ -182,6 +200,8 @@ def _run_derived_stage(
     rebuild: bool = False,
     rebuild_compute: Callable[[DataFrame], DataFrame] | None = None,
     extra_metrics: dict | None = None,
+    src_schema: StructType | None = None,
+    rebuild_all_parts: bool = False,
 ) -> RunReport:
     import inspect
 
@@ -203,12 +223,17 @@ def _run_derived_stage(
         # into the recorded cursor, so the next incremental run would
         # consume it AGAIN — two derived rows per doc, and the earlier
         # rebuild overwrite cannot shadow the later duplicate append
-        out = _call(
-            rebuild_compute or compute,
-            src_log.read_extracted(spark, markers=src_chunks),
-            latest,
+        src_full = (
+            src_log.read_extracted(spark, markers=src_chunks)
+            if src_schema is None
+            else src_log.read_table(spark, src_schema, markers=src_chunks)
         )
-        all_parts = sorted({p for c in src_chunks for p in c["part_ids"]})
+        out = _call(rebuild_compute or compute, src_full, latest)
+        all_parts = (
+            list(range(n_parts))
+            if rebuild_all_parts and n_parts is not None
+            else sorted({p for c in src_chunks for p in c["part_ids"]})
+        )
         _, n_docs, _ = commit_derived_chunk(
             spark,
             out_log,
@@ -263,6 +288,7 @@ def _run_derived_stage(
         spark,
         after=cursor if cursor is not None else -1,
         window=window,
+        schema=src_schema,
     )
     out = _call(compute, delta, latest)
 

@@ -758,6 +758,7 @@ class CommitLog:
         after: int,
         until: int | None = None,
         window: list[dict] | None = None,
+        schema=None,
     ) -> DataFrame:
         """Rows appended or overwritten by snapshots in (after, until] — the
         Iceberg incremental-scan analogue, the feed for downstream
@@ -781,7 +782,11 @@ class CommitLog:
         ``window`` reuses a marker list the caller already computed via
         :meth:`incremental_window` (the ``chunks=`` reuse pattern) — the
         guard that inspected the window and the scan that reads it then
-        share one listing by construction."""
+        share one listing by construction.
+
+        ``schema`` overrides the row shape for DERIVED tables consumed
+        incrementally by a further stage (materialize reads the pack
+        table's deltas) — the ``read_table`` twin of this scan."""
         from .pipeline import EXTRACTED_SCHEMA
 
         if window is None:
@@ -789,7 +794,10 @@ class CommitLog:
         ids = [c["chunk_id"] for c in window]
         # each marker's data is read whole here (an overwrite's parts ARE
         # its current content), so the scan needs no part_id conditions
-        return self._scan_chunks(spark, self.data_dir, EXTRACTED_SCHEMA, ids, [])
+        return self._scan_chunks(
+            spark, self.data_dir,
+            EXTRACTED_SCHEMA if schema is None else schema, ids, [],
+        )
 
     def incremental_window(
         self,
