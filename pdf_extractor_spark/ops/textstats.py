@@ -1300,11 +1300,14 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _bpe_encode_sql() -> str:
+def bpe_encode_ctes() -> str:
+    """The recursive-CTE tokenizer body (``vocab`` .. ``toks``) shared by
+    the ``bpe_encode`` oracle and the BPE-cost packing oracle
+    (training.PACK_BPE_SQL): rule derivation, per-word greedy merge
+    fixpoint, and the per-(doc, pos) token stream. Callers prepend
+    ``WITH RECURSIVE`` and join ``toks``/``encoded`` their own way."""
     m = BPE_MERGES
-    return f"""
-WITH RECURSIVE
-vocab AS (
+    return f"""vocab AS (
   SELECT tok, count(*) AS n
   FROM (SELECT unnest({tokens_sql('text')}) AS tok FROM documents)
   WHERE len(tok) >= 2 GROUP BY tok),
@@ -1343,7 +1346,13 @@ encoded AS (
 toks AS (
   SELECT doc_id, unnest({tokens_sql('text')}) AS tok,
          generate_subscripts({tokens_sql('text')}, 1) AS pos
-  FROM documents)
+  FROM documents)"""
+
+
+def _bpe_encode_sql() -> str:
+    return f"""
+WITH RECURSIVE
+{bpe_encode_ctes()}
 SELECT t.doc_id,
        count(*) AS n_tokens,
        CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,

@@ -396,6 +396,90 @@ FROM s GROUP BY ctx ORDER BY ctx
 PACK_MATERIALIZE_SQL = pack_materialize_sql()
 
 
+def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing costed in TOKENIZER pieces, not whitespace
+    tokens — what a production packer actually budgets: a context holds
+    512 BPE pieces, and a word's cost is however many pieces the merge
+    table leaves it (``textstats.q_bpe_encode`` is the costing stage this
+    composes). Same deterministic md5 stream order and two-phase
+    distributed prefix scan as ``pack_contexts``; only the cost column
+    changes, so the placement machinery is shared verbatim.
+
+    Scale shape: rule table <= 12 rows collected once and closure-shipped
+    (the k-means-centroid pattern); the costing pass is the map-only
+    Arrow encode with its per-task word memo (no join, no shuffle on the
+    Zipf-hot vocabulary); then the 4096-shard prefix scan. The oracle
+    rederives every piece count through the recursive-CTE tokenizer and
+    the packing arithmetic in one closed form.
+    """
+    from .textstats import (
+        _BPE_OUT_SCHEMA,
+        _bpe_encode_batches,
+        bpe_merge_rules,
+    )
+
+    rules = bpe_merge_rules(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    cost = (
+        docs.select(F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+        .mapInArrow(_bpe_encode_batches(rules), schema=_BPE_OUT_SCHEMA)
+        .select(
+            "doc_id",
+            F.col("n_pieces").alias("n_pieces"),
+            h64(F.col("doc_id").cast("string")).alias("h"),
+        )
+    )
+    placed = exclusive_prefix_sum(
+        cost,
+        ["h", "doc_id"],
+        "n_pieces",
+        "start_off",
+        shard_col=F.expr(f"h div {PACK_SHARDS_DIV}"),
+    )
+    return (
+        placed.select(
+            "doc_id",
+            "n_pieces",
+            "start_off",
+            F.expr(f"start_off div {CTX_TOKENS}").alias("first_chunk"),
+            F.expr(
+                f"(start_off + n_pieces - 1) div {CTX_TOKENS}"
+            ).alias("last_chunk"),
+        )
+        .withColumn(
+            "n_chunks", F.col("last_chunk") - F.col("first_chunk") + F.lit(1)
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pack_bpe_sql() -> str:
+    from .textstats import bpe_encode_ctes
+
+    return f"""
+WITH RECURSIVE
+{bpe_encode_ctes()},
+cost AS (
+  SELECT t.doc_id, CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,
+         {h64_sql("CAST(t.doc_id AS VARCHAR)")} AS h
+  FROM toks t JOIN encoded e USING (tok)
+  GROUP BY t.doc_id),
+p AS (
+  SELECT doc_id, n_pieces,
+         CAST(COALESCE(SUM(n_pieces) OVER (
+                ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_off
+  FROM cost)
+SELECT doc_id, n_pieces, start_off,
+       start_off // {CTX_TOKENS} AS first_chunk,
+       (start_off + n_pieces - 1) // {CTX_TOKENS} AS last_chunk,
+       ((start_off + n_pieces - 1) // {CTX_TOKENS})
+         - (start_off // {CTX_TOKENS}) + 1 AS n_chunks
+FROM p ORDER BY doc_id
+"""
+
+
 # --- bigram LM scoring ------------------------------------------------------
 
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1054,6 +1138,7 @@ QUERIES: dict[str, tuple] = {
     "pack_contexts": (q_pack_contexts, PACK_CONTEXTS_SQL),
     "pack_slices": (q_pack_slices, PACK_SLICES_SQL),
     "pack_materialize": (q_pack_materialize, PACK_MATERIALIZE_SQL),
+    "pack_bpe": (q_pack_bpe, _pack_bpe_sql),
     "lm_score": (q_lm_score, LM_SCORE_SQL),
     "kmeans_step": (q_kmeans_step, _kmeans_step_sql()),
     "kmeans_train": (q_kmeans_train, _kmeans_train_sql()),
