@@ -125,6 +125,128 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_TOL_PPB = 1_000_000  # converged-loop default: max per-vertex step 0.1%
+PR_MAX_ITERS = 60
+
+
+def pagerank_converged(
+    edges: DataFrame,
+    tol_ppb: int = PR_TOL_PPB,
+    max_iters: int = PR_MAX_ITERS,
+    damp_milli: int = PR_DAMP_MILLI,
+):
+    """Residual-thresholded damped PageRank over an edge list
+    ``edges(src, dst)`` in which every vertex appears as a src (the
+    symmetric-graph shape ``q_pagerank`` builds): iterate until
+    ``max |r_k+1 - r_k| <= tol_ppb`` or ``max_iters``.
+
+    Returns ``(ranks, iters, converged, residual)`` — ``ranks(vertex,
+    degree, r)`` persisted (caller owns release), ``residual`` the last
+    max per-vertex step in ppb. The 3-iteration unroll (``q_pagerank``)
+    stays the oracle-able fixed form; this loop is the production shape
+    the unroll's docstring promised: per-iteration eager
+    ``localCheckpoint`` truncates lineage exactly like the CC star loop
+    (an unrolled plan re-references ranks every round and grows without
+    bound), and the loop-invariant ``edges``/``deg`` tables are persisted
+    ONCE outside the loop — each iteration moves only the dst-keyed
+    share sum plus one |V|-row residual aggregate.
+
+    Arithmetic is the same integer-ppb scheme as ``q_pagerank`` (floor
+    divisions, BIGINT throughout), so the fixpoint is bit-reproducible
+    across engines and retries, and the residual is monotone-decaying at
+    rate ~damp (geometric): convergence within
+    ``log(r0/tol)/log(1000/damp_milli)`` rounds regardless of graph
+    DIAMETER — a chain adversarial for label propagation is no worse
+    here (pinned in tests/test_graph.py).
+    """
+    edges = _persisted(edges.select("src", "dst"))
+    deg = _persisted(edges.groupBy("src").agg(F.count("*").alias("degree")))
+    nv = deg.agg(F.count("*").alias("nv"))
+    ranks = (
+        deg.crossJoin(F.broadcast(nv))
+        .select(
+            F.col("src").alias("vertex"),
+            "degree",
+            F.expr(f"{PR_ONE_PPB}L DIV nv").alias("r"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    iters, converged, residual = 0, False, None
+    for _ in range(max_iters):
+        ctb = (
+            edges.join(ranks, edges.src == ranks.vertex)
+            .select(F.col("dst"), F.expr("r DIV degree").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("ctb"))
+        )
+        nxt = (
+            deg.crossJoin(F.broadcast(nv))
+            .join(ctb, deg.src == ctb.dst, "left")
+            .select(
+                F.col("src").alias("vertex"),
+                "degree",
+                F.expr(
+                    f"({1000 - damp_milli} * ({PR_ONE_PPB}L DIV nv)"
+                    f" + {damp_milli} * coalesce(ctb, 0L)) DIV 1000"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        iters += 1
+        residual = (
+            nxt.alias("n")
+            .join(ranks.alias("o"), F.col("n.vertex") == F.col("o.vertex"))
+            .agg(F.max(F.abs(F.col("n.r") - F.col("o.r"))).alias("res"))
+            .collect()[0]["res"]
+        )
+        ranks.unpersist()  # release the previous round's checkpoint blocks
+        ranks = nxt
+        if residual <= tol_ppb:
+            converged = True
+            break
+    return ranks, iters, converged, residual
+
+
+def q_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 vertices by CONVERGED damped PageRank over the co-purchase
+    graph — the residual-thresholded loop run to its fixpoint instead of
+    the fixed 3-iteration unroll. Data-dependent iteration count, so no
+    closed-form SQL oracle exists (rows-only driver check); exactness is
+    pinned instead by the pure-Python integer rederivation differential
+    in tests/test_graph.py (same floor arithmetic, byte-equal ranks)."""
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = _persisted(
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks, _iters, converged, _res = pagerank_converged(edges)
+    if not converged:
+        raise RuntimeError(
+            f"pagerank did not converge within {PR_MAX_ITERS} iterations"
+        )
+    return (
+        ranks.select(
+            F.expr(
+                "CASE WHEN vertex % 2 = 0"
+                " THEN 'c' || CAST(vertex DIV 2 AS STRING)"
+                " ELSE 's' || CAST(vertex DIV 2 AS STRING) END"
+            ).alias("vertex"),
+            "degree",
+            F.col("r").alias("rank_ppb"),
+        )
+        .orderBy(F.desc("rank_ppb"), "vertex")
+        .limit(PR_TOPK)
+    )
+
+
 def _pr_ctes(n_iters: int = PR_ITERS) -> str:
     ctes = [
         """pairs AS (
@@ -170,4 +292,7 @@ LIMIT {PR_TOPK}
 
 QUERIES: dict[str, tuple] = {
     "pagerank": (q_pagerank, PAGERANK_SQL),
+    # data-dependent iteration count -> no closed-form SQL; rows-only in
+    # the driver gate, byte-exact vs the Python rederivation in pytest
+    "pagerank_converged": (q_pagerank_converged, None),
 }

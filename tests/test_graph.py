@@ -133,3 +133,103 @@ def test_pagerank_oracle_matches_python_on_random_graphs():
         assert got == expected
 
     check()
+
+
+def _python_pagerank_converged(adj, tol_ppb, damp_milli, max_iters=200):
+    """Residual-thresholded loop with the identical integer arithmetic —
+    the byte-exact rederivation of ops/graph.pagerank_converged."""
+    nv = len(adj)
+    ranks = {v: PR_ONE_PPB // nv for v in adj}
+    iters = 0
+    residual = None
+    for _ in range(max_iters):
+        ctb = defaultdict(int)
+        for v, outs in adj.items():
+            share = ranks[v] // len(outs)
+            for d in outs:
+                ctb[d] += share
+        nxt = {
+            v: (
+                (1000 - damp_milli) * (PR_ONE_PPB // nv)
+                + damp_milli * ctb[v]
+            )
+            // 1000
+            for v in adj
+        }
+        iters += 1
+        residual = max(abs(nxt[v] - ranks[v]) for v in adj)
+        ranks = nxt
+        if residual <= tol_ppb:
+            break
+    return ranks, iters, residual
+
+
+def test_pagerank_converged_chain_graph(spark):
+    """The adversarial CHAIN graph (diameter = |V| - 1, the case where
+    min-label propagation needs |V| rounds): the residual-thresholded
+    loop converges within the geometric bound log(r0/tol)/log(1/damp) —
+    DIAMETER-independent — the ranks match the pure-Python integer
+    rederivation byte-for-byte, and rank mass at the fixpoint stays
+    within flooring loss of 1.0."""
+    import math
+
+    from pdf_extractor_spark.ops.graph import PR_TOL_PPB, pagerank_converged
+
+    n = 24  # path v0 - v1 - ... - v23
+    chain = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in chain] + [(b, a) for a, b in chain],
+        "src bigint, dst bigint",
+    )
+    ranks, iters, converged, residual = pagerank_converged(edges)
+    assert converged and residual <= PR_TOL_PPB
+    # geometric residual decay: r0 <= 1e9, rate damp=0.85 -> ~43 rounds
+    bound = math.ceil(
+        math.log((PR_ONE_PPB) / PR_TOL_PPB) / math.log(1000 / PR_DAMP_MILLI)
+    ) + 2
+    assert iters <= bound, (iters, bound)
+
+    adj = defaultdict(list)
+    for a, b in chain:
+        adj[a].append(b)
+        adj[b].append(a)
+    expect, py_iters, py_res = _python_pagerank_converged(
+        adj, PR_TOL_PPB, PR_DAMP_MILLI
+    )
+    got = {r["vertex"]: r["r"] for r in ranks.collect()}
+    assert got == expect
+    assert (iters, residual) == (py_iters, py_res)
+    # rank-mass bound at the fixpoint: every vertex floors once per share
+    # and once per update -> loss per iteration <= (|E| + |V| + 1000) ppb
+    total = sum(got.values())
+    assert 0.99 * PR_ONE_PPB < total <= PR_ONE_PPB
+    ranks.unpersist()
+
+
+def test_pagerank_converged_faster_damping_fewer_rounds(spark):
+    """Damping is the convergence knob the loop exposes: halving the
+    damped mass (500 vs 850 milli) must cut the round count roughly per
+    the geometric bound, on the same graph, still matching the Python
+    rederivation exactly."""
+    from pdf_extractor_spark.ops.graph import pagerank_converged
+
+    n = 12
+    chain = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in chain] + [(b, a) for a, b in chain],
+        "src bigint, dst bigint",
+    )
+    ranks, iters, converged, _ = pagerank_converged(
+        edges, tol_ppb=10_000, damp_milli=500
+    )
+    assert converged
+    adj = defaultdict(list)
+    for a, b in chain:
+        adj[a].append(b)
+        adj[b].append(a)
+    expect, py_iters, _ = _python_pagerank_converged(adj, 10_000, 500)
+    got = {r["vertex"]: r["r"] for r in ranks.collect()}
+    assert got == expect and iters == py_iters
+    # 0.5^k * 1e9 <= 1e4 -> k ~ 17; well under the damp=850 bound of 43+
+    assert iters <= 20
+    ranks.unpersist()
