@@ -527,3 +527,143 @@ def test_publish_dir_never_mixes_concurrent_exports(tmp_path):
     assert litter == []
     # all staging dirs consumed by publishes
     assert not [n for n in os.listdir(tmp_path) if n.startswith("stage-")]
+
+
+def test_two_concurrent_signals_writers_exactly_once(spark, tmp_path):
+    """Derived-stage cursor collision (round-5 task): two --signals
+    writers race on ONE output root over the same source window. The
+    second writer must lose cleanly via CommitConflict under the commit
+    lock (its cursor moved between the window read and the publish), its
+    retry must see cursor == latest and no-op, and the table must end
+    with exactly one verdict row per doc — zero duplicates, zero missing
+    — across BOTH windows of a two-wave source."""
+    from pdf_extractor_spark.ops.extraction_queries import wrap_documents
+    from pdf_extractor_spark.spark.signals import read_signals, run_signals
+    from tests.helpers import write_docs
+
+    texts = {i: f"alpha bravo w{i} " * (i % 5 + 1) for i in range(24)}
+    sf_dir = write_docs(tmp_path, texts)
+    docs = wrap_documents(spark, sf_dir)
+    src = L.CommitLog(str(tmp_path / "src"))
+    out_root = str(tmp_path / "signals")
+
+    # wave 1: half the parts (injected crash), raced by two writers
+    with pytest.raises(RuntimeError, match="injected failure"):
+        L.run_extraction(spark, docs, src, n_parts=8, parts_per_chunk=4,
+                         fail_after_chunks=1)
+
+    outcomes: list[tuple[str, int]] = []
+    errors: list[BaseException] = []
+    gate = threading.Barrier(2)
+
+    def writer(name: str):
+        try:
+            gate.wait(timeout=30)  # maximize cursor-read overlap
+            try:
+                r = run_signals(spark, src, L.CommitLog(out_root))
+                outcomes.append((name + ":ok", r.chunks_committed))
+            except L.CommitConflict:
+                # documented loser path: cursor moved under a rival —
+                # retry against the refreshed cursor (a no-op window)
+                r = run_signals(spark, src, L.CommitLog(out_root))
+                outcomes.append((name + ":retry", r.chunks_committed))
+        except BaseException as e:  # surfaced below; never swallowed
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=("a",)),
+        threading.Thread(target=writer, args=("b",)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    # exactly ONE writer consumed the window, however the race resolved
+    assert sum(n for _, n in outcomes) == 1, outcomes
+
+    wave1 = {r["doc_id"] for r in read_signals(
+        spark, L.CommitLog(out_root)).select("doc_id").collect()}
+    src_docs1 = {r["doc_id"] for r in
+                 src.read_extracted(spark).select("doc_id").collect()}
+    assert wave1 == src_docs1  # zero duplicate, zero missing
+
+    # wave 2 consumed exactly once by a sequential run
+    L.run_extraction(spark, docs, src, n_parts=8, parts_per_chunk=4)
+    r2 = run_signals(spark, src, L.CommitLog(out_root))
+    assert r2.chunks_committed == 1
+    rows = read_signals(spark, L.CommitLog(out_root)).select(
+        "doc_id").collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == 24 and len(set(ids)) == 24
+
+    # a conflict loser's staged dir (if the race produced one) is
+    # unmarked -> invisible; GC reclaims it without touching data
+    out_log = L.CommitLog(out_root)
+    marked = {c["chunk_id"] for c in out_log.committed_chunks()}
+    on_disk = {
+        int(n.split("=")[1])
+        for n in os.listdir(out_log.data_dir)
+        if n.startswith("chunk=")
+    }
+    out_log.gc_orphans(grace_s=0)
+    assert read_signals(spark, out_log).count() == 24
+    assert on_disk >= marked
+
+
+def test_signals_cursor_collision_loses_deterministically(spark, tmp_path):
+    """Deterministic version of the race above: a rival signals chunk is
+    injected between the writer's window read and its publish (hooked at
+    chunk reservation), so the optimistic _cursor_unmoved check MUST fire
+    — the loser raises CommitConflict, publishes nothing, and its retry
+    is a clean no-op against the refreshed cursor."""
+    from pdf_extractor_spark.ops.extraction_queries import wrap_documents
+    from pdf_extractor_spark.spark.signals import (
+        compute_signals,
+        read_signals,
+        run_signals,
+    )
+    from pdf_extractor_spark.spark.derived import commit_derived_chunk
+    from pdf_extractor_spark.spark.signals import SIGNALS_SCHEMA
+    from tests.helpers import write_docs
+
+    texts = {i: f"golf hotel w{i}" for i in range(12)}
+    sf_dir = write_docs(tmp_path, texts)
+    src = L.CommitLog(str(tmp_path / "src"))
+    L.run_extraction(spark, wrap_documents(spark, sf_dir), src,
+                     n_parts=4, parts_per_chunk=4)
+    out_root = str(tmp_path / "signals")
+    victim = L.CommitLog(out_root)
+    latest = src.committed_chunks()[-1]["chunk_id"]
+
+    real_reserve = L.CommitLog.reserve_chunk_id
+    fired = []
+
+    def inject_then_reserve(self):
+        if self.root == victim.root and not fired:
+            fired.append(True)
+            # rival writer consumes the same window and commits first
+            rival = L.CommitLog(out_root)
+            cid = real_reserve(rival)
+            commit_derived_chunk(
+                spark, rival,
+                compute_signals(src.read_extracted(spark)),
+                SIGNALS_SCHEMA, "signals", None,
+                {"src_snapshot": latest}, src.n_parts(),
+            )
+        return real_reserve(self)
+
+    orig = L.CommitLog.reserve_chunk_id
+    L.CommitLog.reserve_chunk_id = inject_then_reserve
+    try:
+        with pytest.raises(L.CommitConflict, match="cursor moved"):
+            run_signals(spark, src, victim)
+    finally:
+        L.CommitLog.reserve_chunk_id = orig
+
+    # retry: cursor == latest -> no-op; table holds the rival's rows once
+    r = run_signals(spark, src, L.CommitLog(out_root))
+    assert r.chunks_committed == 0
+    ids = [row["doc_id"] for row in read_signals(
+        spark, L.CommitLog(out_root)).select("doc_id").collect()]
+    assert len(ids) == 12 and len(set(ids)) == 12
