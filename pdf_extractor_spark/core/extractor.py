@@ -30,12 +30,13 @@ from dataclasses import dataclass, field
 
 from .html_extract import extract_main_text
 from .pdf_parse import PdfParseError, extract_pdf_spans
-from .textclean import clean_text
+from .textclean import clean_text, render_delimited
 
 KIND_TEXT = "text"
 KIND_HTML = "html"
 KIND_PDF = "pdf"
 KIND_MEDIA = "media"
+KIND_DATA = "data"  # delimited content (csv/tsv/...), app/config.py:9-15
 
 
 @dataclass(slots=True)
@@ -128,6 +129,10 @@ def extract_document(
             emit(KIND_TEXT, clean_text(text))
         elif kind == KIND_HTML:
             emit(KIND_TEXT, clean_text(extract_main_text(text)))
+        elif kind == KIND_DATA:
+            # delimited rows -> the F4 table framing, then clean_text —
+            # the data corpus category (app/config.py:9-15) as a span path
+            emit(KIND_TEXT, clean_text(render_delimited(text)))
         elif kind == KIND_PDF:
             try:
                 pdf_bytes = base64.b64decode(text.encode("ascii"), validate=True)
@@ -221,6 +226,11 @@ def extract_document_staged(
             emit(KIND_TEXT, clean_text((payload or b"").decode("utf-8")))
         elif kind == KIND_HTML:
             emit(KIND_TEXT, clean_text(extract_main_text((payload or b"").decode("utf-8"))))
+        elif kind == KIND_DATA:
+            emit(
+                KIND_TEXT,
+                clean_text(render_delimited((payload or b"").decode("utf-8"))),
+            )
         elif kind == KIND_PDF:
             if payload is None:  # staged tombstone: strict base64 decode failed
                 failures += 1

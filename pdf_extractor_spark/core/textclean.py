@@ -8,9 +8,16 @@ equality cannot drift.
 
 from __future__ import annotations
 
+import csv
+import io
 import re
 
 _MULTI_BLANK = re.compile(r"\n\s*\n+")
+
+# same candidate set and head-sample bound as the manifest reader's
+# file-path sniff (sources/manifest.py; helper.py:85-94)
+_DATA_DELIMS = ",;\t|"
+_SNIFF_CHARS = 64 * 1024
 
 
 def clean_text(text: str) -> str:
@@ -31,6 +38,27 @@ def frame_region(raw_text: str) -> str:
     """A text region contributes ``\\n\\n{raw_text}\\n\\n``
     (pymu_tesseract_processor.py:261,272)."""
     return f"\n\n{raw_text}\n\n"
+
+
+def render_delimited(text: str) -> str:
+    """``kind='data'`` content (csv/tsv/…) rendered through the SAME
+    table framing the PDF grid path uses: sniff the delimiter
+    (``csv.Sniffer`` with the manifest reader's candidate set and ','
+    fallback, helper.py:85-94), parse rows, ``frame_table``. The
+    reference treats csv/xlsx/json files as a first-class corpus
+    category (app/config.py:9-15) and previews them as tables
+    (dashboard.py:864-897); this is that category as an extraction
+    span path instead of a UI preview."""
+    try:
+        delim = (
+            csv.Sniffer()
+            .sniff(text[:_SNIFF_CHARS], delimiters=_DATA_DELIMS)
+            .delimiter
+        )
+    except csv.Error:
+        delim = ","
+    rows = [list(r) for r in csv.reader(io.StringIO(text), delimiter=delim)]
+    return frame_table("Table", rows)
 
 
 def frame_table(label: str, rows: list[list[str | None]]) -> str:

@@ -119,6 +119,63 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_extract_data_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``kind='data'`` span path end to end: each doc wrapped as a
+    delimited (csv) data span + a media span, run through the REAL
+    extraction pipeline — delimiter sniff, row parse, F4 table framing,
+    clean_text — with every byte of the framed table oracle-predicted
+    (the reference's data corpus category, app/config.py:9-15, previewed
+    as tables in dashboard.py:864-897, here as extraction output)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    csv_text = F.concat(
+        F.lit("id,lang,source\n"),
+        F.col("doc_id").cast("string"),
+        F.lit(","),
+        F.col("lang"),
+        F.lit(","),
+        F.col("source"),
+    )
+    data_span = F.struct(
+        F.lit("data").alias("kind"),
+        csv_text.alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    media_span = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit("").alias("text"),
+        F.concat(F.lit("media://"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.lit(1).alias("offset"),
+    )
+    wrapped = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(data_span, media_span).alias("spans"),
+    )
+    ext = extract_documents(wrapped, n_parts=16, num_partitions=8)
+    return ext.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.element_at("spans", 1)["text"].alias("table_text"),
+        F.element_at("spans", 2)["media_ref"].alias("media_ref"),
+        "spans_emitted",
+        "parse_failures",
+    ).orderBy("doc_id")
+
+
+EXTRACT_DATA_SQL = """
+SELECT doc_id,
+       'Table:' || chr(10) || chr(10)
+         || '[''id'', ''lang'', ''source'']' || chr(10) || chr(10)
+         || '[''' || CAST(doc_id AS VARCHAR) || ''', ''' || lang
+         || ''', ''' || source || ''']' AS table_text,
+       'media://' || CAST(doc_id AS VARCHAR) AS media_ref,
+       2 AS spans_emitted,
+       0 AS parse_failures
+FROM documents ORDER BY doc_id
+"""
+
+
 def q_extract_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineage-style rollup of the extraction run by source (A4/A5 shape)."""
     ext = extract_wrapped(spark, sf_dir).select(
@@ -1356,6 +1413,7 @@ QUERIES: dict[str, tuple] = {
     "kept_collapsed": (q_kept_collapsed, _kept_collapsed_oracle_sql),
     "pack_interleaved": (q_pack_interleaved, PACK_INTERLEAVED_SQL),
     "extract_clean": (q_extract_clean, EXTRACT_CLEAN_SQL),
+    "extract_data_corpus": (q_extract_data_corpus, EXTRACT_DATA_SQL),
     "snapshot_read": (q_snapshot_read, _snapshot_read_oracle_sql),
     "snapshot_diff": (q_snapshot_diff, _snapshot_diff_oracle_sql),
     "extract_staged": (q_extract_staged, EXTRACT_CLEAN_SQL),

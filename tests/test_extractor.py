@@ -173,3 +173,46 @@ def test_hostile_pdf_inputs_never_crash():
     for blob in blobs:
         res = extract_document([("pdf", blob, "", 0)])  # must not raise
         assert res.spans_emitted >= 1
+
+
+def test_data_kind_renders_table_framing():
+    """kind='data' (the reference's csv/xlsx/json corpus category,
+    app/config.py:9-15): delimited content renders through the SAME F4
+    table framing the PDF grid path uses — sniffed delimiter, list-repr
+    rows, clean_text — and never aborts on malformed content."""
+    from pdf_extractor_spark.core.extractor import (
+        extract_document,
+        extract_document_staged,
+        stage_span,
+    )
+
+    for delim in (",", ";", "\t", "|"):
+        text = f"id{delim}lang\n1{delim}en\n2{delim}fr"
+        r = extract_document([("data", text, "", 0)])
+        assert r.parse_failures == 0
+        assert r.spans[0] == (
+            "text",
+            "Table:\n\n['id', 'lang']\n\n['1', 'en']\n\n['2', 'fr']",
+            "",
+            0,
+        ), delim
+        # staged path is byte-identical
+        staged = extract_document_staged(
+            [("data", stage_span("data", text), "", 0)]
+        )
+        assert staged.spans == r.spans
+
+    # no sniffable delimiter -> ',' fallback, single-column rows
+    r = extract_document([("data", "solo\nrows", "", 0)])
+    assert r.parse_failures == 0
+    assert r.spans[0][1] == "Table:\n\n['solo']\n\n['rows']"
+
+    # empty data span: empty table, not a failure, not a crash
+    r = extract_document([("data", "", "", 0)])
+    assert r.parse_failures == 0 and r.spans[0][1] == "Table:"
+
+    # interleaving preserved around media spans
+    r = extract_document(
+        [("data", "a,b\n1,2", "", 0), ("media", "", "m://x", 1)]
+    )
+    assert [s[0] for s in r.spans] == ["text", "media"]

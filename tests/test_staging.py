@@ -47,7 +47,7 @@ _TEXTS = st.one_of(
 )
 
 _SPAN = st.tuples(
-    st.sampled_from(["text", "html", "pdf", "media", "bogus", ""]),
+    st.sampled_from(["text", "html", "pdf", "media", "data", "bogus", ""]),
     _TEXTS,
     st.text(max_size=20),
     st.integers(min_value=-5, max_value=50),
