@@ -1490,7 +1490,99 @@ AUDITS: list[tuple] = [
         ],
         False,
     ),
+(
+        "pack_materialize",
+        _query_df,
+        [
+            # gather join over the staged placement subtree: the shard
+            # offsets and the token-array side both broadcast at this
+            # size (AQE; at scale the doc_id join becomes a co-located
+            # hash join), the slice explode is a map-only Generate, and
+            # the per-context assembly is a partial+final
+            # ObjectHashAggregate — per-group state bounded by CTX_TOKENS.
+            # Two scans total: the persisted placements + the token side.
+            lambda p: n_scans_at_most(p, 2),
+            lambda p: contains(p, "Generate"),
+            lambda p: contains(p, "ObjectHashAggregate", 2),
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: absent(p, "MapInPandas"),
+            lambda p: never_reads(p, "lang"),
+            lambda p: never_reads(p, "source"),
+        ],
+        False,
+    ),
+    (
+        "pack_bpe",
+        _query_df,
+        [
+            # BPE costing is the map-only Arrow encode (per-task memo, no
+            # join/shuffle on the Zipf-hot vocabulary) feeding the same
+            # staged 4096-shard prefix scan as pack_contexts: one source
+            # scan, shard offsets broadcast, windows per shard only
+            lambda p: n_scans_at_most(p, 2),
+            lambda p: contains(p, "MapInArrow"),
+            lambda p: absent(p, "MapInPandas"),
+            lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: never_reads(p, "lang"),
+            lambda p: never_reads(p, "source"),
+        ],
+        False,
+    ),
+    (
+        "pagerank_converged",
+        _query_df,
+        [
+            # the loop runs under eager localCheckpoint per iteration
+            # (lineage truncated like the CC star loop), so the RESULT
+            # plan is just the checkpointed ranks + decode + top-k — the
+            # unbounded-plan-growth failure mode is structurally absent
+            lambda p: contains(p, "Scan ExistingRDD"),
+            lambda p: contains(p, "TakeOrderedAndProject"),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: absent(p, "SortMergeJoin"),
+        ],
+        False,
+    ),
+    (
+        "materialized_table",
+        _query_df,
+        [
+            # the committed context table reads like any snapshot: ONE
+            # partition-filtered scan; the gather was spent at write time
+            lambda p: n_scans_at_most(p, 1),
+            lambda p: partition_filtered(p, "chunk"),
+            lambda p: absent(p, "Join"),
+            lambda p: absent(p, "Window"),
+            lambda p: absent(p, "MapInPandas"),
+            lambda p: absent(p, "MapInArrow"),
+        ],
+        False,
+    ),
+    (
+        "extract_data_corpus",
+        _query_df,
+        [
+            # the data-span wrap builds csv from doc_id/lang/source only:
+            # the text column must be PRUNED at the scan. Same parse-stage
+            # shape as extract_clean: one per-doc hash scatter into the
+            # Arrow kernel, range partitioning only in the final
+            # presentation sort
+            lambda p: n_scans_at_most(p, 1),
+            lambda p: never_reads(p, "text"),
+            lambda p: contains(p, "hashpartitioning(doc_id"),
+            lambda p: occurs_at_most(p, "rangepartitioning", 1),
+            lambda p: contains(p, "MapInArrow"),
+            lambda p: absent(p, "MapInPandas"),
+            lambda p: absent(p, "SortMergeJoin"),
+        ],
+        False,
+    ),
 ]
+
 
 
 def run_audit(spark, sf_dir: str):
