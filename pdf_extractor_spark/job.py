@@ -359,6 +359,29 @@ def main(argv: list[str] | None = None) -> int:
         _require_table_root(f"{flag} --input", args.input)
     if args.pack_table is not None:
         _require_table_root("--pack-table", args.pack_table)
+    pw_manifest_delim = None
+    if args.password_manifest is not None:
+        # validated PRE-JVM like the table roots: a typo'd manifest must
+        # fail instantly and loudly, never after paying JVM startup — and
+        # spark.read.csv with an explicit schema names columns by POSITION
+        # regardless of the file header, so without this check a swapped/
+        # renamed header is silently misread and locked docs quietly
+        # quarantine
+        from pdf_extractor_spark.sources.manifest import (
+            _header_columns,
+            sniff_delimiter,
+        )
+
+        if not _os.path.isfile(args.password_manifest):
+            p.error(f"--password-manifest {args.password_manifest} "
+                    "does not exist")
+        pw_manifest_delim = sniff_delimiter(args.password_manifest)
+        pw_header = _header_columns(args.password_manifest, pw_manifest_delim)
+        if pw_header != ["doc_id", "password"]:
+            p.error(
+                "--password-manifest needs header columns "
+                f"doc_id,password; got {pw_header}"
+            )
     if args.over_kept is not None:
         _require_table_root("--over-kept", args.over_kept)
     if args.kept_from is not None:
@@ -612,26 +635,11 @@ def main(argv: list[str] | None = None) -> int:
             if args.password_manifest:
                 from pyspark.sql import functions as _F
 
-                from pdf_extractor_spark.sources.manifest import (
-                    _header_columns,
-                    sniff_delimiter,
-                )
-
-                pw_delim = sniff_delimiter(args.password_manifest)
-                # spark.read.csv with an explicit schema names columns by
-                # POSITION regardless of the file header — validate the real
-                # header so swapped/renamed columns fail loudly instead of
-                # silently quarantining every locked doc
-                pw_header = _header_columns(args.password_manifest, pw_delim)
-                if pw_header != ["doc_id", "password"]:
-                    p.error(
-                        "--password-manifest needs header columns "
-                        f"doc_id,password; got {pw_header}"
-                    )
+                # header + delimiter validated pre-JVM above
                 pw_df = spark.read.csv(
                     args.password_manifest,
                     header=True,
-                    sep=pw_delim,
+                    sep=pw_manifest_delim,
                     schema="doc_id STRING, password STRING",
                 )
                 docs = docs.join(_F.broadcast(pw_df), "doc_id", "left")

@@ -356,23 +356,27 @@ def test_watch_rejects_password_manifest(tmp_path):
     assert e.value.code == 2
 
 
-def test_password_manifest_header_validated(tmp_path, spark):
+def test_password_manifest_header_validated(tmp_path):
     """spark.read.csv with an explicit schema names columns by POSITION —
     a manifest with swapped/renamed header columns must p.error, not be
     silently misread (round-5 ADVICE fix: the old check compared the
-    schema's own names and could never fire)."""
+    schema's own names and could never fire). Validated PRE-JVM like the
+    table roots, so the guard fires before any session exists (and this
+    test can never stop the shared fixture session)."""
     import pytest
 
     from pdf_extractor_spark.job import main
 
-    docs = tmp_path / "docs"
-    spark.createDataFrame(
-        [("d1", [])], "doc_id string, spans array<struct<kind:string,"
-        "text:string,media_ref:string,offset:int>>"
-    ).write.parquet(str(docs))
     bad = tmp_path / "pw.csv"
     bad.write_text("password,doc_id\nhunter2,d1\n")
     with pytest.raises(SystemExit) as e:
-        main(["--input", str(docs), "--output", str(tmp_path / "out"),
+        main(["--input", str(tmp_path / "docs"),
+              "--output", str(tmp_path / "out"),
               "--password-manifest", str(bad)])
     assert e.value.code == 2
+
+    with pytest.raises(SystemExit) as e2:  # missing manifest: same fate
+        main(["--input", str(tmp_path / "docs"),
+              "--output", str(tmp_path / "out"),
+              "--password-manifest", str(tmp_path / "nope.csv")])
+    assert e2.value.code == 2
