@@ -151,6 +151,12 @@ def main(argv: list[str] | None = None) -> int:
                         "and exactly-once like --signals). With --kept-from "
                         "CURATE_ROOT [--drop-neardups-from NEARDUP_ROOT] "
                         "and --rebuild, packs the composed kept corpus")
+    p.add_argument("--cost", choices=["ws", "bpe"], default=None,
+                   help="with --pack: the packing cost model — 'ws' "
+                        "(whitespace tokens, default) or 'bpe' (tokenizer "
+                        "pieces; merge rules derived from the table's "
+                        "first window and frozen in its commit markers, "
+                        "reused by every later incremental window)")
     p.add_argument("--materialize", action="store_true",
                    help="run the shard-materialization pass instead of "
                         "extraction: --input is a committed extraction "
@@ -322,6 +328,8 @@ def main(argv: list[str] | None = None) -> int:
         p.error("--pack --kept-from packs a corpus another table's verdicts "
                 "define; it requires --rebuild (no stable incremental "
                 "notion of 'the kept docs of this window')")
+    if args.cost is not None and not args.pack:
+        p.error("--cost only applies to --pack")
     if args.pack and args.drop_neardups_from and not args.kept_from:
         p.error("--drop-neardups-from composes the kept view's "
                 "flag-validity rule; with --pack it requires --kept-from")
@@ -487,6 +495,7 @@ def main(argv: list[str] | None = None) -> int:
                     rebuild=args.rebuild,
                     kept_from=args.kept_from,
                     neardup_from=args.drop_neardups_from,
+                    cost=args.cost or "ws",
                 )
                 verb = "PACK_DONE"
             else:

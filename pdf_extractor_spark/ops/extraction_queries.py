@@ -1023,6 +1023,44 @@ def _packed_oracle_sql() -> str:
     )
 
 
+def q_packed_bpe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-COSTED context-packing STAGE (`job.py --pack --cost bpe`)
+    end to end: extraction -> commit log -> pack pass whose per-doc cost
+    is the TOKENIZER piece count (merge rules derived from the table's
+    first window and frozen in its commit marker; map-only Arrow costing
+    kernel) -> committed snapshot read. The oracle rederives the rule
+    table, every word's greedy merge fixpoint, every doc's piece total,
+    AND the placement arithmetic through one recursive-CTE closed form —
+    a drifted rule rank, a memo bug in the costing kernel, or a
+    prefix-sum leak flips the hash. The committed ``n_tokens`` column is
+    the stage's cost unit (pieces here), aliased accordingly."""
+    import os
+
+    from ..spark.lineage import CommitLog
+    from ..spark.pack import PACK_COMPUTE_VERSION, read_packed, run_pack
+
+    base, src_log = _stage_fixture_base(
+        spark, sf_dir, "pack", f"packv{PACK_COMPUTE_VERSION}"
+    )
+    out_root = os.path.join(base, "out-bpe")
+    run_pack(spark, src_log, CommitLog(out_root), cost="bpe")
+    df = read_packed(spark, CommitLog(out_root))
+    return df.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("n_tokens").alias("n_pieces"),
+        "start_off",
+        "first_chunk",
+        "last_chunk",
+        "n_chunks",
+    ).orderBy("doc_id")
+
+
+def _packed_bpe_oracle_sql() -> str:
+    from .training import pack_bpe_sql
+
+    return pack_bpe_sql(empty_guard=True, varchar_tiebreak=True)
+
+
 def _materialize_fixture(spark: SparkSession, sf_dir: str) -> str:
     """The pack fixture extended one stage: its committed placements
     gathered into actual context rows by spark/materialize.py. Shares the
@@ -1408,6 +1446,7 @@ QUERIES: dict[str, tuple] = {
     "signals_table": (q_signals_table, _signals_oracle_sql),
     "packed_table": (q_packed_table, _packed_oracle_sql),
     "materialized_table": (q_materialized_table, _materialized_oracle_sql),
+    "packed_bpe_table": (q_packed_bpe_table, _packed_bpe_oracle_sql),
     "curated_table": (q_curated_table, _curated_oracle_sql),
     "kept_corpus": (q_kept_corpus, _kept_corpus_oracle_sql),
     "kept_collapsed": (q_kept_collapsed, _kept_collapsed_oracle_sql),

@@ -1269,6 +1269,56 @@ def _bpe_encode_batches(rules: list[str]):
     return gen
 
 
+def bpe_cost_batches(rules: list[str]):
+    """Arrow kernel: (doc_id string, part_id int, text string) ->
+    (doc_id, part_id, n_pieces bigint) — the COUNTING-only sibling of
+    ``_bpe_encode_batches`` for the BPE-costed packing stage
+    (spark/pack.py cost="bpe"): same tokenizer semantics and per-task
+    word memo, but only the piece count crosses the boundary (the
+    encoded text stays worker-side), and doc_id/part_id pass through
+    untouched so the stage keys keep their types. Whitespace-only /
+    empty text costs 0 (the stage's empty-doc guard drops it)."""
+
+    def gen(it):
+        import re
+
+        import pyarrow as pa
+
+        ws = re.compile(r"[ \t\n\v\f\r]+")
+        memo: dict[str, int] = {}
+        MEMO_CAP = 1_000_000
+
+        def npieces(tok: str) -> int:
+            hit = memo.get(tok)
+            if hit is None:
+                hit = len(bpe_encode_word(tok, rules))
+                if len(memo) >= MEMO_CAP:
+                    memo.clear()
+                memo[tok] = hit
+            return hit
+
+        for batch in it:
+            ids = batch.column("doc_id").to_pylist()
+            parts = batch.column("part_id").to_pylist()
+            texts = batch.column("text").to_pylist()
+            out = [
+                sum(npieces(t) for t in ws.split(s.strip(" ").lower()) if t)
+                if s is not None
+                else 0
+                for s in texts
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.string()),
+                    pa.array(parts, pa.int32()),
+                    pa.array(out, pa.int64()),
+                ],
+                names=["doc_id", "part_id", "n_pieces"],
+            )
+
+    return gen
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the learned BPE merge table to the corpus — tokenizer
     APPLICATION, the stage :func:`q_bpe_pairs` (merge-candidate counting)

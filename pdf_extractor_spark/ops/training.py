@@ -453,9 +453,17 @@ def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pack_bpe_sql() -> str:
+def pack_bpe_sql(*, empty_guard: bool = False,
+                 varchar_tiebreak: bool = False) -> str:
+    """BPE-costed packing oracle: the recursive-CTE tokenizer's per-doc
+    piece counts fed through the placement prefix sum. Knobs as in
+    :func:`pack_placement_ctes` — the staged ``packed_bpe_table`` oracle
+    drops zero-cost (whitespace-only) docs and breaks prefix-sum ties on
+    the stringified doc_id; the flat ``pack_bpe`` query uses neither."""
     from .textstats import bpe_encode_ctes
 
+    tiebreak = "CAST(doc_id AS VARCHAR)" if varchar_tiebreak else "doc_id"
+    where = "\n  WHERE n_pieces > 0" if empty_guard else ""
     return f"""
 WITH RECURSIVE
 {bpe_encode_ctes()},
@@ -467,10 +475,10 @@ cost AS (
 p AS (
   SELECT doc_id, n_pieces,
          CAST(COALESCE(SUM(n_pieces) OVER (
-                ORDER BY h, doc_id
+                ORDER BY h, {tiebreak}
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
               AS BIGINT) AS start_off
-  FROM cost)
+  FROM cost{where})
 SELECT doc_id, n_pieces, start_off,
        start_off // {CTX_TOKENS} AS first_chunk,
        (start_off + n_pieces - 1) // {CTX_TOKENS} AS last_chunk,
@@ -478,6 +486,10 @@ SELECT doc_id, n_pieces, start_off,
          - (start_off // {CTX_TOKENS}) + 1 AS n_chunks
 FROM p ORDER BY doc_id
 """
+
+
+def _pack_bpe_sql() -> str:
+    return pack_bpe_sql()
 
 
 # --- bigram LM scoring ------------------------------------------------------

@@ -193,6 +193,17 @@ def run_materialize(
     n_parts = pack_log.n_parts()
     if n_parts is None:
         return RunReport(0, 0, 0, 0)
+    from .pack import table_cost
+
+    pack_cost, _ = table_cost(pack_log)
+    if pack_cost not in (None, "ws"):
+        raise ValueError(
+            f"materialize slices whitespace-token arrays, but this pack "
+            f"table is '{pack_cost}'-costed — its offsets index the "
+            "tokenizer-piece stream, and a word-array gather would "
+            "assemble wrong slices; pack with cost='ws' (or extend the "
+            "gather to the encoded piece stream) before materializing"
+        )
 
     def _compute(placements: DataFrame) -> DataFrame:
         return compute_materialize(spark, extract_log, placements, n_parts)

@@ -81,22 +81,54 @@ PACKED_SCHEMA = StructType(
 )
 
 
-def compute_pack(extracted: DataFrame, horizon: int) -> DataFrame:
+def compute_pack(
+    extracted: DataFrame,
+    horizon: int,
+    cost: str = "ws",
+    rules: list[str] | None = None,
+) -> DataFrame:
     """Window-local placement of ``extracted`` rows into the context
-    stream: deterministic md5 shuffle order, exclusive prefix sum of token
-    counts, context range by integer division. ``horizon`` becomes every
-    row's ``pack_epoch``."""
-    d = extracted.select(
-        "doc_id", "part_id", signal_text().alias("_text")
-    ).select(
-        "doc_id",
-        "part_id",
-        F.when(F.trim(F.col("_text")) == "", F.lit(0))
-        .otherwise(F.size(tokens(F.col("_text"))))
-        .cast("bigint")
-        .alias("n_tokens"),
-        h64(F.col("doc_id")).alias("h"),
-    )
+    stream: deterministic md5 shuffle order, exclusive prefix sum of the
+    per-doc COST, context range by integer division. ``horizon`` becomes
+    every row's ``pack_epoch``.
+
+    ``cost="ws"`` (default) counts whitespace tokens (JVM-side, map-only);
+    ``cost="bpe"`` counts TOKENIZER pieces under the given merge-rule
+    table via the map-only Arrow kernel (``textstats.bpe_cost_batches``,
+    per-task word memo — no join or shuffle on the vocabulary). In both
+    modes the committed column is named ``n_tokens``: it is the stage's
+    cost unit, and the marker records which model produced it (``cost`` +
+    ``bpe_rules`` metrics; see run_pack)."""
+    if cost == "bpe":
+        if rules is None:
+            raise ValueError("cost='bpe' needs a merge-rule table")
+        d = (
+            extracted.select(
+                "doc_id", "part_id", signal_text().alias("text")
+            )
+            .mapInArrow(
+                _bpe_cost_batches_import()(rules),
+                schema="doc_id string, part_id int, n_pieces bigint",
+            )
+            .select(
+                "doc_id",
+                "part_id",
+                F.col("n_pieces").cast("bigint").alias("n_tokens"),
+                h64(F.col("doc_id")).alias("h"),
+            )
+        )
+    else:
+        d = extracted.select(
+            "doc_id", "part_id", signal_text().alias("_text")
+        ).select(
+            "doc_id",
+            "part_id",
+            F.when(F.trim(F.col("_text")) == "", F.lit(0))
+            .otherwise(F.size(tokens(F.col("_text"))))
+            .cast("bigint")
+            .alias("n_tokens"),
+            h64(F.col("doc_id")).alias("h"),
+        )
     placed = exclusive_prefix_sum(
         d.where(F.col("n_tokens") > 0),
         ["h", "doc_id"],
@@ -120,6 +152,63 @@ def compute_pack(extracted: DataFrame, horizon: int) -> DataFrame:
     )
 
 
+def _bpe_cost_batches_import():
+    from ..ops.textstats import bpe_cost_batches
+
+    return bpe_cost_batches
+
+
+def derive_pack_bpe_rules(extracted: DataFrame) -> list[str]:
+    """Top-BPE_MERGES adjacent character pairs over the extracted corpus
+    (vocab-first, same shape as textstats.bpe_merge_rules but over
+    ``signal_text`` instead of the flat documents table). <= 12 rows —
+    a bounded collect, closure-shipped to the costing kernel."""
+    from ..ops.textstats import BPE_MERGES
+
+    txt = extracted.select(signal_text().alias("_text"))
+    vocab = (
+        txt.select(F.explode(tokens(F.col("_text"))).alias("tok"))
+        .where(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair"),
+        "n",
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), "pair")
+        .limit(BPE_MERGES)
+        .collect()
+    )
+    return [r["pair"] for r in top]
+
+
+def table_cost(out_log: CommitLog) -> tuple[str | None, list[str] | None]:
+    """(cost model, recorded BPE rules) of this pack table — last
+    committed chunk's record, like neardup's table_scope. (None, None)
+    on an empty table; a pre-cost-feature table reads as 'ws' (the only
+    model that existed when it was written)."""
+    from .derived import latest_metric
+
+    chunks = out_log.committed_chunks()
+    if not chunks:
+        return None, None
+    cost = latest_metric(chunks, "cost") or "ws"
+    # rules only belong to the CURRENT model: after a ws rebuild an older
+    # bpe epoch's recorded rules must not leak back out (every bpe commit
+    # records its rules, so under cost='bpe' the latest record is current)
+    rules = latest_metric(chunks, "bpe_rules") if cost == "bpe" else None
+    return cost, rules
+
+
 def run_pack(
     spark: SparkSession,
     src_log: CommitLog,
@@ -127,8 +216,28 @@ def run_pack(
     rebuild: bool = False,
     kept_from: CommitLog | None = None,
     neardup_from: CommitLog | None = None,
+    cost: str = "ws",
 ) -> RunReport:
+    """One pack pass. ``cost``: 'ws' (whitespace tokens) or 'bpe'
+    (tokenizer pieces). The cost model is FROZEN at table creation: the
+    first committed chunk derives the BPE merge rules from ITS window's
+    corpus and records them in the marker (``bpe_rules``); every later
+    incremental window REUSES the recorded rules — a tokenizer is a
+    fixed artifact, and re-deriving per window would make identical text
+    cost different amounts in different windows. Mixing cost models in
+    one table is refused (mirrors the scope guard); rebuild re-derives.
+    """
     scope = "kept" if kept_from is not None else "full"
+    if cost not in ("ws", "bpe"):
+        raise ValueError(f"unknown pack cost model {cost!r}")
+    prior_cost, stored_rules = table_cost(out_log)
+    if prior_cost is not None and prior_cost != cost and not rebuild:
+        raise ValueError(
+            f"pack table cost model is '{prior_cost}' but this run is "
+            f"'{cost}'; mixing windows costed under different models "
+            "would make the context stream model-dependent — run with "
+            "rebuild=True to repack under the new model"
+        )
     if kept_from is None and neardup_from is not None:
         raise ValueError(
             "neardup_from composes the kept view's flag-validity rule and "
@@ -149,6 +258,23 @@ def run_pack(
             "rebuild=True to repack under the new scope"
         )
 
+    # mutated by the closures below BEFORE the marker is built (the
+    # commit spreads this dict after compute returns): the first bpe
+    # window records the rules it derived, freezing the cost model
+    extra = {"pack_version": PACK_COMPUTE_VERSION, "scope": scope,
+             "cost": cost}
+    rules: list[str] | None = (
+        None if (rebuild or stored_rules is None) else list(stored_rules)
+    )
+
+    def _cost_compute(frame: DataFrame, horizon: int) -> DataFrame:
+        nonlocal rules
+        if cost == "bpe":
+            if rules is None:  # first window of the table, or a rebuild
+                rules = derive_pack_bpe_rules(frame)
+            extra["bpe_rules"] = rules
+        return compute_pack(frame, horizon, cost=cost, rules=rules)
+
     def _rebuild(full: DataFrame, horizon: int) -> DataFrame:
         if kept_from is not None:
             from .curate import apply_kept_filters
@@ -156,7 +282,8 @@ def run_pack(
             full = apply_kept_filters(
                 spark, full, kept_from, neardup_log=neardup_from
             )
-        return compute_pack(full, horizon)
+        # kept scope: rules derive from the corpus actually packed
+        return _cost_compute(full, horizon)
 
     return run_derived_stage(
         spark,
@@ -164,10 +291,10 @@ def run_pack(
         out_log,
         PACKED_SCHEMA,
         "pack",
-        compute_pack,
+        _cost_compute,
         rebuild=rebuild,
         rebuild_compute=_rebuild,
-        extra_metrics={"pack_version": PACK_COMPUTE_VERSION, "scope": scope},
+        extra_metrics=extra,
     )
 
 
@@ -190,6 +317,7 @@ def run_pack_job(
     rebuild: bool = False,
     kept_from: str | None = None,
     neardup_from: str | None = None,
+    cost: str = "ws",
 ) -> tuple[RunReport, float]:
     t0 = time.monotonic()
     report = run_pack(
@@ -199,5 +327,6 @@ def run_pack_job(
         rebuild=rebuild,
         kept_from=None if kept_from is None else CommitLog(kept_from),
         neardup_from=None if neardup_from is None else CommitLog(neardup_from),
+        cost=cost,
     )
     return report, time.monotonic() - t0

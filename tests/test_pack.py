@@ -197,3 +197,91 @@ def test_pack_releases_staged_frames(spark, tmp_path):
     run_pack(spark, src, out)
     assert len(_DF_CACHE) == before
     assert read_packed(spark, out).count() == 10
+
+
+def test_pack_bpe_cost_rules_frozen_at_table_creation(spark, tmp_path):
+    """cost='bpe' (round 5): the merge rules derive from the table's
+    FIRST window and are recorded in its commit marker; a later window
+    must be costed under the ORIGINAL rules (a tokenizer is a fixed
+    artifact — re-deriving per window would make identical text cost
+    different amounts across windows). Every committed cost is verified
+    against a pure-Python piece count under the wave-1 rules, and the
+    fixture guarantees a re-derivation WOULD have produced a different
+    table, so the differential actually discriminates."""
+    from pdf_extractor_spark.ops.textstats import BPE_MERGES, bpe_encode_word
+    from pdf_extractor_spark.spark.pack import run_pack, table_cost
+
+    def py_rules(doc_texts):
+        vocab = {}
+        for t in doc_texts:
+            for w in t.lower().split():
+                if len(w) >= 2:
+                    vocab[w] = vocab.get(w, 0) + 1
+        pairs = {}
+        for w, n in vocab.items():
+            for i in range(len(w) - 1):
+                pairs[w[i:i + 2]] = pairs.get(w[i:i + 2], 0) + n
+        top = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [p for p, _ in top[:BPE_MERGES]]
+
+    texts = {
+        i: " ".join(f"w{i}x{j}" for j in range(40)) for i in range(24)
+    }
+    sf_dir = write_docs(tmp_path, texts)
+    docs = wrap_documents(spark, sf_dir)
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        L.run_extraction(spark, docs, src, n_parts=8, parts_per_chunk=4,
+                         fail_after_chunks=1)
+    r1 = run_pack(spark, src, out, cost="bpe")
+    assert r1.chunks_committed == 1
+    wave1 = {r["doc_id"] for r in read_packed(spark, out).collect()}
+    cost, rules = table_cost(out)
+    assert cost == "bpe" and rules
+    # the recorded table IS wave 1's derivation...
+    assert rules == py_rules(texts[int(d)] for d in wave1)
+    # ...and a full-corpus re-derivation would differ — the frozen-rules
+    # differential below can actually catch a re-derive bug
+    assert rules != py_rules(texts.values())
+
+    L.run_extraction(spark, docs, src, n_parts=8, parts_per_chunk=4)
+    r2 = run_pack(spark, src, out, cost="bpe")
+    assert r2.chunks_committed == 1
+    _, rules2 = table_cost(out)
+    assert rules2 == rules  # FROZEN: wave 2 reused the recorded table
+
+    rows = {r["doc_id"]: r for r in read_packed(spark, out).collect()}
+    assert len(rows) == 24
+    for d, t in texts.items():
+        want = sum(
+            len(bpe_encode_word(w, rules)) for w in t.lower().split()
+        )
+        assert rows[str(d)]["n_tokens"] == want, d
+
+    # mixing cost models in one table is refused without rebuild
+    with pytest.raises(ValueError, match="cost model"):
+        run_pack(spark, src, out, cost="ws")
+    # rebuild under the new model is the sanctioned path
+    r3 = run_pack(spark, src, out, rebuild=True)
+    assert r3.chunks_committed == 1
+    cost3, rules3 = table_cost(out)
+    assert cost3 == "ws" and rules3 is None
+
+
+def test_materialize_refuses_bpe_costed_pack_table(spark, tmp_path):
+    """The materialize gather slices whitespace-token arrays; a
+    piece-costed placement table's offsets index the ENCODED stream, so
+    the word gather would assemble wrong slices — refuse loudly."""
+    from pdf_extractor_spark.spark.materialize import run_materialize
+    from pdf_extractor_spark.spark.pack import run_pack
+
+    sf_dir = write_docs(tmp_path, {i: f"aa bb w{i}" for i in range(8)})
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "pack"))
+    L.run_extraction(spark, wrap_documents(spark, sf_dir), src,
+                     n_parts=4, parts_per_chunk=4)
+    run_pack(spark, src, out, cost="bpe")
+    with pytest.raises(ValueError, match="bpe"):
+        run_materialize(spark, src, out, L.CommitLog(str(tmp_path / "m")))

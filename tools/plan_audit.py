@@ -1581,7 +1581,24 @@ AUDITS: list[tuple] = [
         ],
         False,
     ),
+(
+        "packed_bpe_table",
+        _query_df,
+        [
+            # same snapshot shape as packed_table: the Arrow costing
+            # kernel and the prefix scan were spent at WRITE time — the
+            # committed read is ONE partition-filtered scan, no Python
+            lambda p: n_scans_at_most(p, 1),
+            lambda p: partition_filtered(p, "chunk"),
+            lambda p: absent(p, "Join"),
+            lambda p: absent(p, "Window"),
+            lambda p: absent(p, "MapInPandas"),
+            lambda p: absent(p, "MapInArrow"),
+        ],
+        False,
+    ),
 ]
+
 
 
 
