@@ -1089,6 +1089,46 @@ def _materialize_fixture(spark: SparkSession, sf_dir: str) -> str:
     return mat_root
 
 
+def q_materialized_bpe_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized shards of a BPE-COSTED packing: extraction ->
+    pack pass under cost='bpe' (tokenizer-piece placement, rules frozen
+    in the table marker) -> materialize pass gathering the ENCODED PIECE
+    STREAM those offsets index (the recorded rules drive the Arrow
+    piece-stream kernel) -> committed snapshot read. The oracle
+    rederives rules, per-word merge fixpoints, each doc's flattened
+    piece stream, the placement prefix sum, AND every context's
+    assembled piece text in one recursive-CTE closed form."""
+    import os
+
+    from ..spark.lineage import CommitLog
+    from ..spark.materialize import (
+        MATERIALIZE_COMPUTE_VERSION,
+        read_materialized,
+        run_materialize,
+    )
+    from ..spark.pack import PACK_COMPUTE_VERSION, run_pack
+
+    base, src_log = _stage_fixture_base(
+        spark, sf_dir, "pack", f"packv{PACK_COMPUTE_VERSION}"
+    )
+    pack_root = os.path.join(base, "out-bpe")
+    run_pack(spark, src_log, CommitLog(pack_root), cost="bpe")
+    mat_root = os.path.join(
+        base, f"mat-bpe-v{MATERIALIZE_COMPUTE_VERSION}"
+    )
+    run_materialize(
+        spark, src_log, CommitLog(pack_root), CommitLog(mat_root)
+    )
+    df = read_materialized(spark, CommitLog(mat_root))
+    return df.select("ctx", "n_docs", "n_tokens", "text").orderBy("ctx")
+
+
+def _materialized_bpe_oracle_sql() -> str:
+    from .training import pack_materialize_bpe_sql
+
+    return pack_materialize_bpe_sql(empty_guard=True, varchar_tiebreak=True)
+
+
 def q_materialized_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized-shard STAGE, value-hash gated end-to-end:
     extraction (real kernel) -> commit log -> pack pass (placements) ->
@@ -1447,6 +1487,10 @@ QUERIES: dict[str, tuple] = {
     "packed_table": (q_packed_table, _packed_oracle_sql),
     "materialized_table": (q_materialized_table, _materialized_oracle_sql),
     "packed_bpe_table": (q_packed_bpe_table, _packed_bpe_oracle_sql),
+    "materialized_bpe_table": (
+        q_materialized_bpe_table,
+        _materialized_bpe_oracle_sql,
+    ),
     "curated_table": (q_curated_table, _curated_oracle_sql),
     "kept_corpus": (q_kept_corpus, _kept_corpus_oracle_sql),
     "kept_collapsed": (q_kept_collapsed, _kept_collapsed_oracle_sql),

@@ -1319,6 +1319,57 @@ def bpe_cost_batches(rules: list[str]):
     return gen
 
 
+def bpe_pieces_batches(rules: list[str]):
+    """Arrow kernel: (pack_epoch long, doc_id string, text string) ->
+    (pack_epoch, doc_id, _tok list<string>) — the ordered PIECE STREAM of
+    each document under the merge-rule table, for the piece-costed
+    materialize gather (spark/materialize.py on a cost='bpe' pack table):
+    empty tokens contribute nothing, order is token order then intra-word
+    merge order, per-task word memo as in the other BPE kernels."""
+
+    def gen(it):
+        import re
+
+        import pyarrow as pa
+
+        ws = re.compile(r"[ \t\n\v\f\r]+")
+        memo: dict[str, list[str]] = {}
+        MEMO_CAP = 1_000_000
+
+        def pieces(tok: str) -> list[str]:
+            hit = memo.get(tok)
+            if hit is None:
+                hit = bpe_encode_word(tok, rules)
+                if len(memo) >= MEMO_CAP:
+                    memo.clear()
+                memo[tok] = hit
+            return hit
+
+        for batch in it:
+            texts = batch.column("text").to_pylist()
+            out = [
+                [
+                    p
+                    for t in ws.split(s.strip(" ").lower())
+                    if t
+                    for p in pieces(t)
+                ]
+                if s is not None
+                else []
+                for s in texts
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("pack_epoch"),
+                    batch.column("doc_id"),
+                    pa.array(out, pa.list_(pa.string())),
+                ],
+                names=["pack_epoch", "doc_id", "_tok"],
+            )
+
+    return gen
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the learned BPE merge table to the corpus — tokenizer
     APPLICATION, the stage :func:`q_bpe_pairs` (merge-candidate counting)
@@ -1390,7 +1441,7 @@ enc AS (
          e.r + 1
   FROM enc e JOIN rules ru ON ru.rank = e.r + 1),
 encoded AS (
-  SELECT tok, array_to_string(syms, '_') AS pieces,
+  SELECT tok, array_to_string(syms, '_') AS pieces, syms,
          CAST(len(syms) AS BIGINT) AS n_pieces
   FROM enc QUALIFY row_number() OVER (PARTITION BY tok ORDER BY r DESC) = 1),
 toks AS (

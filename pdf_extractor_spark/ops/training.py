@@ -492,6 +492,61 @@ def _pack_bpe_sql() -> str:
     return pack_bpe_sql()
 
 
+def pack_materialize_bpe_sql(*, empty_guard: bool = False,
+                             varchar_tiebreak: bool = False) -> str:
+    """Materialized-context oracle for a BPE-COSTED packing: the
+    recursive-CTE tokenizer's per-word piece LISTS flattened into each
+    doc's ordered piece stream, placed by the piece-count prefix sum,
+    exploded to per-(ctx, doc) slices of that stream, assembled per
+    context. The closed form of spark/materialize.py over a cost='bpe'
+    pack table (fixture: ``materialized_bpe_table``)."""
+    from .textstats import bpe_encode_ctes
+
+    tiebreak = "CAST(doc_id AS VARCHAR)" if varchar_tiebreak else "doc_id"
+    where = "\n  WHERE n_pieces > 0" if empty_guard else ""
+    return f"""
+WITH RECURSIVE
+{bpe_encode_ctes()},
+cost AS (
+  SELECT t.doc_id, CAST(sum(e.n_pieces) AS BIGINT) AS n_pieces,
+         {h64_sql("CAST(t.doc_id AS VARCHAR)")} AS h
+  FROM toks t JOIN encoded e USING (tok)
+  GROUP BY t.doc_id),
+p AS (
+  SELECT doc_id, n_pieces,
+         CAST(COALESCE(SUM(n_pieces) OVER (
+                ORDER BY h, {tiebreak}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_off
+  FROM cost{where}),
+stream AS (
+  SELECT t.doc_id, flatten(list(e.syms ORDER BY t.pos)) AS tk
+  FROM toks t JOIN encoded e USING (tok)
+  GROUP BY t.doc_id),
+r AS (
+  SELECT doc_id, n_pieces, start_off,
+         unnest(generate_series(start_off // {CTX_TOKENS},
+                                (start_off + n_pieces - 1) // {CTX_TOKENS}))
+           AS ctx
+  FROM p),
+s AS (
+  SELECT ctx,
+         greatest(start_off, ctx * {CTX_TOKENS}) - ctx * {CTX_TOKENS}
+           AS off_in_ctx,
+         least(start_off + n_pieces, (ctx + 1) * {CTX_TOKENS})
+           - greatest(start_off, ctx * {CTX_TOKENS}) AS n_toks,
+         array_to_string(list_slice(tk,
+             greatest(start_off, ctx * {CTX_TOKENS}) - start_off + 1,
+             least(start_off + n_pieces, (ctx + 1) * {CTX_TOKENS})
+               - start_off), ' ') AS piece
+  FROM r JOIN stream USING (doc_id))
+SELECT ctx, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       string_agg(piece, ' ' ORDER BY off_in_ctx) AS text
+FROM s GROUP BY ctx ORDER BY ctx
+"""
+
+
 # --- bigram LM scoring ------------------------------------------------------
 
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -84,10 +84,18 @@ MATERIALIZED_SCHEMA = StructType(
 
 
 def _epoch_texts(
-    spark: SparkSession, extract_log: CommitLog, epochs: list[int]
+    spark: SparkSession,
+    extract_log: CommitLog,
+    epochs: list[int],
+    cost: str = "ws",
+    rules: list[str] | None = None,
 ) -> DataFrame:
-    """(pack_epoch, doc_id, _tok) token arrays, each epoch's text read AS
-    OF that extraction snapshot (see module docstring)."""
+    """(pack_epoch, doc_id, _tok) cost-unit arrays, each epoch's text
+    read AS OF that extraction snapshot (see module docstring).
+    ``cost='ws'``: whitespace-token arrays (JVM split). ``cost='bpe'``:
+    the ordered tokenizer-PIECE stream under the pack table's recorded
+    merge rules (map-only Arrow kernel) — placements of a piece-costed
+    table index exactly this stream, so the gather slices it."""
     out = None
     for e in sorted(epochs):
         t = (
@@ -96,11 +104,22 @@ def _epoch_texts(
             .select(
                 F.lit(e).cast("bigint").alias("pack_epoch"),
                 "doc_id",
-                tokens(F.col("_text")).alias("_tok"),
+                F.col("_text"),
             )
         )
         out = t if out is None else out.unionByName(t)
-    return out
+    if cost == "bpe":
+        from ..ops.textstats import bpe_pieces_batches
+
+        return out.select(
+            "pack_epoch", "doc_id", F.col("_text").alias("text")
+        ).mapInArrow(
+            bpe_pieces_batches(rules),
+            schema="pack_epoch bigint, doc_id string, _tok array<string>",
+        )
+    return out.select(
+        "pack_epoch", "doc_id", tokens(F.col("_text")).alias("_tok")
+    )
 
 
 def compute_materialize(
@@ -108,6 +127,8 @@ def compute_materialize(
     extract_log: CommitLog,
     placements: DataFrame,
     n_parts: int,
+    cost: str = "ws",
+    rules: list[str] | None = None,
 ) -> DataFrame:
     """Gather join over a set of placement rows: explode each placement to
     its (ctx, slice) contributions (the pack_slices arithmetic), slice the
@@ -121,7 +142,7 @@ def compute_materialize(
     ]
     if not epochs:
         return spark.createDataFrame([], MATERIALIZED_SCHEMA)
-    toks = _epoch_texts(spark, extract_log, epochs)
+    toks = _epoch_texts(spark, extract_log, epochs, cost=cost, rules=rules)
     sl = (
         placements.select("pack_epoch", "doc_id", "n_tokens", "start_off")
         .join(toks, ["pack_epoch", "doc_id"])
@@ -195,18 +216,28 @@ def run_materialize(
         return RunReport(0, 0, 0, 0)
     from .pack import table_cost
 
-    pack_cost, _ = table_cost(pack_log)
-    if pack_cost not in (None, "ws"):
+    pack_cost, pack_rules = table_cost(pack_log)
+    pack_cost = pack_cost or "ws"
+    if pack_cost not in ("ws", "bpe"):
         raise ValueError(
-            f"materialize slices whitespace-token arrays, but this pack "
-            f"table is '{pack_cost}'-costed — its offsets index the "
-            "tokenizer-piece stream, and a word-array gather would "
-            "assemble wrong slices; pack with cost='ws' (or extend the "
-            "gather to the encoded piece stream) before materializing"
+            f"unknown pack-table cost model {pack_cost!r}; this "
+            "materializer gathers 'ws' word streams or 'bpe' piece "
+            "streams"
+        )
+    if pack_cost == "bpe" and not pack_rules:
+        raise ValueError(
+            "pack table is bpe-costed but records no merge rules; "
+            "cannot reconstruct the piece stream its offsets index"
         )
 
     def _compute(placements: DataFrame) -> DataFrame:
-        return compute_materialize(spark, extract_log, placements, n_parts)
+        # the gather slices the SAME stream the placements were costed
+        # against: word arrays for 'ws', the recorded-rules piece stream
+        # for 'bpe' — a mismatched gather would assemble wrong slices
+        return compute_materialize(
+            spark, extract_log, placements, n_parts,
+            cost=pack_cost, rules=pack_rules,
+        )
 
     return run_derived_stage(
         spark,
@@ -218,7 +249,8 @@ def run_materialize(
         rebuild=rebuild,
         src_schema=PACKED_SCHEMA,
         rebuild_all_parts=True,
-        extra_metrics={"materialize_version": MATERIALIZE_COMPUTE_VERSION},
+        extra_metrics={"materialize_version": MATERIALIZE_COMPUTE_VERSION,
+                       "cost": pack_cost},
     )
 
 

@@ -270,18 +270,50 @@ def test_pack_bpe_cost_rules_frozen_at_table_creation(spark, tmp_path):
     assert cost3 == "ws" and rules3 is None
 
 
-def test_materialize_refuses_bpe_costed_pack_table(spark, tmp_path):
-    """The materialize gather slices whitespace-token arrays; a
-    piece-costed placement table's offsets index the ENCODED stream, so
-    the word gather would assemble wrong slices — refuse loudly."""
-    from pdf_extractor_spark.spark.materialize import run_materialize
-    from pdf_extractor_spark.spark.pack import run_pack
+def test_materialize_gathers_bpe_piece_stream(spark, tmp_path):
+    """Materializing a cost='bpe' pack table gathers the ENCODED PIECE
+    STREAM its offsets index (under the table's recorded rules), not the
+    word arrays — verified byte-for-byte against a pure-Python
+    re-assembly, with the tiling invariant on piece counts."""
+    from pdf_extractor_spark.ops.textstats import bpe_encode_word
+    from pdf_extractor_spark.ops.training import CTX_TOKENS
+    from pdf_extractor_spark.spark.materialize import (
+        read_materialized,
+        run_materialize,
+    )
+    from pdf_extractor_spark.spark.pack import run_pack, table_cost
 
-    sf_dir = write_docs(tmp_path, {i: f"aa bb w{i}" for i in range(8)})
+    texts = {
+        i: " ".join(f"aa{i}bb{j}" for j in range(60)) for i in range(12)
+    }
+    sf_dir = write_docs(tmp_path, texts)
     src = L.CommitLog(str(tmp_path / "src"))
-    out = L.CommitLog(str(tmp_path / "pack"))
+    pk = L.CommitLog(str(tmp_path / "pack"))
+    mat = L.CommitLog(str(tmp_path / "mat"))
     L.run_extraction(spark, wrap_documents(spark, sf_dir), src,
                      n_parts=4, parts_per_chunk=4)
-    run_pack(spark, src, out, cost="bpe")
-    with pytest.raises(ValueError, match="bpe"):
-        run_materialize(spark, src, out, L.CommitLog(str(tmp_path / "m")))
+    run_pack(spark, src, pk, cost="bpe")
+    _, rules = table_cost(pk)
+    r = run_materialize(spark, src, pk, mat)
+    assert r.chunks_committed == 1
+
+    # python re-assembly: md5 placement order, flattened piece stream
+    placed = sorted(
+        (int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16), d)
+        for d in texts
+    )
+    stream = [
+        p
+        for _h, d in placed
+        for w in texts[d].lower().split()
+        for p in bpe_encode_word(w, rules)
+    ]
+    rows = {r["ctx"]: r for r in read_materialized(spark, mat).collect()}
+    n_ctx = -(-len(stream) // CTX_TOKENS)
+    assert set(rows) == set(range(n_ctx))
+    for c in range(n_ctx):
+        seg = stream[c * CTX_TOKENS : (c + 1) * CTX_TOKENS]
+        assert rows[c]["text"] == " ".join(seg), c
+        assert rows[c]["n_tokens"] == len(seg)
+        if c != n_ctx - 1:
+            assert rows[c]["n_tokens"] == CTX_TOKENS

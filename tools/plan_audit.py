@@ -1597,7 +1597,23 @@ AUDITS: list[tuple] = [
         ],
         False,
     ),
+(
+        "materialized_bpe_table",
+        _query_df,
+        [
+            # snapshot read of the piece-stream materialization: the
+            # Arrow piece kernel + gather were spent at WRITE time
+            lambda p: n_scans_at_most(p, 1),
+            lambda p: partition_filtered(p, "chunk"),
+            lambda p: absent(p, "Join"),
+            lambda p: absent(p, "Window"),
+            lambda p: absent(p, "MapInPandas"),
+            lambda p: absent(p, "MapInArrow"),
+        ],
+        False,
+    ),
 ]
+
 
 
 
