@@ -30,7 +30,7 @@ from dataclasses import dataclass, field
 
 from .html_extract import extract_main_text
 from .pdf_parse import PdfParseError, extract_pdf_spans
-from .textclean import clean_text, render_delimited
+from .textclean import clean_text, render_data
 
 KIND_TEXT = "text"
 KIND_HTML = "html"
@@ -130,9 +130,9 @@ def extract_document(
         elif kind == KIND_HTML:
             emit(KIND_TEXT, clean_text(extract_main_text(text)))
         elif kind == KIND_DATA:
-            # delimited rows -> the F4 table framing, then clean_text —
-            # the data corpus category (app/config.py:9-15) as a span path
-            emit(KIND_TEXT, clean_text(render_delimited(text)))
+            # delimited/JSON rows -> the F4 table framing, then clean_text
+            # — the data corpus category (app/config.py:9-15) as a span path
+            emit(KIND_TEXT, clean_text(render_data(text)))
         elif kind == KIND_PDF:
             try:
                 pdf_bytes = base64.b64decode(text.encode("ascii"), validate=True)
@@ -229,7 +229,7 @@ def extract_document_staged(
         elif kind == KIND_DATA:
             emit(
                 KIND_TEXT,
-                clean_text(render_delimited((payload or b"").decode("utf-8"))),
+                clean_text(render_data((payload or b"").decode("utf-8"))),
             )
         elif kind == KIND_PDF:
             if payload is None:  # staged tombstone: strict base64 decode failed

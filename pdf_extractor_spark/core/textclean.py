@@ -61,6 +61,33 @@ def render_delimited(text: str) -> str:
     return frame_table("Table", rows)
 
 
+def render_data(text: str) -> str:
+    """``kind='data'`` dispatch: JSON content (first non-space char is a
+    bracket/brace and it parses) renders as a table of its objects —
+    header = sorted key union, one row per object, missing keys None —
+    matching the reference's tabular JSON preview; anything else goes
+    through the delimited renderer (which is also the fallback for
+    almost-JSON text, keeping the no-abort contract)."""
+    t = text.lstrip()
+    if t[:1] in ("[", "{"):
+        import json
+
+        try:
+            obj = json.loads(text)
+        except ValueError:
+            return render_delimited(text)
+        rows = obj if isinstance(obj, list) else [obj]
+        if rows and all(isinstance(r, dict) for r in rows):
+            header = sorted({k for r in rows for k in r})
+            return frame_table(
+                "Table",
+                [header] + [[r.get(k) for k in header] for r in rows],
+            )
+        # non-tabular JSON (scalars / mixed list): one cell per element
+        return frame_table("Table", [[el] for el in rows] if rows else [])
+    return render_delimited(text)
+
+
 def frame_table(label: str, rows: list[list[str | None]]) -> str:
     """A table contributes ``\\n\\n{label}:\\n\\n`` then one ``{row}\\n\\n`` per
     row, where the row is rendered via Python list repr — part of the output

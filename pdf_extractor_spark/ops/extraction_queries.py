@@ -135,9 +135,24 @@ def q_extract_data_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(","),
         F.col("source"),
     )
+    # every third doc carries JSON instead of csv: the dispatcher must
+    # route it through the object-table renderer (sorted key header)
+    json_text = F.concat(
+        F.lit('[{"id": "'),
+        F.col("doc_id").cast("string"),
+        F.lit('", "lang": "'),
+        F.col("lang"),
+        F.lit('"}, {"id": "'),
+        F.col("doc_id").cast("string"),
+        F.lit('", "lang": "'),
+        F.col("source"),
+        F.lit('"}]'),
+    )
     data_span = F.struct(
         F.lit("data").alias("kind"),
-        csv_text.alias("text"),
+        F.when(F.col("doc_id") % 3 == 0, json_text)
+        .otherwise(csv_text)
+        .alias("text"),
         F.lit("").alias("media_ref"),
         F.lit(0).alias("offset"),
     )
@@ -165,10 +180,19 @@ def q_extract_data_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRACT_DATA_SQL = """
 SELECT doc_id,
-       'Table:' || chr(10) || chr(10)
-         || '[''id'', ''lang'', ''source'']' || chr(10) || chr(10)
-         || '[''' || CAST(doc_id AS VARCHAR) || ''', ''' || lang
-         || ''', ''' || source || ''']' AS table_text,
+       CASE WHEN doc_id % 3 = 0 THEN
+         'Table:' || chr(10) || chr(10)
+           || '[''id'', ''lang'']' || chr(10) || chr(10)
+           || '[''' || CAST(doc_id AS VARCHAR) || ''', ''' || lang
+           || ''']' || chr(10) || chr(10)
+           || '[''' || CAST(doc_id AS VARCHAR) || ''', ''' || source
+           || ''']'
+       ELSE
+         'Table:' || chr(10) || chr(10)
+           || '[''id'', ''lang'', ''source'']' || chr(10) || chr(10)
+           || '[''' || CAST(doc_id AS VARCHAR) || ''', ''' || lang
+           || ''', ''' || source || ''']'
+       END AS table_text,
        'media://' || CAST(doc_id AS VARCHAR) AS media_ref,
        2 AS spans_emitted,
        0 AS parse_failures

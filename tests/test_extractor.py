@@ -216,3 +216,19 @@ def test_data_kind_renders_table_framing():
         [("data", "a,b\n1,2", "", 0), ("media", "", "m://x", 1)]
     )
     assert [s[0] for s in r.spans] == ["text", "media"]
+
+    # JSON data content: object list -> sorted-key header table; missing
+    # keys render as None; non-tabular JSON one cell per element;
+    # almost-JSON falls back to the delimited renderer, never aborts
+    r = extract_document(
+        [("data", '[{"b": "2", "a": "1"}, {"a": "3"}]', "", 0)]
+    )
+    assert r.parse_failures == 0
+    assert r.spans[0][1] == "Table:\n\n['a', 'b']\n\n['1', '2']\n\n['3', None]"
+    r = extract_document([("data", "[1, 2]", "", 0)])
+    assert r.spans[0][1] == "Table:\n\n[1]\n\n[2]"
+    r = extract_document([("data", '{"k": "v"}', "", 0)])
+    assert r.spans[0][1] == "Table:\n\n['k']\n\n['v']"
+    r = extract_document([("data", "[broken json", "", 0)])
+    assert r.parse_failures == 0
+    assert r.spans[0][1] == "Table:\n\n['[broken json']"
