@@ -767,6 +767,32 @@ MEDIA_PATCH_TOKENS = 64  # fixed token budget a media span occupies
 PACK_CTX = 512
 
 
+def _interleaved_placements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_idx, kind, cost, start_tok) span-cost placements of
+    the REAL extraction output in the interleaved context stream — the
+    shared prelude of q_pack_interleaved and q_pack_interleaved_slices
+    (text span = token count, media span = the fixed 64-token patch
+    budget, prefix sum via the sampled-range distributed scan)."""
+    from .portable import tokens
+    from .training import exclusive_prefix_sum
+
+    ext = extract_wrapped(spark, sf_dir)
+    sp = ext.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.posexplode("spans").alias("idx0", "s"),
+    ).select(
+        "doc_id",
+        (F.col("idx0") + 1).cast("bigint").alias("span_idx"),
+        F.col("s.kind").alias("kind"),
+        F.when(F.col("s.kind") == "media", F.lit(MEDIA_PATCH_TOKENS))
+        .when(F.length("s.text") == 0, F.lit(0))
+        .otherwise(F.size(tokens(F.col("s.text"))))
+        .cast("bigint")
+        .alias("cost"),
+    )
+    return exclusive_prefix_sum(sp, ["doc_id", "span_idx"], "cost", "start_tok")
+
+
 def q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal concat-and-chunk packing over the REAL extraction output:
     every extracted span (interleaved text + media, in document order) is
@@ -793,24 +819,7 @@ def q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     reaches the values: any order-respecting split yields the same
     exclusive prefix.
     """
-    from .portable import tokens
-    from .training import exclusive_prefix_sum
-
-    ext = extract_wrapped(spark, sf_dir)
-    sp = ext.select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        F.posexplode("spans").alias("idx0", "s"),
-    ).select(
-        "doc_id",
-        (F.col("idx0") + 1).cast("bigint").alias("span_idx"),
-        F.col("s.kind").alias("kind"),
-        F.when(F.col("s.kind") == "media", F.lit(MEDIA_PATCH_TOKENS))
-        .when(F.length("s.text") == 0, F.lit(0))
-        .otherwise(F.size(tokens(F.col("s.text"))))
-        .cast("bigint")
-        .alias("cost"),
-    )
-    placed = exclusive_prefix_sum(sp, ["doc_id", "span_idx"], "cost", "start_tok")
+    placed = _interleaved_placements(spark, sf_dir)
     return placed.select(
         "doc_id",
         "span_idx",
@@ -849,6 +858,89 @@ SELECT doc_id, span_idx, kind, cost, start_tok,
        start_tok // {PACK_CTX} AS ctx_first,
        (start_tok + greatest(cost, 1) - 1) // {PACK_CTX} AS ctx_last
 FROM p ORDER BY doc_id, span_idx
+"""
+
+
+def q_pack_interleaved_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MULTIMODAL per-context gather map — pack_slices' interleaved
+    sibling, completing that packing pair too: for every 512-token
+    context, which (doc, span) contributes which cost-unit range at
+    which offset, WITH the span kind riding along — so a multimodal
+    trainer reads, per context, exactly which text slices and which
+    media patch budgets to gather, in order. Zero-cost spans (the
+    %17-doc empty text span) appear as zero-length slices at their
+    stream position (they occupy no budget but their document order is
+    part of the contract). Same scale shape as pack_slices: the
+    placement subtree plus a map-only explode; no extra shuffle."""
+    placed = _interleaved_placements(spark, sf_dir)
+    return (
+        placed.select(
+            "doc_id",
+            "span_idx",
+            "kind",
+            "cost",
+            "start_tok",
+            F.explode(
+                F.sequence(
+                    F.expr(f"start_tok div {PACK_CTX}"),
+                    F.expr(
+                        f"(start_tok + greatest(cost, 1) - 1) div {PACK_CTX}"
+                    ),
+                )
+            ).alias("ctx"),
+        )
+        .select(
+            "ctx",
+            "doc_id",
+            "span_idx",
+            "kind",
+            (
+                F.expr(f"greatest(start_tok, ctx * {PACK_CTX})")
+                - F.col("start_tok")
+            ).alias("off_in_span"),
+            F.expr(
+                f"greatest(start_tok, ctx * {PACK_CTX}) - ctx * {PACK_CTX}"
+            ).alias("off_in_ctx"),
+            F.expr(
+                f"least(start_tok + cost, (ctx + 1) * {PACK_CTX})"
+                f" - greatest(start_tok, ctx * {PACK_CTX})"
+            ).alias("n_toks"),
+        )
+        .orderBy("ctx", "off_in_ctx", "doc_id", "span_idx")
+    )
+
+
+PACK_INTERLEAVED_SLICES_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(len({tokens_sql('text')}) AS BIGINT) END AS text_cost
+  FROM documents),
+spans AS (
+  SELECT doc_id, 1 AS span_idx, 'text' AS kind, text_cost AS cost FROM base
+  UNION ALL
+  SELECT doc_id, 2, 'media', {MEDIA_PATCH_TOKENS} FROM base
+  UNION ALL
+  SELECT doc_id, 3, 'text', 0 FROM base WHERE doc_id % 17 = 0),
+p AS (
+  SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx, kind,
+         CAST(cost AS BIGINT) AS cost,
+         CAST(coalesce(SUM(cost) OVER (
+                ORDER BY doc_id, span_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+  FROM spans),
+r AS (
+  SELECT doc_id, span_idx, kind, cost, start_tok,
+         unnest(generate_series(start_tok // {PACK_CTX},
+                (start_tok + greatest(cost, 1) - 1) // {PACK_CTX})) AS ctx
+  FROM p)
+SELECT ctx, doc_id, span_idx, kind,
+       greatest(start_tok, ctx * {PACK_CTX}) - start_tok AS off_in_span,
+       greatest(start_tok, ctx * {PACK_CTX}) - ctx * {PACK_CTX} AS off_in_ctx,
+       least(start_tok + cost, (ctx + 1) * {PACK_CTX})
+         - greatest(start_tok, ctx * {PACK_CTX}) AS n_toks
+FROM r ORDER BY ctx, off_in_ctx, doc_id, span_idx
 """
 
 
@@ -1519,6 +1611,10 @@ QUERIES: dict[str, tuple] = {
     "kept_corpus": (q_kept_corpus, _kept_corpus_oracle_sql),
     "kept_collapsed": (q_kept_collapsed, _kept_collapsed_oracle_sql),
     "pack_interleaved": (q_pack_interleaved, PACK_INTERLEAVED_SQL),
+    "pack_interleaved_slices": (
+        q_pack_interleaved_slices,
+        PACK_INTERLEAVED_SLICES_SQL,
+    ),
     "extract_clean": (q_extract_clean, EXTRACT_CLEAN_SQL),
     "extract_data_corpus": (q_extract_data_corpus, EXTRACT_DATA_SQL),
     "snapshot_read": (q_snapshot_read, _snapshot_read_oracle_sql),

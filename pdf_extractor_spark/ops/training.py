@@ -396,6 +396,74 @@ FROM s GROUP BY ctx ORDER BY ctx
 PACK_MATERIALIZE_SQL = pack_materialize_sql()
 
 
+def q_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency diagnostics — the one-row summary a pipeline
+    owner reads before shipping shards: corpus/context totals, how many
+    documents straddle a context boundary (each straddle is a attention
+    -masking / doc-boundary event downstream), total boundary crossings,
+    the final partial context's token waste, and floor-micros means
+    (tokens per doc, contributing docs per context). All integer
+    arithmetic over the placement table; the only addition to the
+    placement DAG is one singleton aggregate, so the scale shape is
+    pack_contexts' plus a broadcastable 1-row reduce."""
+    placed = _pack_placements(spark, sf_dir).select(
+        "n_tokens",
+        (
+            F.expr(f"(start_off + n_tokens - 1) div {CTX_TOKENS}")
+            - F.expr(f"start_off div {CTX_TOKENS}")
+        ).alias("crossings"),
+    )
+    return placed.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.expr(
+            f"CAST((sum(n_tokens) + {CTX_TOKENS} - 1) div {CTX_TOKENS}"
+            " AS BIGINT)"
+        ).alias("n_contexts"),
+        F.sum((F.col("crossings") > 0).cast("bigint")).alias(
+            "straddling_docs"
+        ),
+        F.sum("crossings").cast("bigint").alias("boundary_crossings"),
+        F.expr(
+            f"CAST(((sum(n_tokens) + {CTX_TOKENS} - 1) div {CTX_TOKENS})"
+            f" * {CTX_TOKENS} - sum(n_tokens) AS BIGINT)"
+        ).alias("tail_waste_tokens"),
+        F.expr(
+            "CAST(sum(n_tokens) * 1000000 div count(*) AS BIGINT)"
+        ).alias("mean_doc_tokens_micros"),
+        F.expr(
+            "CAST((count(*) + sum(crossings)) * 1000000"
+            f" div ((sum(n_tokens) + {CTX_TOKENS} - 1) div {CTX_TOKENS})"
+            " AS BIGINT)"
+        ).alias("docs_per_context_micros"),
+    )
+
+
+PACK_STATS_SQL = f"""
+WITH {pack_placement_ctes()},
+c AS (
+  SELECT n_tokens,
+         (start_off + n_tokens - 1) // {CTX_TOKENS}
+           - start_off // {CTX_TOKENS} AS crossings
+  FROM p)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((sum(n_tokens) + {CTX_TOKENS} - 1) // {CTX_TOKENS} AS BIGINT)
+         AS n_contexts,
+       CAST(sum(CASE WHEN crossings > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS straddling_docs,
+       CAST(sum(crossings) AS BIGINT) AS boundary_crossings,
+       CAST(((sum(n_tokens) + {CTX_TOKENS} - 1) // {CTX_TOKENS})
+            * {CTX_TOKENS} - sum(n_tokens) AS BIGINT) AS tail_waste_tokens,
+       CAST(sum(n_tokens) * 1000000 // count(*) AS BIGINT)
+         AS mean_doc_tokens_micros,
+       CAST((count(*) + sum(crossings)) * 1000000
+            // ((sum(n_tokens) + {CTX_TOKENS} - 1) // {CTX_TOKENS})
+         AS BIGINT) AS docs_per_context_micros
+FROM c
+"""
+
+
 def q_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing costed in TOKENIZER pieces, not whitespace
     tokens — what a production packer actually budgets: a context holds
@@ -1206,6 +1274,7 @@ QUERIES: dict[str, tuple] = {
     "pack_slices": (q_pack_slices, PACK_SLICES_SQL),
     "pack_materialize": (q_pack_materialize, PACK_MATERIALIZE_SQL),
     "pack_bpe": (q_pack_bpe, _pack_bpe_sql),
+    "pack_stats": (q_pack_stats, PACK_STATS_SQL),
     "lm_score": (q_lm_score, LM_SCORE_SQL),
     "kmeans_step": (q_kmeans_step, _kmeans_step_sql()),
     "kmeans_train": (q_kmeans_train, _kmeans_train_sql()),

@@ -78,6 +78,84 @@ def test_pack_slices_assemble_every_context_exactly(spark):
     assert len(docs) <= len(rows) <= len(docs) + last_ctx
 
 
+def test_pack_interleaved_slices_tile_and_partition(spark):
+    """The multimodal gather map tiles like pack_slices: each context's
+    nonzero slices are contiguous from offset 0 and sum to the context
+    budget (final partial excepted), each (doc, span)'s slices partition
+    its cost in order, kinds ride through, and zero-cost spans appear as
+    zero-length markers at their stream position."""
+    from collections import defaultdict
+
+    rows = _rows(spark, "pack_interleaved_slices")
+    spans = {
+        (r["doc_id"], r["span_idx"]): r
+        for r in _rows(spark, "pack_interleaved")
+    }
+    from pdf_extractor_spark.ops.extraction_queries import PACK_CTX
+
+    total = sum(r["cost"] for r in spans.values())
+    by_ctx = defaultdict(list)
+    by_span = defaultdict(list)
+    for r in rows:
+        assert r["n_toks"] >= 0
+        assert r["kind"] in ("text", "media")
+        if r["n_toks"] > 0:
+            by_ctx[r["ctx"]].append(r)
+        by_span[(r["doc_id"], r["span_idx"])].append(r)
+    last_ctx = max(by_ctx)
+    assert set(by_ctx) == set(range(last_ctx + 1))
+    for ctx, slices in by_ctx.items():
+        slices.sort(key=lambda r: r["off_in_ctx"])
+        off = 0
+        for s in slices:
+            assert s["off_in_ctx"] == off, "gap inside a context"
+            off += s["n_toks"]
+        assert off == (
+            PACK_CTX if ctx < last_ctx else total - last_ctx * PACK_CTX
+        )
+    for key, slices in by_span.items():
+        slices.sort(key=lambda r: r["off_in_span"])
+        off = 0
+        for s in slices:
+            assert s["off_in_span"] == off, "gap inside a span"
+            off += s["n_toks"]
+            assert s["kind"] == spans[key]["kind"]
+        assert off == spans[key]["cost"]
+    # every placed span appears; zero-cost spans exactly once, zero-length
+    assert set(by_span) == set(spans)
+    for key, r in spans.items():
+        if r["cost"] == 0:
+            assert [s["n_toks"] for s in by_span[key]] == [0]
+    # media spans never straddle more than their 64-budget allows
+    for key, slices in by_span.items():
+        if spans[key]["kind"] == "media":
+            assert len(slices) <= 2  # 64 < CTX -> at most one boundary cut
+
+
+def test_pack_stats_consistent_with_placements(spark):
+    """The one-row diagnostics agree with the placement table recomputed
+    row-by-row in Python."""
+    from pdf_extractor_spark.ops.training import CTX_TOKENS
+
+    docs = _rows(spark, "pack_contexts")
+    [st] = _rows(spark, "pack_stats")
+    total = sum(r["n_tokens"] for r in docs)
+    n_ctx = -(-total // CTX_TOKENS)
+    crossings = sum(r["n_chunks"] - 1 for r in docs)
+    assert st["n_docs"] == len(docs)
+    assert st["total_tokens"] == total
+    assert st["n_contexts"] == n_ctx
+    assert st["straddling_docs"] == sum(
+        1 for r in docs if r["n_chunks"] > 1
+    )
+    assert st["boundary_crossings"] == crossings
+    assert st["tail_waste_tokens"] == n_ctx * CTX_TOKENS - total
+    assert st["mean_doc_tokens_micros"] == total * 10**6 // len(docs)
+    assert st["docs_per_context_micros"] == (
+        (len(docs) + crossings) * 10**6 // n_ctx
+    )
+
+
 def test_lm_score_is_valid_probability(spark):
     """Every per-position score is a probability in micros: the per-doc sum
     is bounded by n_bigrams * 1e6 and strictly positive (add-one smoothing
