@@ -380,3 +380,31 @@ def test_password_manifest_header_validated(tmp_path):
               "--output", str(tmp_path / "out"),
               "--password-manifest", str(tmp_path / "nope.csv")])
     assert e2.value.code == 2
+
+
+def test_materialize_and_cost_flag_guards(tmp_path):
+    """--materialize needs --pack-table; --pack-table and --cost are
+    scoped to their stages — inapplicable combinations fail loudly
+    (argparse exit 2), never silently no-op."""
+    import pytest
+
+    from pdf_extractor_spark.job import main
+
+    out = str(tmp_path / "out")
+    cases = [
+        # --materialize without the placement table
+        ["--input", "x", "--output", out, "--materialize"],
+        # --pack-table outside --materialize
+        ["--input", "x", "--output", out, "--pack-table", "p"],
+        # --cost outside --pack
+        ["--input", "x", "--output", out, "--cost", "bpe"],
+        ["--input", "x", "--output", out, "--materialize",
+         "--pack-table", "p", "--cost", "bpe"],
+        # stage exclusivity includes --materialize
+        ["--input", "x", "--output", out, "--materialize",
+         "--pack-table", "p", "--signals"],
+    ]
+    for argv in cases:
+        with pytest.raises(SystemExit) as e:
+            main(argv)
+        assert e.value.code == 2, argv

@@ -1612,7 +1612,39 @@ AUDITS: list[tuple] = [
         ],
         False,
     ),
+(
+        "pack_interleaved_slices",
+        _query_df,
+        [
+            # pack_interleaved's subtree plus ONE map-only Generate (the
+            # per-context explode) — no extra scan, shuffle, or join
+            lambda p: contains(p, "Generate"),
+            lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: occurs_at_most(p, "documents.parquet", 1),
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: absent(p, "CartesianProduct"),
+        ],
+        False,
+    ),
+    (
+        "pack_stats",
+        _query_df,
+        [
+            # placement subtree + a singleton partial/final aggregate —
+            # the 1-row reduce is the only addition
+            lambda p: contains(p, "HashAggregate"),
+            lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: occurs_at_most(p, "documents.parquet", 1),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: never_reads(p, "lang"),
+            lambda p: never_reads(p, "source"),
+        ],
+        False,
+    ),
 ]
+
 
 
 
