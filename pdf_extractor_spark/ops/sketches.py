@@ -377,8 +377,106 @@ ORDER BY e.scope
 """
 
 
+# --- mergeable log-histogram quantiles --------------------------------------
+
+QH_SUB = 16  # linear sub-buckets per power of two: relative error <= 1/16
+QH_PS = (50, 90, 99)
+
+
+def _qh_bucket(v) -> F.Column:
+    """HDR-histogram-style bucket id of a POSITIVE integer: 16 linear
+    sub-buckets inside each power-of-two range. Integer-only and
+    engine-portable (``length(bin(v))`` is the bit length on both Spark
+    and DuckDB; no log/pow). Strictly monotone in v, <= 64*16 ids over
+    the BIGINT range — the histogram is a bounded, MERGEABLE summary."""
+    b = F.expr(f"length(bin({v}))")
+    pow_ = F.expr(f"shiftleft(1L, length(bin({v})) - 1)")
+    return (b - 1) * QH_SUB + ((F.col(v) - pow_) * QH_SUB / pow_).cast(
+        "bigint"
+    )
+
+
+def q_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate per-language quantiles (p50/p90/p99 of document
+    length) from a mergeable log-histogram — the quantile sibling of the
+    KMV/CMS/HLL sketches: exact percentiles at 100 TB need a global sort
+    (or Spark's GK sketch, whose merge order isn't bit-reproducible);
+    the HDR-style histogram is one map-side-combined groupBy into
+    <= 64*16 cells per group, merges by cell-wise addition across
+    partitions/partial corpora, and answers any quantile after the fact
+    with relative error <= 1/16 (the sub-bucket width). The reported
+    value is the answering bucket's LOWER BOUND — deterministic integer
+    arithmetic end to end, so Spark and DuckDB agree bit-for-bit.
+
+    Scale shape: the only full-data exchange is the (lang, bucket)
+    partial agg; the cumulative scan runs over the <= 1024-cell
+    histogram per group, and the 3-row percentile table broadcasts.
+    """
+    docs = _read(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("bigint").alias("v")
+    )
+    # staged: the histogram feeds BOTH the per-group totals and the
+    # cumulative scan, and Catalyst does no cross-branch CSE — un-staged
+    # the corpus would be scanned and re-bucketed twice (scan budget
+    # pinned <= 1 in plan_audit); the cache is <= 1024 cells per group
+    hist = _persisted(
+        docs.groupBy("lang", _qh_bucket("v").alias("b")).agg(
+            F.count("*").alias("c")
+        )
+    )
+    total = hist.groupBy("lang").agg(F.sum("c").alias("n"))
+    w = Window.partitionBy("lang").orderBy("b")
+    cum = hist.withColumn("cum", F.sum("c").over(w)).join(
+        F.broadcast(total), "lang"
+    )
+    ps = spark.createDataFrame([(p,) for p in QH_PS], "p bigint")
+    sel = (
+        cum.join(F.broadcast(ps))
+        .where(F.expr("cum >= (p * n + 99) div 100"))
+        .groupBy("lang", "p")
+        .agg(F.min("b").alias("b"))
+    )
+    low = F.expr(
+        f"shiftleft(1L, int(b div {QH_SUB})) + "
+        f"((b % {QH_SUB}) * shiftleft(1L, int(b div {QH_SUB}))) div {QH_SUB}"
+    )
+    return sel.select(
+        "lang", "p", low.cast("bigint").alias("approx_n_chars")
+    ).orderBy("lang", "p")
+
+
+QUANTILE_HIST_SQL = f"""
+WITH h AS (
+  SELECT lang,
+         (length(bin(n_chars)) - 1) * {QH_SUB}
+           + (n_chars - (CAST(1 AS BIGINT) << (length(bin(n_chars)) - 1)))
+             * {QH_SUB}
+             // (CAST(1 AS BIGINT) << (length(bin(n_chars)) - 1)) AS b,
+         count(*) AS c
+  FROM documents GROUP BY lang, b),
+t AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY lang),
+cum AS (
+  SELECT lang, b,
+         CAST(sum(c) OVER (PARTITION BY lang ORDER BY b) AS BIGINT) AS cum
+  FROM h),
+ps AS (SELECT CAST(unnest([{", ".join(str(p) for p in QH_PS)}]) AS BIGINT) AS p),
+sel AS (
+  SELECT lang, p, min(b) AS b
+  FROM cum JOIN t USING (lang) CROSS JOIN ps
+  WHERE cum >= (p * n + 99) // 100
+  GROUP BY lang, p)
+SELECT lang, p,
+       CAST((CAST(1 AS BIGINT) << CAST(b // {QH_SUB} AS INTEGER))
+            + ((b % {QH_SUB})
+               * (CAST(1 AS BIGINT) << CAST(b // {QH_SUB} AS INTEGER)))
+              // {QH_SUB} AS BIGINT) AS approx_n_chars
+FROM sel ORDER BY lang, p
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "approx_distinct_kmv": (q_approx_distinct_kmv, APPROX_DISTINCT_KMV_SQL),
     "heavy_hitters_cms": (q_heavy_hitters_cms, HEAVY_HITTERS_CMS_SQL),
     "hll_distinct": (q_hll_distinct, HLL_DISTINCT_SQL),
+    "quantile_hist": (q_quantile_hist, QUANTILE_HIST_SQL),
 }

@@ -185,3 +185,32 @@ def test_hll_oracle_matches_python_on_random_keys():
         assert got["ALL"] == (len(all_keys), v, e)
 
     check()
+
+
+def test_quantile_hist_error_bound(spark):
+    """The log-histogram quantile answers within its guaranteed bound:
+    the reported bucket lower bound is <= the exact rank-statistic and
+    the exact value sits inside the answering bucket (width = 1/16 of
+    its power-of-two range) — for every (lang, p) cell, against exact
+    percentiles computed in Python."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from pdf_extractor_spark.ops.sketches import QH_PS, q_quantile_hist
+
+    rows = q_quantile_hist(spark, "/root/testdata/sf0.001").collect()
+    vals = defaultdict(list)
+    for lang, v in duckdb.sql(
+        "SELECT lang, n_chars FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall():
+        vals[lang].append(v)
+    assert len(rows) == len(vals) * len(QH_PS)
+    for r in rows:
+        xs = sorted(vals[r["lang"]])
+        rank = -(-(r["p"] * len(xs)) // 100)  # ceil(p*N/100)
+        exact = xs[rank - 1]
+        approx = r["approx_n_chars"]
+        assert approx <= exact, r
+        assert exact <= approx + approx // 16 + 1, (r, exact)

@@ -1643,7 +1643,25 @@ AUDITS: list[tuple] = [
         ],
         False,
     ),
+(
+        "quantile_hist",
+        _query_df,
+        [
+            # ONE map-side-combined (lang, bucket) agg over the corpus;
+            # the cumulative window and percentile join run on the
+            # <= 1024-cell histogram (broadcast), never the data
+            lambda p: n_scans_at_most(p, 1),
+            lambda p: contains(p, "InMemoryTableScan"),
+            lambda p: contains(p, "BroadcastHashJoin"),
+            lambda p: absent(p, "SortMergeJoin"),
+            lambda p: absent(p, "CartesianProduct"),
+            lambda p: never_reads(p, "text"),
+            lambda p: never_reads(p, "source"),
+        ],
+        False,
+    ),
 ]
+
 
 
 
