@@ -526,3 +526,42 @@ def test_tj_kern_displacement_enters_width_advance():
     scaled = b"50 Tz BT /F1 10 Tf 100 700 Td [(This)-371(test)] TJ ET"
     [it3], _, _ = _interpret(scaled, 792.0, fonts=fonts)
     assert it3.width == pytest.approx((8 * 5.0 + 0.371 * 10) * 0.5)
+
+
+def test_kerned_width_preserves_same_baseline_joins():
+    """End-to-end form of the round-5 kern-width fix: a kerned show
+    string followed by a same-baseline continuation placed just past its
+    TRUE advance. With the kerns folded into the width the measured gap
+    is a word space and the line joins; under the pre-fix width (short
+    by the summed kerns) the apparent gap exceeded the 2-em exact-width
+    window and the visual line split in two."""
+    from pdf_extractor_spark.core.pdf_parse import (
+        _Font,
+        _group_textboxes,
+        _interpret,
+    )
+
+    fonts = {"F1": _Font(widths={c: 500.0 for c in range(32, 127)})}
+    # glyphs 4*5 = 20; kerns 3 * 700/1000*10 = 21 -> true advance 41
+    stream = (  # Td is relative: +59 on the same baseline -> x = 159
+        b"BT /F1 10 Tf 100 700 Td [(a)-700(b)-700(c)-700(d)] TJ "
+        b"59 0 Td (tail) Tj ET"
+    )
+    items, _, _ = _interpret(stream, 792.0, fonts=fonts)
+    it = items[0]
+    assert it.text == "a b c d"
+    assert it.width == pytest.approx(41.0)
+    # continuation at 159: gap = 159 - (100 + 41) = 18 <= 2 em (20);
+    # the pre-fix width (20) read the gap as 39 and split
+    [box] = _group_textboxes(items)
+    assert box.lines == ["a b c d tail"]
+
+    # the fix must not over-join: the same layout with the continuation
+    # past the window still splits (column-gutter protection intact)
+    far = (  # +85 -> x = 185: gap 44 past the 2-em window
+        b"BT /F1 10 Tf 100 700 Td [(a)-700(b)-700(c)-700(d)] TJ "
+        b"85 0 Td (tail) Tj ET"
+    )
+    items2, _, _ = _interpret(far, 792.0, fonts=fonts)
+    boxes = _group_textboxes(items2)
+    assert sum(len(b.lines) for b in boxes) == 2
