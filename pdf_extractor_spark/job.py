@@ -287,7 +287,6 @@ def main(argv: list[str] | None = None) -> int:
         if on and (
             args.watch
             or args.ocr_stage
-            or args.compact
             or args.refresh_parts
             or args.route_needs_ocr
             or args.export_zip
@@ -537,6 +536,39 @@ def main(argv: list[str] | None = None) -> int:
                 f"wall_s={dt:.2f}"
                 + (" (rebuild)" if args.rebuild else "")
             )
+            if args.compact:
+                # derived tables accrete one chunk per incremental window
+                # (the same small-file problem as stage-1 ingest) —
+                # compact the STAGE OUTPUT table under its own schema; the
+                # cursor survives (markers kept; compaction markers carry
+                # no src_snapshot and are window-excluded)
+                from pdf_extractor_spark.spark.lineage import compact_chunks
+
+                if args.signals:
+                    from pdf_extractor_spark.spark.signals import (
+                        SIGNALS_SCHEMA as _sch,
+                    )
+                elif args.curate:
+                    from pdf_extractor_spark.spark.curate import (
+                        CURATED_SCHEMA as _sch,
+                    )
+                elif args.neardup:
+                    from pdf_extractor_spark.spark.neardup import (
+                        NEARDUP_SCHEMA as _sch,
+                    )
+                elif args.pack:
+                    from pdf_extractor_spark.spark.pack import (
+                        PACKED_SCHEMA as _sch,
+                    )
+                else:
+                    from pdf_extractor_spark.spark.materialize import (
+                        MATERIALIZED_SCHEMA as _sch,
+                    )
+                new_id = compact_chunks(
+                    spark, CommitLog(args.output), schema=_sch
+                )
+                print(f"COMPACTED chunk={new_id}"
+                      if new_id is not None else "COMPACTED nothing-to-do")
             return 0
         if args.ocr_stage:
             t0 = time.monotonic()

@@ -870,10 +870,21 @@ def resume_filter(
 
 
 def compact_chunks(
-    spark: SparkSession, log: CommitLog, min_chunks: int = 2
+    spark: SparkSession, log: CommitLog, min_chunks: int = 2, schema=None
 ) -> int | None:
     """Rewrite all currently-visible chunks into ONE new chunk that replaces
     them — the ``rewrite_data_files`` (bin-packing compaction) analogue.
+
+    ``schema`` compacts a DERIVED table (signals/curate/neardup/pack/
+    materialize — the same small-file accretion, one chunk per
+    incremental window): the data is read under the stage's row shape
+    and the lineage rewrite is skipped (derived chunks carry no lineage
+    rows). The stage CURSOR survives: markers are kept by
+    replaces/expiry, ``latest_metric`` skips the compaction marker's
+    null ``src_snapshot``/``scope``/``cost``, and ``incremental_window``
+    excludes ``replaces`` markers — so a post-compaction incremental run
+    neither re-consumes history nor skips the next source window
+    (pinned in tests/test_signals.py).
 
     Long-running ingestion accretes one chunk per incremental run; at scale
     that is the classic small-file problem (every read opens
@@ -901,7 +912,11 @@ def compact_chunks(
     part_ids = sorted({p for c in victims for p in c["part_ids"]})
     new_id = log.reserve_chunk_id()
 
-    data = log.read_extracted(spark, markers=snapshot)
+    data = (
+        log.read_extracted(spark, markers=snapshot)
+        if schema is None
+        else log.read_table(spark, schema, markers=snapshot)
+    )
     data_path = os.path.join(log.data_dir, _chunk_dirname(new_id))
     n_tasks = max(1, min(len(part_ids), 32))
     (
@@ -910,9 +925,10 @@ def compact_chunks(
         .mode("append")  # reserved empty dir; see _write_chunk note
         .parquet(data_path)
     )
-    lineage = log.read_lineage(spark, markers=snapshot)
-    lineage_path = os.path.join(log.lineage_dir, _chunk_dirname(new_id))
-    lineage.coalesce(1).write.mode("overwrite").parquet(lineage_path)
+    if os.path.isdir(log.lineage_dir):  # derived tables have none
+        lineage = log.read_lineage(spark, markers=snapshot)
+        lineage_path = os.path.join(log.lineage_dir, _chunk_dirname(new_id))
+        lineage.coalesce(1).write.mode("overwrite").parquet(lineage_path)
 
     metrics: dict = {"docs": 0, "pages": 0, "failures": 0}
     for c in victims:

@@ -279,3 +279,58 @@ def test_signals_concurrent_runs_publish_once(spark, tmp_path):
 
     rows = read_signals(spark, out).collect()
     assert len(rows) == 3 and len({r["doc_id"] for r in rows}) == 3
+
+
+def test_signals_table_compaction_preserves_rows_and_cursor(spark, tmp_path):
+    """Derived tables accrete one chunk per incremental window — the same
+    small-file problem as stage-1 ingest. compact_chunks(schema=...)
+    (round 5) rewrites the visible chunks into one under the STAGE's row
+    shape; rows are identical, the stage CURSOR survives compaction AND
+    expiry (markers kept; the compaction marker carries no src_snapshot
+    and incremental windows exclude replaces), and a later source wave
+    is consumed exactly once afterward."""
+    import os
+
+    from pdf_extractor_spark.spark.derived import derived_cursor
+    from pdf_extractor_spark.spark.lineage import compact_chunks
+    from pdf_extractor_spark.spark.signals import SIGNALS_SCHEMA
+
+    texts = {i: f"alpha beta w{i} " * (i % 4 + 1) for i in range(18)}
+    sf_dir = write_docs(tmp_path, texts)
+    docs = wrap_documents(spark, sf_dir)
+    src = L.CommitLog(str(tmp_path / "src"))
+    out = L.CommitLog(str(tmp_path / "out"))
+
+    # three source waves -> three signals chunks (8 parts / 2 per chunk:
+    # crash after 1, then 2 more, then the final run finishes the rest)
+    for k in (1, 2, None):
+        if k is not None:
+            with pytest.raises(RuntimeError, match="injected failure"):
+                L.run_extraction(spark, docs, src, n_parts=8,
+                                 parts_per_chunk=2, fail_after_chunks=k)
+        else:
+            L.run_extraction(spark, docs, src, n_parts=8, parts_per_chunk=2)
+        run_signals(spark, src, out)
+    assert len(out.visible_chunks()) == 3
+    before = sorted(
+        tuple(r) for r in read_signals(spark, out).collect()
+    )
+    cursor = derived_cursor(out)
+
+    new_id = compact_chunks(spark, out, schema=SIGNALS_SCHEMA)
+    assert new_id is not None and len(out.visible_chunks()) == 1
+    after = sorted(tuple(r) for r in read_signals(spark, out).collect())
+    assert after == before
+    assert derived_cursor(out) == cursor  # cursor unmoved by compaction
+
+    # reclaim replaced data; cursor still intact, read still whole
+    out.expire_replaced()
+    assert derived_cursor(out) == cursor
+    assert sorted(tuple(r) for r in read_signals(spark, out).collect()) \
+        == before
+
+    # post-compaction incremental semantics: cursor == latest source
+    # snapshot, so a rerun is a clean no-op (not a cold-start re-consume
+    # of the compacted history — the failure the kept markers prevent)
+    r = run_signals(spark, src, out)
+    assert r.chunks_committed == 0 and r.docs_processed == 0
