@@ -290,10 +290,8 @@ def main(argv: list[str] | None = None) -> int:
             or args.refresh_parts
             or args.route_needs_ocr
             or args.export_zip
-            or args.expire_older_than is not None
-            or args.gc_orphans_older_than is not None
         ):
-            p.error(f"{flag} runs alone; maintenance/extraction flags apply "
+            p.error(f"{flag} runs alone; extraction-mode flags apply "
                     "to stage-1 runs against the stage-1 --output")
         if on and args.input.startswith("synthetic:"):
             p.error(f"{flag} reads a committed extraction table root, not "
@@ -442,6 +440,14 @@ def main(argv: list[str] | None = None) -> int:
                 f"removed={len(healed['removed'])}"
             )
 
+    # only stop a session THIS invocation created: get_spark is
+    # getOrCreate, so under programmatic embedding (pytest's shared
+    # fixture, a notebook) main() would otherwise stop a session it
+    # merely borrowed and every later caller would hit the stopped
+    # SparkContext
+    from pyspark.sql import SparkSession as _SS
+
+    _borrowed = _SS.getActiveSession() is not None
     spark = get_spark(app_name="pdf-extractor-spark-job", master=args.master)
     if args.state_store:
         from pdf_extractor_spark.streaming.statestore import (
@@ -569,6 +575,19 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 print(f"COMPACTED chunk={new_id}"
                       if new_id is not None else "COMPACTED nothing-to-do")
+            # retention/GC compose with stage tables the same way they do
+            # with the stage-1 table: both are pure CommitLog filesystem
+            # maintenance, schema-independent, markers always kept
+            if args.expire_older_than is not None:
+                gone = CommitLog(args.output).expire_snapshots(
+                    older_than=time.time() - args.expire_older_than
+                )
+                print(f"SNAPSHOTS_EXPIRED chunks={gone}")
+            if args.gc_orphans_older_than is not None:
+                swept = CommitLog(args.output).gc_orphans(
+                    grace_s=args.gc_orphans_older_than
+                )
+                print(f"ORPHANS_REMOVED dirs={len(swept)}")
             return 0
         if args.ocr_stage:
             t0 = time.monotonic()
@@ -759,7 +778,8 @@ def main(argv: list[str] | None = None) -> int:
         lin.groupBy("status").count().show()
         return 0
     finally:
-        spark.stop()
+        if not _borrowed:
+            spark.stop()
 
 
 if __name__ == "__main__":

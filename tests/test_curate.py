@@ -456,8 +456,13 @@ def test_curate_job_and_cli_guards(spark, tmp_path):
         main(["--curate", "--signals", "--input", src_root, "--output", out_root])
     with pytest.raises(SystemExit):
         main(["--curate", "--input", "synthetic:10", "--output", out_root])
-    with pytest.raises(SystemExit):
-        main(["--curate", "--compact", "--input", src_root, "--output", out_root])
+    # --compact now COMPOSES with stage modes (round 5: it compacts the
+    # stage OUTPUT table) — a single-chunk table is a clean no-op rerun
+    assert main(["--curate", "--compact", "--input", src_root,
+                 "--output", out_root]) == 0
+    with pytest.raises(SystemExit):  # extraction-mode flags still refuse
+        main(["--curate", "--export-zip", str(tmp_path / "z.zip"),
+              "--input", src_root, "--output", out_root])
     with pytest.raises(SystemExit):
         main(["--rebuild", "--input", src_root, "--output", out_root])
     with pytest.raises(SystemExit):  # --kept-from needs --export-zip
