@@ -474,9 +474,10 @@ def test_neardup_job_and_cli_guards(spark, tmp_path):
               "--output", out_root])
     with pytest.raises(SystemExit):
         main(["--neardup", "--input", "synthetic:10", "--output", out_root])
-    with pytest.raises(SystemExit):
-        main(["--neardup", "--compact", "--input", src_root,
-              "--output", out_root])
+    # --compact now composes with stage modes (round 5: compacts the
+    # stage OUTPUT table); a single-chunk table is a clean no-op rerun
+    assert main(["--neardup", "--compact", "--input", src_root,
+                 "--output", out_root]) == 0
     with pytest.raises(SystemExit):  # curate-only gate flag
         main(["--neardup", "--min-logit-micros", "5", "--input", src_root,
               "--output", out_root])
